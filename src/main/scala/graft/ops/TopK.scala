@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** W1 + P4 (SURVEY.md §2.5): top-K rows per group by a metric.
+  *
+  * Reference: `Window.partitionBy(prefix).orderBy(frequency.desc)` +
+  * `row_number()` + `filter(rank <= K)` at
+  * `IncrementalAutocomplete.java:120-125`.
+  *
+  * Two deliberate changes from the reference:
+  *  - deterministic tie-break: order is (metric desc, tieBreak asc...) — the
+  *    reference orders only by frequency, so equal-frequency rows get
+  *    arbitrary ranks run-to-run (hazard SURVEY §2.11.2).
+  *  - scale: Spark ≥3.5 plans this exact shape with
+  *    `WindowGroupLimitExec` (rule `InferWindowGroupLimit`), which keeps a
+  *    bounded per-partition group limit instead of fully sorting every
+  *    partition — the "bounded heap" the 100 TB path needs, for free. The
+  *    plan is asserted in TopKSpec.
+  */
+object TopK {
+
+  /** Add `rankCol` = row_number over (partition by groupKeys, order by
+    * metric desc then tieBreaks asc) and keep rows with rank <= k.
+    */
+  def apply(df: DataFrame, groupKeys: Seq[String], metric: Column,
+            tieBreaks: Seq[Column], k: Int, rankCol: String = "rnk")
+      : DataFrame = {
+    val w = Window
+      .partitionBy(groupKeys.map(df(_)): _*)
+      .orderBy(metric.desc +: tieBreaks.map(_.asc): _*)
+    df.withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= k)
+  }
+}
