@@ -1,0 +1,62 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads with
+  * typed metadata. The Spark-side plumbing (schema, batch shape, partition
+  * sizing) is real; the actual media decode is STUBBED as a deterministic
+  * byte-level feature extractor — media codec libraries are not available
+  * in this environment, and the stub keeps every query reproducible.
+  *
+  * Scale notes: payloads dominate row size, so anything that shuffles media
+  * rows must project the payload away first (extract features, then join
+  * features back by id if needed). `decodeStub`/`frameSample` run scan-side
+  * with zero shuffle.
+  */
+object Multimodal {
+
+  /** Canonical media-table schema: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true))),
+      nullable = false)))
+
+  /** Deterministic decode stub: byte-level features standing in for a real
+    * image/audio decode (size, content digest, checksum). A production
+    * build replaces the body, not the signature.
+    */
+  def decodeStub(payload: Column): Column = struct(
+    octet_length(payload).cast("long").as("n_bytes"),
+    sha2(payload, 256).as("content_sha"),
+    crc32(payload).as("checksum"))
+
+  /** Frame sampling stub: digest per sampled frame index, `every`-th frame
+    * of `nFrames`. Real decoders substitute frame bytes for the digest
+    * input; the plumbing (1→N expansion scan-side) is what matters here.
+    */
+  def frameSample(payload: Column, nFrames: Column, every: Int = 1): Column =
+    transform(
+      sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(every)),
+      i => sha2(concat(concat(i.cast("string"), lit(":")).cast("binary"),
+        payload), 256))
+
+  /** Wrap a text table as a media table (payload = utf-8 bytes) — the
+    * testdata has no real media, so `documents` stands in; the binary
+    * column path (cast, octet_length, digest over bytes) is exercised for
+    * real.
+    */
+  def fromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(df(idCol).cast("long").as("media_id"),
+      df(textCol).cast("binary").as("payload"),
+      struct(lit("text/plain").as("format"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(3).as("n_frames")).as("meta"))
+}

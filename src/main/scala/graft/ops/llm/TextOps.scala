@@ -1,0 +1,68 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the LLM-data-pipeline tier (SURVEY.md
+  * §7.1 `ops/llm/`): tokenization, shingling, regex feature counts,
+  * stopword-based language scoring. Everything is a native Catalyst column
+  * expression — no UDFs — so the hot path stays inside whole-stage codegen
+  * and per-row cost is O(tokens).
+  */
+object TextOps {
+
+  /** trim + lowercase (the same normalization the pipeline core uses). */
+  def normalized(c: Column): Column = lower(trim(c))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normalized(c), "\\s+")
+
+  /** n-word shingles over a token array; a doc shorter than n words yields
+    * its single (shorter) shingle — `slice` is overrun-safe, unlike
+    * `element_at` under ANSI mode.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
+  /** Distinct n-word shingle set of a text column (the dedup unit). */
+  def shingleSet(c: Column, n: Int): Column =
+    array_distinct(shingles(tokens(c), n))
+
+  /** Count of regex matches in `c` (full-match group). Patterns must stay in
+    * the RE2-compatible subset so the DuckDB oracle agrees with Java regex.
+    */
+  def regexCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Stopword-hit count: whole-word matches of any of `words` in normalized
+    * text. Used for quality scoring and language ID.
+    */
+  def stopwordCount(c: Column, words: Seq[String]): Column =
+    regexCount(normalized(c), "\\b(" + words.mkString("|") + ")\\b")
+
+  // Small per-language stopword lists for the n-gram/stopword language-ID
+  // heuristic. Deterministic, tiny, and SQL-expressible on both engines.
+  val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+  val stopDe = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
+  val stopEs = Seq("el", "la", "los", "de", "que", "y", "en", "un", "es", "por")
+  val stopFr = Seq("le", "la", "les", "de", "et", "un", "une", "est", "dans", "pour")
+
+  /** Language-ID scores (stopword hits per language). Argmax with the fixed
+    * tie-break order en > de > es > fr gives the predicted language.
+    */
+  def langScores(c: Column): Seq[(String, Column)] = Seq(
+    "en" -> stopwordCount(c, stopEn), "de" -> stopwordCount(c, stopDe),
+    "es" -> stopwordCount(c, stopEs), "fr" -> stopwordCount(c, stopFr))
+
+  /** Predicted language from precomputed score columns (tie-break = listed
+    * order). `scores` must be non-empty.
+    */
+  def langArgmax(scores: Seq[(String, Column)]): Column = {
+    val rest = scores.tails.toSeq.init // each lang with its successors
+    rest.init.foldRight(lit(scores.last._1)) { (tail, els) =>
+      val (lang, sc) = tail.head
+      when(tail.tail.map(t => sc >= t._2).reduce(_ && _), lang).otherwise(els)
+    }
+  }
+}

@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.ops._
+
+/** Analytics-extension declared queries (SURVEY.md §2.3 J2, §2.4 ext, §2.5
+  * ext, §2.7 ext, §2.8 ext): the general-analytics surface the reference
+  * lacks, exercised over the star-schema testdata.
+  *
+  * Determinism rules for the DuckDB hash-compare (SURVEY §5.2.1):
+  *  - money/metric sums go through per-row integer cents/millis
+  *    (`round(x*100) :: long`) so the aggregate is exact integer arithmetic —
+  *    double summation order differs between engines and would drift hashes;
+  *  - window order keys use unique integer ids, never raw timestamps: the
+  *    testdata timestamps are ns-precision parquet, which Spark truncates to
+  *    µs while DuckDB keeps ns, so a ts tie in Spark may not be a tie in
+  *    DuckDB;
+  *  - timestamps never appear in output columns — they are projected to
+  *    strings (`date_format`) or ints (`year`/`datediff`) first.
+  */
+object AnalyticsQueries {
+
+  /** Per-row revenue in exact integer cents: round(price*(1-disc)*100).
+    * The double product is IEEE-identical in both engines; rounding to an
+    * integral double then casting long is exact.
+    */
+  private def revCents(price: org.apache.spark.sql.Column,
+                       discount: org.apache.spark.sql.Column) =
+    round(price * (lit(1.0) - discount) * 100).cast("long")
+
+  val all: Map[String, Q] = Map(
+
+    // J2 — 5-table star join. Dimensions are explicitly broadcast: customer
+    // is ~150k rows at sf=1 (fits executors easily); nation/region are tiny.
+    // Only lineitem⋈orders shuffles — the unavoidable fact⋈fact exchange,
+    // which AQE plans as sort-merge (or shuffled-hash) on l_orderkey.
+    "q_join_inner" -> Q(
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      val r = table(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(r("r_name"), n("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(revCents(li("l_extendedprice"), li("l_discount")))
+            .as("rev_cents"))
+    },
+
+    // J2 — left-semi: parts that ship in at least one high-quantity line.
+    // Semi joins dedupe on the build side and never widen rows — at scale
+    // this is one shuffle (or broadcast of the filtered probe aggregate).
+    "q_join_semi" -> Q(
+      """SELECT p_partkey, p_name FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_quantity > 45)""".stripMargin) {
+      (s, dir) =>
+        val p = table(s, dir, "part")
+        val li = table(s, dir, "lineitem")
+        p.join(li.filter(li("l_quantity") > 45),
+            p("p_partkey") === li("l_partkey"), "left_semi")
+          .select(p("p_partkey"), p("p_name"))
+    },
+
+    // J2 — left-anti: customers with no high-value order (the right side is
+    // pre-filtered, so the anti join probes a small build set).
+    "q_join_anti" -> Q(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 450000)""".stripMargin) {
+      (s, dir) =>
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders")
+        c.join(o.filter(o("o_totalprice") > 450000),
+            c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(c("c_custkey"), c("c_name"))
+    },
+
+    // §2.4 ext — distinct projection (one shuffle, partial-dedup map-side).
+    "q_distinct" -> Q(
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer") { (s, dir) =>
+      val c = table(s, dir, "customer")
+      c.select(c("c_mktsegment"), c("c_nationkey")).distinct()
+    },
+
+    // §2.4 ext — rollup: subtotals + grand total in one pass (Spark plans a
+    // single Expand + aggregate; no per-level rescan).
+    "q_rollup" -> Q(
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) {
+      (s, dir) =>
+        val li = table(s, dir, "lineitem")
+        li.rollup(li("l_returnflag"), li("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(li("l_quantity")).cast("long").as("sum_qty"))
+    },
+
+    // §2.5 ext — window frames over `events`: running sum, lag, sliding
+    // 3-row sum. Order key is the unique event_id (not ts: ns-vs-µs
+    // truncation would make tie sets differ between engines). Value goes
+    // through integer millis so the running sums are exact.
+    "q_window_frame" -> Q(
+      """SELECT event_id, user_id,
+        |  CAST(round(value * 1000) AS BIGINT) AS value_milli,
+        |  CAST(sum(CAST(round(value * 1000) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS running_sum,
+        |  lag(CAST(round(value * 1000) AS BIGINT), 1) OVER (
+        |    PARTITION BY user_id ORDER BY event_id) AS prev_value,
+        |  CAST(sum(CAST(round(value * 1000) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum3,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY user_id ORDER BY event_id) AS INTEGER) AS seq
+        |FROM events""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+      WindowFrames.running(e, partition = "user_id", order = "event_id",
+        value = e("value"))
+    },
+
+    // §2.8 ext — date math, TPC-H Q1 shape: month bucket via date_trunc
+    // projected to a string (timestamps never hit the output), revenue in
+    // exact cents, datediff vs a fixed epoch.
+    "q_date_math" -> Q(
+      """SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m')
+        |    AS ship_month,
+        |  l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  CAST(min(date_diff('day', TIMESTAMP '1995-01-01', l_shipdate))
+        |    AS INTEGER) AS min_ship_days,
+        |  CAST(max(day(l_shipdate)) AS INTEGER) AS max_dom
+        |FROM lineitem GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      li.groupBy(
+          date_format(date_trunc("month", li("l_shipdate")), "yyyy-MM")
+            .as("ship_month"),
+          li("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(li("l_quantity")).cast("long").as("sum_qty"),
+          sum(revCents(li("l_extendedprice"), li("l_discount")))
+            .as("rev_cents"),
+          min(datediff(li("l_shipdate"), lit("1995-01-01")))
+            .as("min_ship_days"),
+          max(dayofmonth(li("l_shipdate"))).as("max_dom"))
+    },
+
+    // §2.7 ext — EXCEPT (distinct semantics in both engines): customers in
+    // debt that are not in the BUILDING segment.
+    "q_except" -> Q(
+      """SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        |EXCEPT
+        |SELECT c_custkey FROM customer
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin) { (s, dir) =>
+      val c = table(s, dir, "customer")
+      c.filter(c("c_acctbal") < 0).select(c("c_custkey"))
+        .except(c.filter(c("c_mktsegment") === "BUILDING")
+          .select(c("c_custkey")))
+    },
+
+    // §2.7 ext — INTERSECT: BUILDING-segment customers that did order.
+    "q_intersect" -> Q(
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders""".stripMargin) {
+      (s, dir) =>
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders")
+        c.filter(c("c_mktsegment") === "BUILDING").select(c("c_custkey"))
+          .intersect(o.select(o("o_custkey").as("c_custkey")))
+    },
+
+    // S1 — text scan rollup: line/char counts + the P1 validity predicate,
+    // reduced to one row (the text-file path itself is exercised end-to-end
+    // in PipelineSpec; the oracle sees the parquet stand-in).
+    "q_scan_text" -> Q(
+      """SELECT CAST(count(text) AS BIGINT) AS n_lines,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(CASE WHEN length(trim(text)) >= 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_valid
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      d.agg(count(d("text")).as("n_lines"),
+        sum(length(d("text"))).as("total_chars"),
+        sum(when(Normalize.validLine(d("text")), 1).otherwise(0))
+          .as("n_valid"))
+    },
+
+    // S5/§2.11.4 — nested design-doc completions shape:
+    // [{"query":...,"frequency":...}] in rank order (JsonPack.nested).
+    "q_nested" -> Q(
+      """WITH norm AS (
+        |  SELECT lower(trim(text)) AS query FROM documents
+        |  WHERE length(trim(text)) >= 2),
+        |counts AS (
+        |  SELECT prefix, query, CAST(count(*) AS BIGINT) AS frequency FROM (
+        |    SELECT substr(query, 1, l) AS prefix, query FROM norm,
+        |    LATERAL (SELECT unnest(generate_series(2, least(length(query), 60))) AS l) ls)
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT prefix, query, frequency,
+        |    row_number() OVER (PARTITION BY prefix
+        |      ORDER BY frequency DESC, query) AS rnk FROM counts)
+        |SELECT prefix,
+        |  to_json(list(struct_pack(query := query, frequency := frequency)
+        |    ORDER BY rnk)) AS completions
+        |FROM ranked WHERE rnk <= 5 GROUP BY prefix""".stripMargin) {
+      (s, dir) =>
+        val lines = table(s, dir, "documents").select(col("text").as("value"))
+        val counts = graft.Pipeline.batchCounts(lines)
+        val ranked = TopK(counts, Seq("prefix"), counts("frequency"),
+          Seq(counts("query")), 5)
+        JsonPack.nested(ranked, "prefix", "rnk", "query", "frequency")
+    },
+  )
+}

@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.ops.llm._
+
+/** LLM-data-pipeline declared queries (the BASELINE.json north star):
+  * dedup (exact / n-gram Jaccard / MinHash-LSH), text analysis (stats,
+  * token counting, quality, language-ID, fingerprints, SimHash), similarity
+  * search over `embeddings`, and multimodal binary-column plumbing.
+  *
+  * Oracle strategy: every hash that reaches an output goes through sha256 —
+  * bit-identical hex in Spark (`sha2(_, 256)`) and DuckDB (`sha256`) — so
+  * even the banded-LSH dedup is fully hash-checked. Jaccard thresholds are
+  * integer cross-multiplications; cosine scores only influence output via
+  * rank (tie-broken) and a 4-dp rounding, keeping float nondeterminism out
+  * of the hashes. xxhash64-based variants (SimHash, fast MinHash, ANN) have
+  * no DuckDB twin → rows-only driver check + dedicated specs.
+  */
+object LlmQueries {
+
+  // DuckDB-side distinct 3-word shingle sets per doc (mirrors
+  // TextOps.shingleSet(text, 3)).
+  private val duckShingles =
+    """base AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |      generate_series(1, greatest(len(toks)-2, 1)),
+      |      i -> array_to_string(toks[i:i+2], ' '))) sh
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks
+      |        FROM documents))""".stripMargin
+
+  val all: Map[String, Q] = Map(
+
+    // Exact dedup: shuffle key is the 32-byte digest of the normalized
+    // text, never the document body.
+    "q_dedup_exact" -> Q(
+      """SELECT sha256(lower(trim(text))) AS text_sha,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.exact(table(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // Text stats per (lang, source): docs, chars, whitespace tokens.
+    "q_textstats" -> Q(
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |    AS sum_tokens,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      d.groupBy(d("lang"), d("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(d("n_chars")).as("sum_chars"),
+          sum(size(split(trim(d("text")), "\\s+")).cast("long"))
+            .as("sum_tokens"),
+          min(d("n_chars")).as("min_chars"),
+          max(d("n_chars")).as("max_chars"))
+    },
+
+    // Token counting: whitespace tokens + a BPE-ish subword split
+    // (letter-runs | digit-runs | single punctuation).
+    "q_token_count" -> Q(
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS sub_tokens
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      d.select(d("doc_id"),
+        size(TextOps.tokens(d("text"))).as("ws_tokens"),
+        TextOps.regexCount(lower(d("text")), "[a-z]+|[0-9]+|[^a-z0-9\\s]")
+          .as("sub_tokens"))
+    },
+
+    // Quality scoring: length/punct/stopword/digit features + a boolean
+    // gate, all integer/boolean so hashes are exact.
+    "q_quality" -> Q(
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars_m,
+        |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INTEGER)
+        |    AS punct_cnt,
+        |  CAST(len(regexp_extract_all(lower(trim(text)),
+        |    '\b(the|a|and|of|to|in|is|for|on|with)\b')) AS INTEGER)
+        |    AS stop_cnt,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER)
+        |    AS digit_cnt,
+        |  (len(string_split_regex(lower(trim(text)), '\s+'))
+        |     BETWEEN 10 AND 5000
+        |   AND len(regexp_extract_all(text, '[.,!?;:]')) * 10
+        |     <= length(text)) AS is_quality
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val punct = TextOps.regexCount(d("text"), "[.,!?;:]")
+      val toks = size(TextOps.tokens(d("text")))
+      d.select(d("doc_id"),
+        length(d("text")).as("n_chars_m"),
+        punct.as("punct_cnt"),
+        TextOps.stopwordCount(d("text"), TextOps.stopEn).as("stop_cnt"),
+        TextOps.regexCount(d("text"), "[0-9]").as("digit_cnt"),
+        (toks.between(10, 5000) && punct * 10 <= length(d("text")))
+          .as("is_quality"))
+    },
+
+    // Language-ID: stopword-hit scores per language, argmax with fixed
+    // tie-break en > de > es > fr.
+    "q_lang_id" -> Q(
+      """WITH s AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(lower(trim(text)),
+        |    '\b(the|a|and|of|to|in|is|for|on|with)\b')) AS INTEGER) en_s,
+        |  CAST(len(regexp_extract_all(lower(trim(text)),
+        |    '\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\b')) AS INTEGER) de_s,
+        |  CAST(len(regexp_extract_all(lower(trim(text)),
+        |    '\b(el|la|los|de|que|y|en|un|es|por)\b')) AS INTEGER) es_s,
+        |  CAST(len(regexp_extract_all(lower(trim(text)),
+        |    '\b(le|la|les|de|et|un|une|est|dans|pour)\b')) AS INTEGER) fr_s
+        |  FROM documents)
+        |SELECT doc_id, lang, en_s, de_s, es_s, fr_s,
+        |  CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s THEN 'en'
+        |       WHEN de_s >= es_s AND de_s >= fr_s THEN 'de'
+        |       WHEN es_s >= fr_s THEN 'es' ELSE 'fr' END AS pred_lang
+        |FROM s""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val scores = TextOps.langScores(d("text"))
+      val scoreCols = scores.map { case (l, c) => c.as(s"${l}_s") }
+      val withScores = d.select(d("doc_id") +: d("lang") +: scoreCols: _*)
+      val named = scores.map { case (l, _) => l -> col(s"${l}_s") }
+      withScores.withColumn("pred_lang", TextOps.langArgmax(named))
+    },
+
+    // Fingerprinting: whole-doc 16-hex digest + rolling-window
+    // (winnowing-style) min digest over 16-char windows.
+    "q_fingerprint" -> Q(
+      """SELECT doc_id,
+        |  substr(sha256(lower(trim(text))), 1, 16) AS fp16,
+        |  list_aggregate(list_transform(
+        |    generate_series(1, greatest(length(lower(trim(text))) - 15, 1)),
+        |    i -> sha256(substr(lower(trim(text)), i, 16))), 'min') AS fp_roll
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      d.select(d("doc_id"),
+        Fingerprint.sha16(d("text")).as("fp16"),
+        Fingerprint.rollingMin(d("text")).as("fp_roll"))
+    },
+
+    // Exact near-dup pairs: 3-word-shingle Jaccard >= 0.8 via
+    // inverted-index join (integer threshold: inter*10 >= uni*8).
+    "q_ngram_jaccard" -> Q(
+      s"""WITH $duckShingles,
+        |tok AS (SELECT doc_id, unnest(sh) g FROM base),
+        |sizes AS (SELECT doc_id, len(sh) n_ FROM base),
+        |inter AS (
+        |  SELECT l.doc_id a, r.doc_id b, CAST(count(*) AS INTEGER) inter
+        |  FROM tok l JOIN tok r ON l.g = r.g AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.a, i.b, i.inter,
+        |  CAST(sa.n_ + sb.n_ - i.inter AS INTEGER) AS uni
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.a
+        |JOIN sizes sb ON sb.doc_id = i.b
+        |WHERE i.inter * 10 >= (sa.n_ + sb.n_ - i.inter) * 8""".stripMargin) {
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, num = 8, den = 10)
+    },
+
+    // MinHash + banded LSH near-dup: 8 sha256 signatures, 4 bands of r=2,
+    // same-bucket candidates verified with exact shingle Jaccard >= 0.8.
+    // The full LSH pipeline is oracle-checked because the signatures are
+    // sha256 on both engines.
+    "q_dedup_minhash" -> Q(
+      s"""WITH $duckShingles,
+        |sigs AS (SELECT doc_id, sh,
+        |  list_aggregate(list_transform(sh, x -> sha256('0:' || x)), 'min') s0,
+        |  list_aggregate(list_transform(sh, x -> sha256('1:' || x)), 'min') s1,
+        |  list_aggregate(list_transform(sh, x -> sha256('2:' || x)), 'min') s2,
+        |  list_aggregate(list_transform(sh, x -> sha256('3:' || x)), 'min') s3,
+        |  list_aggregate(list_transform(sh, x -> sha256('4:' || x)), 'min') s4,
+        |  list_aggregate(list_transform(sh, x -> sha256('5:' || x)), 'min') s5,
+        |  list_aggregate(list_transform(sh, x -> sha256('6:' || x)), 'min') s6,
+        |  list_aggregate(list_transform(sh, x -> sha256('7:' || x)), 'min') s7
+        |  FROM base),
+        |banded AS (
+        |  SELECT doc_id, 0 band, s0 || s1 bkey FROM sigs
+        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM sigs
+        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM sigs
+        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM sigs),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id a, r.doc_id b
+        |  FROM banded l JOIN banded r
+        |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+        |verify AS (
+        |  SELECT c.a, c.b,
+        |    CAST(len(list_intersect(ba.sh, bb.sh)) AS INTEGER) inter,
+        |    CAST(len(ba.sh) + len(bb.sh)
+        |      - len(list_intersect(ba.sh, bb.sh)) AS INTEGER) uni
+        |  FROM cand c
+        |  JOIN base ba ON ba.doc_id = c.a
+        |  JOIN base bb ON bb.doc_id = c.b)
+        |SELECT a, b, inter, uni FROM verify
+        |WHERE inter * 10 >= uni * 8""".stripMargin) { (s, dir) =>
+      Dedup.minhashDedup(table(s, dir, "documents"), "doc_id", "text",
+        n = 3, bands = 4, num = 8, den = 10)
+    },
+
+    // SimHash (xxhash64-based — no DuckDB twin → rows-only check; semantics
+    // covered by SimHashSpec).
+    "q_simhash" -> Q.noOracle { (s, dir) =>
+      val d = table(s, dir, "documents")
+      d.select(d("doc_id"), SimHash.simhashBits("text").as("simhash"))
+    },
+
+    // Brute-force cosine top-5 for 10 query vectors — the exact baseline
+    // for similarity search. Broadcast queries: no shuffle of the corpus.
+    "q_similarity" -> Q(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id id, list_cosine_similarity(q.qv, e.v) s
+        |  FROM e, q WHERE e.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT qid, id, s,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) rnk
+        |  FROM scored)
+        |SELECT qid, id, CAST(rnk AS INTEGER) AS rnk,
+        |  round(s, 4) AS score4
+        |FROM ranked WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
+    },
+
+    // Embedding near-dup pairs: cosine >= 0.45 (threshold sits in a wide
+    // gap of the score distribution — no rounding-boundary risk).
+    "q_dedup_embed" -> Q(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+        |SELECT a.vec_id a, b.vec_id b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS score4
+        |FROM e a, e b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin) {
+      (s, dir) =>
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+        Similarity.cosinePairs(e, 0.45)
+    },
+
+    // ANN variant: hyperplane-LSH buckets + Hamming-1 multi-probe, exact
+    // re-rank inside candidates. Approximate by design → rows-only check;
+    // recall vs brute force asserted in SimilaritySpec.
+    "q_similarity_ann" -> Q.noOracle { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.annTopK(e, e.filter(col("vec_id") < 10), 5)
+    },
+
+    // Multimodal plumbing: opaque binary payload + decode/frame-sample
+    // stubs, digests computed over real bytes.
+    "q_multimodal_meta" -> Q(
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS payload_sha,
+        |  sha256('0:' || text) AS frame0_sha,
+        |  sha256('1:' || text) AS frame1_sha,
+        |  sha256('2:' || text) AS frame2_sha
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val m = Multimodal.fromText(table(s, dir, "documents"),
+        "doc_id", "text")
+      val dec = Multimodal.decodeStub(col("payload"))
+      val frames = Multimodal.frameSample(col("payload"),
+        col("meta").getField("n_frames"))
+      m.select(col("media_id"),
+        dec.getField("n_bytes").as("n_bytes"),
+        dec.getField("content_sha").as("payload_sha"),
+        element_at(frames, 1).as("frame0_sha"),
+        element_at(frames, 2).as("frame1_sha"),
+        element_at(frames, 3).as("frame2_sha"))
+    },
+  )
+}
