@@ -1,6 +1,6 @@
 package graft.io
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
 
@@ -11,21 +11,32 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Sinks {
 
-  /** S3-equivalent for the parquet state dir used in tests: write `df` to
-    * `<path>.staging`, then atomically swap it into `path`. The reading plan
-    * (which may still reference `path`) must have been persisted or fully
-    * materialized by the caller — `df.count()` here forces materialization
-    * into staging BEFORE the old state is touched.
+  /** Parquet state-dir overwrite without the read-overwrite race: write
+    * `df` fully into `<path>.staging`, then swap staging into `path`.
+    * The reading plan (which may still reference `path`) is safe because
+    * the staging write materializes the full result before the old state
+    * is touched.
+    *
+    * Uses the Hadoop FileSystem API, so the swap works on HDFS (rename is
+    * atomic there) as well as the local FS. On S3 "rename" is copy+delete
+    * — not atomic; production S3 deployments should point the state at an
+    * atomic-commit table layer instead (the staging write still guarantees
+    * no data loss: the old dir is removed only after the new one is
+    * complete).
     */
   def overwriteSafely(df: DataFrame, path: String): Unit = {
-    val staging = path + ".staging"
-    df.write.mode(SaveMode.Overwrite).parquet(staging)
-    val tmp = Paths.get(path + ".old")
-    val tgt = Paths.get(path)
-    if (Files.exists(tgt))
-      Files.move(tgt, tmp, StandardCopyOption.REPLACE_EXISTING)
-    Files.move(Paths.get(staging), tgt, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(tmp)
+    val hconf = df.sparkSession.sessionState.newHadoopConf()
+    val tgt = new Path(path)
+    val staging = new Path(path + ".staging")
+    val old = new Path(path + ".old")
+    val fs = tgt.getFileSystem(hconf)
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(tgt) && !fs.rename(tgt, old))
+      throw new java.io.IOException(s"cannot stage out old state $tgt")
+    if (!fs.rename(staging, tgt))
+      throw new java.io.IOException(s"cannot swap staging into $tgt")
+    fs.delete(old, true)
   }
 
   /** Bucketed persistent table for co-partitioned incremental merge: state
@@ -54,10 +65,4 @@ object Sinks {
       .option("kafka.bootstrap.servers", brokers)
       .option("topic", topic).save()
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
-    }
 }

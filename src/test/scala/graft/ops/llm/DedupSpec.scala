@@ -1,0 +1,73 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Dedup tier: exact dedup groups true duplicates, MinHash-LSH finds
+  * planted near-dups (and agrees with the exact inverted-index Jaccard on
+  * the same threshold), and the fast xxhash signature path preserves the
+  * MinHash agreement property.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "spark merges batches of rows into partitions for every shuffle stage"
+  // suffix-append near-dup: shares 8 of 9 shingles → jaccard ≈ 0.89, above
+  // the r=2 LSH S-curve knee (a mid-0.5 jaccard pair may legitimately miss)
+  private val nearDup = base + " again"
+  private val unrelated =
+    "completely different words about cooking pasta with fresh tomatoes"
+
+  private def docs = Seq(
+    (1L, base), (2L, base.toUpperCase), // exact dups modulo case
+    (3L, nearDup),
+    (4L, unrelated),
+    (5L, "tiny doc")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case-insensitive duplicates") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 2L) // docs 1+2 collapse, keeper = min id
+    assert(out.values.sum == 5L)
+    assert(out.size == 4)
+  }
+
+  test("minhash LSH finds the planted near-dup pair") {
+    val pairs = Dedup.minhashDedup(docs, "doc_id", "text",
+        n = 3, bands = 4, num = 5, den = 10)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // exact dup: jaccard 1
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      s"near-dup pair missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must not pair")
+  }
+
+  test("LSH candidates verified by exact jaccard agree with inverted-index pairs") {
+    val lsh = Dedup.minhashDedup(docs, "doc_id", "text",
+        n = 3, bands = 4, num = 5, den = 10)
+      .select("a", "b", "inter", "uni")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, num = 5, den = 10)
+      .select("a", "b", "inter", "uni")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    // LSH output ⊆ exact output (same verify threshold), and here the
+    // bands are generous enough to reach full recall.
+    assert(lsh == exact, s"lsh=$lsh exact=$exact")
+  }
+
+  test("fast xxhash signatures: equal shingle sets get equal sigs") {
+    val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val sh = TextOps.shingleSet(d("text"), 3)
+    val sigs = d.select(d("doc_id"),
+        Dedup.minhashSigFast(sh, 0).as("s0"), Dedup.minhashSigFast(sh, 1).as("s1"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Multimodal plumbing: binary payload round-trip, deterministic decode
+  * stub, and frame-sampling expansion shape.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Multimodal.fromText(
+    Seq((1L, "hello world"), (2L, "héllo wörld")).toDF("doc_id", "text"),
+    "doc_id", "text")
+
+  test("schema matches the canonical media shape") {
+    assert(media.schema("payload").dataType.typeName == "binary")
+    assert(media.schema("meta").dataType.typeName == "struct")
+  }
+
+  test("decode stub: n_bytes counts utf-8 bytes, digest is stable") {
+    val d = media.select(col("media_id"),
+      Multimodal.decodeStub(col("payload")).as("dec"))
+    val rows = d.select(col("media_id"), col("dec.n_bytes"),
+      col("dec.content_sha")).as[(Long, Long, String)].collect().toMap2
+    assert(rows(1L)._1 == 11L)
+    assert(rows(2L)._1 == 13L) // two 2-byte chars
+    assert(rows(1L)._2 ==
+      // sha256("hello world") — fixed vector
+      "b94d27b9934d3e08a52e52d7da7dabfac484efe37a5380ee9088f7ace2efcde9")
+  }
+
+  test("frame sampling: n_frames digests, distinct per frame") {
+    val frames = media.filter(col("media_id") === 1L)
+      .select(Multimodal.frameSample(col("payload"),
+        col("meta.n_frames")).as("f"))
+      .as[Seq[String]].head()
+    assert(frames.size == 3)
+    assert(frames.distinct.size == 3)
+  }
+
+  private implicit class ToMap2(rows: Array[(Long, Long, String)]) {
+    def toMap2: Map[Long, (Long, String)] =
+      rows.map { case (id, n, s) => id -> (n, s) }.toMap
+  }
+}

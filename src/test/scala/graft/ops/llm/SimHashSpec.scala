@@ -1,0 +1,42 @@
+package graft.ops.llm
+
+import graft.SparkSpec
+
+/** SimHash semantics: identical docs → identical hash; a one-token edit
+  * moves few of the 64 bits; unrelated docs differ in many bits.
+  */
+class SimHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = ("spark shuffle partition codegen catalyst tungsten " +
+    "dataset column row batch stage executor").trim
+  private val tweaked = base.replace("executor", "driver")
+  private val unrelated =
+    "pasta tomato basil olive oil garlic parmesan oven plate dinner kitchen"
+
+  private def hashes: Map[Long, String] = {
+    val d = Seq((1L, base), (2L, base), (3L, tweaked), (4L, unrelated))
+      .toDF("doc_id", "text")
+    d.select(d("doc_id"), SimHash.simhashBits("text").as("h"))
+      .as[(Long, String)].collect().toMap
+  }
+
+  private def hamming(a: String, b: String): Int =
+    a.zip(b).count { case (x, y) => x != y }
+
+  test("64-bit simhash: identity, locality, separation") {
+    val h = hashes
+    assert(h.values.forall(_.length == 64))
+    assert(hamming(h(1L), h(2L)) == 0)
+    val near = hamming(h(1L), h(3L))
+    val far = hamming(h(1L), h(4L))
+    assert(near < far, s"near=$near far=$far")
+    assert(near <= 16, s"one-token edit moved $near bits")
+  }
+
+  test("hamming helper agrees with scala reference") {
+    val d = Seq(("1010", "1001")).toDF("a", "b")
+    val out = d.select(SimHash.hamming(d("a"), d("b"))).as[Int].head()
+    assert(out == 2)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Similarity search: cosine math sanity and ANN recall vs the brute-force
+  * baseline on the real sf0.001 embeddings.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embeddings = graft.Tables.table(spark, sf0001, "embeddings")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  test("cosine of a vector with itself is 1") {
+    val d = Seq((1L, Array(1.0, 2.0, 3.0))).toDF("id", "v")
+    val c = d.select(Similarity.cosine(col("v"), col("v"),
+      Similarity.l2norm(col("v")), Similarity.l2norm(col("v")))).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k is ordered and self-free") {
+    val res = Similarity.bruteForceTopK(embeddings,
+        embeddings.filter(col("vec_id") < 3), 5)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(res.length == 15)
+    assert(res.forall { case (q, i, _, _) => q != i })
+    res.groupBy(_._1).values.foreach { g =>
+      val scores = g.sortBy(_._3).map(_._4)
+      assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b },
+        "scores must be non-increasing in rank")
+    }
+  }
+
+  test("ANN multi-probe recall vs brute force") {
+    val queries = embeddings.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(embeddings, queries, 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(embeddings, queries, 5, planes = 4)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    // 4 planes + Hamming-1 probes visit 5/16 ≈ 31% of bucket space; LSH
+    // must beat that candidate fraction decisively (these synthetic
+    // vectors are near-random — real corpora with tight neighbors recall
+    // far higher).
+    assert(recall >= 0.4, s"recall $recall below floor")
+    // every ANN result that brute force also found keeps rank consistency:
+    // ANN never returns a pair that brute force scores below its own top-5
+    // unless bucketing excluded better candidates (allowed by design).
+  }
+}
