@@ -206,6 +206,17 @@ object AnalyticsQueries {
           .as("n_valid"))
     },
 
+    // §2.10 — the streaming windowed-aggregation surface, exercised through
+    // its batch twin (identical window expression; watermark is a no-op in
+    // batch). Epoch-aligned 5-minute tumbling windows per event_type.
+    "q_stream_window" -> Q(
+      """SELECT strftime(to_timestamp(floor(epoch(ts) / 300) * 300),
+        |    '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamingPipeline.windowedEventCountsBatch(s, dir)
+    },
+
     // S5/§2.11.4 — nested design-doc completions shape:
     // [{"query":...,"frequency":...}] in rank order (JsonPack.nested).
     "q_nested" -> Q(
