@@ -32,41 +32,78 @@ object Dedup {
     df.groupBy(sha2(TextOps.normalized(df(textCol)), 256).as("text_sha"))
       .agg(min(df(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Pairs (a < b) whose distinct n-word-shingle Jaccard >= num/den, via
-    * inverted-index join. Output: (a, b, inter, uni) — jaccard = inter/uni.
+  /** Pairs (a < b) whose distinct n-word-shingle Jaccard >= num/den.
+    * Output: (a, b, inter, uni) — jaccard = inter/uni. Exact, via
+    * PPJoin-style prefix filtering:
     *
-    * Scale note: common shingles (stop-phrase buckets) blow up the index
-    * join; production corpora prune high-document-frequency shingles first
-    * (prefix filtering). `maxShingleDf` drops shingles appearing in more
-    * than that many docs — 0 disables (the testdata vocabulary is tiny, so
-    * the oracle query keeps everything).
+    *  1. global shingle order = (document frequency asc, shingle) —
+    *     rarest first;
+    *  2. a pair with J >= τ has overlap >= ⌈τ·|A|⌉, so (pigeonhole) its
+    *     prefix of length p = |A| - ⌈τ·|A|⌉ + 1 in that order must contain
+    *     a shared shingle — only prefix postings are indexed, and the join
+    *     meets mostly on RARE shingles (tiny buckets);
+    *  3. size-ratio prune in the join condition
+    *     (J <= min(|A|,|B|)/max(|A|,|B|));
+    *  4. candidates verified exactly with `array_intersect` on the full
+    *     sets.
+    *
+    * Provably the same result as the naive inverted-index join (which the
+    * DuckDB oracle runs), at a fraction of the join volume — the property
+    * that lets exact near-dup mining survive web-scale corpora.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, num: Int, den: Int,
-                        maxShingleDf: Int = 0): DataFrame = {
-    val sh = df
-      .select(df(idCol).as("doc"),
-        explode(TextOps.shingleSet(df(textCol), n)).as("g"))
-    val pruned =
-      if (maxShingleDf <= 0) sh
-      else {
-        val dfreq = sh.groupBy("g").agg(count(lit(1)).as("df_"))
-          .filter(col("df_") <= maxShingleDf).select("g")
-        sh.join(broadcast(dfreq), "g")
-      }
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_"))
-    val l = pruned.toDF("a", "g")
-    val r = pruned.toDF("b", "g2")
-    val inter = l.join(r, l("g") === r("g2") && l("a") < r("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    thresholded(inter, sizes, num, den)
+                        n: Int, num: Int, den: Int): DataFrame = {
+    // materialize the shingle sets once: the plan branches (postings →
+    // dfreq, prefix, and both verify sides) would otherwise each re-run
+    // the tokenize+shingle pass, which dominates the query. localCheckpoint
+    // truncates the lineage so every branch reads the computed blocks.
+    val withSet = df.select(df(idCol).as("doc"),
+        TextOps.shingleSet(df(textCol), n).as("shs"))
+      .withColumn("n_", size(col("shs")))
+      .localCheckpoint(false)
+    val post = withSet.select(col("doc"), col("n_"),
+      explode(col("shs")).as("g"))
+    val dfreq = post.groupBy("g").agg(count(lit(1)).as("df_"))
+    // prefix length p = n - ceil(n*num/den) + 1 (integer-exact via doubles
+    // for these magnitudes)
+    val p = (col("n_") - ceil(col("n_") * num / lit(den.toDouble)) + 1)
+      .cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy(col("df_"), col("g"))
+    val prefix = post.join(broadcast(dfreq), "g")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= p)
+    val l = prefix.select(col("doc").as("a"), col("n_").as("na"), col("g"))
+    val r = prefix.select(col("doc").as("b"), col("n_").as("nb"),
+      col("g").as("g2"))
+    val cand = l.join(r,
+        l("g") === r("g2") && col("a") < col("b") &&
+          least(col("na"), col("nb")) * den >=
+            greatest(col("na"), col("nb")) * num)
+      .select("a", "b").distinct()
+    val sets = withSet.select(col("doc"), col("shs"))
+    val interC = size(array_intersect(col("sa"), col("sb")))
+    cand
+      .join(sets.toDF("a", "sa"), "a")
+      .join(sets.toDF("b", "sb"), "b")
+      .select(col("a"), col("b"), interC.as("inter"),
+        (size(col("sa")) + size(col("sb")) - interC).as("uni"))
+      .filter(col("inter") * den >= col("uni") * num)
   }
 
-  /** MinHash signature j over a distinct-shingle array: min over shingles of
-    * sha256("j:" + shingle). Oracle-parity variant (sha256 exists in DuckDB).
+  /** One sha256 per shingle; the k minhash families are disjoint 32-bit
+    * (8-hex-char) substrings of that single digest — the standard
+    * one-hash/split-bits trick, k× cheaper than salting k digests.
+    * Oracle-parity (sha256 + substr exist in DuckDB).
     */
-  def minhashSig(shingleSet: Column, j: Int): Column =
-    array_min(transform(shingleSet, sh => sha2(concat(lit(s"$j:"), sh), 256)))
+  def shingleHashes(shingleSet: Column): Column =
+    transform(shingleSet, sh => sha2(sh, 256))
+
+  /** MinHash signature j: min over the j-th 8-hex chunk of each shingle
+    * digest (j < 8 for sha256's 64 hex chars).
+    */
+  def minhashSig(hashes: Column, j: Int): Column =
+    array_min(transform(hashes, h => substring(h, j * 8 + 1, 8)))
 
   /** Production-speed signature: xxhash64 with per-signature seed. Not
     * oracle-checked (xxhash64 is Spark-specific); covered by DedupSpec.
@@ -81,11 +118,17 @@ object Dedup {
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, bands: Int = 4, num: Int = 8, den: Int = 10)
       : DataFrame = {
+    require(2 * bands <= 8, "sha256 yields 8 distinct 32-bit families")
+    // materialized once — the banding branch and both verify sides reuse
+    // the computed shingle sets instead of re-shingling (see
+    // ngramJaccardPairs).
     val base = df.select(df(idCol).as("doc"),
       TextOps.shingleSet(df(textCol), n).as("sh"))
+      .localCheckpoint(false)
+    val hashed = base.withColumn("hs", shingleHashes(col("sh")))
     val sigCols = (0 until 2 * bands).map(j =>
-      minhashSig(col("sh"), j).as(s"sig$j"))
-    val sigs = base.select(col("doc") +: sigCols: _*)
+      minhashSig(col("hs"), j).as(s"sig$j"))
+    val sigs = hashed.select(col("doc") +: sigCols: _*)
     val bandKeys = array((0 until bands).map(b =>
       struct(lit(b).as("band"),
         concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey"))): _*)
@@ -108,17 +151,4 @@ object Dedup {
       .filter(col("inter") * den >= col("uni") * num)
   }
 
-  /** join candidate-pair intersection counts with per-doc set sizes and keep
-    * pairs with inter/uni >= num/den (integer cross-multiply).
-    */
-  private def thresholded(inter: DataFrame, sizes: DataFrame,
-                          num: Int, den: Int): DataFrame = {
-    val out = inter
-      .join(sizes.toDF("a", "na"), "a")
-      .join(sizes.toDF("b", "nb"), "b")
-      .withColumn("uni", col("na") + col("nb") - col("inter"))
-      .filter(col("inter") * den >= col("uni") * num)
-    out.select(col("a"), col("b"),
-      col("inter").cast("int").as("inter"), col("uni").cast("int").as("uni"))
-  }
 }

@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
+  /** Codegen'd dot product (see functions.VectorMath — the HOF
+    * `aggregate(zip_with(...))` formulation is interpreted per element and
+    * dominates all-pairs queries).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorMath.dot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -174,16 +174,18 @@ object LlmQueries {
     // sha256 on both engines.
     "q_dedup_minhash" -> Q(
       s"""WITH $duckShingles,
+        |hashed AS (SELECT doc_id, sh,
+        |  list_transform(sh, x -> sha256(x)) hs FROM base),
         |sigs AS (SELECT doc_id, sh,
-        |  list_aggregate(list_transform(sh, x -> sha256('0:' || x)), 'min') s0,
-        |  list_aggregate(list_transform(sh, x -> sha256('1:' || x)), 'min') s1,
-        |  list_aggregate(list_transform(sh, x -> sha256('2:' || x)), 'min') s2,
-        |  list_aggregate(list_transform(sh, x -> sha256('3:' || x)), 'min') s3,
-        |  list_aggregate(list_transform(sh, x -> sha256('4:' || x)), 'min') s4,
-        |  list_aggregate(list_transform(sh, x -> sha256('5:' || x)), 'min') s5,
-        |  list_aggregate(list_transform(sh, x -> sha256('6:' || x)), 'min') s6,
-        |  list_aggregate(list_transform(sh, x -> sha256('7:' || x)), 'min') s7
-        |  FROM base),
+        |  list_aggregate(list_transform(hs, h -> substr(h,  1, 8)), 'min') s0,
+        |  list_aggregate(list_transform(hs, h -> substr(h,  9, 8)), 'min') s1,
+        |  list_aggregate(list_transform(hs, h -> substr(h, 17, 8)), 'min') s2,
+        |  list_aggregate(list_transform(hs, h -> substr(h, 25, 8)), 'min') s3,
+        |  list_aggregate(list_transform(hs, h -> substr(h, 33, 8)), 'min') s4,
+        |  list_aggregate(list_transform(hs, h -> substr(h, 41, 8)), 'min') s5,
+        |  list_aggregate(list_transform(hs, h -> substr(h, 49, 8)), 'min') s6,
+        |  list_aggregate(list_transform(hs, h -> substr(h, 57, 8)), 'min') s7
+        |  FROM hashed),
         |banded AS (
         |  SELECT doc_id, 0 band, s0 || s1 bkey FROM sigs
         |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM sigs
