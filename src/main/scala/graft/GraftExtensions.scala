@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{DotProduct, WordShingles}
+
+/** Session-extensions entry point: registers the native graft expressions
+  * as SQL functions, so `spark.sql("... graft_dot(a, b) ...")` works in
+  * any session created with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or
+  * spark-submit `--conf` of the same). The Scala column API
+  * (`functions.VectorMath.dot`, `TextOps.shingleSet`) does not require
+  * registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot(arrayA, arrayB)")
+        DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName,
+        "graft_word_shingles"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text, Literal(n: Int, IntegerType)) => WordShingles(text, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_word_shingles(text, <int literal n>)")
+      }))
+  }
+}

@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   *    reference orders only by frequency, so equal-frequency rows get
   *    arbitrary ranks run-to-run (hazard SURVEY §2.11.2).
   *  - scale: Spark ≥3.5 plans this exact shape with
-  *    `WindowGroupLimitExec` (rule `InferWindowGroupLimit`), which keeps a
-  *    bounded per-partition group limit instead of fully sorting every
-  *    partition — the "bounded heap" the 100 TB path needs, for free. The
-  *    plan is asserted in TopKSpec.
+  *    `WindowGroupLimitExec` (rule `InferWindowGroupLimit`) in BOTH
+  *    Partial (pre-shuffle, map-side) and Final modes — each map task
+  *    ships only k rows per group, so a hot 2-char prefix shuffles
+  *    k×numMapTasks rows instead of its full fan-in. That is the
+  *    two-phase/salted top-K SURVEY §7.5.3 planned to hand-build, native.
+  *    Asserted in TopKSpec (operator) and PlanAuditSpec (Partial+Final).
   */
 object TopK {
 

@@ -112,6 +112,43 @@ object AnalyticsQueries {
             sum(li("l_quantity")).cast("long").as("sum_qty"))
     },
 
+    // §2.4 ext — cube: all grouping-set combinations in one Expand pass.
+    "q_cube" -> Q(
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) {
+      (s, dir) =>
+        val li = table(s, dir, "lineitem")
+        li.cube(li("l_returnflag"), li("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(li("l_quantity")).cast("long").as("sum_qty"))
+    },
+
+    // §2.4 ext — explicit grouping sets (flag-only, status-only).
+    "q_grouping_sets" -> Q(
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin) {
+      (s, dir) =>
+        table(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |  CAST(count(*) AS BIGINT) AS cnt
+                |FROM lineitem_gs
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
+          .stripMargin)
+    },
+
+    // §2.4 ext — HLL sketch: approx_count_distinct. The sketch estimate is
+    // engine-specific (rows-only driver check); ApproxDistinctSpec bounds
+    // the relative error against the exact count.
+    "q_approx_distinct" -> Q.noOracle { (s, dir) =>
+      val o = table(s, dir, "orders")
+      o.groupBy(o("o_orderpriority"))
+        .agg(approx_count_distinct(o("o_custkey")).as("approx_custs"),
+          count(lit(1)).as("cnt"))
+    },
+
     // §2.5 ext — window frames over `events`: running sum, lag, sliding
     // 3-row sum. Order key is the unique event_id (not ts: ns-vs-µs
     // truncation would make tie sets differ between engines). Value goes

@@ -1,0 +1,59 @@
+package graft
+
+/** Physical-plan audits (the "is this the plan you'd want at 100 TB"
+  * check, run on every build): these assertions encode the scale
+  * properties the operators were designed for, so a regression in plan
+  * shape fails CI even while results stay correct.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q_topk: two-phase WindowGroupLimit (map-side top-k before shuffle)") {
+    val p = plan("q_topk")
+    // Partial mode = each map task keeps only k rows per group, so a hot
+    // group ships k×tasks rows instead of its full fan-in — the native
+    // form of the salting/two-phase design in SURVEY §7.5.3.
+    assert(p.contains("Partial") && p.contains("WindowGroupLimit"),
+      s"missing partial window group limit:\n$p")
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"expected Partial+Final WindowGroupLimit:\n$p")
+  }
+
+  test("q_join_inner: dimensions broadcast, no cartesian product") {
+    val p = plan("q_join_inner")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      s"star dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in join plan:\n$p")
+  }
+
+  test("q_merge: union of co-partitioned aggs re-aggregates with no extra shuffle") {
+    val p = plan("q_merge")
+    val exchanges = p.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("Reused"))
+    // one exchange per half's groupBy; the post-union re-sum must reuse
+    // that partitioning instead of shuffling the merged state again —
+    // the property that keeps incremental merge delta-sized at scale.
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$p")
+  }
+
+  test("q_filter: scan prunes to the projected columns") {
+    val p = plan("q_filter")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must read only doc_id+text:\n$p")
+  }
+
+  test("q_prefix_expand: pure Catalyst generator, no RDD barrier") {
+    val p = plan("q_prefix_expand")
+    assert(p.contains("Generate explode"), s"missing generator:\n$p")
+    assert(!p.contains("ExistingRDD"),
+      s"RDD drop-out severs the optimizer (reference's mistake):\n$p")
+  }
+
+  test("q_dedup_exact: map-side partial aggregation before the exchange") {
+    val p = plan("q_dedup_exact")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"dedup must combine map-side:\n$p")
+  }
+}

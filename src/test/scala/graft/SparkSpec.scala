@@ -9,6 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 object SparkSpec {
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
