@@ -20,6 +20,12 @@ object Merge {
 
   /** Merge two (keys..., valueCol) tables by summing `valueCol` per key.
     * Columns are matched by name (`unionByName`), like the reference.
+    *
+    * Note the union discards both inputs' partitioning, so this form
+    * re-shuffles state + delta. Fine when both sides are fresh
+    * aggregations (their exchanges feed the final agg directly — see
+    * PlanAuditSpec's q_merge assertion); for a LARGE persisted state use
+    * `bucketAligned`.
     */
   def apply(existing: DataFrame, delta: DataFrame, keys: Seq[String],
             valueCol: String): DataFrame = {
@@ -29,5 +35,23 @@ object Merge {
     l.unionByName(r)
       .groupBy(keys.map(col): _*)
       .agg(sum(valueCol).as(valueCol))
+  }
+
+  /** Delta-only-shuffle merge for bucketed state (SURVEY §4.3): when
+    * `state` is a table bucketed on `keys` (`Sinks.writeBucketed`), the
+    * full-outer join form lets Spark use the bucketing as the state
+    * side's partitioning — only the (small) delta shuffles, and the
+    * cumulative history never re-partitions. This is the property that
+    * keeps a 5-minute incremental batch O(delta), not O(history), at
+    * 100 TB. Asserted in SinksSpec.
+    */
+  def bucketAligned(state: DataFrame, delta: DataFrame, keys: Seq[String],
+                    valueCol: String): DataFrame = {
+    val d = delta.groupBy(keys.map(delta(_)): _*)
+      .agg(sum(delta(valueCol)).as("delta_v"))
+    state.join(d, keys, "full_outer")
+      .select(keys.map(col) :+
+        (coalesce(col(valueCol), lit(0L)) + coalesce(col("delta_v"), lit(0L)))
+          .as(valueCol): _*)
   }
 }

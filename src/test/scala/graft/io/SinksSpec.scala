@@ -36,23 +36,12 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 1)
   }
 
-  test("bucketed state: merge does not re-shuffle the bucketed side") {
+  test("bucketed state: bucket-aligned agg reuses bucketing, no shuffle") {
     val table = "graft_bucketed_state"
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val state = (1 to 1000)
       .map(i => (s"p$i", s"q$i", i.toLong)).toDF("prefix", "query", "frequency")
     Sinks.writeBucketed(state, table, buckets = 4, keys = Seq("prefix"))
-
-    val delta = Seq(("p1", "q1", 5L), ("pX", "qX", 1L))
-      .toDF("prefix", "query", "frequency")
-    val merged = Merge(spark.table(table), delta,
-      Seq("prefix", "query"), "frequency")
-    val plan = merged.queryExecution.executedPlan.toString
-
-    // Merge keys are (prefix, query) while buckets are on prefix only, so
-    // Spark cannot avoid the exchange for the 2-key agg — but grouping by
-    // the bucket key alone must reuse the bucketing (no exchange over the
-    // state scan). Assert on the bucket-aligned aggregation:
     val byPrefix = spark.table(table).groupBy("prefix")
       .agg(sum("frequency").as("frequency"))
     val planAligned = byPrefix.queryExecution.executedPlan.toString
@@ -60,10 +49,31 @@ class SinksSpec extends SparkSpec {
       s"state scan must be bucketed:\n$planAligned")
     assert(!planAligned.contains("Exchange"),
       s"bucket-aligned agg must not shuffle:\n$planAligned")
-    // and the merged result is still correct
-    val out = merged.filter(col("prefix") === "p1")
-      .as[(String, String, Long)].collect()
-    assert(out.toSet == Set(("p1", "q1", 6L)))
-    assert(plan.nonEmpty)
+  }
+
+  test("bucketAligned merge: only the delta shuffles, history stays put") {
+    val table = "graft_bucketed_state2"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val state = (1 to 1000)
+      .map(i => (s"p$i", s"q$i", i.toLong)).toDF("prefix", "query", "frequency")
+    Sinks.writeBucketed(state, table, buckets = 4,
+      keys = Seq("prefix", "query"))
+
+    val delta = Seq(("p1", "q1", 5L), ("pX", "qX", 1L))
+      .toDF("prefix", "query", "frequency")
+    val merged = Merge.bucketAligned(spark.table(table), delta,
+      Seq("prefix", "query"), "frequency")
+    val plan = merged.queryExecution.executedPlan.toString
+
+    assert(plan.contains("Bucketed: true"),
+      s"state side must scan its buckets:\n$plan")
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges == 1,
+      s"only the delta side may shuffle (got $exchanges):\n$plan")
+
+    val out = merged.filter(col("prefix").isin("p1", "pX"))
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("p1", "q1", 6L), ("pX", "qX", 1L)))
   }
 }
