@@ -151,4 +151,35 @@ object Dedup {
       .filter(col("inter") * den >= col("uni") * num)
   }
 
+  /** Connected components over near-dup pairs: every doc that appears in a
+    * pair gets the MIN doc id of its component as cluster representative —
+    * the final step of a dedup pipeline (pairs → clusters → keep one per
+    * cluster). Iterative min-label propagation; each iteration is one
+    * join + min-agg, localCheckpoint'd so the plan doesn't grow with the
+    * iteration count (the standard Spark iterative-algorithm pattern).
+    * Components from near-dup pairs have tiny diameters, so convergence
+    * is a handful of iterations.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("rep", col("node"))
+      .localCheckpoint(false)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neigh = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("rep"))
+      val next = labels.union(neigh)
+        .groupBy("node").agg(min("rep").as("rep"))
+        .localCheckpoint(false)
+      changed = next.join(labels.withColumnRenamed("rep", "prev"), "node")
+        .filter(col("rep") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
 }

@@ -243,6 +243,37 @@ object AnalyticsQueries {
           .as("n_valid"))
     },
 
+    // Gap-based sessionization over events (12h inactivity gap) in exact
+    // integer MICROseconds — ns truncated identically on both engines
+    // (DuckDB surfaces the ns parquet at µs; Spark keeps the long, so the
+    // query floors ns→µs with `div`).
+    "q_sessionize" -> Q(
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) tsu FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, tsu,
+        |    CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |           IS NULL
+        |         OR tsu - lag(tsu) OVER (PARTITION BY user_id
+        |             ORDER BY tsu, event_id) > 43200000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, event_id, tsu,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(tsu) - min(tsu) AS BIGINT) AS dur,
+        |  CAST(min(event_id) AS BIGINT) AS first_event,
+        |  CAST(max(event_id) AS BIGINT) AS last_event
+        |FROM sess GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+      Sessionize(e, "user_id", "ts_us", "event_id",
+        gap = 43_200_000_000L)
+    },
+
     // §2.10 — the streaming windowed-aggregation surface, exercised through
     // its batch twin (identical window expression; watermark is a no-op in
     // batch). Epoch-aligned 5-minute tumbling windows per event_type.

@@ -209,6 +209,38 @@ object LlmQueries {
         n = 3, bands = 4, num = 8, den = 10)
     },
 
+    // Dedup clustering: near-dup pairs → connected components → each doc
+    // labeled with its component's min doc id (the survivor). Spark side
+    // iterates min-label propagation to the fixpoint; the oracle computes
+    // the same fixpoint with a recursive CTE.
+    "q_dedup_clusters" -> Q(
+      s"""WITH RECURSIVE $duckShingles,
+        |tok AS (SELECT doc_id, unnest(sh) g FROM base),
+        |sizes AS (SELECT doc_id, len(sh) n_ FROM base),
+        |inter AS (
+        |  SELECT l.doc_id a, r.doc_id b, CAST(count(*) AS INTEGER) inter
+        |  FROM tok l JOIN tok r ON l.g = r.g AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i.a, i.b FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.a
+        |  JOIN sizes sb ON sb.doc_id = i.b
+        |  WHERE i.inter * 10 >= (sa.n_ + sb.n_ - i.inter) * 8),
+        |edges AS (
+        |  SELECT a src, b dst FROM pairs
+        |  UNION ALL SELECT b, a FROM pairs),
+        |cc AS (
+        |  SELECT DISTINCT src AS node, src AS rep FROM edges
+        |  UNION
+        |  SELECT e.dst, cc.rep FROM cc, edges e WHERE cc.node = e.src)
+        |SELECT node AS doc_id, CAST(min(rep) AS BIGINT) AS rep
+        |FROM cc GROUP BY node""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(table(s, dir, "documents"),
+        "doc_id", "text", n = 3, num = 8, den = 10)
+      Dedup.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("rep"))
+    },
+
     // SimHash (xxhash64-based — no DuckDB twin → rows-only check; semantics
     // covered by SimHashSpec).
     "q_simhash" -> Q.noOracle { (s, dir) =>

@@ -60,6 +60,14 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact, s"lsh=$lsh exact=$exact")
   }
 
+  test("connected components: min-label propagation over pair chains") {
+    // chain 1-2-3 plus isolated pair (7,9): components {1,2,3} and {7,9}
+    val pairs = Seq((2L, 3L), (1L, 2L), (7L, 9L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("fast xxhash signatures: equal shingle sets get equal sigs") {
     val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zeta eta theta iota")).toDF("doc_id", "text")
