@@ -58,6 +58,13 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite).option("truncate", "true")
       .jdbc(url, table, props)
 
+  /** S6: line-oriented text sink (legacy WordCount's `/output` path,
+    * `approach 3 cli instructions.txt:49-51`): single string column →
+    * one line per row.
+    */
+  def text(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).text(path)
+
   /** S4: Kafka sink — (key, value) string columns required by the format. */
   def kafka(df: DataFrame, brokers: String, topic: String): Unit =
     df.selectExpr("CAST(key AS STRING) key", "CAST(value AS STRING) value")

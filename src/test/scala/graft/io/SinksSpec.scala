@@ -30,6 +30,15 @@ class SinksSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(dir + ".staging")))
   }
 
+  test("text sink round-trips through the text source") {
+    val dir = Files.createTempDirectory("graft-text").toString + "/out"
+    val lines = Seq("how to train", "a b c").toDF("value")
+    Sinks.text(lines, dir)
+    val back = graft.io.Sources.textLines(spark, dir)
+      .as[String].collect().toSeq.sorted
+    assert(back == Seq("a b c", "how to train"))
+  }
+
   test("overwriteSafely: first write (no existing state) works") {
     val dir = Files.createTempDirectory("graft-sink2").toString + "/state"
     Sinks.overwriteSafely(Seq(("x", 9L)).toDF("k", "v"), dir)
