@@ -149,6 +149,29 @@ object AnalyticsQueries {
           count(lit(1)).as("cnt"))
     },
 
+    // §2.4/§2.6 ext — exact discrete median per group via window position
+    // (value at row (n+1) div 2 in value order — tie order irrelevant
+    // since the VALUE is selected), in integer cents.
+    "q_median" -> Q(
+      """SELECT l_returnflag, val AS median_cents FROM (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS val,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(round(l_quantity * 100) AS BIGINT)) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |WHERE rn = (n + 1) // 2""".stripMargin) { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      val valC = round(li("l_quantity") * 100).cast("long")
+      val w = Window.partitionBy(li("l_returnflag")).orderBy(valC)
+      val wAll = Window.partitionBy(li("l_returnflag"))
+      li.select(li("l_returnflag"), valC.as("val"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(wAll).as("n"))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("l_returnflag"), col("val").as("median_cents"))
+    },
+
     // §2.5 ext — window frames over `events`: running sum, lag, sliding
     // 3-row sum. Order key is the unique event_id (not ts: ns-vs-µs
     // truncation would make tie sets differ between engines). Value goes

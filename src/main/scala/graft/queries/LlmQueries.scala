@@ -241,6 +241,71 @@ object LlmQueries {
         .select(col("node").as("doc_id"), col("rep"))
     },
 
+    // The end of the dedup pipeline: documents that SURVIVE near-dup
+    // removal (docs not in any pair, plus each cluster's min-id
+    // representative).
+    "q_dedup_keep" -> Q(
+      s"""WITH RECURSIVE $duckShingles,
+        |tok AS (SELECT doc_id, unnest(sh) g FROM base),
+        |sizes AS (SELECT doc_id, len(sh) n_ FROM base),
+        |inter AS (
+        |  SELECT l.doc_id a, r.doc_id b, CAST(count(*) AS INTEGER) inter
+        |  FROM tok l JOIN tok r ON l.g = r.g AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i.a, i.b FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.a
+        |  JOIN sizes sb ON sb.doc_id = i.b
+        |  WHERE i.inter * 10 >= (sa.n_ + sb.n_ - i.inter) * 8),
+        |edges AS (
+        |  SELECT a src, b dst FROM pairs
+        |  UNION ALL SELECT b, a FROM pairs),
+        |cc AS (
+        |  SELECT DISTINCT src AS node, src AS rep FROM edges
+        |  UNION
+        |  SELECT e.dst, cc.rep FROM cc, edges e WHERE cc.node = e.src),
+        |reps AS (SELECT node AS doc_id, min(rep) AS rep FROM cc GROUP BY node)
+        |SELECT d.doc_id FROM documents d
+        |LEFT JOIN reps r ON d.doc_id = r.doc_id
+        |WHERE r.rep IS NULL OR r.rep = d.doc_id""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 3, num = 8, den = 10)
+      val reps = Dedup.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("rep"))
+      d.join(reps, Seq("doc_id"), "left")
+        .filter(col("rep").isNull || col("rep") === col("doc_id"))
+        .select(col("doc_id"))
+    },
+
+    // TF-IDF per (doc, term): integer tf/df plus the classic
+    // tf·ln(N/df) score rounded to 4dp (ln agrees across engines to the
+    // ulp at these magnitudes).
+    "q_tfidf" -> Q(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf
+        |       FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) df
+        |       FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) c FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  round(tf.tf * ln(n.c / CAST(df.df AS DOUBLE)), 4) AS tfidf4
+        |FROM tf JOIN df ON tf.term = df.term, n""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val n = d.count().toDouble
+      val tok = d.select(d("doc_id"),
+        explode(TextOps.tokens(d("text"))).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tok.groupBy("term")
+        .agg(countDistinct("doc_id").as("df"))
+      tf.join(broadcast(dfreq), "term")
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tf") * log(lit(n) / col("df").cast("double")), 4)
+            .as("tfidf4"))
+    },
+
     // SimHash (xxhash64-based — no DuckDB twin → rows-only check; semantics
     // covered by SimHashSpec).
     "q_simhash" -> Q.noOracle { (s, dir) =>

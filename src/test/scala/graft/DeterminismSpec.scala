@@ -1,0 +1,32 @@
+package graft
+
+/** SURVEY §5.2.5: representative queries must produce identical results
+  * under different shuffle-partition counts — catches collect-order,
+  * tie-break, and float-accumulation nondeterminism classes (§2.11.2/3)
+  * without the external oracle.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val queries =
+    Seq("q_pipeline", "q_dedup_minhash", "q_similarity", "q_merge",
+      "q_topk_collect", "q_sessionize")
+
+  test("results identical under shuffle.partitions 4 vs 7") {
+    val conf = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.get(conf)
+    def runAll(): Map[String, Seq[String]] = queries.map { q =>
+      q -> SparkEntry.queries(q)(spark, sf0001)
+        .collect().map(_.toString).toSeq.sorted
+    }.toMap
+    try {
+      spark.conf.set(conf, "7")
+      val a = runAll()
+      spark.conf.set(conf, "4")
+      val b = runAll()
+      queries.foreach { q =>
+        assert(a(q) == b(q), s"$q differs across partition counts")
+        assert(a(q).nonEmpty, s"$q returned nothing")
+      }
+    } finally spark.conf.set(conf, orig)
+  }
+}
