@@ -22,6 +22,19 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** CSV with explicit schema — schema inference costs a full extra scan,
+    * so production readers always declare one.
+    */
+  def csv(spark: SparkSession, path: String,
+          schema: org.apache.spark.sql.types.StructType,
+          header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  /** JSON-lines with explicit schema (same inference-scan rationale). */
+  def jsonLines(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** S2: JDBC table scan (reference `IncrementalAutocomplete.java:91-98`).
     * `partitionColumn`/bounds make the read parallel — the reference reads on
     * a single task, which caps at one connection's throughput.

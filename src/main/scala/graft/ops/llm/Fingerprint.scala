@@ -17,8 +17,16 @@ object Fingerprint {
     * windows of the normalized text (texts shorter than `w` hash whole).
     * Two documents sharing any `w`-char span have a chance of agreeing;
     * equal texts always agree. O(len) windows per doc, no shuffle.
+    * Single-pass codegen expression (functions.RollingMinSha); the
+    * composed HOF form is kept below for the parity spec.
     */
-  def rollingMin(c: Column, w: Int = 16): Column = {
+  def rollingMin(c: Column, w: Int = 16): Column =
+    graft.functions.RollingMinSha(c, w)
+
+  /** Reference HOF formulation of `rollingMin` (slower; used to assert
+    * bit-parity in NativeExpressionsSpec).
+    */
+  def rollingMinHof(c: Column, w: Int = 16): Column = {
     val norm = TextOps.normalized(c)
     array_min(transform(
       sequence(lit(1), greatest(length(norm) - (w - 1), lit(1))),

@@ -39,6 +39,22 @@ object TextOps {
   def regexCount(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0)))
 
+  // PII-ish patterns for redaction (RE2-compatible subset: no lookarounds).
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val urlPattern = "https?://[^\\s]+"
+  val longNumberPattern = "[0-9]{7,}"
+
+  /** Redact emails, URLs, and long digit runs with typed placeholders —
+    * the standard pre-training scrub. Per-row, no shuffle, codegen'd
+    * regexp_replace chain.
+    */
+  def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPattern, "<EMAIL>"),
+        urlPattern, "<URL>"),
+      longNumberPattern, "<NUM>")
+
   /** Stopword-hit count: whole-word matches of any of `words` in normalized
     * text. Used for quality scoring and language ID.
     */

@@ -313,6 +313,31 @@ object LlmQueries {
       d.select(d("doc_id"), SimHash.simhashBits("text").as("simhash"))
     },
 
+    // PII-style scrub: emails/URLs/long digit runs → typed placeholders,
+    // plus per-doc counts of what was redacted.
+    "q_redact" -> Q(
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INTEGER)
+        |    AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS INTEGER)
+        |    AS n_nums
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      d.select(d("doc_id"),
+        TextOps.redact(d("text")).as("clean_text"),
+        TextOps.regexCount(d("text"), TextOps.emailPattern).as("n_emails"),
+        TextOps.regexCount(d("text"), TextOps.urlPattern).as("n_urls"),
+        TextOps.regexCount(d("text"), TextOps.longNumberPattern)
+          .as("n_nums"))
+    },
+
     // Brute-force cosine top-5 for 10 query vectors — the exact baseline
     // for similarity search. Broadcast queries: no shuffle of the corpus.
     "q_similarity" -> Q(

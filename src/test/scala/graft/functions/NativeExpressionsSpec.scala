@@ -44,6 +44,23 @@ class NativeExpressionsSpec extends SparkSpec {
     rows.foreach { case (n, h) => assert(n == h, s"native=$n hof=$h") }
   }
 
+  test("RollingMinSha matches the composed HOF form") {
+    val d = graft.Tables.table(spark, sf0001, "documents").limit(100)
+    val rows = d.select(
+        graft.ops.llm.Fingerprint.rollingMin(col("text")).as("native"),
+        graft.ops.llm.Fingerprint.rollingMinHof(col("text")).as("hof"))
+      .as[(String, String)].collect()
+    assert(rows.length == 100)
+    rows.foreach { case (n, h) => assert(n == h) }
+    // short-text edge: whole string hashed
+    val tiny = Seq("ab", "  AB  ").toDF("text").select(
+      graft.ops.llm.Fingerprint.rollingMin(col("text")).as("n"),
+      graft.ops.llm.Fingerprint.rollingMinHof(col("text")).as("h"))
+      .as[(String, String)].collect()
+    tiny.foreach { case (n, h) => assert(n == h) }
+    assert(tiny(0)._1 == tiny(1)._1) // normalization applied
+  }
+
   test("SQL registration via GraftExtensions") {
     assert(spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")

@@ -39,6 +39,29 @@ class SinksSpec extends SparkSpec {
     assert(back == Seq("a b c", "how to train"))
   }
 
+  test("parquetSized controls output file count") {
+    val dir = Files.createTempDirectory("graft-sized").toString + "/out"
+    val df = (1 to 1000).toDF("i")
+    Sinks.parquetSized(df, dir, targetRows = 250)
+    val files = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 4, s"expected 4 part files, got $files")
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
+
+  test("csv and json sources round-trip with explicit schemas") {
+    val dir = Files.createTempDirectory("graft-srcs").toString
+    val df = Seq((1L, "ab"), (2L, "cd")).toDF("id", "txt")
+    df.write.option("header", "true").csv(s"$dir/c")
+    df.write.json(s"$dir/j")
+    val schema = df.schema
+    val c = graft.io.Sources.csv(spark, s"$dir/c", schema)
+      .as[(Long, String)].collect().toSet
+    val j = graft.io.Sources.jsonLines(spark, s"$dir/j", schema)
+      .as[(Long, String)].collect().toSet
+    assert(c == Set((1L, "ab"), (2L, "cd")) && j == c)
+  }
+
   test("overwriteSafely: first write (no existing state) works") {
     val dir = Files.createTempDirectory("graft-sink2").toString + "/state"
     Sinks.overwriteSafely(Seq(("x", 9L)).toDF("k", "v"), dir)
