@@ -149,6 +149,73 @@ object AnalyticsQueries {
           count(lit(1)).as("cnt"))
     },
 
+    // §2.4 ext — pivot (explicit value list keeps columns deterministic);
+    // oracle via conditional aggregation, the portable PIVOT form.
+    "q_pivot" -> Q(
+      """SELECT l_returnflag,
+        |  CAST(count(*) FILTER (l_linestatus = 'F') AS BIGINT) AS F,
+        |  CAST(count(*) FILTER (l_linestatus = 'O') AS BIGINT) AS O
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      li.groupBy(li("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+    },
+
+    // §2.4 ext — unpivot/melt: wide metric columns → (metric, value) rows.
+    "q_unpivot" -> Q(
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+        |             l_extendedprice, l_discount, l_tax FROM lineitem)
+        |  ON l_quantity, l_extendedprice, l_discount, l_tax
+        |  INTO NAME metric VALUE value)""".stripMargin) { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      li.unpivot(
+        Array(li("l_orderkey"), li("l_linenumber")),
+        Array(li("l_quantity"), li("l_extendedprice"), li("l_discount"),
+          li("l_tax")),
+        "metric", "value")
+    },
+
+    // §2.8 ext — JSON column extraction (events.props): per-type stats of
+    // the extracted integer field.
+    "q_json_extract" -> Q(
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |    AS BIGINT) AS sum_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |    AS INTEGER) AS max_k
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+      val k = get_json_object(e("props"), "$.k").cast("int")
+      e.groupBy(e("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(k).as("sum_k"), max(k).as("max_k"))
+    },
+
+    // Fuzzy join with blocking keys: candidate pairs only within the same
+    // (brand, size) block, then exact edit distance — the scalable shape
+    // for entity resolution (never all-pairs).
+    "q_fuzzy_join" -> Q(
+      """SELECT a.p_partkey a, b.p_partkey b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 12""".stripMargin) {
+      (s, dir) =>
+        val p = table(s, dir, "part")
+        val l = p.select(p("p_partkey").as("a"), p("p_brand").as("brand"),
+          p("p_size").as("size"), p("p_name").as("name_a"))
+        val r = p.select(p("p_partkey").as("b"), p("p_brand").as("brand2"),
+          p("p_size").as("size2"), p("p_name").as("name_b"))
+        l.join(r, col("brand") === col("brand2") &&
+            col("size") === col("size2") && col("a") < col("b"))
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+          .filter(col("dist") <= 12)
+          .select(col("a"), col("b"), col("dist"))
+    },
+
     // §2.4/§2.6 ext — exact discrete median per group via window position
     // (value at row (n+1) div 2 in value order — tie order irrelevant
     // since the VALUE is selected), in integer cents.
