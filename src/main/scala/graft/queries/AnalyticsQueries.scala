@@ -333,6 +333,49 @@ object AnalyticsQueries {
           .as("n_valid"))
     },
 
+    // As-of join: each click matched to the user's latest view at-or-before
+    // it (one shuffle + sort via union/last-over-window — no non-equi
+    // probe). Oracle uses DuckDB's native ASOF LEFT JOIN.
+    "q_asof_join" -> Q(
+      """WITH c AS (SELECT user_id, event_id cid, epoch_us(ts) tsu
+        |           FROM events WHERE event_type = 'click'),
+        |v0 AS (SELECT user_id, event_id vid, epoch_us(ts) tsu
+        |       FROM events WHERE event_type = 'view'),
+        |v AS (SELECT user_id, tsu, max(vid) vid FROM v0 GROUP BY 1, 2)
+        |SELECT c.cid AS click_id, c.user_id, c.tsu AS ts,
+        |  v.vid AS view_id, c.tsu - v.tsu AS gap
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.tsu >= v.tsu""".stripMargin) {
+      (s, dir) =>
+        val e = table(s, dir, "events")
+          .withColumn("tsu", expr("ts div 1000"))
+        val clicks = e.filter(e("event_type") === "click")
+          .select(col("user_id"), col("tsu"), col("event_id").as("click_id"))
+        val views = e.filter(e("event_type") === "view")
+          .select(col("user_id"), col("tsu"), col("event_id").as("view_id"))
+        TimeJoins.asof(clicks, views, "user_id", "tsu",
+            "click_id", "view_id")
+          .withColumnRenamed("tsu", "ts")
+    },
+
+    // Range join: event pairs of the same user within a 1-hour window,
+    // via the bin-join shape (equi on (user, time-bin), exact predicate
+    // inside the bucket). Oracle is the plain non-equi join.
+    "q_range_join" -> Q(
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) tsu FROM events)
+        |SELECT a.user_id, a.event_id idA, b.event_id idB,
+        |  b.tsu - a.tsu AS gap
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id
+        |  AND b.tsu > a.tsu AND b.tsu - a.tsu <= 3600000000""".stripMargin) {
+      (s, dir) =>
+        val e = table(s, dir, "events")
+          .withColumn("tsu", expr("ts div 1000"))
+          .select(col("user_id"), col("tsu"), col("event_id"))
+        TimeJoins.rangeBinned(e, e, "user_id", "tsu", "event_id",
+          range = 3_600_000_000L)
+    },
+
     // Gap-based sessionization over events (12h inactivity gap) in exact
     // integer MICROseconds — ns truncated identically on both engines
     // (DuckDB surfaces the ns parquet at µs; Spark keeps the long, so the
