@@ -47,6 +47,48 @@ object Multimodal {
       i => sha2(concat(concat(i.cast("string"), lit(":")).cast("binary"),
         payload), 256))
 
+  /** Batched partition-level decode — the shape for decoders/models with
+    * heavy per-instance init (codec contexts, ONNX sessions): ONE decoder
+    * per partition, rows processed in `batchSize` groups (the batch is
+    * what a vectorized decoder consumes), results re-flattened. This is
+    * the Scala analog of mapInPandas batching; the decoder itself is the
+    * deterministic stub (no codec libs in this environment) — swap
+    * `StubDecoder` for a real one without touching the plumbing.
+    */
+  def decodePartitioned(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("feature", LongType, nullable = false)))
+    implicit val enc = Encoders.row(schema)
+    df.select(col("media_id"), col("payload")).mapPartitions { rows =>
+      val decoder = new StubDecoder // once per partition, like a codec ctx
+      rows.grouped(batchSize).flatMap { batch =>
+        decoder.decodeBatch(batch.map(r =>
+          (r.getLong(0), r.getAs[Array[Byte]](1))))
+      }.map { case (id, n, f) => Row(id, n, f) }
+    }
+  }
+
+  /** Deterministic decoder stand-in: byte length + a rolling byte
+    * checksum as the "feature". Counts instances so specs can assert the
+    * one-per-partition property.
+    */
+  final class StubDecoder extends Serializable {
+    StubDecoder.instances.incrementAndGet()
+    def decodeBatch(batch: Seq[(Long, Array[Byte])])
+        : Seq[(Long, Long, Long)] =
+      batch.map { case (id, bytes) =>
+        var f = 0L
+        bytes.foreach(b => f = f * 31 + (b & 0xff))
+        (id, bytes.length.toLong, f)
+      }
+  }
+  object StubDecoder {
+    val instances = new java.util.concurrent.atomic.AtomicLong(0)
+  }
+
   /** Wrap a text table as a media table (payload = utf-8 bytes) — the
     * testdata has no real media, so `documents` stands in; the binary
     * column path (cast, octet_length, digest over bytes) is exercised for

@@ -333,6 +333,33 @@ object AnalyticsQueries {
           .as("n_valid"))
     },
 
+    // Histogram: fixed-width binning of order totals (explicit floor —
+    // CAST(double) truncates in Spark but rounds in DuckDB).
+    "q_histogram" -> Q(
+      """SELECT CAST(floor(o_totalprice / 50000) AS INTEGER) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(min(round(o_totalprice * 100)) AS BIGINT) AS min_cents,
+        |  CAST(max(round(o_totalprice * 100)) AS BIGINT) AS max_cents
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+      o.groupBy(floor(o("o_totalprice") / 50000).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min(round(o("o_totalprice") * 100)).cast("long").as("min_cents"),
+          max(round(o("o_totalprice") * 100)).cast("long").as("max_cents"))
+    },
+
+    // Deterministic hash sampling: keep rows whose content-digest prefix
+    // falls below a hex threshold (~1/8 here) — reproducible distributed
+    // sampling with no RNG state, the pattern for corpus subsampling.
+    "q_sample" -> Q(
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(sha256(lower(trim(text))), 1, 2) < '20'""".stripMargin) {
+      (s, dir) =>
+        val d = table(s, dir, "documents")
+        d.filter(substring(sha2(lower(trim(d("text"))), 256), 1, 2) < "20")
+          .select(d("doc_id"), d("lang"))
+    },
+
     // As-of join: each click matched to the user's latest view at-or-before
     // it (one shuffle + sort via union/last-over-window — no non-equi
     // probe). Oracle uses DuckDB's native ASOF LEFT JOIN.

@@ -40,6 +40,23 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.distinct.size == 3)
   }
 
+  test("decodePartitioned: one decoder per partition, batched rows") {
+    val m = media.repartition(2)
+    val before = Multimodal.StubDecoder.instances.get()
+    val out = m.select(col("media_id"), col("payload"))
+      .transform(Multimodal.decodePartitioned(_, batchSize = 1))
+      .as[(Long, Long, Long)].collect().toMap2b
+    val created = Multimodal.StubDecoder.instances.get() - before
+    assert(out(1L)._1 == 11L) // "hello world" bytes
+    assert(out(1L)._2 != out(2L)._2) // distinct features
+    assert(created <= 2, s"decoder must init once per partition ($created)")
+  }
+
+  private implicit class ToMap2b(rows: Array[(Long, Long, Long)]) {
+    def toMap2b: Map[Long, (Long, Long)] =
+      rows.map { case (id, n, f) => id -> (n, f) }.toMap
+  }
+
   private implicit class ToMap2(rows: Array[(Long, Long, String)]) {
     def toMap2: Map[Long, (Long, String)] =
       rows.map { case (id, n, s) => id -> (n, s) }.toMap
