@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's tuned defaults — the one place the
+  * 100 TB-relevant knobs live:
+  *
+  *  - shuffle partitions sized to the cluster (caller passes cores for
+  *    local mode; a real cluster wants 2-3× total cores, or AQE
+  *    coalescing from a high initial count);
+  *  - AQE on (it is by default, pinned here against env drift) —
+  *    runtime re-planning gives broadcast-join demotion/promotion, skew
+  *    split, partition coalescing;
+  *  - 128 MB scan partitions (`files.maxPartitionBytes` default, pinned)
+  *    — the parquet-scan parallelism unit;
+  *  - UTC session timezone (oracle + reproducibility);
+  *  - graft SQL functions registered via GraftExtensions.
+  */
+object GraftSession {
+
+  def builder(appName: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+
+  /** Local session (tests, Verify/Bench, standalone CLI). */
+  def local(appName: String, cores: Int): SparkSession =
+    builder(appName, cores).master(s"local[$cores]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

@@ -39,12 +39,9 @@ object Main {
     // runMain, plain java) falls back to all local cores.
     val master = sys.props.getOrElse("spark.master",
       sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
-    val spark = SparkSession.builder()
-      .appName("graft-incremental-autocomplete")
+    val spark = GraftSession.builder("graft-incremental-autocomplete",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
       .master(master)
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
 
     try runOnce(spark, logsGlob, stateDir, topKDir, k)

@@ -39,6 +39,31 @@ class SinksSpec extends SparkSpec {
     assert(back == Seq("a b c", "how to train"))
   }
 
+  test("co-bucketed fact-fact join is shuffle-free") {
+    // THE 100 TB shuffle killer: lineitem-orders style joins become
+    // exchange-free when both tables are bucketed on the join key.
+    spark.sql("DROP TABLE IF EXISTS graft_fact_a")
+    spark.sql("DROP TABLE IF EXISTS graft_fact_b")
+    val a = (1L to 2000L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (1L to 500L).flatMap(i => Seq((i, s"b$i"), (i, s"bb$i")))
+      .toDF("k", "vb")
+    Sinks.writeBucketed(a, "graft_fact_a", buckets = 4, keys = Seq("k"))
+    Sinks.writeBucketed(b, "graft_fact_b", buckets = 4, keys = Seq("k"))
+    // disable broadcast so the test exercises the big-big join path the
+    // bucketing exists for (at real scale neither side broadcasts)
+    val thresh = "spark.sql.autoBroadcastJoinThreshold"
+    val orig = spark.conf.get(thresh)
+    try {
+      spark.conf.set(thresh, "-1")
+      val joined = spark.table("graft_fact_a")
+        .join(spark.table("graft_fact_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 1000)
+    } finally spark.conf.set(thresh, orig)
+  }
+
   test("parquetSized controls output file count") {
     val dir = Files.createTempDirectory("graft-sized").toString + "/out"
     val df = (1 to 1000).toDF("i")
