@@ -21,9 +21,14 @@ object Bench {
     val spark = GraftSession.local("graft-bench", cpus)
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Unit =
+    def run(name: String): Unit = {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      // free localCheckpoint/persist blocks so earlier queries' cached
+      // state doesn't bill later queries with GC pressure
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
 
     try run("q_pipeline") catch { case _: Throwable => () } // warmup, untimed
 

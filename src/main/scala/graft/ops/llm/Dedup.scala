@@ -57,8 +57,13 @@ object Dedup {
     // dfreq, prefix, and both verify sides) would otherwise each re-run
     // the tokenize+shingle pass, which dominates the query. localCheckpoint
     // truncates the lineage so every branch reads the computed blocks.
-    val withSet = df.select(df(idCol).as("doc"),
-        TextOps.shingleSet(df(textCol), n).as("shs"))
+    // The repartition first: a small parquet input arrives as ~1 scan
+    // partition, which would run the expensive shingle pass on one core —
+    // shuffling the raw text is trivial by comparison.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val withSet = df.select(df(idCol).as("doc"), df(textCol).as("_t"))
+      .repartition(par)
+      .select(col("doc"), TextOps.shingleSet(col("_t"), n).as("shs"))
       .withColumn("n_", size(col("shs")))
       .localCheckpoint(false)
     val post = withSet.select(col("doc"), col("n_"),
@@ -120,10 +125,12 @@ object Dedup {
       : DataFrame = {
     require(2 * bands <= 8, "sha256 yields 8 distinct 32-bit families")
     // materialized once — the banding branch and both verify sides reuse
-    // the computed shingle sets instead of re-shingling (see
-    // ngramJaccardPairs).
-    val base = df.select(df(idCol).as("doc"),
-      TextOps.shingleSet(df(textCol), n).as("sh"))
+    // the computed shingle sets instead of re-shingling; repartitioned
+    // first for scan-parallelism (see ngramJaccardPairs).
+    val base = df
+      .select(df(idCol).as("doc"), df(textCol).as("_t"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc"), TextOps.shingleSet(col("_t"), n).as("sh"))
       .localCheckpoint(false)
     val hashed = base.withColumn("hs", shingleHashes(col("sh")))
     val sigCols = (0 until 2 * bands).map(j =>

@@ -141,7 +141,10 @@ object LlmQueries {
         |    generate_series(1, greatest(length(lower(trim(text))) - 15, 1)),
         |    i -> sha256(substr(lower(trim(text)), i, 16))), 'min') AS fp_roll
         |FROM documents""".stripMargin) { (s, dir) =>
+      // small single-file input → 1 scan partition; spread the digest
+      // work (dominant cost) across cores first
       val d = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
       d.select(d("doc_id"),
         Fingerprint.sha16(d("text")).as("fp16"),
         Fingerprint.rollingMin(d("text")).as("fp_roll"))
@@ -310,6 +313,7 @@ object LlmQueries {
     // covered by SimHashSpec).
     "q_simhash" -> Q.noOracle { (s, dir) =>
       val d = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
       d.select(d("doc_id"), SimHash.simhashBits("text").as("simhash"))
     },
 
