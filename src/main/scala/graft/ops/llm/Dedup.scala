@@ -179,8 +179,15 @@ object Dedup {
     while (changed > 0 && iter < maxIter) {
       val neigh = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("rep"))
-      val next = labels.union(neigh)
+      val propagated = labels.union(neigh)
         .groupBy("node").agg(min("rep").as("rep"))
+      // pointer jumping: rep := rep's rep — doubles the propagation
+      // distance per round, so convergence is O(log diameter) rounds
+      // instead of O(diameter)
+      val next = propagated
+        .join(propagated.toDF("node2", "rep2"),
+          propagated("rep") === col("node2"), "left")
+        .select(col("node"), coalesce(col("rep2"), col("rep")).as("rep"))
         .localCheckpoint(false)
       changed = next.join(labels.withColumnRenamed("rep", "prev"), "node")
         .filter(col("rep") =!= col("prev")).count()

@@ -1,6 +1,6 @@
 package graft.ops.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** SimHash (64-bit, emitted as a 64-char bit string): per-token xxhash64,
@@ -33,4 +33,36 @@ object SimHash {
   def hamming(a: Column, b: Column): Column =
     size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y),
       d => d))
+
+  /** SimHash near-dup pairs: docs whose 64-bit simhash differs in at most
+    * `maxHamming` bits. Banded exactly like MinHash-LSH: split the 64
+    * bits into `bands` substrings — a pair within `maxHamming < bands`
+    * MUST agree on at least one full band (pigeonhole), so candidates
+    * come from equi-joining on (band, band-bits) buckets, never
+    * all-pairs; the exact Hamming check verifies inside buckets.
+    */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3, bands: Int = 8): DataFrame = {
+    require(maxHamming < bands, "need maxHamming < bands for pigeonhole")
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val hashed = df.select(df(idCol).as("doc"),
+        simhashBits(textCol).as("h"))
+      .localCheckpoint(false)
+    val bandKeys = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        substring(col("h"), b * width + 1, width).as("bits"))): _*)
+    val banded = hashed.select(col("doc"), col("h"),
+        explode(bandKeys).as("bk"))
+      .select(col("doc"), col("h"),
+        col("bk.band").as("band"), col("bk.bits").as("bits"))
+    val l = banded.toDF("a", "ha", "band", "bits")
+    val r = banded.toDF("b", "hb", "band2", "bits2")
+    val cand = l.join(r, col("band") === col("band2") &&
+        col("bits") === col("bits2") && col("a") < col("b"))
+      .select("a", "b", "ha", "hb").distinct()
+    cand.withColumn("dist", hamming(col("ha"), col("hb")))
+      .filter(col("dist") <= maxHamming)
+      .select(col("a"), col("b"), col("dist"))
+  }
 }

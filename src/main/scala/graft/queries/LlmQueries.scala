@@ -317,6 +317,16 @@ object LlmQueries {
       d.select(d("doc_id"), SimHash.simhashBits("text").as("simhash"))
     },
 
+    // SimHash near-dup pairs: banded Hamming buckets (pigeonhole: a pair
+    // within maxHamming bits shares a full band) + exact verify.
+    // xxhash64-based → rows-only; semantics in SimHashSpec.
+    "q_simhash_dedup" -> Q.noOracle { (s, dir) =>
+      SimHash.nearDuplicates(
+        table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", maxHamming = 6, bands = 8)
+    },
+
     // PII-style scrub: emails/URLs/long digit runs → typed placeholders,
     // plus per-doc counts of what was redacted.
     "q_redact" -> Q(

@@ -34,6 +34,19 @@ class SimHashSpec extends SparkSpec {
     assert(near <= 16, s"one-token edit moved $near bits")
   }
 
+  test("nearDuplicates finds close pairs via band buckets, skips far ones") {
+    val docs = Seq((1L, base), (2L, base), (3L, tweaked), (4L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = SimHash.nearDuplicates(docs, "doc_id", "text",
+        maxHamming = 16, bands = 32)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "identical docs must pair (dist 0)")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      s"one-token edit must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must not pair")
+  }
+
   test("hamming helper agrees with scala reference") {
     val d = Seq(("1010", "1001")).toDF("a", "b")
     val out = d.select(SimHash.hamming(d("a"), d("b"))).as[Int].head()
