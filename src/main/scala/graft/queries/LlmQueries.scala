@@ -388,6 +388,27 @@ object LlmQueries {
         Similarity.cosinePairs(e, 0.45)
     },
 
+    // Per-label embedding centroids as (label, dim) rows — the coarse
+    // quantizer build for IVF-style ANN. Element sums in exact integer
+    // micro-units (double summation order differs across engines).
+    "q_centroid" -> Q(
+      """SELECT label, dim,
+        |  CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS sum_micro,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM (
+        |  SELECT label, u.i - 1 AS dim, embedding[u.i]::DOUBLE AS v
+        |  FROM embeddings,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u)
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      e.select(e("label"),
+          posexplode(e("embedding").cast("array<double>")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(round(col("v") * 1000000).cast("long")).as("sum_micro"),
+          count(lit(1)).as("n"))
+    },
+
     // ANN variant: hyperplane-LSH buckets + Hamming-1 multi-probe, exact
     // re-rank inside candidates. Approximate by design → rows-only check;
     // recall vs brute force asserted in SimilaritySpec.
