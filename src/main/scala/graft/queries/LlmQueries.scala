@@ -319,12 +319,14 @@ object LlmQueries {
 
     // SimHash near-dup pairs: banded Hamming buckets (pigeonhole: a pair
     // within maxHamming bits shares a full band) + exact verify.
+    // 16-bit bands: the 2^16 bucket space keeps collisions rare even on
+    // correlated corpora (8-bit bands collapse into hot buckets).
     // xxhash64-based → rows-only; semantics in SimHashSpec.
     "q_simhash_dedup" -> Q.noOracle { (s, dir) =>
       SimHash.nearDuplicates(
         table(s, dir, "documents")
           .repartition(s.sparkContext.defaultParallelism),
-        "doc_id", "text", maxHamming = 6, bands = 8)
+        "doc_id", "text", maxHamming = 3, bands = 4)
     },
 
     // PII-style scrub: emails/URLs/long digit runs → typed placeholders,
