@@ -1,0 +1,92 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) similarity index — the standard ANN shape at
+  * corpus scale: a small k-means coarse quantizer splits the corpus into
+  * cells; a query scores only the `nprobe` nearest cells' vectors. The
+  * index build and the search are both pure DataFrame ops: assignment is
+  * a broadcast of the (tiny) centroid table, never a shuffle of the
+  * corpus; search is an equi-join on cell id.
+  *
+  * Determinism: seeding picks the `nClusters` vectors with the smallest
+  * id-digests (no RNG), Lloyd means are snapped to a 1e-6 grid (double
+  * summation order must not leak into assignments), and every argmin/max
+  * breaks ties on cell id via struct ordering.
+  */
+object Ivf {
+
+  private def cosineTo(cvec: Column, vec: Column, nv: Column): Column =
+    Similarity.dot(cvec, vec) / (Similarity.l2norm(cvec) * nv)
+
+  /** Assign each (id, vec, nv) row to its best cell by cosine:
+    * max(struct(score, cid)) is deterministic under ties.
+    */
+  private def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    vectors.join(broadcast(centroids))
+      .withColumn("_s", cosineTo(col("cvec"), col("vec"), col("nv")))
+      .groupBy(col("id"))
+      .agg(max(struct(col("_s"), col("cid"))).getField("cid").as("cid"),
+        first(col("vec")).as("vec"), first(col("nv")).as("nv"))
+
+  /** Deterministic k-means-lite: digest-ordered seeding + `iters` Lloyd
+    * rounds. Returns (cid, cvec).
+    */
+  def fitCentroids(vectors: DataFrame, nClusters: Int,
+                   iters: Int): DataFrame = {
+    val v = vectors.toDF("id", "vec")
+      .withColumn("nv", Similarity.l2norm(col("vec")))
+      .localCheckpoint(false)
+    var centroids = v
+      .withColumn("_h", sha2(col("id").cast("string"), 256))
+      .orderBy(col("_h")).limit(nClusters)
+      .select(row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("_h")))
+        .as("cid"), col("vec").as("cvec"))
+      .localCheckpoint(false)
+    (1 to iters).foreach { _ =>
+      val assigned = assign(v, centroids)
+      centroids = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        // grid-snapped mean: summation order must not move assignments
+        .agg((round(avg(col("x")) * 1e6) / 1e6).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("dim"), col("m")))),
+          e => e.getField("m")).as("cvec"))
+        .localCheckpoint(false)
+    }
+    centroids
+  }
+
+  /** IVF top-k: index build (quantizer + cell assignment), then each
+    * query probes its `nprobe` best cells and exact-scores only those
+    * cells' vectors. Output: (qid, id, rnk, score4).
+    */
+  def topK(vectors: DataFrame, queries: DataFrame, k: Int,
+           nClusters: Int = 16, nprobe: Int = 4, iters: Int = 2)
+      : DataFrame = {
+    val centroids = fitCentroids(vectors, nClusters, iters)
+    val v = vectors.toDF("id", "vec")
+      .withColumn("nv", Similarity.l2norm(col("vec")))
+    val cells = assign(v, centroids).localCheckpoint(false)
+    val q = queries.toDF("qid", "qvec")
+      .withColumn("nq", Similarity.l2norm(col("qvec")))
+    val probes = q.join(broadcast(centroids))
+      .withColumn("_s", cosineTo(col("cvec"), col("qvec"), col("nq")))
+      .withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("_s").desc, col("cid"))))
+      .filter(col("_r") <= nprobe)
+      .select(col("qid"), col("qvec"), col("nq"), col("cid"))
+    val scored = cells.join(probes, Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("score", Similarity.cosine(col("qvec"), col("vec"),
+        col("nq"), col("nv")))
+    graft.ops.TopK(scored, Seq("qid"), scored("score"), Seq(scored("id")), k)
+      .select(col("qid"), col("id"), col("rnk"),
+        round(col("score"), 4).as("score4"))
+  }
+}

@@ -420,6 +420,16 @@ object LlmQueries {
       Similarity.annTopK(e, e.filter(col("vec_id") < 10), 5)
     },
 
+    // IVF ANN: k-means-lite coarse quantizer + nprobe cell search — the
+    // corpus-scale ANN (approximate → rows-only; recall vs brute force
+    // asserted in SimilaritySpec).
+    "q_similarity_ivf" -> Q.noOracle { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Ivf.topK(e, e.filter(col("vec_id") < 10), k = 5,
+        nClusters = 16, nprobe = 4)
+    },
+
     // Multimodal plumbing: opaque binary payload + decode/frame-sample
     // stubs, digests computed over real bytes.
     "q_multimodal_meta" -> Q(

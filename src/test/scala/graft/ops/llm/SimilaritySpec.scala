@@ -33,6 +33,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF recall vs brute force beats its scan fraction") {
+    val queries = embeddings.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(embeddings, queries, 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val ivf = Ivf.topK(embeddings, queries, 5, nClusters = 16, nprobe = 6)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    // nprobe=6 of 16 cells scans ~38% of the corpus; IVF must beat that
+    assert(recall >= 0.5, s"IVF recall $recall below floor")
+  }
+
   test("ANN multi-probe recall vs brute force") {
     val queries = embeddings.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(embeddings, queries, 5)
