@@ -79,6 +79,46 @@ object StreamingPipeline {
         col("window.end").as("window_end"),
         col("event_type"), col("cnt"))
 
+  /** Session-window counts per key: the streaming twin of
+    * `ops.Sessionize` — Spark's native session_window merges events
+    * within `gap` into one growing window, state bounded by the
+    * watermark. (Batch sessionization stays the `Sessionize` op; this is
+    * the stream-native form.)
+    */
+  def sessionizedEventCounts(events: DataFrame, gap: String = "12 hours",
+                             watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** Custom keyed state via flatMapGroupsWithState: cumulative per-user
+    * event counts emitted on every update — the arbitrary-state escape
+    * hatch for semantics windows can't express (monotone counters that
+    * survive across micro-batches AND restarts via the checkpoint's
+    * state store). Production deployments add a GroupStateTimeout as the
+    * state-GC bound; left at NoTimeout here since the counter must never
+    * expire.
+    */
+  def statefulUserCounts(events: org.apache.spark.sql.Dataset[(Long, String)])
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[(Long, String)],
+         state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + batch.size
+          state.update(next)
+          Iterator((user, next))
+      }
+      .toDF("user_id", "total_events")
+  }
+
   /** Batch twin of `windowedEventCounts` for the declared-query oracle:
     * identical window bucketing, no watermark (batch has no late data).
     * `events` testdata stores ns-long timestamps (Tables.table), converted

@@ -66,6 +66,52 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(("12:00", "click", 2L), ("12:05", "view", 1L)))
   }
 
+  test("session windows merge events within the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    mem.addData(
+      (Timestamp.valueOf("2025-06-10 12:00:00"), 1L),
+      (Timestamp.valueOf("2025-06-10 12:10:00"), 1L), // same session (gap 30m)
+      (Timestamp.valueOf("2025-06-10 15:00:00"), 1L), // new session
+      (Timestamp.valueOf("2025-06-10 12:05:00"), 2L))
+    val out = StreamingPipeline.sessionizedEventCounts(
+      mem.toDF().toDF("ts", "user_id"), gap = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("sess")
+      .select("user_id", "n_events").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    assert(rows(1L) == Seq(1L, 2L)) // one 2-event session + one 1-event
+    assert(rows(2L) == Seq(1L))
+  }
+
+  test("flatMapGroupsWithState: counts survive across restarts via checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-state").toString
+    val seen = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    def drain(mem: MemoryStream[(Long, String)]): Unit = {
+      val q = StreamingPipeline.statefulUserCounts(mem.toDS())
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => seen(r.getLong(0)) = r.getLong(1))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "a"), (1L, "b"), (2L, "c"))
+    drain(mem)
+    assert(seen.get(1L).contains(2L) && seen.get(2L).contains(1L))
+    mem.addData((1L, "d"))
+    drain(mem) // restarted query, same checkpointed state store
+    assert(seen.get(1L).contains(3L),
+      s"user 1 cumulative must reach 3 across restart: $seen")
+  }
+
   private implicit class ToMap2(rows: Array[(String, String, Long)]) {
     def toMap2: Map[(String, String), Long] =
       rows.map { case (p, q, f) => (p, q) -> f }.toMap
