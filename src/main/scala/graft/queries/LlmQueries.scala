@@ -427,7 +427,7 @@ object LlmQueries {
       val e = table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       Ivf.topK(e, e.filter(col("vec_id") < 10), k = 5,
-        nClusters = 16, nprobe = 4)
+        nClusters = 16, nprobe = 4, iters = 1)
     },
 
     // Multimodal plumbing: opaque binary payload + decode/frame-sample
