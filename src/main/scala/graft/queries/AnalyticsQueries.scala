@@ -139,6 +139,19 @@ object AnalyticsQueries {
           .stripMargin)
     },
 
+    // §2.4 ext — exact distinct-count aggregation (the oracle-checked twin
+    // of the HLL sketch below; Spark plans it as a two-phase expand+agg).
+    "q_count_distinct" -> Q(
+      """SELECT o_orderpriority,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+      o.groupBy(o("o_orderpriority"))
+        .agg(countDistinct(o("o_custkey")).as("n_custs"),
+          count(lit(1)).as("cnt"))
+    },
+
     // §2.4 ext — HLL sketch: approx_count_distinct. The sketch estimate is
     // engine-specific (rows-only driver check); ApproxDistinctSpec bounds
     // the relative error against the exact count.

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+import graft.ops.llm._
+
+/** Degenerate-input robustness: every composite operator must return an
+  * empty (not crashed) result on empty input — empty partitions, empty
+  * localCheckpoints, windows over nothing, and LSH joins with no postings
+  * all exercise different failure modes.
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private val noVecs = Seq.empty[(Long, Array[Double])].toDF("id", "v")
+
+  test("pipeline ops on empty input") {
+    assert(Pipeline.batchCounts(
+      Seq.empty[String].toDF("value")).count() == 0)
+    val empty = Pipeline.emptyState(spark)
+    assert(Merge(empty, empty, Seq("prefix", "query"), "frequency")
+      .count() == 0)
+    assert(TopK(empty, Seq("prefix"), empty("frequency"),
+      Seq(empty("query")), 3).count() == 0)
+  }
+
+  test("dedup ops on empty input") {
+    assert(Dedup.exact(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardPairs(noDocs, "doc_id", "text", 3, 8, 10)
+      .count() == 0)
+    assert(Dedup.minhashDedup(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
+    assert(SimHash.nearDuplicates(noDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("similarity ops on empty input") {
+    assert(Similarity.bruteForceTopK(noVecs, noVecs, 5).count() == 0)
+    assert(Similarity.cosinePairs(noVecs, 0.5).count() == 0)
+    assert(Similarity.annTopK(noVecs, noVecs, 5).count() == 0)
+  }
+
+  test("sessionize and time joins on empty input") {
+    val noEvents = Seq.empty[(Long, Long, Long)]
+      .toDF("user_id", "ts", "event_id")
+    assert(Sessionize(noEvents, "user_id", "ts", "event_id", 100L)
+      .count() == 0)
+    val l = Seq.empty[(Long, Long, Long)].toDF("user", "ts", "id")
+    assert(TimeJoins.asof(l, l, "user", "ts", "id", "id").count() == 0)
+    assert(TimeJoins.rangeBinned(l, l, "user", "ts", "id", 10L)
+      .count() == 0)
+  }
+}
