@@ -26,6 +26,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores ns-precision timestamps, which Spark 4
+      // refuses to read as TimestampType ([PARQUET_TYPE_ILLEGAL]);
+      // surface them as LongType ns-since-epoch. Set once here (not as a
+      // side effect of loading a table — session config mutation mid-query
+      // is race-prone under concurrent query construction).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Local session (tests, Verify/Bench, standalone CLI). */
   def local(appName: String, cores: Int): SparkSession =

@@ -12,18 +12,16 @@ object Tables {
 
   /** Load one testdata table: `<sfDir>/<name>.parquet`.
     *
-    * `events.parquet` stores ns-precision timestamps, which Spark 4 refuses
-    * to read as TimestampType ([PARQUET_TYPE_ILLEGAL]); `nanosAsLong`
-    * surfaces them as LongType ns-since-epoch instead. The flag only
-    * affects NANOS columns (every other testdata timestamp is µs), and
-    * queries that need a real timestamp can convert with
-    * `timestamp_micros(ts div 1000)`.
+    * `events.parquet` stores ns-precision timestamps, surfaced as LongType
+    * ns-since-epoch via `spark.sql.legacy.parquet.nanosAsLong` — set once
+    * in GraftSession.builder (a per-load `spark.conf.set` would mutate
+    * session state as a side effect and race under concurrent query
+    * construction). The flag only affects NANOS columns (every other
+    * testdata timestamp is µs); queries that need a real timestamp convert
+    * with `timestamp_micros(ts div 1000)`.
     */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
-  }
 
   // -- Pipeline schemas (declared explicitly; no inference at runtime) ------
 

@@ -32,13 +32,34 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  /** Null elements are only possible when the schema says so; the codegen
+    * hot loop stays branch-free for containsNull=false inputs.
+    */
+  private def anyContainsNull: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, n) => n
+      case _ => false
+    }
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: array length mismatch " +
+          s"(${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
+    val checkNulls = anyContainsNull
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i)))
+        throw new IllegalArgumentException(
+          s"$prettyName: null element at index $i")
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -48,10 +69,21 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val nullCheck =
+        if (anyContainsNull)
+          s"""if ($x.isNullAt($i) || $y.isNullAt($i))
+             |  throw new IllegalArgumentException(
+             |    "graft_dot: null element at index " + $i);""".stripMargin
+        else ""
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
+         |if ($x.numElements() != $y.numElements())
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: array length mismatch (" + $x.numElements() +
+         |    " vs " + $y.numElements() + ")");
+         |int $n = $x.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $s += $x.getDouble($i) * $y.getDouble($i);
          |}
          |${ev.value} = $s;

@@ -75,7 +75,10 @@ object Dedup {
       .cast("int")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc").orderBy(col("df_"), col("g"))
-    val prefix = post.join(broadcast(dfreq), "g")
+    // no broadcast hint: the per-shingle DF table grows with the corpus
+    // (distinct shingles), so a forced broadcast OOMs at scale — AQE
+    // broadcasts it when it is actually small.
+    val prefix = post.join(dfreq, "g")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= p)
     val l = prefix.select(col("doc").as("a"), col("n_").as("na"), col("g"))

@@ -99,11 +99,22 @@ object Similarity {
 
   /** ANN top-k: hyperplane-bucketed candidates (query probes its bucket +
     * Hamming-1 neighbors), exact cosine re-rank within candidates.
+    *
+    * `dim` is the embedding dimensionality; pass it when known, else it is
+    * read from the first vector (a one-row scan). A wrong dim would silently
+    * truncate/zero-pad the hyperplane dot products and degrade buckets.
     */
   def annTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-              planes: Int = 8, seed: Long = 42L): DataFrame = {
-    val pl = hyperplanes(planes, dim = 64, seed)
-    val v = vectors.toDF("id", "vec")
+              planes: Int = 8, seed: Long = 42L, dim: Int = 0): DataFrame = {
+    val v0 = vectors.toDF("id", "vec")
+    // empty input infers 0 → clamp to 1 so the hyperplane literal still
+    // types as array<array<double>> (no row is ever evaluated)
+    val d = math.max(1,
+      if (dim > 0) dim
+      else v0.select(size(col("vec"))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0))
+    val pl = hyperplanes(planes, d, seed)
+    val v = v0
       .withColumn("nv", l2norm(col("vec")))
       .withColumn("bucket", bucketOf(col("vec"), pl))
     val q = queries.toDF("qid", "qvec")

@@ -303,7 +303,9 @@ object LlmQueries {
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = tok.groupBy("term")
         .agg(countDistinct("doc_id").as("df"))
-      tf.join(broadcast(dfreq), "term")
+      // no broadcast hint: the per-term DF table grows with the corpus
+      // vocabulary — AQE broadcasts it only while it is actually small.
+      tf.join(dfreq, "term")
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           round(col("tf") * log(lit(n) / col("df").cast("double")), 4)
             .as("tfidf4"))

@@ -127,8 +127,10 @@ object StreamingPipeline {
   def windowedEventCountsBatch(spark: SparkSession, sfDir: String)
       : DataFrame = {
     val e = Tables.table(spark, sfDir, "events")
-    val withTs = e.withColumn("ts",
-      timestamp_micros((col("ts") / 1000).cast("long")))
+    // Exact integer division: ns-epoch longs (~1.7e18) exceed double's
+    // 2^53 range, so `/ 1000` via double can truncate a µs off near
+    // window boundaries. `div` stays in long arithmetic.
+    val withTs = e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     windowedEventCounts(withTs.select(col("ts"), col("event_type")))
       .select(
         date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
