@@ -21,16 +21,25 @@ object Bench {
     val spark = GraftSession.local("graft-bench", cpus)
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Unit = {
+    def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      // free localCheckpoint/persist blocks so earlier queries' cached
-      // state doesn't bill later queries with GC pressure
+
+    // Between queries (outside the timers): free localCheckpoint/persist
+    // blocks so one query's cached state doesn't bill the next with GC
+    // pressure. Blocking unpersist so the blocks are actually gone before
+    // the next timer starts; the SQL cache manager cleared too (RDD-level
+    // unpersist alone leaves its entries pinned); one GC nudge so the
+    // freed heap is compacted on our time, not the next query's.
+    def cleanup(): Unit = {
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
     }
 
     try run("q_pipeline") catch { case _: Throwable => () } // warmup, untimed
+    cleanup()
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
@@ -41,7 +50,9 @@ object Bench {
           String.valueOf(e.getMessage)).replaceAll("[\"\\\\\n\r\t]", " ")
           .take(160)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      cleanup()
+      name -> dt
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

@@ -174,12 +174,22 @@ object Dedup {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(false)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("rep", col("node"))
+    // init folds the first propagation round in: rep = min(node, neighbors)
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(least(first(col("src")), min(col("dst"))).as("rep"))
       .localCheckpoint(false)
-    var changed = 1L
+    // Convergence check: every node's rep is non-increasing (propagated
+    // includes the old label via the union, pointer jump maps rep to
+    // rep's rep <= rep), so sum(rep) strictly decreases until the
+    // fixpoint — equal consecutive sums <=> converged. One tiny agg per
+    // round instead of a labels-vs-next join + count. decimal(38,0) so
+    // the sum can't overflow on 64-bit ids at corpus scale.
+    def repSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum: java.math.BigDecimal = null
+    var curSum = repSum(labels)
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (curSum != prevSum && iter < maxIter) {
       val neigh = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("rep"))
       val propagated = labels.union(neigh)
@@ -192,8 +202,8 @@ object Dedup {
           propagated("rep") === col("node2"), "left")
         .select(col("node"), coalesce(col("rep2"), col("rep")).as("rep"))
         .localCheckpoint(false)
-      changed = next.join(labels.withColumnRenamed("rep", "prev"), "node")
-        .filter(col("rep") =!= col("prev")).count()
+      prevSum = curSum
+      curSum = repSum(next)
       labels = next
       iter += 1
     }
