@@ -11,7 +11,8 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Map[String, Q] =
-    CoreQueries.all ++ AnalyticsQueries.all ++ LlmQueries.all
+    CoreQueries.all ++ AnalyticsQueries.all ++ LlmQueries.all ++
+      ExtendedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -34,6 +34,56 @@ object SimHash {
     size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y),
       d => d))
 
+  /** 60-bit sha256-based SimHash as a BIGINT — the oracle-parity variant.
+    * Token hash = first 15 hex chars of the token's sha256 (60 bits, so
+    * the value fits a signed long exactly in both engines; DuckDB computes
+    * the identical value via `('0x' || substr(sha256(t),1,15))::UBIGINT`).
+    * Same ±1 bit-vote accumulation as `simhashBits`, finished by packing
+    * the sign bits into one long.
+    */
+  def simhashSha(colName: String): Column = expr(
+    s"""aggregate(
+       |  transform(split(lower(trim($colName)), '\\\\s+'),
+       |    t -> cast(conv(substr(sha2(t, 256), 1, 15), 16, 10) as bigint)),
+       |  array_repeat(0L, 60),
+       |  (acc, h) -> zip_with(acc, sequence(0, 59),
+       |    (v, i) -> v + (getbit(h, i) * 2 - 1)),
+       |  acc -> aggregate(zip_with(acc, sequence(0, 59),
+       |    (v, i) -> if(v > 0, shiftleft(1L, i), 0L)),
+       |    0L, (s, x) -> s + x))""".stripMargin)
+
+  /** SimHash near-dup pairs over the sha-based 60-bit hash — banded like
+    * `nearDuplicates` (pigeonhole over `bands` bit-slices, exact
+    * `bit_count(a ^ b)` verify in-bucket), but fully oracle-checkable:
+    * the DuckDB twin computes the same longs and verifies all pairs.
+    */
+  def nearDuplicatesSha(df: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3, bands: Int = 6): DataFrame = {
+    require(maxHamming < bands, "need maxHamming < bands for pigeonhole")
+    require(60 % bands == 0, "bands must divide 60")
+    val width = 60 / bands
+    val mask = (1L << width) - 1
+    val hashed = df.select(df(idCol).as("doc"), simhashSha(textCol).as("h"))
+      .localCheckpoint(false)
+    val bandKeys = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("h"), b * width).bitwiseAND(lit(mask)).as("bits"))): _*)
+    val banded = hashed.select(col("doc"), col("h"),
+        explode(bandKeys).as("bk"))
+      .select(col("doc"), col("h"),
+        col("bk.band").as("band"), col("bk.bits").as("bits"))
+    val l = banded.toDF("a", "ha", "band", "bits")
+    val r = banded.toDF("b", "hb", "band2", "bits2")
+    val cand = l.join(r, col("band") === col("band2") &&
+        col("bits") === col("bits2") && col("a") < col("b"))
+      .select("a", "b", "ha", "hb").distinct()
+    cand
+      .withColumn("dist",
+        expr("cast(bit_count(ha ^ hb) as int)"))
+      .filter(col("dist") <= maxHamming)
+      .select(col("a"), col("b"), col("dist"))
+  }
+
   /** SimHash near-dup pairs: docs whose 64-bit simhash differs in at most
     * `maxHamming` bits. Banded exactly like MinHash-LSH: split the 64
     * bits into `bands` substrings — a pair within `maxHamming < bands`

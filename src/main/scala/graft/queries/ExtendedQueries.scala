@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.ops.TopK
+import graft.ops.llm.{Multimodal, TextOps}
+
+/** Round-3 surface widening: outer/cross joins, set ops, conditional
+  * expressions, scalar subqueries, exact percentiles, arg-min/max,
+  * collected sets, rank windows, regex extraction, stratified sampling,
+  * salted-aggregation parity, and multimodal frame sampling — every query
+  * oracle-checked (same determinism rules as AnalyticsQueries: integer
+  * cents for money, unique tie-break keys, no raw timestamps).
+  */
+object ExtendedQueries {
+
+  /** Exact integer cents of a double money column. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  val all: Map[String, Q] = Map(
+
+    // Full-outer join: customers of a nation subset vs per-customer order
+    // aggregates — left-only (customers without orders), right-only
+    // (customers outside the subset), and matched rows all surface.
+    // At scale this is one shuffle on the join key; neither side can be
+    // broadcast (both unbounded), which is exactly what full-outer forces.
+    "q_join_outer" -> Q(
+      """WITH c AS (SELECT c_custkey, c_name FROM customer
+        |           WHERE c_nationkey < 10),
+        |oa AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS spend_cents
+        |       FROM orders GROUP BY 1)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name,
+        |  CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+        |  CAST(coalesce(spend_cents, 0) AS BIGINT) AS spend_cents
+        |FROM c FULL JOIN oa ON c_custkey = o_custkey""".stripMargin) {
+      (s, dir) =>
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders")
+        val cs = c.filter(c("c_nationkey") < 10)
+          .select(c("c_custkey"), c("c_name"))
+        val oa = o.groupBy(o("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(o("o_totalprice"))).as("spend_cents"))
+        cs.join(oa, cs("c_custkey") === oa("o_custkey"), "full_outer")
+          .select(coalesce(cs("c_custkey"), oa("o_custkey")).as("custkey"),
+            cs("c_name"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("spend_cents"), lit(0L)).as("spend_cents"))
+    },
+
+    // Cross join (explicit cartesian — both sides tiny dims; anything
+    // larger should be an equi/range join instead).
+    "q_cross_join" -> Q(
+      "SELECT r_name, n_name FROM region CROSS JOIN nation") { (s, dir) =>
+      table(s, dir, "region").crossJoin(table(s, dir, "nation"))
+        .select(col("r_name"), col("n_name"))
+    },
+
+    // UNION ALL (bag semantics — duplicates preserved, unlike q_except/
+    // q_intersect's set semantics), re-counted per key.
+    "q_union_all" -> Q(
+      """SELECT custkey, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT c_custkey AS custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      c.filter(c("c_mktsegment") === "BUILDING")
+        .select(c("c_custkey").as("custkey"))
+        .unionByName(o.filter(o("o_totalprice") > 300000)
+          .select(o("o_custkey").as("custkey")))
+        .groupBy("custkey").agg(count(lit(1)).as("n"))
+    },
+
+    // CASE WHEN / IN-list conditionals: price bands + urgency flag counts.
+    "q_case_when" -> Q(
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+        |            WHEN o_totalprice < 250000 THEN 'mid'
+        |            ELSE 'high' END AS band,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+      o.groupBy(
+          when(o("o_totalprice") < 100000, "low")
+            .when(o("o_totalprice") < 250000, "mid")
+            .otherwise("high").as("band"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(o("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).as("n_urgent"))
+    },
+
+    // Scalar subquery: orders above the global mean price. The comparison
+    // is integer cross-multiplication (price_cents * n > total_cents), so
+    // no float mean ever exists to drift between engines.
+    "q_scalar_subquery" -> Q(
+      """WITH t AS (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |             AS BIGINT) AS tot,
+        |           CAST(count(*) AS BIGINT) AS n FROM orders)
+        |SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders, t WHERE CAST(round(o_totalprice * 100) AS BIGINT) * t.n
+        |  > t.tot""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+      val t = o.agg(sum(cents(o("o_totalprice"))).as("tot"),
+        count(lit(1)).as("n"))
+      o.select(o("o_orderkey"), cents(o("o_totalprice")).as("cents"))
+        .crossJoin(t)
+        .filter(col("cents") * col("n") > col("tot"))
+        .select(col("o_orderkey"), col("cents"))
+    },
+
+    // Exact interpolated quartiles per group, over integer cents: the
+    // quantile positions (n-1)*q for q in {.25,.5,.75} make the linear
+    // interpolation exact in binary floating point — identical in both
+    // engines (Spark `percentile` == DuckDB `quantile_cont`).
+    "q_percentile" -> Q(
+      """SELECT o_orderpriority,
+        |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT),
+        |    0.25) AS p25,
+        |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT),
+        |    0.5) AS p50,
+        |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT),
+        |    0.75) AS p75
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+      o.select(o("o_orderpriority"), cents(o("o_totalprice")).as("c"))
+        .groupBy("o_orderpriority")
+        .agg(expr("percentile(c, 0.25D)").as("p25"),
+          expr("percentile(c, 0.5D)").as("p50"),
+          expr("percentile(c, 0.75D)").as("p75"))
+    },
+
+    // arg_max/arg_min (max_by/min_by) with a composite-unique order value:
+    // acctbal cents * 1e6 + custkey is strictly monotone in (acctbal,
+    // custkey), so ties are impossible and both engines agree.
+    "q_minmax_by" -> Q(
+      """WITH m AS (SELECT c_nationkey, c_custkey,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey AS mv
+        |  FROM customer)
+        |SELECT c_nationkey,
+        |  arg_max(c_custkey, mv) AS best_cust,
+        |  arg_min(c_custkey, mv) AS worst_cust
+        |FROM m GROUP BY 1""".stripMargin) { (s, dir) =>
+      val c = table(s, dir, "customer")
+      c.select(c("c_nationkey"), c("c_custkey"),
+          (cents(c("c_acctbal")) * 1000000 + c("c_custkey")).as("mv"))
+        .groupBy("c_nationkey")
+        .agg(max_by(col("c_custkey"), col("mv")).as("best_cust"),
+          min_by(col("c_custkey"), col("mv")).as("worst_cust"))
+    },
+
+    // collect_set → sorted array → JSON (set collection with
+    // deterministic order; the set-typed twin of q_topk_collect's list).
+    "q_collect_set" -> Q(
+      """SELECT l_returnflag,
+        |  to_json(list(DISTINCT l_linestatus ORDER BY l_linestatus))
+        |    AS statuses,
+        |  CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_statuses
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      li.groupBy(li("l_returnflag"))
+        .agg(to_json(array_sort(collect_set(li("l_linestatus"))))
+            .as("statuses"),
+          countDistinct(li("l_linestatus")).as("n_statuses"))
+    },
+
+    // Rank-family windows: ntile buckets + percent_rank/cume_dist (exact
+    // rationals — one IEEE division of exact ints, identical both engines)
+    // over a unique (cents, orderkey) order.
+    "q_ntile_window" -> Q(
+      """SELECT o_orderkey,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)"""
+        .stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+      val w = Window.partitionBy(o("o_orderpriority"))
+        .orderBy(cents(o("o_totalprice")), o("o_orderkey"))
+      o.select(o("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+    },
+
+    // Regex extraction (RE2-compatible pattern subset so Java regex and
+    // DuckDB agree): first long word + digit-run count per document.
+    "q_regex_extract" -> Q(
+      """SELECT doc_id,
+        |  regexp_extract(lower(trim(text)), '([a-z]{7,})', 1) AS first_long,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER)
+        |    AS n_digit_runs
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      d.select(d("doc_id"),
+        regexp_extract(lower(trim(d("text"))), "([a-z]{7,})", 1)
+          .as("first_long"),
+        TextOps.regexCount(d("text"), "[0-9]+").as("n_digit_runs"))
+    },
+
+    // Stratified deterministic sampling: first 20 docs per language by
+    // content-digest order — reproducible per-stratum subsampling (the
+    // training-data "balanced slice" op; no RNG state, any cluster size).
+    "q_stratified_sample" -> Q(
+      """SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY sha256(lower(trim(text))), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val w = Window.partitionBy(d("lang"))
+        .orderBy(sha2(lower(trim(d("text"))), 256), d("doc_id"))
+      d.select(d("doc_id"), d("lang"), row_number().over(w).as("rk"))
+        .filter(col("rk") <= 20)
+    },
+
+    // Top-3 vocabulary terms per language — grouped counts + per-group
+    // window limit (two-phase WindowGroupLimit at scale).
+    "q_lang_topk_terms" -> Q(
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) term
+        |  FROM documents),
+        |cnt AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM tok GROUP BY 1, 2)
+        |SELECT lang, term, cnt, CAST(rnk AS INTEGER) AS rnk FROM (
+        |  SELECT lang, term, cnt, row_number() OVER (PARTITION BY lang
+        |    ORDER BY cnt DESC, term) AS rnk FROM cnt)
+        |WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val cnts = d.select(d("lang"),
+          explode(TextOps.tokens(d("text"))).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+      TopK(cnts, Seq("lang"), cnts("cnt"), Seq(cnts("term")), 3)
+    },
+
+    // Salted two-phase aggregation: partial agg on (key, salt) then final
+    // re-agg on key — the skew-mitigation shape for hot keys, provably
+    // result-identical to the plain group-by the oracle runs. The salt
+    // never reaches the output; re-aggregation algebra (sum of partial
+    // counts/sums) erases it.
+    "q_skew_salt" -> Q(
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      li.groupBy(li("l_returnflag"), pmod(li("l_orderkey"), lit(16))
+          .as("_salt"))
+        .agg(count(lit(1)).as("pc"), sum(li("l_quantity")).as("pq"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("pc")).as("cnt"),
+          sum(col("pq")).cast("long").as("sum_qty"))
+    },
+
+    // Multimodal frame sampling: every frame of each payload hashed
+    // scan-side (1→N expansion before any shuffle; payloads never move).
+    // The stub digests frame-index-prefixed payload bytes — byte-identical
+    // to the oracle's string concat since the payload is utf-8 text.
+    "q_frame_sample" -> Q(
+      """SELECT doc_id AS media_id, i AS frame_idx,
+        |  sha256(CAST(i AS VARCHAR) || ':' || text) AS frame_sha
+        |FROM documents, (SELECT unnest(generate_series(0, 2)) i) g"""
+        .stripMargin) { (s, dir) =>
+      val media = Multimodal.fromText(table(s, dir, "documents"),
+        "doc_id", "text")
+      media.select(col("media_id"),
+          posexplode(Multimodal.frameSample(col("payload"),
+            col("meta.n_frames"))))
+        .select(col("media_id"), col("pos").cast("long").as("frame_idx"),
+          col("col").as("frame_sha"))
+    },
+  )
+}

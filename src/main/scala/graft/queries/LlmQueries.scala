@@ -311,24 +311,58 @@ object LlmQueries {
             .as("tfidf4"))
     },
 
-    // SimHash (xxhash64-based — no DuckDB twin → rows-only check; semantics
-    // covered by SimHashSpec).
-    "q_simhash" -> Q.noOracle { (s, dir) =>
+    // SimHash, sha256-based 60-bit variant — fully oracle-checked: both
+    // engines hash each token to the first 15 hex chars of its sha256
+    // (60 bits → exact in a signed long), vote per bit, pack sign bits.
+    // The xxhash64 production variant (simhashBits) stays spec-covered in
+    // SimHashSpec.
+    "q_simhash" -> Q(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) t
+        |  FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(sha256(t), 1, 15))::UBIGINT h
+        |      FROM tok),
+        |votes AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) v
+        |  FROM h, (SELECT unnest(generate_series(0, 59)) j) js
+        |  GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << j)
+        |    ELSE 0::UBIGINT END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY doc_id""".stripMargin) { (s, dir) =>
       val d = table(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-      d.select(d("doc_id"), SimHash.simhashBits("text").as("simhash"))
+      d.select(d("doc_id"), SimHash.simhashSha("text").as("simhash"))
     },
 
     // SimHash near-dup pairs: banded Hamming buckets (pigeonhole: a pair
-    // within maxHamming bits shares a full band) + exact verify.
-    // 16-bit bands: the 2^16 bucket space keeps collisions rare even on
-    // correlated corpora (8-bit bands collapse into hot buckets).
-    // xxhash64-based → rows-only; semantics in SimHashSpec.
-    "q_simhash_dedup" -> Q.noOracle { (s, dir) =>
-      SimHash.nearDuplicates(
+    // within maxHamming bits shares a full band of the 6) + exact
+    // bit_count(a^b) verify in-bucket. The banded plan provably equals the
+    // all-pairs scan the oracle runs — LSH completeness, checked by hash.
+    "q_simhash_dedup" -> Q(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) t
+        |  FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(sha256(t), 1, 15))::UBIGINT h
+        |      FROM tok),
+        |votes AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) v
+        |  FROM h, (SELECT unnest(generate_series(0, 59)) j) js
+        |  GROUP BY 1, 2),
+        |sim AS (
+        |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::UBIGINT << j)
+        |    ELSE 0::UBIGINT END) AS sh
+        |  FROM votes GROUP BY doc_id)
+        |SELECT x.doc_id a, y.doc_id b,
+        |  CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS dist
+        |FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.sh, y.sh)) <= 3""".stripMargin) { (s, dir) =>
+      SimHash.nearDuplicatesSha(
         table(s, dir, "documents")
           .repartition(s.sparkContext.defaultParallelism),
-        "doc_id", "text", maxHamming = 3, bands = 4)
+        "doc_id", "text", maxHamming = 3, bands = 6)
     },
 
     // PII-style scrub: emails/URLs/long digit runs → typed placeholders,

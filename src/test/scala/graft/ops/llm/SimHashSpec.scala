@@ -52,4 +52,26 @@ class SimHashSpec extends SparkSpec {
     val out = d.select(SimHash.hamming(d("a"), d("b"))).as[Int].head()
     assert(out == 2)
   }
+
+  test("sha variant: banded pairs equal brute-force all-pairs") {
+    val docs = Seq((1L, base), (2L, base), (3L, tweaked), (4L, unrelated),
+        (5L, base + " extra"), (6L, unrelated + " words"))
+      .toDF("doc_id", "text")
+    val maxH = 5
+    val banded = SimHash.nearDuplicatesSha(docs, "doc_id", "text",
+        maxHamming = maxH, bands = 6)
+      .select("a", "b", "dist").as[(Long, Long, Int)].collect().toSet
+    // brute force over the same 60-bit hashes
+    val hs = docs.select(docs("doc_id"),
+        SimHash.simhashSha("text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= maxH
+    } yield (a, b, d)).toSet
+    assert(banded == brute,
+      s"banded=$banded brute=$brute — LSH banding must be exact-complete")
+    assert(brute.exists { case (a, b, d) => d == 0 },
+      "identical docs must appear at distance 0")
+  }
 }
