@@ -119,6 +119,38 @@ object StreamingPipeline {
       .toDF("user_id", "total_events")
   }
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * views within `horizon` BEFORE the click. Both sides carry watermarks;
+    * the time-bound join condition lets Spark expire buffered state for
+    * rows older than the horizon — unbounded-state stream joins don't run
+    * at scale. (Batch twin of this shape is q_range_join's bin join.)
+    */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame,
+                    watermark: String = "10 minutes",
+                    horizon: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    c.join(v,
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"))
+  }
+
+  /** Watermarked streaming dedup: first occurrence of each key wins;
+    * duplicates arriving within the watermark horizon are dropped and the
+    * per-key state is GC'd once the watermark passes — the streaming twin
+    * of exact dedup with bounded state.
+    */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Batch twin of `windowedEventCounts` for the declared-query oracle:
     * identical window bucketing, no watermark (batch has no late data).
     * `events` testdata stores ns-long timestamps (Tables.table), converted

@@ -112,6 +112,49 @@ class StreamingSpec extends SparkSpec {
       s"user 1 cumulative must reach 3 across restart: $seen")
   }
 
+  test("stream-stream interval join pairs clicks with in-horizon views") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    // view 100 is 30m before click 1 (in horizon); view 101 is >1h before
+    // both clicks (out of horizon); view 102 is AFTER click 1 (excluded
+    // for it) but 30m before click 2 (joins to it)
+    clicks.addData((1L, ts("2025-06-10 12:00:00"), 1L),
+      (1L, ts("2025-06-10 13:00:00"), 2L))
+    views.addData((1L, ts("2025-06-10 11:30:00"), 100L),
+      (1L, ts("2025-06-10 10:30:00"), 101L),
+      (1L, ts("2025-06-10 12:30:00"), 102L))
+    val out = StreamingPipeline.clickViewJoin(
+      clicks.toDF().toDF("user_id", "ts", "event_id"),
+      views.toDF().toDF("user_id", "ts", "event_id"))
+    val q = out.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("ssj")
+      .select("click_id", "view_id").as[(Long, Long)].collect().toSet
+    assert(rows((1L, 100L)), s"in-horizon view must join: $rows")
+    assert(!rows.exists(_._2 == 101L), "out-of-horizon view must not join")
+    assert(rows((2L, 102L)), "view 102 is 30m before click 2")
+    assert(!rows((1L, 102L)), "view after the click must not join to it")
+  }
+
+  test("dropDuplicatesWithinWatermark keeps first occurrence per key") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Timestamp)]
+    mem.addData((7L, ts("2025-06-10 12:00:00")), (7L, ts("2025-06-10 12:01:00")),
+      (8L, ts("2025-06-10 12:02:00")), (7L, ts("2025-06-10 12:03:00")))
+    val out = StreamingPipeline.dedupWithinWatermark(
+      mem.toDF().toDF("event_id", "ts"), Seq("event_id"))
+    val q = out.writeStream.format("memory").queryName("ddw")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ids = spark.table("ddw").select("event_id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(7L, 8L),
+      s"each key exactly once within the watermark horizon: $ids")
+  }
+
   private implicit class ToMap2(rows: Array[(String, String, Long)]) {
     def toMap2: Map[(String, String), Long] =
       rows.map { case (p, q, f) => (p, q) -> f }.toMap
