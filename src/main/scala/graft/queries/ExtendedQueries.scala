@@ -261,6 +261,68 @@ object ExtendedQueries {
           sum(col("pq")).cast("long").as("sum_qty"))
     },
 
+    // Pearson correlation from EXACT integer sums: n, Σx, Σy, Σxy, Σx²,
+    // Σy² accumulate as BIGINTs (quantity ≤ 50, discount×100 ≤ 10 — no
+    // overflow), and only the final closed-form formula touches floating
+    // point — identical IEEE ops over identical exact inputs in both
+    // engines. The built-in corr() streams partial float moments whose
+    // merge order varies with partitioning; this shape is the
+    // deterministic, scale-safe alternative.
+    "q_corr_exact" -> Q(
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) sx,
+        |    CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) sy,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)
+        |      * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) sxy,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS BIGINT) sxx,
+        |    CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+        |      * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |    (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |     sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+        |    AS corr6
+        |FROM s""".stripMargin) { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      val x = li("l_quantity").cast("long")
+      val y = round(li("l_discount") * 100).cast("long")
+      val sums = li.groupBy(li("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      val nD = col("n").cast("double")
+      sums.select(col("l_returnflag"), col("n"),
+        round((nD * col("sxy") - col("sx").cast("double") * col("sy")) /
+          (sqrt(nD * col("sxx") - col("sx").cast("double") * col("sx")) *
+            sqrt(nD * col("syy") - col("sy").cast("double") * col("sy"))), 6)
+          .as("corr6"))
+    },
+
+    // first_value / last_value / nth_value over an explicit running frame
+    // (rows between unbounded preceding and current row).
+    "q_first_last" -> Q(
+      """SELECT o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  last_value(o_orderkey) OVER w AS last_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+        .stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+      val w = Window.partitionBy(o("o_orderpriority"))
+        .orderBy(cents(o("o_totalprice")), o("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.select(o("o_orderkey"),
+        first(o("o_orderkey")).over(w).as("first_key"),
+        last(o("o_orderkey")).over(w).as("last_key"),
+        nth_value(o("o_orderkey"), 2).over(w).as("second_key"))
+    },
+
     // Multimodal frame sampling: every frame of each payload hashed
     // scan-side (1→N expansion before any shuffle; payloads never move).
     // The stub digests frame-index-prefixed payload bytes — byte-identical

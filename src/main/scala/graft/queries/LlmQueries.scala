@@ -453,7 +453,9 @@ object LlmQueries {
     "q_similarity_ann" -> Q.noOracle { (s, dir) =>
       val e = table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      Similarity.annTopK(e, e.filter(col("vec_id") < 10), 5)
+      // dim passed explicitly (testdata embeddings are 64-d) — avoids the
+      // one-row inference scan
+      Similarity.annTopK(e, e.filter(col("vec_id") < 10), 5, dim = 64)
     },
 
     // IVF ANN: k-means-lite coarse quantizer + nprobe cell search — the

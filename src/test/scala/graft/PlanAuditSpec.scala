@@ -56,4 +56,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_min") || p.contains("partial_count"),
       s"dedup must combine map-side:\n$p")
   }
+
+  test("q_lang_topk_terms: two-phase WindowGroupLimit on the term ranking") {
+    val p = plan("q_lang_topk_terms")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-group limit must push into the window sort:\n$p")
+  }
+
+  test("q_frame_sample: scan-side expansion, zero shuffle") {
+    val p = plan("q_frame_sample")
+    assert(!p.contains("Exchange"),
+      s"payload expansion must not shuffle media rows:\n$p")
+    assert(p.contains("Generate"), s"missing 1->N generator:\n$p")
+  }
+
+  test("q_scalar_subquery: the 1-row aggregate broadcasts, fact side streams") {
+    val p = plan("q_scalar_subquery")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"scalar side must broadcast, not shuffle the fact table:\n$p")
+  }
+
+  test("q_skew_salt: salted partial agg combines before the final key agg") {
+    val p = plan("q_skew_salt")
+    val finals = p.linesIterator.count(l =>
+      l.contains("HashAggregate") && !l.contains("partial"))
+    assert(finals >= 2, s"expected two aggregation phases (salted + final):\n$p")
+    assert(!p.contains("_salt#"), "salt must not survive into the output")
+  }
 }
