@@ -47,6 +47,28 @@ object Multimodal {
       i => sha2(concat(concat(i.cast("string"), lit(":")).cast("binary"),
         payload), 256))
 
+  /** Resize stub: new meta dimensions (aspect-preserving fit into
+    * `maxSide`) plus a digest standing in for the resampled pixel buffer.
+    * The real geometry math runs for real (integer floor-scale identical
+    * on any engine); only the pixel transform is stubbed. Null
+    * width/height (non-image media) pass through untouched.
+    */
+  def resizeStub(payload: Column, meta: Column, maxSide: Int): Column = {
+    val w = meta.getField("width")
+    val h = meta.getField("height")
+    val scaleNeeded = greatest(w, h) > maxSide
+    val newW = when(w.isNull || h.isNull || !scaleNeeded, w)
+      .otherwise(floor(w * maxSide / greatest(w, h)).cast("int"))
+    val newH = when(w.isNull || h.isNull || !scaleNeeded, h)
+      .otherwise(floor(h * maxSide / greatest(w, h)).cast("int"))
+    struct(
+      newW.as("width"), newH.as("height"),
+      sha2(concat(
+        concat(coalesce(newW.cast("string"), lit("-")), lit("x"),
+          coalesce(newH.cast("string"), lit("-")), lit(":")).cast("binary"),
+        payload), 256).as("pixels_sha"))
+  }
+
   /** Batched partition-level decode — the shape for decoders/models with
     * heavy per-instance init (codec contexts, ONNX sessions): ONE decoder
     * per partition, rows processed in `batchSize` groups (the batch is

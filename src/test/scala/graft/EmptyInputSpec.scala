@@ -34,6 +34,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
     assert(SimHash.nearDuplicates(noDocs, "doc_id", "text").count() == 0)
+    assert(SimHash.nearDuplicatesSha(noDocs, "doc_id", "text").count() == 0)
   }
 
   test("similarity ops on empty input") {

@@ -40,6 +40,27 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.distinct.size == 3)
   }
 
+  test("resize stub: aspect-preserving fit, null dims pass through") {
+    val m = Seq(
+        (1L, Array[Byte](1, 2), Some(4000), Some(3000)), // scales 4:3
+        (2L, Array[Byte](3), Some(100), Some(50)),       // under max: as-is
+        (3L, Array[Byte](4), None, None))                // non-image: nulls
+      .toDF("media_id", "payload", "w", "h")
+      .select(col("media_id"), col("payload"),
+        struct(lit("img").as("format"), col("w").as("width"),
+          col("h").as("height"), lit(1).as("n_frames")).as("meta"))
+    val out = m.select(col("media_id"),
+        Multimodal.resizeStub(col("payload"), col("meta"), 1024).as("r"))
+      .select(col("media_id"), col("r.width"), col("r.height"),
+        col("r.pixels_sha"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getString(3))).toMap
+    assert(out(1L)._1.contains(1024) && out(1L)._2.contains(768))
+    assert(out(2L)._1.contains(100) && out(2L)._2.contains(50))
+    assert(out(3L)._1.isEmpty && out(3L)._2.isEmpty)
+    assert(out.values.map(_._3).toSet.size == 3) // digests all distinct
+  }
+
   test("decodePartitioned: one decoder per partition, batched rows") {
     val m = media.repartition(2)
     val before = Multimodal.StubDecoder.instances.get()
