@@ -1,0 +1,107 @@
+package graft.ops.llm
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property tests for the dedup pipeline against plain-Scala references
+  * (seeded Gen sampling — the scalatest-scalacheck bridge isn't available
+  * offline):
+  *
+  *  - connectedComponents vs a driver-side union-find on random graphs:
+  *    the distributed min-label propagation + pointer jumping must land
+  *    every node on its component's minimum id;
+  *  - PPJoin-filtered ngramJaccardPairs vs the naive all-pairs scan on
+  *    random near-dup corpora: prefix filtering is a pure pruning
+  *    optimization and must never change the result set.
+  */
+class DedupPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  // -- union-find reference ------------------------------------------------
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElse(a, { parent(a) = a; a })
+      parent.getOrElse(b, { parent(b) = b; b })
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(n => n -> find(n)).toMap
+  }
+
+  private val genEdges: Gen[List[(Long, Long)]] = Gen.listOf(for {
+    a <- Gen.chooseNum(1L, 40L)
+    b <- Gen.chooseNum(1L, 40L) if a != b
+  } yield (math.min(a, b), math.max(a, b)))
+
+  test("connectedComponents equals union-find on random graphs") {
+    (1L to 5L).foreach { s =>
+      val edges = genEdges(Gen.Parameters.default, Seed(s)).getOrElse(Nil)
+        .distinct
+      if (edges.nonEmpty) {
+        val expected = unionFind(edges)
+        val got = Dedup.connectedComponents(edges.toDF("a", "b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == expected,
+          s"seed $s: cc=$got expected=$expected edges=$edges")
+      }
+    }
+  }
+
+  // -- naive Jaccard reference --------------------------------------------
+  private def shingleSet(text: String, n: Int): Set[String] = {
+    val toks = text.trim.toLowerCase.split("\\s+").toSeq
+    if (toks.size <= n) Set(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  private def naivePairs(docs: Seq[(Long, String)], n: Int,
+                         num: Int, den: Int): Set[(Long, Long, Int, Int)] =
+    (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      sa = shingleSet(ta, n); sb = shingleSet(tb, n)
+      inter = (sa intersect sb).size
+      uni = sa.size + sb.size - inter
+      if inter * den >= uni * num
+    } yield (a, b, inter, uni)).toSet
+
+  private val words =
+    Vector("spark", "shuffle", "codegen", "catalyst", "executor", "row",
+      "batch", "stage", "column", "plan")
+
+  private def genDoc(seed: Long, i: Int): String = {
+    val r = new scala.util.Random(seed * 1000 + i)
+    // near-dup families: base docs + small perturbations
+    val len = 6 + r.nextInt(6)
+    (0 until len).map(_ => words(r.nextInt(words.size))).mkString(" ")
+  }
+
+  test("PPJoin prefix filtering never changes the Jaccard result set") {
+    (1L to 3L).foreach { s =>
+      val r = new scala.util.Random(s)
+      val bases = (0 until 8).map(i => genDoc(s, i))
+      // each base plus 1-2 near copies (one word swapped)
+      val docs = bases.zipWithIndex.flatMap { case (d, i) =>
+        val copy = {
+          val t = d.split(" ")
+          t(r.nextInt(t.length)) = words(r.nextInt(words.size))
+          t.mkString(" ")
+        }
+        Seq((i * 10L, d), (i * 10L + 1, d), (i * 10L + 2, copy))
+      }
+      val expected = naivePairs(docs, n = 3, num = 6, den = 10)
+      val got = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n = 3, num = 6, den = 10)
+        .as[(Long, Long, Int, Int)].collect().toSet
+      assert(got == expected,
+        s"seed $s: ppjoin=${got.size} naive=${expected.size} diff=" +
+          s"${(got diff expected) ++ (expected diff got)}")
+    }
+  }
+}
