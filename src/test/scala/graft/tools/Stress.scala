@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.ops.llm.{Dedup, Multimodal, SimHash}
+
+/** Scale-stress harness (test scope): times the heavy document-family
+  * operators at 1× and N× corpus replication, printing per-op factors.
+  * Replicas get shifted doc_ids so exact copies exist across replicas —
+  * the worst case for near-dup mining (candidate volume grows with true
+  * pair count).
+  *
+  * Run: sbt "Test/runMain graft.tools.Stress [sfDir] [factor]"
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = GraftSession.local("graft-stress",
+      Runtime.getRuntime.availableProcessors())
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val base = docs.count()
+    def replicate(k: Int): DataFrame =
+      (0 until k).map(i => docs.select(
+        (col("doc_id") + lit(i * 10_000_000L)).as("doc_id"), col("text")))
+        .reduce(_ unionByName _)
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    val ops: Seq[(String, DataFrame => Long)] = Seq(
+      "simhash_sha_dedup" -> (d =>
+        SimHash.nearDuplicatesSha(d, "doc_id", "text").count()),
+      "minhash_pairs" -> (d =>
+        Dedup.minhashDedup(d, "doc_id", "text").count()),
+      "dedup_clusters" -> (d => Dedup.connectedComponents(
+        Dedup.minhashDedup(d, "doc_id", "text")).count()),
+      "frame_sample" -> (d =>
+        Multimodal.fromText(d, "doc_id", "text")
+          .select(explode(Multimodal.frameSample(col("payload"),
+            col("meta.n_frames"))))
+          .count()))
+
+    println(s"corpus: $base docs (1x) vs ${base * factor} (${factor}x)")
+    ops.foreach { case (name, op) =>
+      val d1 = replicate(1).localCheckpoint()
+      val (t1, n1) = time(op(d1))
+      val dN = replicate(factor).localCheckpoint()
+      val (tN, nN) = time(op(dN))
+      println(f"$name%-18s 1x: $t1%6.1fs ($n1%8d rows)   " +
+        f"${factor}x: $tN%6.1fs ($nN%8d rows)   factor ${tN / t1}%5.1fx")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+    spark.stop()
+  }
+}
