@@ -323,6 +323,28 @@ object ExtendedQueries {
         nth_value(o("o_orderkey"), 2).over(w).as("second_key"))
     },
 
+    // RANGE window frame (vs q_window_frame's ROWS frames): trailing
+    // 1-hour sum per user over event time. RANGE includes ALL peers of
+    // the current order value, so the result is deterministic even under
+    // timestamp ties — exact integer µs order key + milli values.
+    "q_range_frame" -> Q(
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) tsu,
+        |  CAST(round(value * 1000) AS BIGINT) vm FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(vm) OVER (PARTITION BY user_id ORDER BY tsu
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS hour_sum
+        |FROM e""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("tsu"),
+          round(col("value") * 1000).cast("long").as("vm"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+        .rangeBetween(-3_600_000_000L, Window.currentRow)
+      e.select(col("event_id"), col("user_id"),
+        sum(col("vm")).over(w).as("hour_sum"))
+    },
+
     // Multimodal frame sampling: every frame of each payload hashed
     // scan-side (1→N expansion before any shuffle; payloads never move).
     // The stub digests frame-index-prefixed payload bytes — byte-identical
