@@ -20,6 +20,17 @@ object ExtendedQueries {
   /** Exact integer cents of a double money column. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** DuckDB twin of TextOps.shingleSet (3-word distinct shingles) — same
+    * CTE shape LlmQueries uses for the dedup oracles.
+    */
+  private val duckShinglesExt =
+    """base AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |      generate_series(1, greatest(len(toks)-2, 1)),
+      |      i -> array_to_string(toks[i:i+2], ' '))) sh
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks
+      |        FROM documents))""".stripMargin
+
   val all: Map[String, Q] = Map(
 
     // Full-outer join: customers of a nation subset vs per-customer order
@@ -259,6 +270,48 @@ object ExtendedQueries {
         .groupBy("l_returnflag")
         .agg(sum(col("pc")).as("cnt"),
           sum(col("pq")).cast("long").as("sum_qty"))
+    },
+
+    // Test-set decontamination: flag documents sharing any 3-word shingle
+    // with a (small) probe set — here the 5 lowest-id docs stand in for
+    // the benchmark set. Probe shingles broadcast (bounded by the probe
+    // corpus, not the train corpus); the train side explodes shingles and
+    // semi-joins — no train-vs-train pairs ever form.
+    "q_contamination" -> Q(
+      s"""WITH $duckShinglesExt,
+        |probe AS (
+        |  SELECT DISTINCT unnest(sh) g FROM base WHERE doc_id < 5),
+        |hits AS (
+        |  SELECT DISTINCT b.doc_id FROM base b, unnest(b.sh) AS t(g)
+        |  WHERE b.doc_id >= 5 AND g IN (SELECT g FROM probe))
+        |SELECT doc_id FROM hits""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val shingled = d.select(d("doc_id"),
+        TextOps.shingleSet(d("text"), 3).as("sh"))
+      val probe = shingled.filter(col("doc_id") < 5)
+        .select(explode(col("sh")).as("g")).distinct()
+      val train = shingled.filter(col("doc_id") >= 5)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+      train.join(broadcast(probe), "g")
+        .select("doc_id").distinct()
+    },
+
+    // Deterministic corpus sharding (train/val splits at any cluster
+    // size): shard = first 8 sha256 hex chars of the normalized text,
+    // mod 10 — content-addressed, so re-runs and re-partitioning never
+    // move a document between shards.
+    "q_shard_split" -> Q(
+      """SELECT CAST(('0x' || substr(sha256(lower(trim(text))), 1, 8))::UBIGINT
+        |    % 10 AS INTEGER) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      d.groupBy(
+          (expr("cast(conv(substr(sha2(lower(trim(text)), 256), 1, 8), 16, 10)" +
+            " as bigint)") % 10).cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(d("n_chars")).cast("long").as("total_chars"))
     },
 
     // Pearson correlation from EXACT integer sums: n, Σx, Σy, Σxy, Σx²,
