@@ -10,7 +10,8 @@ class DeterminismSpec extends SparkSpec {
   private val queries =
     Seq("q_pipeline", "q_dedup_minhash", "q_similarity", "q_merge",
       "q_topk_collect", "q_sessionize", "q_simhash_dedup", "q_skew_salt",
-      "q_stratified_sample", "q_join_outer")
+      "q_stratified_sample", "q_join_outer", "q_contamination",
+      "q_shard_split")
 
   test("results identical under shuffle.partitions 4 vs 7") {
     val conf = "spark.sql.shuffle.partitions"
