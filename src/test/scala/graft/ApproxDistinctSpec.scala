@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** HLL sketch sanity: approx_count_distinct stays within the documented
-  * relative-error envelope of the exact distinct count (default rsd=5%).
+/** Sketch-aggregate sanity: approximate results stay within their
+  * documented error envelopes of the exact computation —
+  * approx_count_distinct (HLL, default rsd=5%) and approx_percentile
+  * (GK quantile sketch, rank error <= n/accuracy).
   */
 class ApproxDistinctSpec extends SparkSpec {
   import spark.implicits._
@@ -19,5 +21,22 @@ class ApproxDistinctSpec extends SparkSpec {
       val rel = math.abs(approx - exact).toDouble / exact
       assert(rel <= 0.15, s"$k: approx=$approx exact=$exact rel=$rel")
     }
+  }
+
+  test("approx_percentile within the sketch's rank-error bound of exact") {
+    val o = Tables.table(spark, sf0001, "orders")
+    val c = round(col("o_totalprice") * 100).cast("long")
+    // accuracy A => rank error <= n/A; translate to a value-domain check
+    // by comparing against the exact values at rank +- n/A
+    val acc = 1000
+    val rows = o.select(c.as("c"))
+      .agg(expr(s"approx_percentile(c, 0.5D, $acc)").as("approx"),
+        expr("percentile(c, 0.5D)").as("exactMid"),
+        expr(s"percentile(c, ${0.5 - 1.0 / acc}D)").as("lo"),
+        expr(s"percentile(c, ${0.5 + 1.0 / acc}D)").as("hi"))
+      .as[(Long, Double, Double, Double)].collect()
+    val (approx, _, lo, hi) = rows.head
+    assert(approx >= lo.floor && approx <= hi.ceil,
+      s"approx median $approx outside exact rank envelope [$lo, $hi]")
   }
 }
