@@ -72,6 +72,23 @@ object Sinks {
     df.repartition(files).write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Hive-style partitioned parquet layout: one directory per partition
+    * value. THE layout decision at 100 TB — queries filtering on the
+    * partition column scan only matching directories (partition pruning,
+    * asserted in SourcesSinksSpec), and incremental jobs overwrite single
+    * partitions instead of the whole table. Choose low-cardinality,
+    * always-filtered columns (date, source); never high-cardinality keys
+    * (one directory per value kills the file system).
+    */
+  def parquetPartitioned(df: DataFrame, path: String,
+                         partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
+
+  /** ORC sink (native vectorized reader + pushdown on read-back). */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** S6: line-oriented text sink (legacy WordCount's `/output` path,
     * `approach 3 cli instructions.txt:49-51`): single string column →
     * one line per row.

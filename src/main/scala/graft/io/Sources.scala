@@ -35,6 +35,12 @@ object Sources {
                 schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC table — the other columnar format with native vectorized read
+    * and predicate pushdown. (Avro is not bundled in this Spark build.)
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S2: JDBC table scan (reference `IncrementalAutocomplete.java:91-98`).
     * `partitionColumn`/bounds make the read parallel — the reference reads on
     * a single task, which caps at one connection's throughput.
