@@ -196,11 +196,15 @@ object Dedup {
         .groupBy("node").agg(min("rep").as("rep"))
       // pointer jumping: rep := rep's rep — doubles the propagation
       // distance per round, so convergence is O(log diameter) rounds
-      // instead of O(diameter)
-      val next = propagated
-        .join(propagated.toDF("node2", "rep2"),
-          propagated("rep") === col("node2"), "left")
-        .select(col("node"), coalesce(col("rep2"), col("rep")).as("rep"))
+      // instead of O(diameter). Skipped in round 1: near-dup graphs are
+      // mostly cliques, which are already at the fixpoint after the
+      // min-neighbor init — the common case then pays one propagate
+      // round, not propagate + a useless self-join.
+      val next = (if (iter == 0) propagated
+        else propagated
+          .join(propagated.toDF("node2", "rep2"),
+            propagated("rep") === col("node2"), "left")
+          .select(col("node"), coalesce(col("rep2"), col("rep")).as("rep")))
         .localCheckpoint(false)
       prevSum = curSum
       curSum = repSum(next)
