@@ -272,6 +272,42 @@ object ExtendedQueries {
           sum(col("pq")).cast("long").as("sum_qty"))
     },
 
+    // Array-function toolkit over token arrays (the LLM-side column shape):
+    // slicing, length, joining — all overrun-safe (slice, not element_at,
+    // under ANSI mode).
+    "q_array_ops" -> Q(
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') toks FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(toks[1:3], ' ') AS head3,
+        |  CAST(len(toks) AS INTEGER) AS n_toks,
+        |  toks[len(toks)] AS last_tok
+        |FROM t""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val toks = TextOps.tokens(d("text"))
+      d.select(d("doc_id"),
+        array_join(slice(toks, 1, 3), " ").as("head3"),
+        size(toks).as("n_toks"),
+        array_join(slice(toks, -1, 1), "").as("last_tok"))
+    },
+
+    // Null-semantics toolkit: nullif / coalesce / null-safe comparison
+    // (IS DISTINCT FROM) — the three-valued-logic corners that differ
+    // between naive ports and engines.
+    "q_null_semantics" -> Q(
+      """SELECT c_custkey,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_def,
+        |  c_nationkey IS DISTINCT FROM 0 AS not_nation0
+        |FROM customer""".stripMargin) { (s, dir) =>
+      val c = table(s, dir, "customer")
+      c.select(c("c_custkey"),
+        nullif(c("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+        coalesce(nullif(c("c_mktsegment"), lit("BUILDING")), lit("DEFAULT"))
+          .as("seg_def"),
+        expr("c_nationkey IS DISTINCT FROM 0").as("not_nation0"))
+    },
+
     // Test-set decontamination: flag documents sharing any 3-word shingle
     // with a (small) probe set — here the 5 lowest-id docs stand in for
     // the benchmark set. Probe shingles broadcast (bounded by the probe
