@@ -33,9 +33,11 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot"
 
   /** Null elements are only possible when the schema says so; the codegen
-    * hot loop stays branch-free for containsNull=false inputs.
+    * hot loop stays branch-free for containsNull=false inputs. lazy val:
+    * constant per expression instance — the interpreted path evaluates
+    * per row and must not re-derive it.
     */
-  private def anyContainsNull: Boolean = Seq(left, right).exists {
+  private lazy val anyContainsNull: Boolean = Seq(left, right).exists {
     _.dataType match {
       case ArrayType(_, n) => n
       case _ => false

@@ -83,6 +83,11 @@ object Sinks {
   def parquetPartitioned(df: DataFrame, path: String,
                          partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite)
+      // dynamic scoped to this write: only partitions present in df are
+      // replaced. Spark's default static mode would truncate the WHOLE
+      // table path first — an incremental single-day write silently
+      // destroying every other day.
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*).parquet(path)
 
   /** ORC sink (native vectorized reader + pushdown on read-back). */

@@ -107,17 +107,24 @@ object Similarity {
   def annTopK(vectors: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 8, seed: Long = 42L, dim: Int = 0): DataFrame = {
     val v0 = vectors.toDF("id", "vec")
-    // empty input infers 0 → clamp to 1 so the hyperplane literal still
-    // types as array<array<double>> (no row is ever evaluated)
+    val q0 = queries.toDF("qid", "qvec")
+    // Infer from the corpus, falling back to the query side — an empty
+    // corpus with non-empty queries still evaluates bucketOf on the
+    // query rows, and mismatched plane length would make the strict
+    // graft_dot throw. Null vectors are skipped; all-empty clamps to 1
+    // (nothing is evaluated then).
+    def firstDim(df: DataFrame, c: String): Int =
+      df.select(size(col(c)).as("d")).na.drop().limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0)
     val d = math.max(1,
       if (dim > 0) dim
-      else v0.select(size(col("vec"))).limit(1).collect()
-        .headOption.map(_.getInt(0)).getOrElse(0))
+      else { val dv = firstDim(v0, "vec")
+             if (dv > 0) dv else firstDim(q0, "qvec") })
     val pl = hyperplanes(planes, d, seed)
     val v = v0
       .withColumn("nv", l2norm(col("vec")))
       .withColumn("bucket", bucketOf(col("vec"), pl))
-    val q = queries.toDF("qid", "qvec")
+    val q = q0
       .withColumn("nq", l2norm(col("qvec")))
       .withColumn("probe",
         explode(probeBuckets(bucketOf(col("qvec"), pl), planes)))

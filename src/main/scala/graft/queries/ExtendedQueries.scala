@@ -20,16 +20,10 @@ object ExtendedQueries {
   /** Exact integer cents of a double money column. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
-  /** DuckDB twin of TextOps.shingleSet (3-word distinct shingles) — same
-    * CTE shape LlmQueries uses for the dedup oracles.
+  /** DuckDB twin of TextOps.shingleSet — the one definition in
+    * LlmQueries, shared so a shingling fix reaches every oracle.
     */
-  private val duckShinglesExt =
-    """base AS (
-      |  SELECT doc_id, list_distinct(list_transform(
-      |      generate_series(1, greatest(len(toks)-2, 1)),
-      |      i -> array_to_string(toks[i:i+2], ' '))) sh
-      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks
-      |        FROM documents))""".stripMargin
+  private def duckShinglesExt = LlmQueries.duckShingles
 
   val all: Map[String, Q] = Map(
 
@@ -150,11 +144,14 @@ object ExtendedQueries {
     },
 
     // arg_max/arg_min (max_by/min_by) with a composite-unique order value:
-    // acctbal cents * 1e6 + custkey is strictly monotone in (acctbal,
-    // custkey), so ties are impossible and both engines agree.
+    // acctbal cents * 1e12 + custkey is strictly monotone in (acctbal,
+    // custkey) while custkey < 1e12 (TPC-H reaches 1e12 keys around
+    // SF 6.6M), so ties are impossible and both engines agree. cents
+    // <= 1e6 so the product tops out near 1e18 — inside BIGINT.
     "q_minmax_by" -> Q(
       """WITH m AS (SELECT c_nationkey, c_custkey,
-        |  CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey AS mv
+        |  CAST(round(c_acctbal * 100) AS BIGINT) * 1000000000000
+        |    + c_custkey AS mv
         |  FROM customer)
         |SELECT c_nationkey,
         |  arg_max(c_custkey, mv) AS best_cust,
@@ -162,7 +159,7 @@ object ExtendedQueries {
         |FROM m GROUP BY 1""".stripMargin) { (s, dir) =>
       val c = table(s, dir, "customer")
       c.select(c("c_nationkey"), c("c_custkey"),
-          (cents(c("c_acctbal")) * 1000000 + c("c_custkey")).as("mv"))
+          (cents(c("c_acctbal")) * 1000000000000L + c("c_custkey")).as("mv"))
         .groupBy("c_nationkey")
         .agg(max_by(col("c_custkey"), col("mv")).as("best_cust"),
           min_by(col("c_custkey"), col("mv")).as("worst_cust"))

@@ -22,7 +22,9 @@ object LlmQueries {
 
   // DuckDB-side distinct 3-word shingle sets per doc (mirrors
   // TextOps.shingleSet(text, 3)).
-  private val duckShingles =
+  // shared with ExtendedQueries (q_contamination): the CTE must stay
+  // byte-identical to WordShingles' semantics everywhere it is used
+  private[queries] val duckShingles =
     """base AS (
       |  SELECT doc_id, list_distinct(list_transform(
       |      generate_series(1, greatest(len(toks)-2, 1)),

@@ -41,6 +41,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.bruteForceTopK(noVecs, noVecs, 5).count() == 0)
     assert(Similarity.cosinePairs(noVecs, 0.5).count() == 0)
     assert(Similarity.annTopK(noVecs, noVecs, 5).count() == 0)
+    // empty corpus + NON-empty queries: dim inference falls back to the
+    // query side so bucketOf on query rows still matches plane length
+    val someQ = Seq((1L, Array(0.5, 0.5, 0.5))).toDF("id", "v")
+    assert(Similarity.annTopK(noVecs, someQ, 5).count() == 0)
   }
 
   test("sessionize and time joins on empty input") {

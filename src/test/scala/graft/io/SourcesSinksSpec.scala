@@ -41,19 +41,16 @@ class SourcesSinksSpec extends SparkSpec {
 
   test("partition overwrite replaces one partition, not the table") {
     val dir = tmp("graft-dynpart")
-    val orig = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    try {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      Sinks.parquetPartitioned(
-        Seq((1L, "click"), (2L, "view")).toDF("id", "t"), dir, Seq("t"))
-      // dynamic mode: writing only a click row must leave view intact
-      Seq((9L, "click")).toDF("id", "t")
-        .write.mode("overwrite").partitionBy("t").parquet(dir)
-      val back = Sources.parquet(spark, dir)
-        .as[(Long, String)].collect().toSet
-      assert(back == Set((9L, "click"), (2L, "view")), s"got $back")
-    } finally
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", orig)
+    Sinks.parquetPartitioned(
+      Seq((1L, "click"), (2L, "view")).toDF("id", "t"), dir, Seq("t"))
+    // the helper scopes dynamic mode to the write: re-writing only a
+    // click row must leave the view partition intact (static mode would
+    // truncate the whole table)
+    Sinks.parquetPartitioned(Seq((9L, "click")).toDF("id", "t"),
+      dir, Seq("t"))
+    val back = Sources.parquet(spark, dir)
+      .as[(Long, String)].collect().toSet
+    assert(back == Set((9L, "click"), (2L, "view")), s"got $back")
   }
 
   test("orc round-trip preserves rows and pushes filters") {
