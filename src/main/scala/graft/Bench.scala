@@ -13,11 +13,19 @@ import org.apache.spark.sql.SparkSession
   *    instead of billing it to whichever query runs first;
   *  - failures are reported in an "errors" field, never silently timed as
   *    successes.
+  *
+  * Dev knobs (unset in the driver's run — defaults keep its behavior):
+  *  - SPARK_GRAFT_ONLY: comma-separated query names (subset profiling);
+  *  - SPARK_GRAFT_REPEAT: time each query N times, report the MEDIAN —
+  *    how BENCH_BASELINE.json expected ranges are produced.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     val spark = GraftSession.local("graft-bench", cpus)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -42,17 +50,22 @@ object Bench {
     cleanup()
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val t0 = System.nanoTime()
-      try run(name)
-      catch { case e: Throwable =>
-        errors(name) = (e.getClass.getSimpleName + ": " +
-          String.valueOf(e.getMessage)).replaceAll("[\"\\\\\n\r\t]", " ")
-          .take(160)
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      cleanup()
-      name -> dt
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results = names.map { name =>
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try run(name)
+        catch { case e: Throwable =>
+          errors(name) = (e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage)).replaceAll("[\"\\\\\n\r\t]", " ")
+            .take(160)
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        cleanup()
+        dt
+      }.sorted
+      name -> times(times.length / 2) // median (== the value when repeat=1)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

@@ -171,8 +171,13 @@ object Dedup {
     * is a handful of iterations.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // Materialize the pair list FIRST, eagerly: the edges union reads it
+    // twice (once per direction), and lazy-checkpointed branches race to
+    // compute the same partitions — without this the entire pair-mining
+    // front-end (the dominant cost) ran twice per query.
+    val p = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(false)
     // init folds the first propagation round in: rep = min(node, neighbors)
     var labels = edges.groupBy(col("src").as("node"))
@@ -181,19 +186,33 @@ object Dedup {
     // Convergence check: every node's rep is non-increasing (propagated
     // includes the old label via the union, pointer jump maps rep to
     // rep's rep <= rep), so sum(rep) strictly decreases until the
-    // fixpoint — equal consecutive sums <=> converged. One tiny agg per
-    // round instead of a labels-vs-next join + count. decimal(38,0) so
-    // the sum can't overflow on 64-bit ids at corpus scale.
+    // fixpoint — equal consecutive sums <=> converged. The agg action is
+    // also what materializes the round's lazy checkpoint, so one round =
+    // one job (propagate + cache + convergence sum in a single pass).
+    // decimal(38,0) so the sum can't overflow on 64-bit ids at corpus
+    // scale; compared with compareTo (value equality) — BigDecimal
+    // equals() is scale-sensitive, so a change in Spark's sum result
+    // scale would otherwise make equal sums compare unequal and the
+    // loop spin to maxIter.
     def repSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("rep").cast("decimal(38,0)"))).head.getDecimal(0)
+    // both-null = empty input (sum over zero rows), which is its own
+    // fixpoint; initial (value, null) is never converged.
+    def converged(a: java.math.BigDecimal, b: java.math.BigDecimal) =
+      if (a == null || b == null) a == null && b == null
+      else a.compareTo(b) == 0
     var prevSum: java.math.BigDecimal = null
     var curSum = repSum(labels)
     var iter = 0
-    while (curSum != prevSum && iter < maxIter) {
+    while (!converged(curSum, prevSum) && iter < maxIter) {
       val neigh = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("rep"))
+      // lazily checkpointed so the pointer-jump self-join below reads the
+      // aggregated result once instead of recomputing the join+agg on
+      // both sides (ReusedExchange is not guaranteed under AQE).
       val propagated = labels.union(neigh)
         .groupBy("node").agg(min("rep").as("rep"))
+        .localCheckpoint(false)
       // pointer jumping: rep := rep's rep — doubles the propagation
       // distance per round, so convergence is O(log diameter) rounds
       // instead of O(diameter). Skipped in round 1: near-dup graphs are
@@ -204,8 +223,8 @@ object Dedup {
         else propagated
           .join(propagated.toDF("node2", "rep2"),
             propagated("rep") === col("node2"), "left")
-          .select(col("node"), coalesce(col("rep2"), col("rep")).as("rep")))
-        .localCheckpoint(false)
+          .select(col("node"), coalesce(col("rep2"), col("rep")).as("rep"))
+          .localCheckpoint(false))
       prevSum = curSum
       curSum = repSum(next)
       labels = next

@@ -57,10 +57,12 @@ object Multimodal {
     val w = meta.getField("width")
     val h = meta.getField("height")
     val scaleNeeded = greatest(w, h) > maxSide
+    // w/h widened to long BEFORE the multiply: int*int wraps (non-ANSI)
+    // for dimensions above ~2^31/maxSide, yielding negative scaled dims
     val newW = when(w.isNull || h.isNull || !scaleNeeded, w)
-      .otherwise(floor(w * maxSide / greatest(w, h)).cast("int"))
+      .otherwise(floor(w.cast("long") * maxSide / greatest(w, h)).cast("int"))
     val newH = when(w.isNull || h.isNull || !scaleNeeded, h)
-      .otherwise(floor(h * maxSide / greatest(w, h)).cast("int"))
+      .otherwise(floor(h.cast("long") * maxSide / greatest(w, h)).cast("int"))
     struct(
       newW.as("width"), newH.as("height"),
       sha2(concat(

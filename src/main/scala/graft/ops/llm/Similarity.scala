@@ -56,13 +56,50 @@ object Similarity {
   }
 
   /** All pairs (a < b) with cosine >= threshold — embedding near-dup
-    * detection. Exact (one triangular join); the ANN bucket variant is the
-    * scale path.
+    * detection. Exact, but NOT a cartesian plan: the quadratic pair space
+    * is decomposed into a `blocks × blocks` grid of cells (the classic
+    * theta-join-as-equi-join trick): each vector hashes to one block;
+    * the left side replicates each row across its block's ROW of cells
+    * and the right side across its block's COLUMN, so every ordered pair
+    * meets in exactly one cell and the join is a plain shuffle equi-join
+    * on the cell id — evenly partitioned, no BroadcastNestedLoopJoin, no
+    * driver-memory broadcast of the corpus. Exact dense threshold search
+    * is inherently O(n²) compute; what this buys at scale is that the
+    * work is spread over blocks² shuffle keys instead of one nested-loop
+    * task per broadcast copy.
+    *
+    * Two sound prunes cut the per-pair cost without changing the result:
+    *  - `a < b` sits in the join condition, so only unordered pairs reach
+    *    the scorer;
+    *  - a single-reference angular bound: with θ(x) = angle(x, e0) (e0 =
+    *    first coordinate axis, so cos θ(x) is just x[0]/‖x‖), the sphere
+    *    triangle inequality gives |θ(a) − θ(b)| ≤ angle(a, b); any pair
+    *    with cosine ≥ τ has angle ≤ acos(τ), so pairs with
+    *    |θ(a) − θ(b)| > acos(τ) + ε cannot qualify and skip the full
+    *    64-wide dot product (ε = 1e-9 swallows acos/division rounding —
+    *    the bound is strict for any pair actually above the threshold).
     */
-  def cosinePairs(vectors: DataFrame, threshold: Double): DataFrame = {
-    val l = vectors.toDF("a", "va").withColumn("na", l2norm(col("va")))
-    val r = vectors.toDF("b", "vb").withColumn("nb", l2norm(col("vb")))
-    l.join(r, col("a") < col("b"))
+  def cosinePairs(vectors: DataFrame, threshold: Double,
+                  blocks: Int = 16): DataFrame = {
+    val b = lit(blocks)
+    val v = vectors.toDF("id", "vec")
+      .withColumn("nv", l2norm(col("vec")))
+      .withColumn("g", pmod(hash(col("id")), b))
+      // ratio clamped to [-1, 1]: an ulp of excess for vectors colinear
+      // with e0 would make acos return NaN and silently drop valid pairs
+      .withColumn("theta", acos(greatest(lit(-1d),
+        least(lit(1d), element_at(col("vec"), 1) / col("nv")))))
+    val cells = (0 until blocks).map(lit)
+    val l = v.select(col("id").as("a"), col("vec").as("va"),
+        col("nv").as("na"), col("theta").as("ta"),
+        explode(array(cells.map(j => col("g") * b + j): _*)).as("cell"))
+    val r = v.select(col("id").as("b"), col("vec").as("vb"),
+        col("nv").as("nb"), col("theta").as("tb"),
+        explode(array(cells.map(i => i * b + col("g")): _*)).as("cell2"))
+    val maxAngle = lit(math.acos(threshold) + 1e-9)
+    l.join(r,
+        l("cell") === r("cell2") && col("a") < col("b") &&
+          abs(col("ta") - col("tb")) <= maxAngle)
       .withColumn("score", cosine(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("score") >= threshold)
       .select(col("a"), col("b"), round(col("score"), 4).as("score4"))
@@ -108,18 +145,28 @@ object Similarity {
               planes: Int = 8, seed: Long = 42L, dim: Int = 0): DataFrame = {
     val v0 = vectors.toDF("id", "vec")
     val q0 = queries.toDF("qid", "qvec")
-    // Infer from the corpus, falling back to the query side — an empty
-    // corpus with non-empty queries still evaluates bucketOf on the
-    // query rows, and mismatched plane length would make the strict
-    // graft_dot throw. Null vectors are skipped; all-empty clamps to 1
+    // Dim inference (only when `dim` is not passed): ONE EAGER aggregate
+    // job at plan-construction time, which also validates that the input
+    // is uniform-dimensional — a mixed-dim corpus would otherwise pick an
+    // arbitrary dim and fail deep in execution with an opaque graft_dot
+    // length error. The validation scan is a full pass over the column;
+    // at scale pass `dim` explicitly and no job runs here. Falls back to
+    // the query side for an empty corpus (bucketOf still evaluates on
+    // query rows); null vectors are skipped; all-empty clamps to 1
     // (nothing is evaluated then).
-    def firstDim(df: DataFrame, c: String): Int =
-      df.select(size(col(c)).as("d")).na.drop().limit(1).collect()
-        .headOption.map(_.getInt(0)).getOrElse(0)
+    def inferDim(df: DataFrame, c: String, what: String): Int =
+      df.agg(min(size(col(c))).as("lo"), max(size(col(c))).as("hi"))
+        .na.drop().collect().headOption.map { row =>
+          val (lo, hi) = (row.getInt(0), row.getInt(1))
+          require(lo == hi, s"annTopK: mixed embedding dimensionality in " +
+            s"$what (min size $lo, max size $hi) — pass `dim` explicitly " +
+            "or fix the input")
+          hi
+        }.getOrElse(0)
     val d = math.max(1,
       if (dim > 0) dim
-      else { val dv = firstDim(v0, "vec")
-             if (dv > 0) dv else firstDim(q0, "qvec") })
+      else { val dv = inferDim(v0, "vec", "vectors")
+             if (dv > 0) dv else inferDim(q0, "qvec", "queries") })
     val pl = hyperplanes(planes, d, seed)
     val v = v0
       .withColumn("nv", l2norm(col("vec")))

@@ -368,10 +368,11 @@ object ExtendedQueries {
         |      * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) syy
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, n,
-        |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |  CAST(round(1000000 * (CAST(n AS DOUBLE) * sxy
+        |      - CAST(sx AS DOUBLE) * sy) /
         |    (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
-        |     sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
-        |    AS corr6
+        |     sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+        |    AS BIGINT) AS corr_micro
         |FROM s""".stripMargin) { (s, dir) =>
       val li = table(s, dir, "lineitem")
       val x = li("l_quantity").cast("long")
@@ -380,11 +381,15 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
           sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
       val nD = col("n").cast("double")
+      // emitted as an integer micro-unit, not round(double, 6): Spark's
+      // BigDecimal HALF_UP and DuckDB's C-style scaled rounding can
+      // disagree on values near a 6th-decimal halfway boundary
       sums.select(col("l_returnflag"), col("n"),
-        round((nD * col("sxy") - col("sx").cast("double") * col("sy")) /
+        round(lit(1000000) *
+          (nD * col("sxy") - col("sx").cast("double") * col("sy")) /
           (sqrt(nD * col("sxx") - col("sx").cast("double") * col("sx")) *
-            sqrt(nD * col("syy") - col("sy").cast("double") * col("sy"))), 6)
-          .as("corr6"))
+            sqrt(nD * col("syy") - col("sy").cast("double") * col("sy"))))
+          .cast("long").as("corr_micro"))
     },
 
     // first_value / last_value / nth_value over an explicit running frame

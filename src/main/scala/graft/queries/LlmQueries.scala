@@ -299,7 +299,12 @@ object LlmQueries {
         |  round(tf.tf * ln(n.c / CAST(df.df AS DOUBLE)), 4) AS tfidf4
         |FROM tf JOIN df ON tf.term = df.term, n""".stripMargin) { (s, dir) =>
       val d = table(s, dir, "documents")
-      val n = d.count().toDouble
+      // corpus size N folded into the plan as a 1-row aggregate
+      // cross-join (the q_scalar_subquery shape) — a driver-side
+      // d.count() here would be an extra full action over the corpus
+      // per invocation. The count branch's parquet scan prunes to zero
+      // columns (footer counts only), so it is not a second data pass.
+      val n1 = d.agg(count(lit(1)).cast("double").as("n_docs"))
       val tok = d.select(d("doc_id"),
         explode(TextOps.tokens(d("text"))).as("term"))
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -308,8 +313,9 @@ object LlmQueries {
       // no broadcast hint: the per-term DF table grows with the corpus
       // vocabulary — AQE broadcasts it only while it is actually small.
       tf.join(dfreq, "term")
+        .crossJoin(broadcast(n1))
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
-          round(col("tf") * log(lit(n) / col("df").cast("double")), 4)
+          round(col("tf") * log(col("n_docs") / col("df").cast("double")), 4)
             .as("tfidf4"))
     },
 

@@ -77,6 +77,28 @@ class PlanAuditSpec extends SparkSpec {
       s"scalar side must broadcast, not shuffle the fact table:\n$p")
   }
 
+  test("q_dedup_embed: block-grid equi-join, no cartesian/nested-loop pair scan") {
+    val p = plan("q_dedup_embed")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"exact pair search must be the block-decomposed equi-join:\n$p")
+    // equi-join on the cell id — BroadcastHashJoin acceptable at tiny SF
+    // (AQE demotes to a shuffle join when the replicated side grows)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected an equi-join on the cell id:\n$p")
+  }
+
+  test("q_tfidf: corpus size N folded into the plan (no driver-side count)") {
+    val p = plan("q_tfidf")
+    // the N branch must be a broadcast of a 1-row aggregate whose scan
+    // prunes to zero columns (footer count), not a second data pass
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"N must broadcast:\n$p")
+    assert(p.contains("ReadSchema: struct<>"),
+      s"count branch must scan zero columns:\n$p")
+  }
+
   test("q_skew_salt: salted partial agg combines before the final key agg") {
     val p = plan("q_skew_salt")
     val finals = p.linesIterator.count(l =>
