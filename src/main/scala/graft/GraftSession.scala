@@ -32,6 +32,16 @@ object GraftSession {
       // side effect of loading a table — session config mutation mid-query
       // is race-prone under concurrent query construction).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Streaming state off-heap: the default HDFS-backed provider keeps
+      // every key in executor heap — at 100 TB (billions of dedup keys,
+      // wide stream-stream join buffers) that OOMs long before the
+      // watermark bounds kick in. RocksDB spills state to local disk,
+      // and changelog checkpointing uploads per-batch deltas instead of
+      // re-snapshotting the full store.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
 
   /** Local session (tests, Verify/Bench, standalone CLI). */
   def local(appName: String, cores: Int): SparkSession =

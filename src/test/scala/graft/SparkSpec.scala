@@ -16,6 +16,13 @@ object SparkSpec {
     // GraftSession.builder — set at build time, never per-query)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    // same streaming state store as GraftSession: RocksDB off-heap +
+    // changelog checkpointing — the streaming specs must exercise the
+    // production provider, not the heap-backed default
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .getOrCreate()

@@ -155,6 +155,38 @@ class StreamingSpec extends SparkSpec {
       s"each key exactly once within the watermark horizon: $ids")
   }
 
+  test("RocksDB state store is active and watermark bounds dedup state") {
+    implicit val sqlCtx = spark.sqlContext
+    import scala.jdk.CollectionConverters._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Timestamp)]
+    val out = StreamingPipeline.dedupWithinWatermark(
+      mem.toDF().toDF("event_id", "ts"), Seq("event_id"))
+    val q = out.writeStream.format("memory").queryName("rocks")
+      .outputMode("append").start()
+    try {
+      // batch 1: 1000 distinct keys at 12:00 → 1000 state rows
+      mem.addData((1L to 1000L).map(i => (i, ts("2025-06-10 12:00:00"))): _*)
+      q.processAllAvailable()
+      // two more batches advance the watermark past 12:00 + 10m, so the
+      // 1000 keys' state must be EVICTED, not retained — the property
+      // that keeps streaming dedup state bounded at 100 TB
+      mem.addData((2001L, ts("2025-06-10 13:00:00")))
+      q.processAllAvailable()
+      mem.addData((2002L, ts("2025-06-10 14:00:00")))
+      q.processAllAvailable()
+      val op = q.recentProgress.flatMap(_.stateOperators)
+        .filter(_.numRowsTotal > 0).lastOption
+        .getOrElse(q.lastProgress.stateOperators.head)
+      assert(op.customMetrics.keySet.asScala
+        .exists(_.toLowerCase.contains("rocksdb")),
+        s"state op must run on the RocksDB provider: ${op.customMetrics}")
+      val finalRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(finalRows < 100,
+        s"watermark must evict the 1000 expired keys, state=$finalRows rows")
+    } finally q.stop()
+  }
+
   private implicit class ToMap2(rows: Array[(String, String, Long)]) {
     def toMap2: Map[(String, String), Long] =
       rows.map { case (p, q, f) => (p, q) -> f }.toMap
