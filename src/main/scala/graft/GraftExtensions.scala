@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, WordShingles}
+import graft.functions.{DotProduct, NgramStats, WordShingles}
 
 /** Session-extensions entry point: registers the native graft expressions
   * as SQL functions, so `spark.sql("... graft_dot(a, b) ...")` works in
@@ -33,6 +33,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text, Literal(n: Int, IntegerType)) => WordShingles(text, n)
         case _ => throw new IllegalArgumentException(
           "graft_word_shingles(text, <int literal n>)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ngram_stats"),
+      new ExpressionInfo(classOf[NgramStats].getName,
+        "graft_ngram_stats"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text, Literal(n: Int, IntegerType)) => NgramStats(text, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_ngram_stats(text, <int literal n>)")
       }))
   }
 }

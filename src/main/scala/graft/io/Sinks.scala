@@ -67,6 +67,8 @@ object Sinks {
     * when available.
     */
   def parquetSized(df: DataFrame, path: String, targetRows: Long): Unit = {
+    // df is computed twice (count, then write) — pass a cached/
+    // checkpointed frame when the plan upstream is expensive
     val total = df.count()
     val files = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
     df.repartition(files).write.mode(SaveMode.Overwrite).parquet(path)

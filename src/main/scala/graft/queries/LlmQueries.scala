@@ -108,6 +108,41 @@ object LlmQueries {
           .as("is_quality"))
     },
 
+    // Repetition profile per doc (the Gopher-style repetition filters):
+    // total/distinct bigram counts and the top-bigram share. A doc whose
+    // most frequent bigram exceeds 10% of all bigram occurrences is
+    // flagged repetitive — the standard boilerplate/spam signal for
+    // pre-training corpora. All-integer features + an integer
+    // cross-multiplied flag, so the hash check is exact; one explode +
+    // two partial-agg'd groupBys, no shuffle of the raw text.
+    "q_repetition" -> Q(
+      """WITH bg AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, greatest(len(toks)-1, 1)),
+        |      i -> array_to_string(toks[i:i+1], ' '))) AS g
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS toks
+        |        FROM documents)),
+        |c AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total_bigrams,
+        |  CAST(count(*) AS BIGINT) AS distinct_bigrams,
+        |  CAST(max(cnt) AS BIGINT) AS max_bigram_cnt,
+        |  max(cnt) * 10 > sum(cnt) AS is_repetitive
+        |FROM c GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      // single-pass codegen expression: the explode + double-groupBy form
+      // shuffles every bigram occurrence (O(corpus tokens) shuffle rows);
+      // NgramStats computes the same profile scan-side, so the query is
+      // a straight projection (spec: NativeExpressionsSpec parity test)
+      val st = graft.functions.NgramStats(d("text"), 2)
+      d.select(d("doc_id"),
+          st.getField("total").as("total_bigrams"),
+          st.getField("distinct").as("distinct_bigrams"),
+          st.getField("max_cnt").as("max_bigram_cnt"))
+        .withColumn("is_repetitive",
+          col("max_bigram_cnt") * 10 > col("total_bigrams"))
+    },
+
     // Language-ID: stopword-hit scores per language, argmax with fixed
     // tie-break en > de > es > fr.
     "q_lang_id" -> Q(

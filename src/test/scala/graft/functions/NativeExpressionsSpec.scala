@@ -61,6 +61,29 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(tiny(0)._1 == tiny(1)._1) // normalization applied
   }
 
+  test("NgramStats matches the explode+groupBy form") {
+    val d = graft.Tables.table(spark, sf0001, "documents").limit(200)
+      .select(col("doc_id"), col("text"))
+    // reference: the shuffle-heavy form the expression replaces
+    val ref = d.select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(sum("cnt").as("t"),
+        count(lit(1)).as("d"), max("cnt").as("m"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val st = graft.functions.NgramStats(col("text"), 2)
+    val native = d.select(col("doc_id"), st.getField("total"),
+        st.getField("distinct"), st.getField("max_cnt"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(native.size == 200 && native == ref)
+    // short/empty-text edges: one partial shingle, counted once
+    val tiny = Seq("solo", "", "a a a a").toDF("text").select(
+      graft.functions.NgramStats(col("text"), 2).as("s"))
+      .select("s.total", "s.distinct", "s.max_cnt")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(tiny == Seq((1L, 1L, 1L), (1L, 1L, 1L), (3L, 1L, 3L)))
+  }
+
   test("SQL registration via GraftExtensions") {
     assert(spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
@@ -68,5 +91,8 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT graft_word_shingles('a b c d', 3)")
       .as[Seq[String]].head() == Seq("a b c", "b c d"))
+    assert(spark.sql(
+      "SELECT graft_ngram_stats('x y x y x', 2).max_cnt")
+      .as[Long].head() == 2L)
   }
 }

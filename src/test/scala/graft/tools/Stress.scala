@@ -12,12 +12,17 @@ import graft.ops.llm.{Dedup, Multimodal, SimHash}
   * the worst case for near-dup mining (candidate volume grows with true
   * pair count).
   *
-  * Run: sbt "Test/runMain graft.tools.Stress [sfDir] [factor]"
+  * Run: sbt "Test/runMain graft.tools.Stress [sfDir] [factor] [jsonOut]"
+  *
+  * With a third arg, writes the timings as one JSON document (the
+  * committed STRESS_rN.json artifacts) so the sublinearity claims for the
+  * dedup/LSH family are driver-checkable, not README prose.
   */
 object Stress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(8)
+    val jsonOut = args.lift(2)
     val spark = GraftSession.local("graft-stress",
       Runtime.getRuntime.availableProcessors())
     spark.sparkContext.setLogLevel("WARN")
@@ -39,6 +44,9 @@ object Stress {
     val ops: Seq[(String, DataFrame => Long)] = Seq(
       "simhash_sha_dedup" -> (d =>
         SimHash.nearDuplicatesSha(d, "doc_id", "text").count()),
+      "ngram_jaccard_ppjoin" -> (d =>
+        Dedup.ngramJaccardPairs(d, "doc_id", "text",
+          n = 3, num = 8, den = 10).count()),
       "minhash_pairs" -> (d =>
         Dedup.minhashDedup(d, "doc_id", "text").count()),
       "dedup_clusters" -> (d => Dedup.connectedComponents(
@@ -50,15 +58,38 @@ object Stress {
           .count()))
 
     println(s"corpus: $base docs (1x) vs ${base * factor} (${factor}x)")
-    ops.foreach { case (name, op) =>
+    val results = ops.map { case (name, op) =>
       val d1 = replicate(1).localCheckpoint()
       val (t1, n1) = time(op(d1))
       val dN = replicate(factor).localCheckpoint()
       val (tN, nN) = time(op(dN))
-      println(f"$name%-18s 1x: $t1%6.1fs ($n1%8d rows)   " +
+      println(f"$name%-20s 1x: $t1%6.1fs ($n1%8d rows)   " +
         f"${factor}x: $tN%6.1fs ($nN%8d rows)   factor ${tN / t1}%5.1fx")
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      (name, t1, n1, tN, nN)
+    }
+    jsonOut.foreach { path =>
+      val entries = results.map { case (name, t1, n1, tN, nN) =>
+        f"""    "$name": {"t_1x_sec": $t1%.2f, "rows_1x": $n1, """ +
+          f""""t_${factor}x_sec": $tN%.2f, "rows_${factor}x": $nN, """ +
+          f""""time_factor": ${tN / t1}%.2f, """ +
+          f""""row_factor": ${nN.toDouble / math.max(1L, n1)}%.2f}"""
+      }.mkString(",\n")
+      val doc =
+        s"""{
+           |  "sf_dir": "$sfDir",
+           |  "base_docs": $base,
+           |  "replication": $factor,
+           |  "cpus": ${Runtime.getRuntime.availableProcessors()},
+           |  "note": "time_factor << replication^2 (pairs) or ~linear (scans) backs the sublinearity claims; row_factor is the true pair growth the miner had to absorb",
+           |  "ops": {
+           |$entries
+           |  }
+           |}
+           |""".stripMargin
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), doc)
+      println(s"wrote $path")
     }
     spark.stop()
   }
