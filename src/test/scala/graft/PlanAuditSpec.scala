@@ -89,6 +89,14 @@ class PlanAuditSpec extends SparkSpec {
       s"expected an equi-join on the cell id:\n$p")
   }
 
+  test("q_repetition: scan-side projection, no exchange at all") {
+    val p = plan("q_repetition")
+    assert(!p.contains("Exchange"),
+      s"NgramStats must keep the repetition profile shuffle-free:\n$p")
+    assert(!p.contains("Generate"),
+      s"no explode — the profile is computed per-row:\n$p")
+  }
+
   test("q_tfidf: corpus size N folded into the plan (no driver-side count)") {
     val p = plan("q_tfidf")
     // the N branch must be a broadcast of a 1-row aggregate whose scan
