@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
@@ -141,6 +142,83 @@ object LlmQueries {
           st.getField("max_cnt").as("max_bigram_cnt"))
         .withColumn("is_repetitive",
           col("max_bigram_cnt") * 10 > col("total_bigrams"))
+    },
+
+    // Sequence packing for pretraining: assign each doc a (shard, seq_id,
+    // seq_offset) in fixed token-budget sequences (budget 2048), greedy in
+    // deterministic doc_id order within content-addressed shards. The
+    // per-shard running sum is the only sequential dependency — shards are
+    // the parallelism unit (production uses thousands), so the window sort
+    // is per-shard-partition, never global. All-integer output.
+    "q_seq_pack" -> Q(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(sha256(lower(trim(text))), 1, 8))::UBIGINT
+        |      % 10 AS INTEGER) AS shard,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, shard, n_tok,
+        |  CAST((cum - n_tok) // 2048 AS BIGINT) AS seq_id,
+        |  CAST((cum - n_tok) % 2048 AS BIGINT) AS seq_offset
+        |FROM c""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val shard = (expr("cast(conv(substr(sha2(lower(trim(text)), 256)," +
+        " 1, 8), 16, 10) as bigint)") % 10).cast("int")
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.select(d("doc_id"), shard.as("shard"),
+          size(TextOps.tokens(d("text"))).cast("long").as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .select(col("doc_id"), col("shard"), col("n_tok"),
+          expr("(cum - n_tok) div 2048").as("seq_id"),
+          ((col("cum") - col("n_tok")) % 2048).as("seq_offset"))
+    },
+
+    // Packing efficiency per (shard, seq): docs packed, tokens filled,
+    // and overflow beyond the 2048 budget (the straddling doc's tail) —
+    // the QA view a data-engineer runs after q_seq_pack. Same windowed
+    // front-end, then one partial-agg'd groupBy on the tiny (shard,
+    // seq_id) key space.
+    "q_pack_stats" -> Q(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(sha256(lower(trim(text))), 1, 8))::UBIGINT
+        |      % 10 AS INTEGER) AS shard,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |k AS (
+        |  SELECT shard, CAST((cum - n_tok) // 2048 AS BIGINT) AS seq_id,
+        |    n_tok, cum
+        |  FROM c)
+        |SELECT shard, seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |  CAST(max(cum) - seq_id * 2048 - 2048 AS BIGINT) AS overflow_tok
+        |FROM k GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val shard = (expr("cast(conv(substr(sha2(lower(trim(text)), 256)," +
+        " 1, 8), 16, 10) as bigint)") % 10).cast("int")
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.select(d("doc_id"), shard.as("shard"),
+          size(TextOps.tokens(d("text"))).cast("long").as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .withColumn("seq_id", expr("(cum - n_tok) div 2048"))
+        .groupBy("shard", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"),
+          (max("cum") - col("seq_id") * 2048 - 2048).as("overflow_tok"))
     },
 
     // Language-ID: stopword-hit scores per language, argmax with fixed

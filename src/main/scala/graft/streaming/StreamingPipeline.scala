@@ -119,6 +119,42 @@ object StreamingPipeline {
       .toDF("user_id", "total_events")
   }
 
+  /** The same cumulative per-user counter on the transformWithState API
+    * (Spark 4's arbitrary-state v2, the successor to
+    * flatMapGroupsWithState): typed `ValueState` handles backed by the
+    * state store, per-state TTL (the state-GC story flatMapGroupsWithState
+    * lacked without timeouts), and timer support. `ttl` bounds how long an
+    * idle user's counter survives — pass `TTLConfig.NONE` for never-expire
+    * semantics identical to `statefulUserCounts`.
+    */
+  def statefulUserCountsTws(events: org.apache.spark.sql.Dataset[(Long, String)],
+                            ttl: org.apache.spark.sql.streaming.TTLConfig =
+                              org.apache.spark.sql.streaming.TTLConfig.NONE)
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    import events.sparkSession.implicits._
+    // session-free encoder: the processor is serialized to executors, so
+    // it must not capture the session-bound implicits object
+    class CountProcessor extends StatefulProcessor[Long, (Long, String), (Long, Long)] {
+      @transient private var count: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        count = getHandle.getValueState[Long]("count",
+          Encoders.scalaLong, ttl)
+      override def handleInputRows(user: Long,
+                                   rows: Iterator[(Long, String)],
+                                   timers: TimerValues): Iterator[(Long, Long)] = {
+        val next = (if (count.exists()) count.get() else 0L) + rows.size
+        count.update(next)
+        Iterator((user, next))
+      }
+    }
+    events.groupByKey(_._1)
+      .transformWithState(new CountProcessor, TimeMode.None(),
+        OutputMode.Update(), Encoders.product[(Long, Long)])
+      .toDF("user_id", "total_events")
+  }
+
   /** Stream-stream interval join: each click joined to the same user's
     * views within `horizon` BEFORE the click. Both sides carry watermarks;
     * the time-bound join condition lets Spark expire buffered state for

@@ -112,6 +112,32 @@ class StreamingSpec extends SparkSpec {
       s"user 1 cumulative must reach 3 across restart: $seen")
   }
 
+  test("transformWithState: counts survive across restarts via checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-tws").toString
+    val seen = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    def drain(mem: MemoryStream[(Long, String)]): Unit = {
+      val q = StreamingPipeline.statefulUserCountsTws(mem.toDS())
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => seen(r.getLong(0)) = r.getLong(1))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "a"), (1L, "b"), (2L, "c"))
+    drain(mem)
+    assert(seen.get(1L).contains(2L) && seen.get(2L).contains(1L))
+    mem.addData((1L, "d"))
+    drain(mem) // restarted query, same checkpointed ValueState
+    assert(seen.get(1L).contains(3L),
+      s"user 1 cumulative must reach 3 across restart: $seen")
+  }
+
   test("stream-stream interval join pairs clicks with in-horizon views") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = Timestamp.valueOf(s)
