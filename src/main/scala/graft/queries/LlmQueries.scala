@@ -221,6 +221,80 @@ object LlmQueries {
           (max("cum") - col("seq_id") * 2048 - 2048).as("overflow_tok"))
     },
 
+    // Unigram-LM surprisal per doc (the perplexity-style quality filter):
+    // score = Σ_tokens −ln p(term) under the corpus unigram model. The
+    // per-TERM surprisal is quantized to an integer (round(−ln p × 1e4))
+    // BEFORE the per-doc sum, so the aggregation is exact integer
+    // arithmetic — a float sum's order varies with partitioning and would
+    // break the cross-engine hash (same discipline as q_corr_exact).
+    // Corpus total tokens is a broadcast 1-row aggregate, never a
+    // driver-side count.
+    "q_surprisal" -> Q(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+        |    '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |f AS (SELECT term, CAST(sum(tf) AS BIGINT) AS freq FROM tf
+        |      GROUP BY 1),
+        |n AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM f),
+        |m AS (SELECT term,
+        |        CAST(round(-ln(freq / total) * 10000) AS BIGINT) AS micro
+        |      FROM f, n)
+        |SELECT tf.doc_id,
+        |  CAST(sum(tf.tf * m.micro) AS BIGINT) AS surprisal_micro4,
+        |  CAST(sum(tf.tf) AS BIGINT) AS n_tok
+        |FROM tf JOIN m ON tf.term = m.term GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+      val d = table(s, dir, "documents")
+      val tok = d.select(d("doc_id"),
+        explode(TextOps.tokens(d("text"))).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val f = tf.groupBy("term").agg(sum("tf").as("freq"))
+      val n1 = f.agg(sum("freq").cast("double").as("total"))
+      val m = f.crossJoin(broadcast(n1))
+        .select(col("term"),
+          round(-log(col("freq") / col("total")) * 10000, 0)
+            .cast("long").as("micro"))
+      tf.join(m, "term")
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * col("micro")).cast("long")
+            .as("surprisal_micro4"),
+          sum("tf").cast("long").as("n_tok"))
+    },
+
+    // Vocabulary coverage / OOV rate: top-1000 corpus vocabulary
+    // (frequency desc, term asc — a total order, so the cut is
+    // deterministic), then per-doc in-vocab vs out-of-vocab token counts
+    // and an integer per-mille OOV rate — the tokenizer-coverage QA step
+    // before training. The vocab is provably 1000 rows → broadcast.
+    "q_vocab_coverage" -> Q(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+        |    '\s+')) AS term FROM documents),
+        |f AS (SELECT term, count(*) AS freq FROM tok GROUP BY 1),
+        |v AS (SELECT term FROM f
+        |      ORDER BY freq DESC, term ASC LIMIT 1000)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1000
+        |    // count(*) AS BIGINT) AS oov_permille
+        |FROM tok t LEFT JOIN v ON t.term = v.term
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val tok = d.select(d("doc_id"),
+        explode(TextOps.tokens(d("text"))).as("term"))
+      val vocab = tok.groupBy("term").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("term").asc).limit(1000)
+        .select(col("term").as("vterm"))
+      val oov = when(col("vterm").isNull, 1L).otherwise(0L)
+      tok.join(broadcast(vocab), tok("term") === col("vterm"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(oov).as("n_oov"))
+        .select(col("doc_id"), col("n_tok"), col("n_oov"),
+          expr("n_oov * 1000 div n_tok").as("oov_permille"))
+    },
+
     // Language-ID: stopword-hit scores per language, argmax with fixed
     // tie-break en > de > es > fr.
     "q_lang_id" -> Q(
