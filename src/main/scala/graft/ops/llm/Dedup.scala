@@ -119,6 +119,53 @@ object Dedup {
   def minhashSigFast(shingleSet: Column, j: Int): Column =
     array_min(transform(shingleSet, sh => xxhash64(lit(j), sh)))
 
+  /** Shared MinHash front-end: shingle sets (base: doc, sh [, extra
+    * carried columns]) and the exploded band-bucket table (banded: doc,
+    * band, bkey [, extras]). `base` is materialized once — the banding
+    * branch and both verify sides reuse the computed shingle sets instead
+    * of re-shingling; repartitioned first for scan-parallelism (see
+    * ngramJaccardPairs).
+    */
+  private def minhashBands(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, bands: Int, extra: Seq[String])
+      : (DataFrame, DataFrame) = {
+    require(2 * bands <= 8, "sha256 yields 8 distinct 32-bit families")
+    val extraCols = extra.map(col)
+    val base = df
+      .select(df(idCol).as("doc") +: df(textCol).as("_t") +: extraCols: _*)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc") +: TextOps.shingleSet(col("_t"), n).as("sh")
+        +: extraCols: _*)
+      .localCheckpoint(false)
+    val hashed = base.withColumn("hs", shingleHashes(col("sh")))
+    val sigCols = (0 until 2 * bands).map(j =>
+      minhashSig(col("hs"), j).as(s"sig$j"))
+    val sigs = hashed.select(col("doc") +: sigCols ++: extraCols: _*)
+    val bandKeys = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey"))): _*)
+    val banded = sigs
+      .select(col("doc") +: explode(bandKeys).as("bk") +: extraCols: _*)
+      .select(col("doc") +: col("bk.band").as("band")
+        +: col("bk.bkey").as("bkey") +: extraCols: _*)
+    (base, banded)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs (a, b) against the
+    * materialized shingle sets; keeps pairs with jaccard >= num/den.
+    */
+  private def verifyPairs(cand: DataFrame, base: DataFrame,
+                          num: Int, den: Int): DataFrame = {
+    val withSets = cand
+      .join(base.select(col("doc").as("a"), col("sh").as("sh_a")), "a")
+      .join(base.select(col("doc").as("b"), col("sh").as("sh_b")), "b")
+    val interC = size(array_intersect(col("sh_a"), col("sh_b")))
+    val uniC = size(col("sh_a")) + size(col("sh_b")) - interC
+    withSets
+      .select(col("a"), col("b"), interC.as("inter"), uniC.as("uni"))
+      .filter(col("inter") * den >= col("uni") * num)
+  }
+
   /** MinHash+LSH near-dup pairs: k=2*bands sha256 signatures, banded r=2,
     * candidates from same-(band, bandkey) buckets, verified with exact
     * shingle Jaccard >= num/den. Output (a, b, inter, uni).
@@ -126,39 +173,49 @@ object Dedup {
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, bands: Int = 4, num: Int = 8, den: Int = 10)
       : DataFrame = {
-    require(2 * bands <= 8, "sha256 yields 8 distinct 32-bit families")
-    // materialized once — the banding branch and both verify sides reuse
-    // the computed shingle sets instead of re-shingling; repartitioned
-    // first for scan-parallelism (see ngramJaccardPairs).
-    val base = df
-      .select(df(idCol).as("doc"), df(textCol).as("_t"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc"), TextOps.shingleSet(col("_t"), n).as("sh"))
-      .localCheckpoint(false)
-    val hashed = base.withColumn("hs", shingleHashes(col("sh")))
-    val sigCols = (0 until 2 * bands).map(j =>
-      minhashSig(col("hs"), j).as(s"sig$j"))
-    val sigs = hashed.select(col("doc") +: sigCols: _*)
-    val bandKeys = array((0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey"))): _*)
-    val banded = sigs
-      .select(col("doc"), explode(bandKeys).as("bk"))
-      .select(col("doc"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val (base, banded) = minhashBands(df, idCol, textCol, n, bands, Nil)
     val l = banded.toDF("a", "band", "bkey")
     val r = banded.toDF("b", "band2", "bkey2")
     val cand = l.join(r,
         l("band") === r("band2") && l("bkey") === r("bkey2") &&
           l("a") < r("b"))
       .select("a", "b").distinct()
-    val withSets = cand
-      .join(base.toDF("a", "sh_a"), "a")
-      .join(base.toDF("b", "sh_b"), "b")
-    val interC = size(array_intersect(col("sh_a"), col("sh_b")))
-    val uniC = size(col("sh_a")) + size(col("sh_b")) - interC
-    withSets
-      .select(col("a"), col("b"), interC.as("inter"), uniC.as("uni"))
-      .filter(col("inter") * den >= col("uni") * num)
+    verifyPairs(cand, base, num, den)
+  }
+
+  /** Incremental near-dup mining: pairs involving at least one `incoming`
+    * doc against `existing ∪ incoming` — the daily-ingest shape. Result is
+    * exactly `minhashDedup(existing ∪ incoming)` filtered to pairs with an
+    * incoming side (completeness: any qualifying pair shares a band bucket
+    * with its incoming member), but the bucket join's right side is the
+    * DELTA's bands only — the full corpus never joins against itself, and
+    * when the delta is small AQE broadcasts it, so an increment costs one
+    * corpus scan + a delta-sized join instead of a corpus×corpus bucket
+    * join. At production scale the `existing` band table comes from a
+    * persisted signature index (write `minhashBands`' output bucketed by
+    * (band, bkey) via Sinks.writeBucketed) instead of being recomputed.
+    */
+  def minhashDeltaPairs(existing: DataFrame, incoming: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int = 3, bands: Int = 4,
+                        num: Int = 8, den: Int = 10): DataFrame = {
+    val all = existing
+      .select(col(idCol), col(textCol)).withColumn("_new", lit(false))
+      .unionByName(incoming.select(col(idCol), col(textCol))
+        .withColumn("_new", lit(true)))
+    val (base, banded) =
+      minhashBands(all, idCol, textCol, n, bands, Seq("_new"))
+    val l = banded.select(col("doc").as("x"), col("band"), col("bkey"))
+    val r = banded.filter(col("_new"))
+      .select(col("doc").as("d"), col("band").as("band2"),
+        col("bkey").as("bkey2"))
+    val cand = l.join(r,
+        l("band") === r("band2") && l("bkey") === r("bkey2") &&
+          col("x") =!= col("d"))
+      .select(least(col("x"), col("d")).as("a"),
+        greatest(col("x"), col("d")).as("b"))
+      .distinct()
+    verifyPairs(cand, base.select("doc", "sh"), num, den)
   }
 
   /** Connected components over near-dup pairs: every doc that appears in a

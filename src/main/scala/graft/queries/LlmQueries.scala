@@ -401,6 +401,59 @@ object LlmQueries {
         n = 3, bands = 4, num = 8, den = 10)
     },
 
+    // Incremental ingest dedup: the content-addressed shard-0 slice plays
+    // the "today's batch" role; pairs returned are exactly the full-corpus
+    // MinHash result restricted to pairs touching the delta, but the
+    // bucket join is corpus-bands × DELTA-bands (broadcast-able) — never
+    // corpus × corpus. Oracle = the q_dedup_minhash pipeline + the same
+    // restriction.
+    "q_dedup_delta" -> Q(
+      s"""WITH $duckShingles,
+        |delta AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE ('0x' || substr(sha256(lower(trim(text))), 1, 8))::UBIGINT
+        |    % 10 = 0),
+        |hashed AS (SELECT doc_id, sh,
+        |  list_transform(sh, x -> sha256(x)) hs FROM base),
+        |sigs AS (SELECT doc_id, sh,
+        |  list_aggregate(list_transform(hs, h -> substr(h,  1, 8)), 'min') s0,
+        |  list_aggregate(list_transform(hs, h -> substr(h,  9, 8)), 'min') s1,
+        |  list_aggregate(list_transform(hs, h -> substr(h, 17, 8)), 'min') s2,
+        |  list_aggregate(list_transform(hs, h -> substr(h, 25, 8)), 'min') s3,
+        |  list_aggregate(list_transform(hs, h -> substr(h, 33, 8)), 'min') s4,
+        |  list_aggregate(list_transform(hs, h -> substr(h, 41, 8)), 'min') s5,
+        |  list_aggregate(list_transform(hs, h -> substr(h, 49, 8)), 'min') s6,
+        |  list_aggregate(list_transform(hs, h -> substr(h, 57, 8)), 'min') s7
+        |  FROM hashed),
+        |banded AS (
+        |  SELECT doc_id, 0 band, s0 || s1 bkey FROM sigs
+        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM sigs
+        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM sigs
+        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM sigs),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id a, r.doc_id b
+        |  FROM banded l JOIN banded r
+        |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+        |verify AS (
+        |  SELECT c.a, c.b,
+        |    CAST(len(list_intersect(ba.sh, bb.sh)) AS INTEGER) inter,
+        |    CAST(len(ba.sh) + len(bb.sh)
+        |      - len(list_intersect(ba.sh, bb.sh)) AS INTEGER) uni
+        |  FROM cand c
+        |  JOIN base ba ON ba.doc_id = c.a
+        |  JOIN base bb ON bb.doc_id = c.b)
+        |SELECT v.a, v.b, v.inter, v.uni FROM verify v
+        |WHERE (v.a IN (SELECT doc_id FROM delta)
+        |    OR v.b IN (SELECT doc_id FROM delta))
+        |  AND v.inter * 10 >= v.uni * 8""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val shard = expr("cast(conv(substr(sha2(lower(trim(text)), 256)," +
+        " 1, 8), 16, 10) as bigint) % 10")
+      Dedup.minhashDeltaPairs(
+        d.filter(shard =!= 0), d.filter(shard === 0),
+        "doc_id", "text", n = 3, bands = 4, num = 8, den = 10)
+    },
+
     // Dedup clustering: near-dup pairs → connected components → each doc
     // labeled with its component's min doc id (the survivor). Spark side
     // iterates min-label propagation to the fixpoint; the oracle computes

@@ -107,6 +107,24 @@ class PlanAuditSpec extends SparkSpec {
       s"count branch must scan zero columns:\n$p")
   }
 
+  test("q_vocab_coverage: vocab cut is partial top-k, then broadcast") {
+    val p = plan("q_vocab_coverage")
+    // global ORDER BY freq LIMIT 1000 must compile to TakeOrdered (each
+    // task keeps 1000, driver merges) — not a full sort of the vocabulary
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab cut must be a partial top-k, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 1000-row vocab must broadcast against the token stream:\n$p")
+  }
+
+  test("q_surprisal: corpus total broadcasts; term join is not a cartesian") {
+    val p = plan("q_surprisal")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row total must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
+
   test("q_skew_salt: salted partial agg combines before the final key agg") {
     val p = plan("q_skew_salt")
     val finals = p.linesIterator.count(l =>

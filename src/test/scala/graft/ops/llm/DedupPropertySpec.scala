@@ -1,5 +1,6 @@
 package graft.ops.llm
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -102,6 +103,29 @@ class DedupPropertySpec extends SparkSpec {
       assert(got == expected,
         s"seed $s: ppjoin=${got.size} naive=${expected.size} diff=" +
           s"${(got diff expected) ++ (expected diff got)}")
+    }
+  }
+
+  test("minhashDeltaPairs equals the full result restricted to the delta") {
+    (1L to 3L).foreach { s =>
+      val r = new scala.util.Random(s)
+      val bases = (0 until 8).map(i => genDoc(s, i))
+      val docs = bases.zipWithIndex.flatMap { case (d, i) =>
+        Seq((i * 10L, d), (i * 10L + 1, d))
+      }
+      val df = docs.toDF("doc_id", "text")
+      // arbitrary delta split (every 3rd doc is "incoming")
+      val deltaIds = docs.map(_._1).filter(_ % 3 == 0).toSet
+      val isNew = col("doc_id").isInCollection(deltaIds)
+      val full = Dedup.minhashDedup(df, "doc_id", "text")
+        .as[(Long, Long, Int, Int)].collect().toSet
+        .filter(p => deltaIds(p._1) || deltaIds(p._2))
+      val delta = Dedup.minhashDeltaPairs(
+          df.filter(!isNew), df.filter(isNew), "doc_id", "text")
+        .as[(Long, Long, Int, Int)].collect().toSet
+      assert(delta == full,
+        s"seed $s: delta=${delta.size} fullFiltered=${full.size} diff=" +
+          s"${(delta diff full) ++ (full diff delta)}")
     }
   }
 }
