@@ -218,6 +218,59 @@ object Dedup {
     verifyPairs(cand, base.select("doc", "sh"), num, den)
   }
 
+  /** Paragraph-level (CCNet-style) duplication stats: segment each doc into
+    * non-overlapping `w`-token chunks, count each chunk's occurrences
+    * CORPUS-WIDE, and report per doc how many of its chunks are duplicated
+    * (occur more than once anywhere). The standard boilerplate signal —
+    * headers/footers/licence blocks duplicate at the paragraph level long
+    * before whole documents do.
+    *
+    * Scale shape: chunks are hashed to sha256 AT THE SCAN (the chunk text
+    * never shuffles — only (doc, 64-hex digest) rows), occurrence counts
+    * come from a count-over-window partitioned by digest (ONE shuffle on
+    * the digest, uniformly distributed by construction, instead of a
+    * groupBy + self-join back which would shuffle the same rows twice),
+    * and the per-doc rollup partial-aggregates map-side.
+    */
+  def chunkDupStats(df: DataFrame, idCol: String, textCol: String,
+                    w: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = df
+      .select(df(idCol).as("doc"),
+        explode(TextOps.tokenChunks(df(textCol), w)).as("chunk"))
+      .select(col("doc"), sha2(col("chunk"), 256).as("csha"))
+    chunks
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("csha")))
+      .groupBy(col("doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup_chunks"))
+      .withColumn("dup_permille", expr("(dup_chunks * 1000) div n_chunks"))
+  }
+
+  /** Quality-aware survivor selection: given near-dup pairs and a per-doc
+    * score, pick each cluster's HIGHEST-scoring member (ties → lowest id)
+    * instead of the blind min-id survivor — what a production dedup
+    * actually keeps. Output: (cluster_rep, keep_id, keep_score, n_members).
+    * One extra shuffle over connectedComponents: the cluster labels join
+    * the scores on the doc id, then a single window pass (row_number +
+    * count over the same cluster partition — one exchange) selects the
+    * argmax. Only docs that appear in a pair flow through any of it.
+    */
+  def keepBestPerCluster(pairs: DataFrame, docs: DataFrame, idCol: String,
+                         score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponents(pairs)
+    val scored = docs.select(docs(idCol).as("node"), score.as("score"))
+    val byCluster = Window.partitionBy("rep")
+    cc.join(scored, "node")
+      .withColumn("rn", row_number().over(
+        byCluster.orderBy(col("score").desc, col("node").asc)))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("rep").as("cluster_rep"), col("node").as("keep_id"),
+        col("score").as("keep_score"), col("n_members"))
+  }
+
   /** Connected components over near-dup pairs: every doc that appears in a
     * pair gets the MIN doc id of its component as cluster representative —
     * the final step of a dedup pipeline (pairs → clusters → keep one per

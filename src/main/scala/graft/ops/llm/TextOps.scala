@@ -33,6 +33,21 @@ object TextOps {
   def shingleSet(c: Column, n: Int): Column =
     graft.functions.WordShingles(c, n)
 
+  /** Non-overlapping w-token chunks of the normalized text (full chunks
+    * only — a trailing remainder shorter than w tokens is dropped, as is a
+    * doc with fewer than w tokens). The segmentation unit for
+    * paragraph-level (CCNet-style) dedup when the corpus has no natural
+    * paragraph breaks. NOTE: `sequence(1, n)` with n = 0 generates the
+    * DESCENDING [1, 0] in Spark, hence the explicit empty-array guard.
+    */
+  def tokenChunks(c: Column, w: Int): Column = {
+    val toks = tokens(c)
+    val n = floor(size(toks) / w).cast("int")
+    val idx = when(n >= 1, sequence(lit(1), n))
+      .otherwise(array().cast("array<int>"))
+    transform(idx, i => concat_ws(" ", slice(toks, (i - 1) * w + 1, lit(w))))
+  }
+
   /** Count of regex matches in `c` (full-match group). Patterns must stay in
     * the RE2-compatible subset so the DuckDB oracle agrees with Java regex.
     */

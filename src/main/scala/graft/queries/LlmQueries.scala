@@ -33,6 +33,40 @@ object LlmQueries {
       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks
       |        FROM documents))""".stripMargin
 
+  // DuckDB-side MinHash+LSH verified pairs (mirrors Dedup.minhashDedup with
+  // n=3, bands=4, num=8, den=10): chain after `base` (duckShingles); yields
+  // `mh_pairs(a, b)`. Kept byte-compatible with the q_dedup_minhash
+  // pipeline — shared by queries that consume the pair set downstream.
+  private val duckMinhashPairs =
+    """mh_hashed AS (SELECT doc_id, sh,
+      |  list_transform(sh, x -> sha256(x)) hs FROM base),
+      |mh_sigs AS (SELECT doc_id, sh,
+      |  list_aggregate(list_transform(hs, h -> substr(h,  1, 8)), 'min') s0,
+      |  list_aggregate(list_transform(hs, h -> substr(h,  9, 8)), 'min') s1,
+      |  list_aggregate(list_transform(hs, h -> substr(h, 17, 8)), 'min') s2,
+      |  list_aggregate(list_transform(hs, h -> substr(h, 25, 8)), 'min') s3,
+      |  list_aggregate(list_transform(hs, h -> substr(h, 33, 8)), 'min') s4,
+      |  list_aggregate(list_transform(hs, h -> substr(h, 41, 8)), 'min') s5,
+      |  list_aggregate(list_transform(hs, h -> substr(h, 49, 8)), 'min') s6,
+      |  list_aggregate(list_transform(hs, h -> substr(h, 57, 8)), 'min') s7
+      |  FROM mh_hashed),
+      |mh_banded AS (
+      |  SELECT doc_id, 0 band, s0 || s1 bkey FROM mh_sigs
+      |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM mh_sigs
+      |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM mh_sigs
+      |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM mh_sigs),
+      |mh_cand AS (
+      |  SELECT DISTINCT l.doc_id a, r.doc_id b
+      |  FROM mh_banded l JOIN mh_banded r
+      |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+      |mh_pairs AS (
+      |  SELECT c.a, c.b FROM mh_cand c
+      |  JOIN base ba ON ba.doc_id = c.a
+      |  JOIN base bb ON bb.doc_id = c.b
+      |  WHERE len(list_intersect(ba.sh, bb.sh)) * 10
+      |    >= (len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh))) * 8)"""
+      .stripMargin
+
   val all: Map[String, Q] = Map(
 
     // Exact dedup: shuffle key is the 32-byte digest of the normalized
@@ -521,6 +555,95 @@ object LlmQueries {
       d.join(reps, Seq("doc_id"), "left")
         .filter(col("rep").isNull || col("rep") === col("doc_id"))
         .select(col("doc_id"))
+    },
+
+    // Quality-aware survivor selection: MinHash+LSH clusters, but each
+    // cluster keeps its HIGHEST-quality member (stopword-count score, ties
+    // to the lowest id) rather than the blind min-id — what a production
+    // dedup pipeline actually ships. One window pass per cluster picks the
+    // argmax; only docs appearing in a pair participate.
+    "q_keep_best" -> Q(
+      s"""WITH RECURSIVE $duckShingles,
+        |$duckMinhashPairs,
+        |edges AS (
+        |  SELECT a src, b dst FROM mh_pairs
+        |  UNION ALL SELECT b, a FROM mh_pairs),
+        |cc AS (
+        |  SELECT DISTINCT src AS node, src AS rep FROM edges
+        |  UNION
+        |  SELECT e.dst, cc.rep FROM cc, edges e WHERE cc.node = e.src),
+        |reps AS (SELECT node, CAST(min(rep) AS BIGINT) rep
+        |         FROM cc GROUP BY node),
+        |scored AS (SELECT doc_id node,
+        |  CAST(len(regexp_extract_all(lower(trim(text)),
+        |    '\\b(the|a|and|of|to|in|is|for|on|with)\\b')) AS INTEGER) score
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT r.rep, r.node, s.score,
+        |    row_number() OVER (PARTITION BY r.rep
+        |      ORDER BY s.score DESC, r.node ASC) rn,
+        |    CAST(count(*) OVER (PARTITION BY r.rep) AS BIGINT) n_members
+        |  FROM reps r JOIN scored s ON s.node = r.node)
+        |SELECT rep AS cluster_rep, node AS keep_id, score AS keep_score,
+        |  n_members
+        |FROM ranked WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val pairs = Dedup.minhashDedup(d, "doc_id", "text",
+        n = 3, bands = 4, num = 8, den = 10)
+      Dedup.keepBestPerCluster(pairs, d, "doc_id",
+        TextOps.stopwordCount(d("text"), TextOps.stopEn))
+    },
+
+    // Paragraph-level (CCNet-style) duplication profile: 10-token chunks,
+    // occurrences counted corpus-wide, per-doc duplicated-chunk stats.
+    // Chunk text is sha256'd at the scan — only digests shuffle; the count
+    // is a window over the digest (one exchange, not groupBy+join-back).
+    "q_para_dedup" -> Q(
+      """WITH ch AS (
+        |  SELECT doc_id, sha256(c) csha FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |        generate_series(1, len(toks) // 10),
+        |        i -> array_to_string(toks[(i-1)*10+1:(i-1)*10+10], ' '))) c
+        |    FROM (SELECT doc_id,
+        |            string_split_regex(lower(trim(text)), '\s+') toks
+        |          FROM documents))),
+        |w AS (SELECT doc_id, count(*) OVER (PARTITION BY csha) cnt FROM ch)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) n_chunks,
+        |  CAST(count(*) FILTER (WHERE cnt > 1) AS BIGINT) dup_chunks,
+        |  (CAST(count(*) FILTER (WHERE cnt > 1) AS BIGINT) * 1000)
+        |    // CAST(count(*) AS BIGINT) AS dup_permille
+        |FROM w GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.chunkDupStats(table(s, dir, "documents"), "doc_id", "text",
+        w = 10)
+    },
+
+    // Tokenizer fertility per language: subword-per-whitespace-token and
+    // chars-per-token ratios in integer per-mille (the bytes/token budget
+    // check run before a tokenizer change). Pure partial-agg'd groupBy.
+    "q_fertility" -> Q(
+      """WITH t AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+        |    CAST(sum(length(text)) AS BIGINT) sum_chars,
+        |    CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+        |      AS BIGINT) sum_ws,
+        |    CAST(sum(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) sum_sub
+        |  FROM documents GROUP BY 1)
+        |SELECT lang, n_docs, sum_chars, sum_ws, sum_sub,
+        |  (sum_sub * 1000) // nullif(sum_ws, 0) AS fertility_permille,
+        |  (sum_chars * 1000) // nullif(sum_ws, 0) AS chars_per_tok_permille
+        |FROM t""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      d.groupBy(d("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(d("text")).cast("long")).as("sum_chars"),
+          sum(size(TextOps.tokens(d("text"))).cast("long")).as("sum_ws"),
+          sum(TextOps.regexCount(lower(d("text")),
+            "[a-z]+|[0-9]+|[^a-z0-9\\s]").cast("long")).as("sum_sub"))
+        .withColumn("fertility_permille",
+          expr("(sum_sub * 1000) div nullif(sum_ws, 0)"))
+        .withColumn("chars_per_tok_permille",
+          expr("(sum_chars * 1000) div nullif(sum_ws, 0)"))
     },
 
     // TF-IDF per (doc, term): integer tf/df plus the classic

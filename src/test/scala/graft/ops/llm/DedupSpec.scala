@@ -68,6 +68,42 @@ class DedupSpec extends SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("tokenChunks: full non-overlapping windows only, short docs empty") {
+    val d = Seq((1L, "a b c d e f g"), (2L, "a b")).toDF("doc_id", "text")
+    val out = d.select(d("doc_id"),
+        TextOps.tokenChunks(d("text"), 3).as("ch"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("a b c", "d e f")) // trailing "g" dropped
+    assert(out(2L).isEmpty) // fewer than w tokens → no chunks
+  }
+
+  test("chunkDupStats counts corpus-wide chunk duplication per doc") {
+    // docs 1 and 2 share their first 3-token chunk; doc 3 is unique
+    val d = Seq(
+      (1L, "shared prefix tokens unique tail one"),
+      (2L, "shared prefix tokens other ending two"),
+      (3L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDupStats(d, "doc_id", "text", w = 3)
+      .select("doc_id", "n_chunks", "dup_chunks")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((2L, 1L)))
+    assert(out(2L) == ((2L, 1L)))
+    assert(out(3L) == ((2L, 0L)))
+  }
+
+  test("keepBestPerCluster picks the argmax-score member, ties to min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val docs = Seq((1L, 5), (2L, 9), (3L, 9), (7L, 4), (9L, 4))
+      .toDF("doc_id", "score")
+    val out = Dedup.keepBestPerCluster(pairs, docs, "doc_id", docs("score"))
+      .select("cluster_rep", "keep_id", "n_members")
+      .as[(Long, Long, Long)].collect().toSet
+    // cluster {1,2,3}: 2 and 3 tie at 9 → keep 2; cluster {7,9}: tie → 7
+    assert(out == Set((1L, 2L, 3L), (7L, 7L, 2L)))
+  }
+
   test("fast xxhash signatures: equal shingle sets get equal sigs") {
     val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zeta eta theta iota")).toDF("doc_id", "text")
