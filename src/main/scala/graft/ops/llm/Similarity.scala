@@ -105,6 +105,44 @@ object Similarity {
       .select(col("a"), col("b"), round(col("score"), 4).as("score4"))
   }
 
+  /** SemDeDup-style within-cell near-dup pairs: `vectors` = (id, cell, vec)
+    * where `cell` is a cluster assignment (an IVF/k-means cell in the
+    * published recipe — any partition of the corpus where near-dups land in
+    * the same cell). Pairs are mined ONLY inside a cell: the join is a
+    * plain shuffle equi-join on the cell id, so total work is
+    * Σ|cell|² ≪ n² — the property that makes semantic dedup tractable at
+    * corpus scale (the quantizer caps |cell|, so cells stay
+    * executor-sized; with ~√n balanced cells the pair space collapses by
+    * ~√n). Skew note: a production quantizer yields thousands of cells;
+    * a low-cardinality cell column concentrates shuffle keys and should
+    * be salted or sub-quantized first.
+    */
+  def semDedupPairs(vectors: DataFrame, tau: Double): DataFrame = {
+    val v = vectors.toDF("id", "cell", "vec")
+      .withColumn("nv", l2norm(col("vec")))
+    val a = v.select(col("id").as("a"), col("cell"),
+      col("vec").as("va"), col("nv").as("na"))
+    val b = v.select(col("id").as("b"), col("cell").as("cellb"),
+      col("vec").as("vb"), col("nv").as("nb"))
+    a.join(b, col("cell") === col("cellb") && col("a") < col("b"))
+      .withColumn("score", cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("score") >= tau)
+      .select(col("a"), col("b"), col("cell"),
+        round(col("score"), 4).as("score4"))
+  }
+
+  /** Full SemDeDup: within-cell pairs → connected components → drop
+    * everything but each component's min-id representative. Output is the
+    * DROP list (drop_id, keep_id) — what the pipeline deletes; docs in no
+    * pair never enter the component computation at all.
+    */
+  def semDedup(vectors: DataFrame, tau: Double): DataFrame = {
+    val pairs = semDedupPairs(vectors, tau).select("a", "b")
+    Dedup.connectedComponents(pairs)
+      .filter(col("node") =!= col("rep"))
+      .select(col("node").as("drop_id"), col("rep").as("keep_id"))
+  }
+
   /** Deterministic random hyperplanes: `planes` rows of `dim` components in
     * [-1, 1), from a fixed seed. Returned as a literal nested array column —
     * broadcast by value inside the plan.

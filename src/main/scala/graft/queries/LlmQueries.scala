@@ -646,6 +646,88 @@ object LlmQueries {
           expr("(sum_chars * 1000) div nullif(sum_ws, 0)"))
     },
 
+    // SemDeDup: embedding near-dups mined ONLY within a cluster cell
+    // (`label` plays the IVF-cell role here), connected components over
+    // the within-cell pairs, drop all but each component's min-id member.
+    // The cell-equi join makes the pair space Σ|cell|² instead of n².
+    "q_semdedup" -> Q(
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id a, b.vec_id b FROM e a JOIN e b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+        |edges AS (SELECT a src, b dst FROM p UNION ALL SELECT b, a FROM p),
+        |cc AS (
+        |  SELECT DISTINCT src AS node, src AS rep FROM edges
+        |  UNION
+        |  SELECT e2.dst, cc.rep FROM cc, edges e2 WHERE cc.node = e2.src),
+        |reps AS (SELECT node, CAST(min(rep) AS BIGINT) rep
+        |         FROM cc GROUP BY node)
+        |SELECT node AS drop_id, rep AS keep_id
+        |FROM reps WHERE node <> rep""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      Similarity.semDedup(
+        e.select(e("vec_id"), e("label"),
+          e("embedding").cast("array<double>")),
+        tau = 0.4)
+    },
+
+    // Mixture/sampling weights per (lang, source) at temperature α = 0.5:
+    // weight ∝ √n. √ of an exact integer is correctly rounded in IEEE-754
+    // on both engines, so floor(√(n·1e6)) is a deterministic integer —
+    // no cross-engine double-sum drift anywhere. Corpus total enters as a
+    // broadcast 1-row aggregate (scalar-subquery shape), weights in ppm
+    // by integer division.
+    "q_mix_weights" -> Q(
+      """WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT) n
+        |           FROM documents GROUP BY 1, 2),
+        |s AS (SELECT lang, source, n,
+        |  CAST(floor(sqrt(CAST(n * 1000000 AS DOUBLE))) AS BIGINT)
+        |    sqrt_milli FROM g),
+        |t AS (SELECT CAST(sum(sqrt_milli) AS BIGINT) tot FROM s)
+        |SELECT lang, source, n, sqrt_milli,
+        |  (sqrt_milli * 1000000) // t.tot AS weight_ppm
+        |FROM s, t""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val g = d.groupBy(d("lang"), d("source"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("sqrt_milli",
+          floor(sqrt((col("n") * 1000000L).cast("double"))).cast("long"))
+      val t = g.agg(sum(col("sqrt_milli")).as("tot"))
+      g.crossJoin(t)
+        .withColumn("weight_ppm",
+          expr("(sqrt_milli * 1000000) div tot"))
+        .select("lang", "source", "n", "sqrt_milli", "weight_ppm")
+    },
+
+    // Cross-source duplicate leakage: MinHash near-dup pairs joined back
+    // to doc sources, counted per unordered source pair — the audit that
+    // catches one crawl re-serving another's content. Pair mining reuses
+    // the full LSH pipeline; the doc join is on doc_id (pairs ≪ corpus).
+    "q_source_overlap" -> Q(
+      s"""WITH $duckShingles,
+        |$duckMinhashPairs
+        |SELECT least(da.source, db.source) src_a,
+        |  greatest(da.source, db.source) src_b,
+        |  CAST(count(*) AS BIGINT) n_pairs
+        |FROM mh_pairs p
+        |JOIN documents da ON da.doc_id = p.a
+        |JOIN documents db ON db.doc_id = p.b
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val pairs = Dedup.minhashDedup(d, "doc_id", "text",
+        n = 3, bands = 4, num = 8, den = 10)
+      val src = d.select(d("doc_id"), d("source"))
+      pairs
+        .join(src.toDF("doc_id", "src_l"), col("a") === col("doc_id"))
+        .drop("doc_id")
+        .join(src.toDF("doc_id", "src_r"), col("b") === col("doc_id"))
+        .groupBy(least(col("src_l"), col("src_r")).as("src_a"),
+          greatest(col("src_l"), col("src_r")).as("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
     // TF-IDF per (doc, term): integer tf/df plus the classic
     // tf·ln(N/df) score rounded to 4dp (ln agrees across engines to the
     // ulp at these magnitudes).

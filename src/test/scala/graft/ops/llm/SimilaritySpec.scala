@@ -44,6 +44,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall below floor")
   }
 
+  test("semDedup: within-cell pairs only, min-id keeper") {
+    // cell 1: vectors 1,2 identical (cos=1) and 3 orthogonal;
+    // cell 2: vector 4 identical to 1 but in another cell → never paired
+    val vs = Seq(
+      (1L, 1, Array(1.0, 0.0)), (2L, 1, Array(1.0, 0.0)),
+      (3L, 1, Array(0.0, 1.0)), (4L, 2, Array(1.0, 0.0))
+    ).toDF("id", "cell", "vec")
+    val pairs = Similarity.semDedupPairs(vs, 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // cross-cell (1,4)/(2,4) excluded
+    val drops = Similarity.semDedup(vs, 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(drops == Set((2L, 1L))) // drop 2, keep min-id 1
+  }
+
   test("ANN multi-probe recall vs brute force") {
     val queries = embeddings.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(embeddings, queries, 5)
