@@ -125,6 +125,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
   }
 
+  test("q_semdedup: within-cell pair mining is an equi-join, not a cartesian") {
+    val p = SparkEntry.queries("q_semdedup")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"cell join must stay equi (SortMerge/ShuffledHash):\n$p")
+  }
+
+  test("q_mix_weights: group total broadcasts; no second documents scan") {
+    val p = plan("q_mix_weights")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row total must broadcast:\n$p")
+    // both the group counts and the total derive from ONE scan of
+    // documents (the agg chains off the grouped result, not the table)
+    assert(p.linesIterator.count(_.contains("FileScan")) <= 2,
+      s"documents must not be scanned per branch:\n$p")
+  }
+
+  test("q_para_dedup: chunk digests shuffle once (window), no join-back") {
+    val p = plan("q_para_dedup")
+    val exchanges = p.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("Reused"))
+    // one exchange for the csha window + one for the per-doc rollup; a
+    // groupBy+join-back formulation would shuffle the chunk set again
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+  }
+
   test("q_skew_salt: salted partial agg combines before the final key agg") {
     val p = plan("q_skew_salt")
     val finals = p.linesIterator.count(l =>
