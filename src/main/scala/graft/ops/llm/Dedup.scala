@@ -128,7 +128,7 @@ object Dedup {
     */
   private def minhashBands(df: DataFrame, idCol: String, textCol: String,
                            n: Int, bands: Int, extra: Seq[String])
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     require(2 * bands <= 8, "sha256 yields 8 distinct 32-bit families")
     val extraCols = extra.map(col)
     val base = df
@@ -148,7 +148,7 @@ object Dedup {
       .select(col("doc") +: explode(bandKeys).as("bk") +: extraCols: _*)
       .select(col("doc") +: col("bk.band").as("band")
         +: col("bk.bkey").as("bkey") +: extraCols: _*)
-    (base, banded)
+    (base, sigs, banded)
   }
 
   /** Exact-Jaccard verification of candidate pairs (a, b) against the
@@ -173,7 +173,8 @@ object Dedup {
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, bands: Int = 4, num: Int = 8, den: Int = 10)
       : DataFrame = {
-    val (base, banded) = minhashBands(df, idCol, textCol, n, bands, Nil)
+    val (base, _, banded) =
+      minhashBands(df, idCol, textCol, n, bands, Nil)
     val l = banded.toDF("a", "band", "bkey")
     val r = banded.toDF("b", "band2", "bkey2")
     val cand = l.join(r,
@@ -195,6 +196,41 @@ object Dedup {
     * persisted signature index (write `minhashBands`' output bucketed by
     * (band, bkey) via Sinks.writeBucketed) instead of being recomputed.
     */
+  /** Estimator-calibration view: for every LSH-verified pair, the Jaccard
+    * ESTIMATE implied by the MinHash signatures (matching 32-bit families /
+    * total, in permille) next to the exact Jaccard — the query that tells
+    * you whether (k, bands) is tuned right before trusting the estimate at
+    * full scale. Output: (a, b, est_permille, jac_permille). The signature
+    * table chains off the same checkpointed shingle base as the pair
+    * mining, so the corpus is shingled exactly once.
+    */
+  def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, bands: Int = 4,
+                         num: Int = 8, den: Int = 10): DataFrame = {
+    val (base, sigs, banded) = minhashBands(df, idCol, textCol, n, bands, Nil)
+    val l = banded.toDF("a", "band", "bkey")
+    val r = banded.toDF("b", "band2", "bkey2")
+    val cand = l.join(r,
+        l("band") === r("band2") && l("bkey") === r("bkey2") &&
+          l("a") < r("b"))
+      .select("a", "b").distinct()
+    val verified = verifyPairs(cand, base, num, den)
+    val k = 2 * bands
+    val segs = 0 until k
+    val sa = sigs.select(col("doc").as("a") +:
+      segs.map(j => col(s"sig$j").as(s"sa$j")): _*)
+    val sb = sigs.select(col("doc").as("b") +:
+      segs.map(j => col(s"sig$j").as(s"sb$j")): _*)
+    val matches = segs.map(j =>
+      when(col(s"sa$j") === col(s"sb$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    verified.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"),
+        floor(matches.cast("long") * 1000L / k).cast("long")
+          .as("est_permille"),
+        expr("(inter * 1000) div uni").cast("long").as("jac_permille"))
+  }
+
   def minhashDeltaPairs(existing: DataFrame, incoming: DataFrame,
                         idCol: String, textCol: String,
                         n: Int = 3, bands: Int = 4,
@@ -203,7 +239,7 @@ object Dedup {
       .select(col(idCol), col(textCol)).withColumn("_new", lit(false))
       .unionByName(incoming.select(col(idCol), col(textCol))
         .withColumn("_new", lit(true)))
-    val (base, banded) =
+    val (base, _, banded) =
       minhashBands(all, idCol, textCol, n, bands, Seq("_new"))
     val l = banded.select(col("doc").as("x"), col("band"), col("bkey"))
     val r = banded.filter(col("_new"))

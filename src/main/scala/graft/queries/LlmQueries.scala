@@ -728,6 +728,83 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_pairs"))
     },
 
+    // MinHash estimator calibration: per verified near-dup pair, the
+    // signature-implied Jaccard estimate (matching 32-bit families / 8)
+    // against the exact Jaccard, both in integer permille — the check
+    // that (k, bands) is tuned before trusting estimates at full scale.
+    "q_minhash_calib" -> Q(
+      s"""WITH $duckShingles,
+        |$duckMinhashPairs
+        |SELECT p.a, p.b,
+        |  CAST(((CASE WHEN sa.s0 = sb.s0 THEN 1 ELSE 0 END +
+        |         CASE WHEN sa.s1 = sb.s1 THEN 1 ELSE 0 END +
+        |         CASE WHEN sa.s2 = sb.s2 THEN 1 ELSE 0 END +
+        |         CASE WHEN sa.s3 = sb.s3 THEN 1 ELSE 0 END +
+        |         CASE WHEN sa.s4 = sb.s4 THEN 1 ELSE 0 END +
+        |         CASE WHEN sa.s5 = sb.s5 THEN 1 ELSE 0 END +
+        |         CASE WHEN sa.s6 = sb.s6 THEN 1 ELSE 0 END +
+        |         CASE WHEN sa.s7 = sb.s7 THEN 1 ELSE 0 END) * 1000) // 8
+        |    AS BIGINT) AS est_permille,
+        |  CAST(len(list_intersect(ba.sh, bb.sh)) * 1000
+        |    // (len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh)))
+        |    AS BIGINT) AS jac_permille
+        |FROM mh_pairs p
+        |JOIN mh_sigs sa ON sa.doc_id = p.a
+        |JOIN mh_sigs sb ON sb.doc_id = p.b
+        |JOIN base ba ON ba.doc_id = p.a
+        |JOIN base bb ON bb.doc_id = p.b""".stripMargin) { (s, dir) =>
+      Dedup.minhashCalibration(table(s, dir, "documents"), "doc_id", "text",
+        n = 3, bands = 4, num = 8, den = 10)
+    },
+
+    // Dedup impact per source: token counts before/after MinHash near-dup
+    // removal (min-id survivors) — the "how much does dedup shrink each
+    // crawl" audit. Only docs in a pair enter the component computation;
+    // the corpus side is one scan + one broadcast-able drop-list join.
+    "q_dedup_impact" -> Q(
+      s"""WITH RECURSIVE $duckShingles,
+        |$duckMinhashPairs,
+        |edges AS (
+        |  SELECT a src, b dst FROM mh_pairs
+        |  UNION ALL SELECT b, a FROM mh_pairs),
+        |cc AS (
+        |  SELECT DISTINCT src AS node, src AS rep FROM edges
+        |  UNION
+        |  SELECT e.dst, cc.rep FROM cc, edges e WHERE cc.node = e.src),
+        |drops AS (SELECT node FROM cc GROUP BY node
+        |          HAVING node <> min(rep)),
+        |t AS (SELECT source, doc_id,
+        |        CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+        |          AS BIGINT) tok,
+        |        (doc_id IN (SELECT node FROM drops)) dropped
+        |      FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) n_docs,
+        |  CAST(count(*) FILTER (WHERE NOT dropped) AS BIGINT) n_kept,
+        |  CAST(sum(tok) AS BIGINT) tok_total,
+        |  CAST(coalesce(sum(tok) FILTER (WHERE NOT dropped), 0)
+        |    AS BIGINT) tok_kept,
+        |  (CAST(coalesce(sum(tok) FILTER (WHERE NOT dropped), 0) AS BIGINT)
+        |    * 1000) // CAST(sum(tok) AS BIGINT) AS kept_permille
+        |FROM t GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val pairs = Dedup.minhashDedup(d, "doc_id", "text",
+        n = 3, bands = 4, num = 8, den = 10)
+      val drops = Dedup.connectedComponents(pairs.select("a", "b"))
+        .filter(col("node") =!= col("rep"))
+        .select(col("node").as("drop_id"), lit(true).as("dropped"))
+      d.select(d("source"), d("doc_id"),
+          size(TextOps.tokens(d("text"))).cast("long").as("tok"))
+        .join(drops, col("doc_id") === col("drop_id"), "left")
+        .withColumn("keep", col("dropped").isNull)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("tok")).as("tok_total"),
+          sum(when(col("keep"), col("tok")).otherwise(0L)).as("tok_kept"))
+        .withColumn("kept_permille",
+          expr("(tok_kept * 1000) div tok_total"))
+    },
+
     // TF-IDF per (doc, term): integer tf/df plus the classic
     // tf·ln(N/df) score rounded to 4dp (ln agrees across engines to the
     // ulp at these magnitudes).

