@@ -347,6 +347,31 @@ object ExtendedQueries {
           sum(d("n_chars")).cast("long").as("total_chars"))
     },
 
+    // Generic column profiler: per-column null count, exact distinct
+    // count, min/max-as-string — ONE scan, one 1-row aggregate (distinct
+    // aggs via Expand, still map-side combined), unpivoted with stack.
+    "q_profile" -> Q(
+      """SELECT 'lang' AS "column", CAST(count(*) AS BIGINT) n_rows,
+        |  CAST(count(*) FILTER (WHERE lang IS NULL) AS BIGINT) n_null,
+        |  CAST(count(DISTINCT lang) AS BIGINT) n_distinct,
+        |  CAST(min(lang) AS VARCHAR) min_s, CAST(max(lang) AS VARCHAR) max_s
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE source IS NULL) AS BIGINT),
+        |  CAST(count(DISTINCT source) AS BIGINT),
+        |  CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE n_chars IS NULL) AS BIGINT),
+        |  CAST(count(DISTINCT n_chars) AS BIGINT),
+        |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |FROM documents""".stripMargin) { (s, dir) =>
+      graft.ops.Profile.profile(table(s, dir, "documents"),
+        Seq("lang", "source", "n_chars"))
+    },
+
     // Pearson correlation from EXACT integer sums: n, Σx, Σy, Σxy, Σx²,
     // Σy² accumulate as BIGINTs (quantity ≤ 50, discount×100 ≤ 10 — no
     // overflow), and only the final closed-form formula touches floating

@@ -805,6 +805,49 @@ object LlmQueries {
           expr("(tok_kept * 1000) div tok_total"))
     },
 
+    // Bigram LM statistics: corpus-wide bigram counts with multiplicity,
+    // per-head conditional probability in permille, top-5 continuations
+    // per head (count desc, bigram tie-break) for heads with >= 50 bigram
+    // occurrences. Occurrences partial-agg map-side into distinct-bigram
+    // counts; the window runs over the (much smaller) distinct table and
+    // the rank filter compiles to two-phase WindowGroupLimit.
+    "q_ngram_lm" -> Q(
+      """WITH toks AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') t
+        |  FROM documents),
+        |big AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1])) bigram
+        |  FROM toks WHERE len(t) >= 2),
+        |c AS (SELECT bigram, CAST(count(*) AS BIGINT) cnt
+        |      FROM big GROUP BY 1),
+        |h AS (SELECT bigram, cnt, split_part(bigram, ' ', 1) head,
+        |        CAST(sum(cnt) OVER (PARTITION BY
+        |          split_part(bigram, ' ', 1)) AS BIGINT) head_cnt
+        |      FROM c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY head
+        |        ORDER BY cnt DESC, bigram) rnk
+        |      FROM h WHERE head_cnt >= 50)
+        |SELECT head, bigram, cnt, head_cnt, CAST(rnk AS INTEGER) AS rnk,
+        |  (cnt * 1000) // head_cnt AS cond_permille
+        |FROM r WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = table(s, dir, "documents")
+      val c = d.select(TextOps.tokens(d("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(TextOps.shingles(col("t"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .withColumn("head", substring_index(col("bigram"), " ", 1))
+      val byHead = Window.partitionBy("head")
+      c.withColumn("head_cnt", sum(col("cnt")).over(byHead))
+        .filter(col("head_cnt") >= 50)
+        .withColumn("rnk", row_number().over(
+          byHead.orderBy(col("cnt").desc, col("bigram"))).cast("int"))
+        .filter(col("rnk") <= 5)
+        .withColumn("cond_permille", expr("(cnt * 1000) div head_cnt"))
+        .select("head", "bigram", "cnt", "head_cnt", "rnk", "cond_permille")
+    },
+
     // TF-IDF per (doc, term): integer tf/df plus the classic
     // tf·ln(N/df) score rounded to 4dp (ln agrees across engines to the
     // ulp at these magnitudes).

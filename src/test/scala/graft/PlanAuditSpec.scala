@@ -153,6 +153,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
   }
 
+  test("q_ngram_lm: partial agg on occurrences, two-phase top-5 per head") {
+    val p = plan("q_ngram_lm")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"bigram occurrences must combine map-side:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=5 must compile to WindowGroupLimit:\n$p")
+  }
+
+  test("q_profile: one scan feeds all per-column aggregates") {
+    val p = plan("q_profile")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"profiler must not scan per column:\n$p")
+  }
+
   test("q_skew_salt: salted partial agg combines before the final key agg") {
     val p = plan("q_skew_salt")
     val finals = p.linesIterator.count(l =>
