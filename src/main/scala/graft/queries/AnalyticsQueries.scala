@@ -162,6 +162,22 @@ object AnalyticsQueries {
           count(lit(1)).as("cnt"))
     },
 
+    // GK quantile sketch (approx_percentile): mergeable partial sketches,
+    // one pass, rank error <= 1/accuracy — the production quantile path
+    // when an exact per-group sort (q_percentile) is too expensive.
+    // Rows-only by design (sketch internals are engine-specific); the
+    // rank-error bound vs the exact percentile is asserted in
+    // ApproxDistinctSpec.
+    "q_approx_percentile" -> Q.noOracle { (s, dir) =>
+      val l = table(s, dir, "lineitem")
+      val cents = round(l("l_extendedprice") * 100).cast("long")
+      l.groupBy(l("l_returnflag"))
+        .agg(approx_percentile(cents,
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000))
+          .as("pct_cents"),
+          count(lit(1)).as("cnt"))
+    },
+
     // §2.4 ext — pivot (explicit value list keeps columns deterministic);
     // oracle via conditional aggregation, the portable PIVOT form.
     "q_pivot" -> Q(

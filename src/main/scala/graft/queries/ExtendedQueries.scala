@@ -347,6 +347,45 @@ object ExtendedQueries {
           sum(d("n_chars")).cast("long").as("total_chars"))
     },
 
+    // Distribution drift between two corpus snapshots/sources: doc-length
+    // histograms on a shared equal-width 10-bucket grid (max via broadcast
+    // 1-row agg), per-bucket proportions in ppm and the L1 drift
+    // contribution — all integer arithmetic, no cross-engine float. The
+    // audit run when a new crawl snapshot lands before it joins the mix.
+    "q_drift" -> Q(
+      """WITH m AS (SELECT CAST(max(n_chars) AS BIGINT) mx FROM documents
+        |           WHERE source IN ('src0', 'src1')),
+        |b AS (SELECT source,
+        |        least(9, (n_chars * 10) // (m.mx + 1)) bucket
+        |      FROM documents, m WHERE source IN ('src0', 'src1')),
+        |c AS (SELECT bucket,
+        |        CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) n_a,
+        |        CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT) n_b
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) ta,
+        |             CAST(sum(n_b) AS BIGINT) tb FROM c)
+        |SELECT bucket, n_a, n_b,
+        |  (n_a * 1000000) // t.ta AS ppm_a,
+        |  (n_b * 1000000) // t.tb AS ppm_b,
+        |  abs((n_a * 1000000) // t.ta - (n_b * 1000000) // t.tb) AS l1_ppm
+        |FROM c, t""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+      val m = d.agg(max(d("n_chars")).cast("long").as("mx"))
+      val c = d.crossJoin(m)
+        .withColumn("bucket",
+          least(lit(9L), expr("(n_chars * 10) div (mx + 1)")))
+        .groupBy("bucket")
+        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("source") === "src1", 1L).otherwise(0L)).as("n_b"))
+      val t = c.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+      c.crossJoin(t)
+        .withColumn("ppm_a", expr("(n_a * 1000000) div ta"))
+        .withColumn("ppm_b", expr("(n_b * 1000000) div tb"))
+        .withColumn("l1_ppm", abs(col("ppm_a") - col("ppm_b")))
+        .select("bucket", "n_a", "n_b", "ppm_a", "ppm_b", "l1_ppm")
+    },
+
     // Generic column profiler: per-column null count, exact distinct
     // count, min/max-as-string — ONE scan, one 1-row aggregate (distinct
     // aggs via Expand, still map-side combined), unpivoted with stack.

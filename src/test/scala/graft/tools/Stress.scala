@@ -51,6 +51,8 @@ object Stress {
         Dedup.minhashDedup(d, "doc_id", "text").count()),
       "dedup_clusters" -> (d => Dedup.connectedComponents(
         Dedup.minhashDedup(d, "doc_id", "text")).count()),
+      "chunk_dup_stats" -> (d =>
+        Dedup.chunkDupStats(d, "doc_id", "text", w = 10).count()),
       "frame_sample" -> (d =>
         Multimodal.fromText(d, "doc_id", "text")
           .select(explode(Multimodal.frameSample(col("payload"),
