@@ -187,6 +187,38 @@ object StreamingPipeline {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Continuous-ingest near-dup detection: each micro-batch of documents
+    * is MinHash-mined against the accumulated corpus via
+    * `Dedup.minhashDeltaPairs` (corpus-bands × delta-bands — the corpus
+    * never joins itself), found pairs append to `pairsDir`, then the
+    * batch itself appends to the corpus. The streaming shape of the
+    * daily-increment dedup in SURVEY §2.12 L20: state lives in parquet
+    * (at scale: the persisted band table bucketed by (band, bkey)), the
+    * checkpoint gives exactly-once batch accounting, and a batch is also
+    * deduped against itself (minhashDeltaPairs includes delta×delta).
+    */
+  def incrementalDedup(docs: DataFrame, corpusDir: String, pairsDir: String,
+                       checkpointDir: String): Unit = {
+    val q = docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val corpus =
+          try spark.read.parquet(corpusDir)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.range(0).select(col("id").as("doc_id"), lit("").as("text"))
+          }
+        val pairs = graft.ops.llm.Dedup.minhashDeltaPairs(
+          corpus, batch, "doc_id", "text")
+        pairs.write.mode("append").parquet(pairsDir)
+        batch.select("doc_id", "text").write.mode("append").parquet(corpusDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Batch twin of `windowedEventCounts` for the declared-query oracle:
     * identical window bucketing, no watermark (batch has no late data).
     * `events` testdata stores ns-long timestamps (Tables.table), converted

@@ -213,6 +213,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental ingest dedup: batches mine pairs vs the growing corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-inc-dedup").toString
+    val (corpus, pairs, ckpt) =
+      (s"$dir/corpus", s"$dir/pairs", s"$dir/ckpt")
+    val a = "spark merges batches of rows into partitions for every stage"
+    val mem = MemoryStream[(Long, String)]
+    // batch 1: two unrelated docs → no pairs, corpus seeded
+    mem.addData((1L, a), (2L, "totally different cooking text about pasta"))
+    def drain(): Unit = StreamingPipeline.incrementalDedup(
+      mem.toDS().toDF("doc_id", "text"), corpus, pairs, ckpt)
+    drain()
+    assert(spark.read.parquet(corpus).count() == 2)
+    // batch 2: near-dup of doc 1 + exact dup of doc 2 → pairs vs CORPUS
+    mem.addData((3L, a + " again"), (4L, "totally different cooking text about pasta"))
+    drain()
+    val found = spark.read.parquet(pairs)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(found.contains((2L, 4L)), s"exact dup vs corpus missing: $found")
+    assert(found.contains((1L, 3L)), s"near dup vs corpus missing: $found")
+    assert(spark.read.parquet(corpus).count() == 4)
+    // re-drain with no new data: checkpoint prevents re-mining
+    drain()
+    assert(spark.read.parquet(pairs).count() == found.size.toLong,
+      "replayed batch must not duplicate pairs")
+  }
+
   private implicit class ToMap2(rows: Array[(String, String, Long)]) {
     def toMap2: Map[(String, String), Long] =
       rows.map { case (p, q, f) => (p, q) -> f }.toMap
