@@ -283,6 +283,35 @@ object Dedup {
       .withColumn("dup_permille", expr("(dup_chunks * 1000) div n_chunks"))
   }
 
+  /** Sliding-window cross-doc duplication profile (the exact-substring
+    * dedup signal of Lee et al. 2022 at n-gram resolution): for every doc,
+    * how many of its DISTINCT n-gram shingles also occur in at least one
+    * OTHER document. Unlike `chunkDupStats` (non-overlapping chunks,
+    * corpus multiplicity), windows slide one token at a time — an
+    * offset-shifted copy still matches — and only cross-doc occurrence
+    * counts, so within-doc repetition doesn't inflate the signal.
+    *
+    * Scale shape: (doc, digest) pairs are distinct by construction
+    * (shingleSet), so a count-over-window partitioned by digest IS the
+    * number of distinct docs containing that shingle — one shuffle on the
+    * digest, then a map-side-combined per-doc rollup. Shingle text never
+    * shuffles, only sha256 digests.
+    */
+  def substringDupStats(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = df
+      .select(df(idCol).as("doc"),
+        explode(TextOps.shingleSet(df(textCol), n)).as("g"))
+      .select(col("doc"), sha2(col("g"), 256).as("gsha"))
+    sh.withColumn("ndocs", count(lit(1)).over(Window.partitionBy("gsha")))
+      .groupBy(col("doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("dup_shingles"))
+      .withColumn("dup_permille",
+        expr("(dup_shingles * 1000) div n_shingles"))
+  }
+
   /** Quality-aware survivor selection: given near-dup pairs and a per-doc
     * score, pick each cluster's HIGHEST-scoring member (ties → lowest id)
     * instead of the blind min-id survivor — what a production dedup

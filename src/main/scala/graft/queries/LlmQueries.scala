@@ -617,6 +617,31 @@ object LlmQueries {
         w = 10)
     },
 
+    // Sliding-window cross-doc duplication (Lee et al. exact-substring
+    // signal at 10-gram resolution): per doc, distinct 10-token shingles
+    // occurring in >= 1 OTHER doc. Sliding windows catch offset-shifted
+    // copies that the blocked chunks of q_para_dedup miss; only digests
+    // shuffle, once (window over gsha + map-combined rollup).
+    "q_substring_dup" -> Q(
+      """WITH sh AS (
+        |  SELECT doc_id, sha256(g) gsha FROM (
+        |    SELECT DISTINCT doc_id, unnest(list_transform(
+        |      generate_series(1, greatest(len(toks) - 9, 1)),
+        |      i -> array_to_string(toks[i:i+9], ' '))) g
+        |    FROM (SELECT doc_id,
+        |            string_split_regex(lower(trim(text)), '\s+') toks
+        |          FROM documents))),
+        |w AS (SELECT doc_id, count(*) OVER (PARTITION BY gsha) ndocs
+        |      FROM sh)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) n_shingles,
+        |  CAST(count(*) FILTER (WHERE ndocs > 1) AS BIGINT) dup_shingles,
+        |  (CAST(count(*) FILTER (WHERE ndocs > 1) AS BIGINT) * 1000)
+        |    // CAST(count(*) AS BIGINT) AS dup_permille
+        |FROM w GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.substringDupStats(table(s, dir, "documents"),
+        "doc_id", "text", n = 10)
+    },
+
     // Tokenizer fertility per language: subword-per-whitespace-token and
     // chars-per-token ratios in integer per-mille (the bytes/token budget
     // check run before a tokenizer change). Pure partial-agg'd groupBy.

@@ -93,6 +93,26 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((2L, 0L)))
   }
 
+  test("substringDupStats: sliding windows catch offset-shifted copies") {
+    // doc 2 repeats doc 1's text at a shifted offset (prefix added) — a
+    // blocked chunking would miss it; sliding 3-grams must not.
+    // doc 2's trigrams also repeat internally (same clause twice), which
+    // must NOT count: only cross-doc occurrence qualifies.
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zzz alpha beta gamma delta epsilon alpha beta gamma delta epsilon"),
+      (3L, "unrelated words completely different here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupStats(d, "doc_id", "text", n = 3)
+      .select("doc_id", "n_shingles", "dup_shingles")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((3L, 3L)), s"all of doc 1 is inside doc 2: $out")
+    assert(out(3L)._2 == 0L, "unrelated doc must have no cross-doc dups")
+    assert(out(2L)._2 == 3L,
+      s"only doc-1-shared trigrams are cross-doc dups: $out")
+  }
+
   test("keepBestPerCluster picks the argmax-score member, ties to min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
     val docs = Seq((1L, 5), (2L, 9), (3L, 9), (7L, 4), (9L, 4))
