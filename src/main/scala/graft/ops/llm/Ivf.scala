@@ -30,6 +30,15 @@ object Ivf {
       .agg(max(struct(col("_s"), col("cid"))).getField("cid").as("cid"),
         first(col("vec")).as("vec"), first(col("nv")).as("nv"))
 
+  /** Public cell assignment for composition — the SemDeDup front-end
+    * (`Similarity.semDedupPairs` over IVF cells): each (id, vec) row gets
+    * its best cell by cosine. Output: (id, cid, vec).
+    */
+  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    assign(vectors.toDF("id", "vec")
+        .withColumn("nv", Similarity.l2norm(col("vec"))), centroids)
+      .select(col("id"), col("cid"), col("vec"))
+
   /** Deterministic k-means-lite: digest-ordered seeding + `iters` Lloyd
     * rounds. Returns (cid, cvec).
     */

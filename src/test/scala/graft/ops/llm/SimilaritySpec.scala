@@ -59,6 +59,25 @@ class SimilaritySpec extends SparkSpec {
     assert(drops == Set((2L, 1L))) // drop 2, keep min-id 1
   }
 
+  test("SemDeDup over IVF cells: exact precision, recall on planted dups") {
+    // real embeddings + a planted near-exact copy of vec 0 (id 9000)
+    val planted = embeddings.filter(col("vec_id") === 0)
+      .select(lit(9000L).as("vec_id"), col("v"))
+    val vs = embeddings.unionByName(planted)
+    val cells = Ivf.assignCells(vs, Ivf.fitCentroids(vs, 8, 2))
+      .select(col("id"), col("cid"), col("vec"))
+    val found = Similarity.semDedupPairs(
+        cells.select(col("id"), col("cid").as("cell"), col("vec")), 0.95)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // the exact copy lands in the same cell as its original → found
+    assert(found.contains((0L, 9000L)), s"planted dup missing: $found")
+    // precision is exact by construction: every found pair really has
+    // cosine >= tau (verified against the full all-pairs scan)
+    val exact = Similarity.cosinePairs(vs.toDF("id", "vec"), 0.95)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(found.subsetOf(exact), s"false positives: ${found diff exact}")
+  }
+
   test("ANN multi-probe recall vs brute force") {
     val queries = embeddings.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(embeddings, queries, 5)
