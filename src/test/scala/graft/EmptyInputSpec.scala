@@ -47,6 +47,20 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.annTopK(noVecs, someQ, 5).count() == 0)
   }
 
+  test("round-4 dedup/similarity ops on empty input") {
+    assert(Dedup.chunkDupStats(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.substringDupStats(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashCalibration(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.keepBestPerCluster(
+      Seq.empty[(Long, Long)].toDF("a", "b"),
+      noDocs, "doc_id", length(col("text"))).count() == 0)
+    val noCells = Seq.empty[(Long, Int, Array[Double])]
+      .toDF("id", "cell", "vec")
+    assert(Similarity.semDedupPairs(noCells, 0.5).count() == 0)
+    assert(Similarity.semDedup(noCells, 0.5).count() == 0)
+    assert(Profile.profile(noDocs, Seq("doc_id", "text")).count() == 2)
+  }
+
   test("sessionize and time joins on empty input") {
     val noEvents = Seq.empty[(Long, Long, Long)]
       .toDF("user_id", "ts", "event_id")
