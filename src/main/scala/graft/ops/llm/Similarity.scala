@@ -143,6 +143,29 @@ object Similarity {
       .select(col("node").as("drop_id"), col("rep").as("keep_id"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4× compression before a vector index is built at corpus scale.
+    * Per-vector max-abs scaling: code_i = floor(v_i·127 / max|v|), so
+    * every code is in [-127, 127] and reconstruction error is bounded by
+    * one step (max|v|/127) per element. Everything is per-row (no
+    * shuffle), and all arithmetic is IEEE-correctly-rounded double ops in
+    * a fixed order + floor — deterministic across engines, no rounding
+    * halfway cases. Zero vectors quantize to all-zero codes. Output:
+    * (id, dim, code, maxabs_micro) — maxabs_micro is the dequant scale
+    * preserved as an exact integer.
+    */
+  def quantizeInt8(vectors: DataFrame): DataFrame = {
+    val v = vectors.toDF("id", "vec")
+      .withColumn("mx", array_max(transform(col("vec"), x => abs(x))))
+    v.select(col("id"), col("mx"),
+        posexplode(col("vec")).as(Seq("dim", "x")))
+      .select(col("id"), col("dim"),
+        when(col("mx") === 0d, 0)
+          .otherwise(floor(col("x") * 127d / col("mx")).cast("int"))
+          .as("code"),
+        floor(col("mx") * 1e6).cast("long").as("maxabs_micro"))
+  }
+
   /** Deterministic random hyperplanes: `planes` rows of `dim` components in
     * [-1, 1), from a fixed seed. Returned as a literal nested array column —
     * broadcast by value inside the plan.

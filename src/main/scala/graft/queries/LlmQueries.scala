@@ -1027,6 +1027,27 @@ object LlmQueries {
     // Per-label embedding centroids as (label, dim) rows — the coarse
     // quantizer build for IVF-style ANN. Element sums in exact integer
     // micro-units (double summation order differs across engines).
+    // Symmetric int8 quantization (4x compression before index build):
+    // per-vector max-abs scale, floor codes in [-127, 127], scale kept as
+    // exact integer micro. Per-row, no shuffle; floor of correctly-
+    // rounded IEEE ops in fixed order — no cross-engine halfway cases.
+    "q_quantize" -> Q(
+      """SELECT vec_id AS id, u.i - 1 AS dim,
+        |  CAST(CASE WHEN mx = 0 THEN 0
+        |    ELSE floor(v[u.i] * 127 / mx) END AS INTEGER) AS code,
+        |  CAST(floor(mx * 1000000) AS BIGINT) AS maxabs_micro
+        |FROM (
+        |  SELECT vec_id, embedding::DOUBLE[] v,
+        |    list_aggregate(list_transform(embedding::DOUBLE[],
+        |      x -> abs(x)), 'max') mx
+        |  FROM embeddings),
+        |LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) u"""
+        .stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      Similarity.quantizeInt8(
+        e.select(e("vec_id"), e("embedding").cast("array<double>")))
+    },
+
     "q_centroid" -> Q(
       """SELECT label, dim,
         |  CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT)

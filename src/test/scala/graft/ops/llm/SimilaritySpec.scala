@@ -59,6 +59,23 @@ class SimilaritySpec extends SparkSpec {
     assert(drops == Set((2L, 1L))) // drop 2, keep min-id 1
   }
 
+  test("int8 quantization: codes bounded, reconstruction within one step") {
+    val codes = Similarity.quantizeInt8(embeddings)
+      .as[(Long, Int, Int, Long)].collect()
+    assert(codes.nonEmpty)
+    assert(codes.forall { case (_, _, c, _) => c >= -127 && c <= 127 })
+    val orig = embeddings.as[(Long, Array[Double])].collect().toMap
+    codes.foreach { case (id, dim, c, mxMicro) =>
+      val mx = orig(id).map(math.abs).max
+      assert(math.abs(mxMicro - math.floor(mx * 1e6).toLong) <= 0)
+      val step = mx / 127.0
+      // floor quantization: v in [code*step, (code+1)*step)
+      val v = orig(id)(dim)
+      assert(v >= c * step - 1e-9 && v < (c + 1) * step + 1e-9,
+        s"vec $id dim $dim: v=$v code=$c step=$step")
+    }
+  }
+
   test("SemDeDup over IVF cells: exact precision, recall on planted dups") {
     // real embeddings + a planted near-exact copy of vec 0 (id 9000)
     val planted = embeddings.filter(col("vec_id") === 0)
