@@ -166,6 +166,48 @@ object Similarity {
         floor(col("mx") * 1e6).cast("long").as("maxabs_micro"))
   }
 
+  /** Int8 codes as an array column (the vector form of `quantizeInt8`):
+    * (id, codes array<int>, maxabs_micro). Same math, kept un-exploded
+    * for search.
+    */
+  def int8Codes(vectors: DataFrame): DataFrame = {
+    val v = vectors.toDF("id", "vec")
+      .withColumn("mx", array_max(transform(col("vec"), x => abs(x))))
+    v.select(col("id"),
+      when(col("mx") === 0d,
+          transform(col("vec"), _ => lit(0)))
+        .otherwise(transform(col("vec"),
+          x => floor(x * 127d / col("mx")).cast("int")))
+        .as("codes"),
+      floor(col("mx") * 1e6).cast("long").as("maxabs_micro"))
+  }
+
+  /** Quantized top-k: search over int8 codes with an EXACT integer score
+    * `dot(codesA, codesB) · mxA_micro · mxB_micro` (≈ cosine numerator
+    * scaled by 127²·10¹²). Every term is an integer that fits a long
+    * (|dot| ≤ 127²·dim, scales ≤ 10⁶ for unit-ish vectors), so unlike
+    * float cosine the ranking is bit-deterministic and oracle-checkable —
+    * the production property that makes a quantized index's results
+    * reproducible across engines and runs. The int products are also
+    * exactly representable in double, so the codegen'd DotProduct
+    * expression computes them exactly. Broadcast query side, corpus
+    * streams once; two-phase WindowGroupLimit takes the top-k.
+    */
+  def int8TopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val v = int8Codes(vectors)
+      .select(col("id"), col("codes").cast("array<double>").as("cv"),
+        col("maxabs_micro").as("mxv"))
+    val q = int8Codes(queries)
+      .select(col("id").as("qid"), col("codes").cast("array<double>").as("cq"),
+        col("maxabs_micro").as("mxq"))
+    val scored = v.join(broadcast(q), col("id") =!= col("qid"))
+      .withColumn("score",
+        dot(col("cq"), col("cv")).cast("long") * col("mxq") * col("mxv"))
+    graft.ops.TopK(scored, Seq("qid"), scored("score"),
+        Seq(scored("id")), k)
+      .select(col("qid"), col("id"), col("rnk"), col("score"))
+  }
+
   /** Deterministic random hyperplanes: `planes` rows of `dim` components in
     * [-1, 1), from a fixed seed. Returned as a literal nested array column —
     * broadcast by value inside the plan.

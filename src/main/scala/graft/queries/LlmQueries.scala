@@ -1048,6 +1048,37 @@ object LlmQueries {
         e.select(e("vec_id"), e("embedding").cast("array<double>")))
     },
 
+    // Quantized similarity search with a fully-integer score
+    // (dot(int8 codes) x both dequant scales): bit-deterministic ranking
+    // — the reproducibility property float cosine can't give — and
+    // therefore oracle-checkable end to end, unlike float ANN.
+    "q_similarity_int8" -> Q(
+      """WITH c AS (
+        |  SELECT vec_id id,
+        |    CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(v,
+        |        x -> CAST(floor(x * 127 / mx) AS BIGINT)) END codes,
+        |    CAST(floor(mx * 1000000) AS BIGINT) mxm
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] v,
+        |          list_aggregate(list_transform(embedding::DOUBLE[],
+        |            x -> abs(x)), 'max') mx
+        |        FROM embeddings)),
+        |q AS (SELECT id qid, codes qc, mxm qm FROM c WHERE id < 10),
+        |s AS (SELECT q.qid, c.id,
+        |        CAST(list_sum(list_transform(
+        |          generate_series(1, len(c.codes)),
+        |          i -> c.codes[i] * q.qc[i])) AS BIGINT) * q.qm * c.mxm
+        |          AS score
+        |      FROM c, q WHERE c.id <> q.qid),
+        |r AS (SELECT qid, id, score, row_number() OVER (
+        |        PARTITION BY qid ORDER BY score DESC, id) rnk FROM s)
+        |SELECT qid, id, CAST(rnk AS INTEGER) AS rnk, score
+        |FROM r WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+      Similarity.int8TopK(e, e.filter(col("vec_id") < 10), 5)
+    },
+
     "q_centroid" -> Q(
       """SELECT label, dim,
         |  CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT)

@@ -76,6 +76,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 top-k tracks exact brute-force ranking") {
+    val queries = embeddings.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(embeddings, queries, 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.int8TopK(embeddings, queries, 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    // 8-bit codes lose <1% of the dot product's magnitude; top-5 overlap
+    // must stay high (ties near the cut can legitimately flip)
+    assert(recall >= 0.7, s"int8 recall $recall vs exact top-5")
+  }
+
   test("SemDeDup over IVF cells: exact precision, recall on planted dups") {
     // real embeddings + a planted near-exact copy of vec 0 (id 9000)
     val planted = embeddings.filter(col("vec_id") === 0)
