@@ -53,6 +53,8 @@ object Stress {
         Dedup.minhashDedup(d, "doc_id", "text")).count()),
       "chunk_dup_stats" -> (d =>
         Dedup.chunkDupStats(d, "doc_id", "text", w = 10).count()),
+      "substring_dup_stats" -> (d =>
+        Dedup.substringDupStats(d, "doc_id", "text", n = 10).count()),
       "frame_sample" -> (d =>
         Multimodal.fromText(d, "doc_id", "text")
           .select(explode(Multimodal.frameSample(col("payload"),
