@@ -351,8 +351,20 @@ object Dedup {
     // compute the same partitions — without this the entire pair-mining
     // front-end (the dominant cost) ran twice per query.
     val p = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    // Size the loop's shuffle width to the GRAPH, not the session default:
+    // the label table holds only docs that appear in a pair — usually
+    // orders of magnitude smaller than the corpus — and every round pays
+    // per-partition fixed costs (task launch, sort, checkpoint block,
+    // AQE re-plan) times the partition count. The count is ~free (p is
+    // already materialized). Partitioning by the join/groupBy key means
+    // every agg and SMJ in the loop reuses it (hash partitioning on the
+    // key satisfies the required distribution at ANY width) instead of
+    // re-exchanging at spark.sql.shuffle.partitions width each round.
+    val parts = math.max(1,
+      math.min((p.count() / 100000L).toInt + 1, 10000))
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(parts, col("src"))
       .localCheckpoint(false)
     // init folds the first propagation round in: rep = min(node, neighbors)
     var labels = edges.groupBy(col("src").as("node"))
@@ -385,7 +397,10 @@ object Dedup {
       // lazily checkpointed so the pointer-jump self-join below reads the
       // aggregated result once instead of recomputing the join+agg on
       // both sides (ReusedExchange is not guaranteed under AQE).
+      // the union breaks the inherited hash partitioning, so re-pin the
+      // graph-sized width before the agg (see `parts` above)
       val propagated = labels.union(neigh)
+        .repartition(parts, col("node"))
         .groupBy("node").agg(min("rep").as("rep"))
         .localCheckpoint(false)
       // pointer jumping: rep := rep's rep — doubles the propagation
