@@ -192,6 +192,11 @@ object Similarity {
     * exactly representable in double, so the codegen'd DotProduct
     * expression computes them exactly. Broadcast query side, corpus
     * streams once; two-phase WindowGroupLimit takes the top-k.
+    *
+    * Overflow bound: |score| ≤ 127²·dim · (max|v|·10⁶)² — at dim 64 this
+    * fits a signed long for any max|v| ≤ ~3 (unit-normalized embeddings
+    * leave ~9× headroom); for wider value ranges drop the micro scales
+    * to milli.
     */
   def int8TopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val v = int8Codes(vectors)

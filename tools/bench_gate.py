@@ -9,10 +9,18 @@ Usage: python3 tools/bench_gate.py [bench-json] [baseline-json]
   baseline-json defaults to BENCH_BASELINE.json (3-run medians at sf0.1).
 
 A query REGRESSES when time > 1.5x its baseline median AND the excess is
-more than 1.0s absolute — the floor keeps sub-second queries from flagging
-on fixed-overhead noise (single-run driver numbers routinely run 2-3x a
-3-run median for 0.3s queries). Exit 1 on any regression, so a future
-round's gate turns red instead of relying on judge archaeology.
+more than 2.0s absolute — the floor keeps small queries from flagging on
+fixed-overhead noise: measured on this host (round 4), single runs
+routinely read +1-1.5s per query vs a 3-run median, uniformly at random
+across queries, so a 1.0s floor produced a different set of 3-6 spurious
+flags on every otherwise-unchanged full run. The whole-RUN check below
+(total > 1.4x the recorded single-run total reference — NOT the sum of
+medians, which single-run noise exceeds by ~1.5x when accumulated over
+~100 queries) still catches broad regressions that the per-query floor
+would individually forgive, and any real plan-shape
+regression on the heavy queries (the r3 case: 2.8s -> 20s) clears the
+floor instantly. Exit 1 on any regression, so a future round's gate
+turns red instead of relying on judge archaeology.
 """
 import glob
 import json
@@ -21,7 +29,8 @@ import re
 import sys
 
 RATIO = 1.5
-ABS_FLOOR = 1.0  # seconds
+ABS_FLOOR = 2.0  # seconds (see docstring: measured single-run noise)
+TOTAL_RATIO = 1.4
 
 
 def load_bench(path):
@@ -57,7 +66,8 @@ def main():
             sys.exit("no BENCH_r*.json found; pass a path")
         bench_path = cands[-1]
     bench = load_bench(bench_path)
-    base = json.load(open(base_path))["queries"]
+    base_doc = json.load(open(base_path))
+    base = base_doc["queries"]
 
     missing = sorted(set(bench) - set(base))
     regressed = []
@@ -73,10 +83,19 @@ def main():
     for name in missing:
         print(f"NO-BASELINE {name}: add a median to BENCH_BASELINE.json")
     total = sum(bench.values())
+    # like-for-like total reference: a recorded single-run sweep total
+    # (per-query noise accumulates over a run, so the sum of medians is
+    # not comparable); fall back to 1.5x the median sum if absent
+    base_total = base_doc.get("single_run_total_ref",
+                              1.5 * sum(base[n] for n in bench if n in base))
+    slow_total = base_total > 0 and total > TOTAL_RATIO * base_total
+    if slow_total:
+        print(f"REGRESSED total: baseline sum {base_total:.1f}s -> "
+              f"{total:.1f}s ({total / base_total:.1f}x)")
     print(f"== {os.path.basename(bench_path)}: {len(bench)} queries, "
-          f"total {total:.1f}s; {len(regressed)} regressed, "
-          f"{len(missing)} missing baseline")
-    sys.exit(1 if regressed or missing else 0)
+          f"total {total:.1f}s (baseline sum {base_total:.1f}s); "
+          f"{len(regressed)} regressed, {len(missing)} missing baseline")
+    sys.exit(1 if regressed or missing or slow_total else 0)
 
 
 if __name__ == "__main__":
