@@ -106,6 +106,63 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("substringDupStats equals the naive cross-doc shingle count") {
+    (1L to 3L).foreach { s =>
+      val docs = (0 until 12).map(i => (i.toLong, genDoc(s, i / 2)))
+      val n = 3
+      // naive reference: distinct n-gram sets per doc, count shingles
+      // present in any OTHER doc's set
+      def shingles(t: String): Set[String] = {
+        val toks = t.trim.toLowerCase.split("\\s+").toSeq
+        (if (toks.size <= n) Seq(toks.mkString(" "))
+         else toks.sliding(n).map(_.mkString(" ")).toSeq).toSet
+      }
+      val sets = docs.map { case (id, t) => id -> shingles(t) }.toMap
+      val expected = docs.map { case (id, _) =>
+        val mine = sets(id)
+        val dup = mine.count(g =>
+          sets.exists { case (o, st) => o != id && st(g) })
+        id -> ((mine.size.toLong, dup.toLong))
+      }.toMap
+      val got = Dedup.substringDupStats(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n)
+        .select("doc_id", "n_shingles", "dup_shingles")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expected,
+        s"seed $s: diff=${(got.toSet diff expected.toSet) ++
+          (expected.toSet diff got.toSet)}")
+    }
+  }
+
+  test("chunkDupStats equals the naive corpus-multiplicity chunk count") {
+    (1L to 3L).foreach { s =>
+      val docs = (0 until 12).map(i => (i.toLong, genDoc(s, i / 2)))
+      val w = 3
+      def chunks(t: String): Seq[String] = {
+        val toks = t.trim.toLowerCase.split("\\s+").toSeq
+        (0 until toks.size / w).map(i =>
+          toks.slice(i * w, i * w + w).mkString(" "))
+      }
+      val all = docs.flatMap { case (_, t) => chunks(t) }
+        .groupBy(identity).map { case (c, occ) => c -> occ.size }
+      val expected = docs.flatMap { case (id, t) =>
+        val cs = chunks(t)
+        if (cs.isEmpty) None
+        else Some(id -> ((cs.size.toLong,
+          cs.count(c => all(c) > 1).toLong)))
+      }.toMap
+      val got = Dedup.chunkDupStats(docs.toDF("doc_id", "text"),
+          "doc_id", "text", w)
+        .select("doc_id", "n_chunks", "dup_chunks")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expected,
+        s"seed $s: diff=${(got.toSet diff expected.toSet) ++
+          (expected.toSet diff got.toSet)}")
+    }
+  }
+
   test("minhashDeltaPairs equals the full result restricted to the delta") {
     (1L to 3L).foreach { s =>
       val r = new scala.util.Random(s)
