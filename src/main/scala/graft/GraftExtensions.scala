@@ -34,6 +34,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_word_shingles(text, <int literal n>)")
       }))
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // internal runtime row-group filtering but does not register them in
+    // the public function registry; graft exposes them for probe-set
+    // prefilters that are too large to broadcast as literal arrays
+    // (test-set decontamination against millions of probe shingles).
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        val agg = children match {
+          case Seq(c) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate
+              .BloomFilterAggregate(c)
+          case Seq(c, est) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate
+              .BloomFilterAggregate(c, est)
+          case Seq(c, est, bits) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate
+              .BloomFilterAggregate(c, est, bits)
+          case _ => throw new IllegalArgumentException(
+            "graft_bloom_agg(xxhash64Col[, estItems[, numBits]])")
+        }
+        agg.toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getName, "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_might_contain(bloomBinary, xxhash64Value)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_ngram_stats"),
       new ExpressionInfo(classOf[NgramStats].getName,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.table
 import graft.ops.TopK
-import graft.ops.llm.{Multimodal, TextOps}
+import graft.ops.llm.{Decontaminate, Multimodal, TextOps}
 
 /** Round-3 surface widening: outer/cross joins, set ops, conditional
   * expressions, scalar subqueries, exact percentiles, arg-min/max,
@@ -319,14 +319,30 @@ object ExtendedQueries {
         |  WHERE b.doc_id >= 5 AND g IN (SELECT g FROM probe))
         |SELECT doc_id FROM hits""".stripMargin) { (s, dir) =>
       val d = table(s, dir, "documents")
-      val shingled = d.select(d("doc_id"),
-        TextOps.shingleSet(d("text"), 3).as("sh"))
-      val probe = shingled.filter(col("doc_id") < 5)
-        .select(explode(col("sh")).as("g")).distinct()
-      val train = shingled.filter(col("doc_id") >= 5)
-        .select(col("doc_id"), explode(col("sh")).as("g"))
-      train.join(broadcast(probe), "g")
-        .select("doc_id").distinct()
+      Decontaminate.viaJoin(
+        d.filter(col("doc_id") >= 5), d.filter(col("doc_id") < 5),
+        "doc_id", "text", n = 3)
+    },
+
+    // Same decontamination semantics, bloom-prefiltered: the corpus
+    // shingle stream is cut to bloom candidates (true hits + FPs) before
+    // the exact semi-join, so the join input shrinks by orders of
+    // magnitude when the probe set is too big to broadcast comfortably —
+    // result identical to q_contamination (FPs die in the exact join),
+    // which is why the same oracle applies.
+    "q_contamination_bloom" -> Q(
+      s"""WITH $duckShinglesExt,
+        |probe AS (
+        |  SELECT DISTINCT unnest(sh) g FROM base WHERE doc_id < 5),
+        |hits AS (
+        |  SELECT DISTINCT b.doc_id FROM base b, unnest(b.sh) AS t(g)
+        |  WHERE b.doc_id >= 5 AND g IN (SELECT g FROM probe))
+        |SELECT doc_id FROM hits""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      Decontaminate.viaBloom(
+        d.filter(col("doc_id") >= 5), d.filter(col("doc_id") < 5),
+        "doc_id", "text", n = 3,
+        estItems = 200000L, numBits = 1600000L)
     },
 
     // Deterministic corpus sharding (train/val splits at any cluster
