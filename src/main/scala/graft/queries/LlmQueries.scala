@@ -557,6 +557,34 @@ object LlmQueries {
         .select(col("doc_id"))
     },
 
+    // Near-dup cluster size distribution: (cluster_size, n_clusters) over
+    // the MinHash+LSH connected components — the over-merge diagnostic
+    // run after an LSH parameter change (a fat tail here means bands are
+    // too permissive and dedup would eat distinct content). Two tiny aggs
+    // over the CC label table; singleton docs (no pair) are not clusters.
+    "q_cluster_sizes" -> Q(
+      s"""WITH RECURSIVE $duckShingles,
+        |$duckMinhashPairs,
+        |edges AS (
+        |  SELECT a src, b dst FROM mh_pairs
+        |  UNION ALL SELECT b, a FROM mh_pairs),
+        |cc AS (
+        |  SELECT DISTINCT src AS node, src AS rep FROM edges
+        |  UNION
+        |  SELECT e.dst, cc.rep FROM cc, edges e WHERE cc.node = e.src),
+        |reps AS (SELECT node, min(rep) rep FROM cc GROUP BY node),
+        |sizes AS (SELECT rep, CAST(count(*) AS BIGINT) cluster_size
+        |          FROM reps GROUP BY rep)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) n_clusters
+        |FROM sizes GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val pairs = Dedup.minhashDedup(d, "doc_id", "text",
+        n = 3, bands = 4, num = 8, den = 10)
+      Dedup.connectedComponents(pairs.select("a", "b"))
+        .groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    },
+
     // Quality-aware survivor selection: MinHash+LSH clusters, but each
     // cluster keeps its HIGHEST-quality member (stopword-count score, ties
     // to the lowest id) rather than the blind min-id — what a production
