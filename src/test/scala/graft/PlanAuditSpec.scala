@@ -167,6 +167,14 @@ class PlanAuditSpec extends SparkSpec {
       s"profiler must not scan per column:\n$p")
   }
 
+  test("q_contamination_bloom: bloom prefilter sits before the exact join") {
+    val p = plan("q_contamination_bloom")
+    assert(p.contains("might_contain"),
+      s"bloom prefilter missing from the scan side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"exact verify must be the broadcast semi-join:\n$p")
+  }
+
   test("q_skew_salt: salted partial agg combines before the final key agg") {
     val p = plan("q_skew_salt")
     val finals = p.linesIterator.count(l =>
