@@ -107,6 +107,29 @@ class SimilaritySpec extends SparkSpec {
     assert(found.subsetOf(exact), s"false positives: ${found diff exact}")
   }
 
+  test("semDedupPairs equals naive within-cell all-pairs on random cells") {
+    (1 to 3).foreach { s =>
+      val r = new scala.util.Random(s)
+      val vs = (0 until 30).map(i =>
+        (i.toLong, r.nextInt(4), Array.fill(8)(r.nextDouble() * 2 - 1)))
+      val tau = 0.6
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum))
+      }
+      val expected = (for {
+        (ia, ca, va) <- vs; (ib, cb, vb) <- vs
+        if ia < ib && ca == cb && cos(va, vb) >= tau
+      } yield (ia, ib)).toSet
+      val got = Similarity.semDedupPairs(
+          vs.toDF("id", "cell", "vec"), tau)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(got == expected,
+        s"seed $s diff=${(got diff expected) ++ (expected diff got)}")
+    }
+  }
+
   test("ANN multi-probe recall vs brute force") {
     val queries = embeddings.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(embeddings, queries, 5)
