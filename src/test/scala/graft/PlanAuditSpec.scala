@@ -167,6 +167,28 @@ class PlanAuditSpec extends SparkSpec {
       s"profiler must not scan per column:\n$p")
   }
 
+  test("q_quantize: per-row quantization, zero exchanges") {
+    val p = plan("q_quantize")
+    assert(!p.contains("Exchange"),
+      s"quantization must not shuffle:\n$p")
+  }
+
+  test("q_similarity_int8: queries broadcast, two-phase top-k") {
+    val p = plan("q_similarity_int8")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k must be two-phase:\n$p")
+  }
+
+  test("q_substring_dup: digests shuffle once (window), no join-back") {
+    val p = plan("q_substring_dup")
+    val exchanges = p.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+  }
+
   test("q_contamination_bloom: bloom prefilter sits before the exact join") {
     val p = plan("q_contamination_bloom")
     assert(p.contains("might_contain"),
