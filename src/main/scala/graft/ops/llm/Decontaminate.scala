@@ -55,11 +55,17 @@ object Decontaminate {
       .agg(call_function("graft_bloom_agg", xxhash64(col("g")),
         lit(estItems), lit(numBits)).as("bf"))
       .head.getAs[Array[Byte]]("bf")
-    val candidates = shingled(train, idCol, textCol, n)
-      .filter(call_function("graft_might_contain",
-        lit(bloom), xxhash64(col("g"))))
-    candidates
-      .join(broadcast(probeShingles), "g")
-      .select("doc_id").distinct()
+    // empty probe set → the aggregate returns null (no bloom to build);
+    // the exact join over zero probe shingles is the correct (empty)
+    // answer and avoids an untyped null literal in might_contain
+    if (bloom == null) viaJoin(train, probes, idCol, textCol, n)
+    else {
+      val candidates = shingled(train, idCol, textCol, n)
+        .filter(call_function("graft_might_contain",
+          lit(bloom), xxhash64(col("g"))))
+      candidates
+        .join(broadcast(probeShingles), "g")
+        .select("doc_id").distinct()
+    }
   }
 }

@@ -59,6 +59,14 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.semDedupPairs(noCells, 0.5).count() == 0)
     assert(Similarity.semDedup(noCells, 0.5).count() == 0)
     assert(Profile.profile(noDocs, Seq("doc_id", "text")).count() == 2)
+    assert(Decontaminate.viaJoin(noDocs, noDocs, "doc_id", "text", 3)
+      .count() == 0)
+    // empty probe set: the bloom aggregate returns null — must fall back
+    // to the (empty) exact join, not fail analysis on a null literal
+    val someDocs = Seq((1L, "some training document text here"))
+      .toDF("doc_id", "text")
+    assert(Decontaminate.viaBloom(someDocs, noDocs, "doc_id", "text", 3)
+      .count() == 0)
   }
 
   test("sessionize and time joins on empty input") {
