@@ -49,8 +49,12 @@ object Decontaminate {
                textCol: String, n: Int,
                estItems: Long = 1000000L,
                numBits: Long = 8000000L): DataFrame = {
+    // materialized once: the bloom build (an eager action) and the exact
+    // verify join both read the probe shingle set — without this the
+    // tokenize+shingle+distinct pipeline runs twice per query
     val probeShingles = shingled(probes, idCol, textCol, n)
       .select("g").distinct()
+      .localCheckpoint(false)
     val bloom = probeShingles
       .agg(call_function("graft_bloom_agg", xxhash64(col("g")),
         lit(estItems), lit(numBits)).as("bf"))

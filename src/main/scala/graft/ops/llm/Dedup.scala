@@ -170,11 +170,12 @@ object Dedup {
     * candidates from same-(band, bandkey) buckets, verified with exact
     * shingle Jaccard >= num/den. Output (a, b, inter, uni).
     */
-  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, bands: Int = 4, num: Int = 8, den: Int = 10)
-      : DataFrame = {
-    val (base, _, banded) =
-      minhashBands(df, idCol, textCol, n, bands, Nil)
+  /** Banded-bucket candidate mining + exact verify — the shared back half
+    * of every MinHash query (minhashDedup and minhashCalibration must see
+    * the IDENTICAL pair set, so they share this by construction).
+    */
+  private def minePairs(base: DataFrame, banded: DataFrame,
+                        num: Int, den: Int): DataFrame = {
     val l = banded.toDF("a", "band", "bkey")
     val r = banded.toDF("b", "band2", "bkey2")
     val cand = l.join(r,
@@ -182,6 +183,14 @@ object Dedup {
           l("a") < r("b"))
       .select("a", "b").distinct()
     verifyPairs(cand, base, num, den)
+  }
+
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, bands: Int = 4, num: Int = 8, den: Int = 10)
+      : DataFrame = {
+    val (base, _, banded) =
+      minhashBands(df, idCol, textCol, n, bands, Nil)
+    minePairs(base, banded, num, den)
   }
 
   /** Incremental near-dup mining: pairs involving at least one `incoming`
@@ -208,13 +217,7 @@ object Dedup {
                          n: Int = 3, bands: Int = 4,
                          num: Int = 8, den: Int = 10): DataFrame = {
     val (base, sigs, banded) = minhashBands(df, idCol, textCol, n, bands, Nil)
-    val l = banded.toDF("a", "band", "bkey")
-    val r = banded.toDF("b", "band2", "bkey2")
-    val cand = l.join(r,
-        l("band") === r("band2") && l("bkey") === r("bkey2") &&
-          l("a") < r("b"))
-      .select("a", "b").distinct()
-    val verified = verifyPairs(cand, base, num, den)
+    val verified = minePairs(base, banded, num, den)
     val k = 2 * bands
     val segs = 0 until k
     val sa = sigs.select(col("doc").as("a") +:
@@ -269,18 +272,25 @@ object Dedup {
     * and the per-doc rollup partial-aggregates map-side.
     */
   def chunkDupStats(df: DataFrame, idCol: String, textCol: String,
-                    w: Int = 10): DataFrame = {
+                    w: Int = 10): DataFrame =
+    dupProfile(df.select(df(idCol).as("doc"),
+      explode(TextOps.tokenChunks(df(textCol), w)).as("u")), "chunks")
+
+  /** Shared duplication-profile back half (chunkDupStats and
+    * substringDupStats differ only in the segmentation): sha256 the
+    * segment AT THE SCAN (segment text never shuffles), count occurrences
+    * with ONE window over the digest, roll up per doc. `what` names the
+    * output columns (n_<what>, dup_<what>, dup_permille).
+    */
+  private def dupProfile(units: DataFrame, what: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val chunks = df
-      .select(df(idCol).as("doc"),
-        explode(TextOps.tokenChunks(df(textCol), w)).as("chunk"))
-      .select(col("doc"), sha2(col("chunk"), 256).as("csha"))
-    chunks
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("csha")))
+    units.select(col("doc"), sha2(col("u"), 256).as("usha"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("usha")))
       .groupBy(col("doc").as("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup_chunks"))
-      .withColumn("dup_permille", expr("(dup_chunks * 1000) div n_chunks"))
+      .agg(count(lit(1)).as(s"n_$what"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as(s"dup_$what"))
+      .withColumn("dup_permille",
+        expr(s"(dup_$what * 1000) div n_$what"))
   }
 
   /** Sliding-window cross-doc duplication profile (the exact-substring
@@ -298,19 +308,9 @@ object Dedup {
     * shuffles, only sha256 digests.
     */
   def substringDupStats(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = df
-      .select(df(idCol).as("doc"),
-        explode(TextOps.shingleSet(df(textCol), n)).as("g"))
-      .select(col("doc"), sha2(col("g"), 256).as("gsha"))
-    sh.withColumn("ndocs", count(lit(1)).over(Window.partitionBy("gsha")))
-      .groupBy(col("doc").as("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("dup_shingles"))
-      .withColumn("dup_permille",
-        expr("(dup_shingles * 1000) div n_shingles"))
-  }
+                        n: Int = 10): DataFrame =
+    dupProfile(df.select(df(idCol).as("doc"),
+      explode(TextOps.shingleSet(df(textCol), n)).as("u")), "shingles")
 
   /** Quality-aware survivor selection: given near-dup pairs and a per-doc
     * score, pick each cluster's HIGHEST-scoring member (ties → lowest id)

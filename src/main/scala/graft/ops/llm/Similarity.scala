@@ -160,8 +160,12 @@ object Similarity {
     v.select(col("id"), col("mx"),
         posexplode(col("vec")).as(Seq("dim", "x")))
       .select(col("id"), col("dim"),
+        // clamp at -127: for x = -mx, fl(fl(x·127)/mx) can land one ulp
+        // below -127 and floor to -128 (≈3 ppm of mx values) — the clamp
+        // keeps the documented symmetric range; mirrored in the oracle
         when(col("mx") === 0d, 0)
-          .otherwise(floor(col("x") * 127d / col("mx")).cast("int"))
+          .otherwise(greatest(lit(-127L),
+            floor(col("x") * 127d / col("mx"))).cast("int"))
           .as("code"),
         floor(col("mx") * 1e6).cast("long").as("maxabs_micro"))
   }
@@ -177,7 +181,9 @@ object Similarity {
       when(col("mx") === 0d,
           transform(col("vec"), _ => lit(0)))
         .otherwise(transform(col("vec"),
-          x => floor(x * 127d / col("mx")).cast("int")))
+          // -127 clamp: see quantizeInt8
+          x => greatest(lit(-127L), floor(x * 127d / col("mx")))
+            .cast("int")))
         .as("codes"),
       floor(col("mx") * 1e6).cast("long").as("maxabs_micro"))
   }

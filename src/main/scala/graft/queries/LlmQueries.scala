@@ -703,6 +703,10 @@ object LlmQueries {
     // (`label` plays the IVF-cell role here), connected components over
     // the within-cell pairs, drop all but each component's min-id member.
     // The cell-equi join makes the pair space Σ|cell|² instead of n².
+    // τ=0.4 sits in a wide gap of the within-label cosine distribution
+    // (nearest values 0.39988 / 0.40061 at sf0.1, similar at the other
+    // SFs — ~6e-4 wide, ~1e12 double-ulps), so the two engines' different
+    // cosine evaluation orders cannot flip a pair across the threshold.
     "q_semdedup" -> Q(
       """WITH RECURSIVE
         |e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
@@ -1062,7 +1066,8 @@ object LlmQueries {
     "q_quantize" -> Q(
       """SELECT vec_id AS id, u.i - 1 AS dim,
         |  CAST(CASE WHEN mx = 0 THEN 0
-        |    ELSE floor(v[u.i] * 127 / mx) END AS INTEGER) AS code,
+        |    ELSE greatest(-127, floor(v[u.i] * 127 / mx)) END
+        |    AS INTEGER) AS code,
         |  CAST(floor(mx * 1000000) AS BIGINT) AS maxabs_micro
         |FROM (
         |  SELECT vec_id, embedding::DOUBLE[] v,
@@ -1085,7 +1090,8 @@ object LlmQueries {
         |  SELECT vec_id id,
         |    CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
         |      ELSE list_transform(v,
-        |        x -> CAST(floor(x * 127 / mx) AS BIGINT)) END codes,
+        |        x -> CAST(greatest(-127, floor(x * 127 / mx)) AS BIGINT))
+        |      END codes,
         |    CAST(floor(mx * 1000000) AS BIGINT) mxm
         |  FROM (SELECT vec_id, embedding::DOUBLE[] v,
         |          list_aggregate(list_transform(embedding::DOUBLE[],

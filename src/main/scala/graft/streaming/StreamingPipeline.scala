@@ -190,8 +190,11 @@ object StreamingPipeline {
   /** Continuous-ingest near-dup detection: each micro-batch of documents
     * is MinHash-mined against the accumulated corpus via
     * `Dedup.minhashDeltaPairs` (corpus-bands × delta-bands — the corpus
-    * never joins itself), found pairs append to `pairsDir`, then the
-    * batch itself appends to the corpus. The streaming shape of the
+    * never joins itself), found pairs land in `pairsDir/batch=<id>`, then
+    * the batch itself lands in `corpusDir/batch=<id>` (per-batch
+    * directories overwritten on replay — foreachBatch is at-least-once,
+    * so idempotent writes are what make the checkpoint's batch accounting
+    * effectively exactly-once). The streaming shape of the
     * daily-increment dedup in SURVEY §2.12 L20: state lives in parquet
     * (at scale: the persisted band table bucketed by (band, bkey)), the
     * checkpoint gives exactly-once batch accounting, and a batch is also
@@ -202,17 +205,31 @@ object StreamingPipeline {
     val q = docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // only a MISSING/empty corpus means "first batch, start empty" —
+        // checked explicitly so any actual read failure (corrupt file,
+        // schema drift) surfaces instead of being mistaken for first-run:
+        // swallowing it would silently lose every cross-batch duplicate
+        // while the batch still writes, permanently poisoning the corpus
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val corpusPath = new org.apache.hadoop.fs.Path(corpusDir)
         val corpus =
-          try spark.read.parquet(corpusDir)
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            spark.range(0).select(col("id").as("doc_id"), lit("").as("text"))
-          }
+          if (fs.exists(corpusPath) && fs.listStatus(corpusPath).nonEmpty)
+            spark.read.parquet(corpusDir).select("doc_id", "text")
+          else spark.range(0)
+            .select(col("id").as("doc_id"), lit("").as("text"))
         val pairs = graft.ops.llm.Dedup.minhashDeltaPairs(
           corpus, batch, "doc_id", "text")
-        pairs.write.mode("append").parquet(pairsDir)
-        batch.select("doc_id", "text").write.mode("append").parquet(corpusDir)
+        // foreachBatch is at-least-once: a replayed batch must overwrite
+        // its own slice, not append a second copy — per-batch directories
+        // make both writes idempotent, which is what actually backs the
+        // exactly-once accounting claimed above
+        pairs.write.mode("overwrite")
+          .parquet(s"$pairsDir/batch=$batchId")
+        batch.select("doc_id", "text").write.mode("overwrite")
+          .parquet(s"$corpusDir/batch=$batchId")
         ()
       }
       .start()

@@ -125,12 +125,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
   }
 
-  test("q_semdedup: within-cell pair mining is an equi-join, not a cartesian") {
-    val p = SparkEntry.queries("q_semdedup")(spark, sf0001)
+  test("semDedupPairs: within-cell pair mining is an equi-join, not a cartesian") {
+    // audit the pair-mining plan DIRECTLY: inside q_semdedup it executes
+    // eagerly under connectedComponents' localCheckpoint, so the declared
+    // query's plan only shows the final label scan and an assertion on it
+    // would be vacuous
+    val e = graft.Tables.table(spark, sf0001, "embeddings")
+    val p = graft.ops.llm.Similarity.semDedupPairs(
+        e.select(e("vec_id"), e("label"),
+          e("embedding").cast("array<double>")), 0.4)
       .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"cell join must be an equi-join:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
-      s"cell join must stay equi (SortMerge/ShuffledHash):\n$p")
+      s"cell join must not be a cartesian:\n$p")
   }
 
   test("q_mix_weights: group total broadcasts; no second documents scan") {
