@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, NgramStats, WordShingles}
+import graft.functions.{CharHistStats, DotProduct, NgramStats, WordShingles}
 
 /** Session-extensions entry point: registers the native graft expressions
   * as SQL functions, so `spark.sql("... graft_dot(a, b) ...")` works in
@@ -79,6 +79,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text, Literal(n: Int, IntegerType)) => NgramStats(text, n)
         case _ => throw new IllegalArgumentException(
           "graft_ngram_stats(text, <int literal n>)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_hist"),
+      new ExpressionInfo(classOf[CharHistStats].getName,
+        "graft_char_hist"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_char_hist(text)")
+        CharHistStats(children.head)
       }))
   }
 }

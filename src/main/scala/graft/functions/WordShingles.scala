@@ -23,7 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * allocates a slice array + concat buffer each time, and it is the
   * dominant cost of every shingle-based dedup query.
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int,
+                        distinct: Boolean = true)
     extends UnaryExpression {
 
   require(n >= 1, "shingle width must be >= 1")
@@ -43,7 +44,13 @@ case class WordShingles(child: Expression, n: Int)
     // trim() (spaces only) — matching SQL trim(), not trimAll
     val s = u.trim().toLowerCase.toString
     val toks = WordShingles.WS.split(s, -1)
-    val out = new java.util.LinkedHashSet[UTF8String]
+    // LinkedHashSet dedupes in first-occurrence order; with distinct=false
+    // it is a plain ordered sink (bigrams of an n-token doc are all
+    // position-distinct only as (pos, gram) — the STREAM form keeps every
+    // occurrence, the n-gram-LM / PMI counting unit).
+    val out: java.util.Collection[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String]
+      else new java.util.ArrayList[UTF8String]
     if (toks.length >= n) {
       val sb = new java.lang.StringBuilder
       var i = 0
@@ -83,4 +90,10 @@ object WordShingles {
 
   def apply(c: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(c), n))
+
+  /** Non-distinct occurrence stream (every shingle, in position order) —
+    * the counting unit for n-gram LMs / PMI, where multiplicity matters.
+    */
+  def stream(c: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(c), n, distinct = false))
 }

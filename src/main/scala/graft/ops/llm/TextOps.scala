@@ -33,6 +33,16 @@ object TextOps {
   def shingleSet(c: Column, n: Int): Column =
     graft.functions.WordShingles(c, n)
 
+  /** Non-distinct shingle occurrence stream of a text column in position
+    * order — the counting unit for n-gram LM / PMI statistics, where
+    * multiplicity matters. Same single-pass codegen expression as
+    * [[shingleSet]]; a doc shorter than n words yields its single
+    * (shorter, hence space-free for n=2) shingle, which stream consumers
+    * drop with a `contains(" ")` filter.
+    */
+  def shingleStream(c: Column, n: Int): Column =
+    graft.functions.WordShingles.stream(c, n)
+
   /** Non-overlapping w-token chunks of the normalized text (full chunks
     * only — a trailing remainder shorter than w tokens is dropped, as is a
     * doc with fewer than w tokens). The segmentation unit for

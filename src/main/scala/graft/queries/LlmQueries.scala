@@ -890,9 +890,11 @@ object LlmQueries {
         |FROM r WHERE rnk <= 5""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val d = table(s, dir, "documents")
-      val c = d.select(TextOps.tokens(d("text")).as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(explode(TextOps.shingles(col("t"), 2)).as("bigram"))
+      // codegen shingle stream; the contains-" " filter drops the partial
+      // shingle of <2-token docs (== the old size(t) >= 2 pre-filter)
+      val c = d.select(explode(TextOps.shingleStream(d("text"), 2))
+          .as("bigram"))
+        .filter(col("bigram").contains(" "))
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
         .withColumn("head", substring_index(col("bigram"), " ", 1))
       val byHead = Window.partitionBy("head")

@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.ops.ZOrder
+import graft.ops.llm.TextOps
+
+/** Corpus-mining tier: relevance scoring (BM25), collocation mining
+  * (PMI), inverted-index construction, character-level diversity
+  * profiling, and z-order layout keys — the retrieval/statistics layer a
+  * training-data pipeline runs NEXT TO dedup and quality filtering.
+  *
+  * Oracle strategy (same discipline as LlmQueries): every float that
+  * reaches an output is either (a) rounded to an integer micro/ppm unit
+  * per ROW before any aggregation — integer sums are order-independent,
+  * so partition order can't change a hash — or (b) derived from exact
+  * integer cross-multiplication. `ln` is written with the identical
+  * operand order on both engines (the q_tfidf/q_surprisal precedent:
+  * correctly-rounded IEEE ops on identical inputs agree bit-for-bit).
+  */
+object MiningQueries {
+
+  /** (doc_id, term) token stream — non-distinct, the tf/df base. */
+  private def tok(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+    d.select(d("doc_id"), explode(TextOps.tokens(d("text"))).as("term"))
+  }
+
+  // DuckDB twin of `tok` (byte-identical tokenization to TextOps.tokens).
+  private val duckTok =
+    """tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+      |    '\s+')) AS term FROM documents)""".stripMargin
+
+  val all: Map[String, Q] = Map(
+
+    // BM25 (k1=1.2, b=0.75) relevance of every document against the
+    // corpus's own top-5 terms (frequency desc, term asc — a total order,
+    // so the probe set is deterministic). The per-(doc,term) saturation
+    // term tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is cross-multiplied by
+    // 20·S·N into the all-integer num/den pair
+    //   num = 44·tf·S,  den = 20·S·tf + 6·S + 18·dl·N      (S=Σdl)
+    // so the only float ops are ONE division, ONE multiply by the
+    // integer idf_micro, and ONE round — then integer sums. Shapes: probe
+    // terms and the (N,S) row broadcast; tf/dl shuffle on their keys;
+    // the top-20 cut is a TakeOrderedAndProject (partial top-k per map
+    // task), never a global sort.
+    "q_bm25" -> Q(
+      s"""WITH $duckTok,
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf
+        |       FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) dl FROM tf
+        |       GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) n_docs,
+        |              CAST(sum(dl) AS BIGINT) s_tok FROM dl),
+        |freq AS (SELECT term, CAST(sum(tf) AS BIGINT) freq FROM tf
+        |         GROUP BY 1),
+        |probe AS (SELECT term FROM freq ORDER BY freq DESC, term LIMIT 5),
+        |dft AS (SELECT t.term, CAST(count(DISTINCT t.doc_id) AS BIGINT) df
+        |        FROM tf t JOIN probe p ON t.term = p.term GROUP BY 1),
+        |idf AS (SELECT term,
+        |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * 10000)
+        |         AS BIGINT) idf_micro FROM dft, st),
+        |contrib AS (SELECT t.doc_id,
+        |    CAST(round(CAST(i.idf_micro AS DOUBLE) *
+        |      (CAST(44 * t.tf * st.s_tok AS DOUBLE) /
+        |       CAST(20 * st.s_tok * t.tf + 6 * st.s_tok
+        |            + 18 * d.dl * st.n_docs AS DOUBLE))) AS BIGINT) c
+        |  FROM tf t JOIN idf i ON t.term = i.term
+        |  JOIN dl d ON t.doc_id = d.doc_id, st)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS bm25_micro,
+        |  CAST(count(*) AS BIGINT) AS n_probe_terms
+        |FROM contrib GROUP BY 1
+        |ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+      val tf = tok(s, dir).groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("s_tok"))
+      val probe = tf.groupBy("term").agg(sum("tf").as("freq"))
+        .orderBy(col("freq").desc, col("term")).limit(5).select("term")
+      val dft = tf.join(broadcast(probe), "term")
+        .groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val idf = dft.crossJoin(broadcast(st))
+        .select(col("term"),
+          round(log((col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1)) * 10000)
+            .cast("long").as("idf_micro"))
+      val contrib = tf.join(broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(st))
+        .select(col("doc_id"),
+          round(col("idf_micro").cast("double") *
+            ((lit(44) * col("tf") * col("s_tok")).cast("double") /
+             (lit(20) * col("s_tok") * col("tf") + lit(6) * col("s_tok")
+               + lit(18) * col("dl") * col("n_docs")).cast("double")))
+            .cast("long").as("c"))
+      contrib.groupBy("doc_id")
+        .agg(sum("c").cast("long").as("bm25_micro"),
+          count(lit(1)).as("n_probe_terms"))
+        .orderBy(col("bm25_micro").desc, col("doc_id")).limit(20)
+    },
+
+    // Pointwise mutual information over consecutive-token bigrams — the
+    // classic collocation miner (and the feature behind "glued phrase"
+    // tokenizer audits). pmi = ln((c_xy/Nb) / ((c_x/Nu)(c_y/Nu))),
+    // rounded to integer micro per PAIR before the top-100 cut (pmi
+    // desc, x, y — total order). The two corpus totals ride in as 1-row
+    // broadcast aggregates; unigram counts join per side.
+    "q_pmi" -> Q(
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') toks
+        |  FROM documents),
+        |bg AS (SELECT toks[i] x, toks[i + 1] y FROM t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g),
+        |cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) c_xy FROM bg
+        |        GROUP BY 1, 2),
+        |uni AS (SELECT term, CAST(count(*) AS BIGINT) c FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) term
+        |    FROM documents) GROUP BY 1),
+        |nu AS (SELECT CAST(sum(c) AS BIGINT) n_uni FROM uni),
+        |nb AS (SELECT CAST(sum(c_xy) AS BIGINT) n_big FROM cxy)
+        |SELECT x, y, c_xy,
+        |  CAST(round(ln((CAST(c_xy AS DOUBLE) / CAST(n_big AS DOUBLE)) /
+        |    ((CAST(ux.c AS DOUBLE) / CAST(n_uni AS DOUBLE)) *
+        |     (CAST(uy.c AS DOUBLE) / CAST(n_uni AS DOUBLE)))) * 10000)
+        |    AS BIGINT) AS pmi_micro
+        |FROM cxy JOIN uni ux ON cxy.x = ux.term
+        |         JOIN uni uy ON cxy.y = uy.term, nu, nb
+        |WHERE c_xy >= 5
+        |ORDER BY pmi_micro DESC, x, y LIMIT 100""".stripMargin) {
+      (s, dir) =>
+      val d = table(s, dir, "documents")
+      // codegen shingle stream (one pass, no interpreted lambdas); the
+      // contains-" " filter drops the partial shingle of <2-token docs,
+      // and the space round-trip is lossless because tokens are split on
+      // \s+ (they never contain the single-space join character)
+      val pairs = d.select(explode(TextOps.shingleStream(d("text"), 2))
+          .as("g"))
+        .filter(col("g").contains(" "))
+        .select(substring_index(col("g"), " ", 1).as("x"),
+          substring_index(col("g"), " ", -1).as("y"))
+      val cxy = pairs.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      val uni = tok(s, dir).groupBy("term").agg(count(lit(1)).as("c"))
+      val nu = uni.agg(sum("c").as("n_uni"))
+      val nb = cxy.agg(sum("c_xy").as("n_big"))
+      // no broadcast hint on uni: vocabulary grows with the corpus — AQE
+      // broadcasts it only while it is actually small.
+      cxy.filter(col("c_xy") >= 5)
+        .join(uni.select(col("term").as("x"), col("c").as("cx")), "x")
+        .join(uni.select(col("term").as("y"), col("c").as("cy")), "y")
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .select(col("x"), col("y"), col("c_xy"),
+          round(log((col("c_xy").cast("double") /
+              col("n_big").cast("double")) /
+            ((col("cx").cast("double") / col("n_uni").cast("double")) *
+             (col("cy").cast("double") / col("n_uni").cast("double"))))
+            * 10000).cast("long").as("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("x"), col("y")).limit(100)
+    },
+
+    // Inverted-index construction: ordered posting lists for the 200
+    // highest-df terms (df desc, term asc — total order). The postings
+    // JSON uses the q_topk_collect trick (sorted array → to_json) so the
+    // list is hash-comparable across engines; the top-200 cut is a
+    // TakeOrderedAndProject and the posting build only runs for the 200
+    // surviving terms (broadcast semi-ish join), never the full
+    // vocabulary.
+    "q_inverted_index" -> Q(
+      s"""WITH $duckTok,
+        |post AS (SELECT DISTINCT term, doc_id FROM tok),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) df FROM post
+        |        GROUP BY 1),
+        |top AS (SELECT term, df FROM dft ORDER BY df DESC, term LIMIT 200)
+        |SELECT top.term, top.df,
+        |  to_json(list(post.doc_id ORDER BY post.doc_id)) AS postings
+        |FROM top JOIN post ON top.term = post.term
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val post = tok(s, dir).select("term", "doc_id").distinct()
+      val top = post.groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term")).limit(200)
+      post.join(broadcast(top), "term")
+        .groupBy("term", "df")
+        .agg(to_json(sort_array(collect_list(col("doc_id"))))
+          .as("postings"))
+        .select("term", "df", "postings")
+    },
+
+    // Character-level diversity profile — the cheap "keyboard-mash /
+    // single-char spam" quality signal: normalized length, distinct
+    // chars, and a Gini impurity over the char histogram in exact ppm:
+    // gini_ppm = round(1e6·(n² − Σc²)/n²). Σc² ≤ n² ≤ ~1e8 per doc and
+    // 1e6·(n²−Σc²) ≤ ~1e14 — exact in BIGINT and in double, so the one
+    // division is deterministic. The histogram facts (n, distinct, Σc²)
+    // come from the one-pass codegen CharHistStats expression: no char
+    // ever shuffles, the query is a straight projection over the scan
+    // (the interpreted-HOF form measured 66 s at sf0.1; this is ~0.5 s).
+    "q_char_diversity" -> Q(
+      """WITH s AS (SELECT doc_id, lower(trim(text)) s FROM documents
+        |           WHERE length(lower(trim(text))) >= 1),
+        |c AS (SELECT doc_id, substr(s, i, 1) ch FROM s,
+        |  LATERAL (SELECT unnest(generate_series(1, length(s))) AS i) g),
+        |h AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) cnt FROM c
+        |      GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) n,
+        |             CAST(count(*) AS BIGINT) d,
+        |             CAST(sum(cnt * cnt) AS BIGINT) ss FROM h GROUP BY 1)
+        |SELECT doc_id, n AS n_chars_norm, d AS distinct_chars,
+        |  CAST(round(CAST((n * n - ss) * 1000000 AS DOUBLE) /
+        |             CAST(n * n AS DOUBLE)) AS BIGINT) AS gini_ppm
+        |FROM a""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val norm = d.select(d("doc_id"), TextOps.normalized(d("text")).as("s"))
+        .filter(length(col("s")) >= 1)
+      norm.select(col("doc_id"),
+          graft.functions.CharHistStats(col("s")).as("h"))
+        .select(col("doc_id"),
+          col("h.n_chars").as("n_chars_norm"),
+          col("h.distinct").as("distinct_chars"),
+          col("h.sum_sq").as("ss"))
+        .select(col("doc_id"), col("n_chars_norm"), col("distinct_chars"),
+          round(((col("n_chars_norm") * col("n_chars_norm") - col("ss")) *
+              lit(1000000L)).cast("double") /
+            (col("n_chars_norm") * col("n_chars_norm")).cast("double"))
+            .cast("long").as("gini_ppm"))
+    },
+
+    // Z-order (Morton) layout keys over events(user_id, value) — the
+    // multi-dimensional clustering key behind `Sinks.writeZOrdered`
+    // (Delta/Iceberg OPTIMIZE ZORDER BY, from primitives). Bucketing and
+    // the 16-term bit interleave are pure integer ops after one
+    // double-scale step, replayed bit-for-bit by the oracle; the
+    // column-wide bounds ride in as a 1-row broadcast aggregate, so the
+    // key is a scan-side projection.
+    "q_zorder" -> Q(
+      """WITH st AS (SELECT CAST(min(user_id) AS BIGINT) mnx,
+        |    CAST(max(user_id) AS BIGINT) mxx,
+        |    min(value) mny, max(value) mxy FROM events),
+        |b AS (SELECT event_id,
+        |  greatest(0, least(255, CAST(floor(
+        |    ((CAST(user_id AS DOUBLE) - CAST(mnx AS DOUBLE)) * 256) /
+        |    (CAST(mxx AS DOUBLE) - CAST(mnx AS DOUBLE))) AS BIGINT))) zx,
+        |  greatest(0, least(255, CAST(floor(
+        |    ((CAST(value AS DOUBLE) - CAST(mny AS DOUBLE)) * 256) /
+        |    (CAST(mxy AS DOUBLE) - CAST(mny AS DOUBLE))) AS BIGINT))) zy
+        |  FROM events, st)
+        |SELECT event_id, zx, zy,
+        |  (((zx >> 0) & 1) << 0) + (((zy >> 0) & 1) << 1) +
+        |  (((zx >> 1) & 1) << 2) + (((zy >> 1) & 1) << 3) +
+        |  (((zx >> 2) & 1) << 4) + (((zy >> 2) & 1) << 5) +
+        |  (((zx >> 3) & 1) << 6) + (((zy >> 3) & 1) << 7) +
+        |  (((zx >> 4) & 1) << 8) + (((zy >> 4) & 1) << 9) +
+        |  (((zx >> 5) & 1) << 10) + (((zy >> 5) & 1) << 11) +
+        |  (((zx >> 6) & 1) << 12) + (((zy >> 6) & 1) << 13) +
+        |  (((zx >> 7) & 1) << 14) + (((zy >> 7) & 1) << 15) AS zkey
+        |FROM b""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+      val st = e.agg(min("user_id").as("mnx"), max("user_id").as("mxx"),
+        min("value").as("mny"), max("value").as("mxy"))
+      e.crossJoin(broadcast(st))
+        .select(col("event_id"),
+          ZOrder.bucket(col("user_id"), col("mnx"), col("mxx")).as("zx"),
+          ZOrder.bucket(col("value"), col("mny"), col("mxy")).as("zy"))
+        .select(col("event_id"), col("zx"), col("zy"),
+          ZOrder.interleave(col("zx"), col("zy")).as("zkey"))
+    },
+  )
+}

@@ -42,6 +42,12 @@ class NativeExpressionsSpec extends SparkSpec {
         composed.as("hof"))
       .as[(Seq[String], Seq[String])].collect()
     rows.foreach { case (n, h) => assert(n == h, s"native=$n hof=$h") }
+    // non-distinct stream variant == the HOF form WITHOUT array_distinct
+    val streams = texts.select(
+        TextOps.shingleStream(col("text"), 3).as("native"),
+        TextOps.shingles(TextOps.tokens(col("text")), 3).as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    streams.foreach { case (n, h) => assert(n == h, s"native=$n hof=$h") }
   }
 
   test("RollingMinSha matches the composed HOF form") {
@@ -84,6 +90,31 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(tiny == Seq((1L, 1L, 1L), (1L, 1L, 1L), (3L, 1L, 3L)))
   }
 
+  test("CharHistStats matches the explode+groupBy form") {
+    val d = graft.Tables.table(spark, sf0001, "documents").limit(200)
+      .select(col("doc_id"), lower(trim(col("text"))).as("s"))
+      .filter(length(col("s")) >= 1)
+    // reference: one row per character, shuffled and double-aggregated
+    val ref = d.select(col("doc_id"), explode(
+        transform(sequence(lit(1), length(col("s"))),
+          i => col("s").substr(i, lit(1)))).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(sum("cnt").as("n"), count(lit(1)).as("d"),
+        sum(col("cnt") * col("cnt")).as("ss"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val h = graft.functions.CharHistStats(col("s"))
+    val native = d.select(col("doc_id"), h.getField("n_chars"),
+        h.getField("distinct"), h.getField("sum_sq"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(native.nonEmpty && native == ref)
+    // edges: single char, repeated char, surrogate pair counted once
+    val tiny = Seq("a", "aaab", "😀x").toDF("s").select(
+      graft.functions.CharHistStats(col("s")).as("h"))
+      .select("h.n_chars", "h.distinct", "h.sum_sq")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(tiny == Seq((1L, 1L, 1L), (4L, 2L, 10L), (2L, 2L, 2L)))
+  }
+
   test("SQL registration via GraftExtensions") {
     assert(spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
@@ -94,5 +125,8 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT graft_ngram_stats('x y x y x', 2).max_cnt")
       .as[Long].head() == 2L)
+    assert(spark.sql(
+      "SELECT graft_char_hist('abca').sum_sq")
+      .as[Long].head() == 6L)
   }
 }

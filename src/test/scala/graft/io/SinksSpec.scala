@@ -133,4 +133,37 @@ class SinksSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet
     assert(out == Set(("p1", "q1", 6L), ("pX", "qX", 1L)))
   }
+
+  test("writeZOrdered: per-file bounding boxes shrink in BOTH dimensions") {
+    // Two decorrelated high-cardinality columns — the case directory
+    // partitioning can't serve. A z-ordered layout must leave every
+    // file's (x, y) min/max footer box small in both dimensions, which is
+    // what lets a predicate on EITHER column skip most files at 100 TB.
+    val n = 20000
+    val data = (0 until n)
+      .map(i => (i.toLong, (i * 2654435761L) % 1000L, ((i * 40503L) % 1000L).toDouble))
+      .toDF("id", "x", "y")
+    val base = Files.createTempDirectory("graft-zorder").toString
+    val files = 16
+    data.repartition(files).write.parquet(s"$base/plain")
+    Sinks.writeZOrdered(data, "x", "y", s"$base/zorder", files)
+
+    def boxArea(path: String): Double = {
+      val boxes = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"))
+      boxes.select(sum(col("dx") * col("dy"))).as[Double].head()
+    }
+    val plain = boxArea(s"$base/plain")
+    val z = boxArea(s"$base/zorder")
+    // round-robin files span ~the full 1000×1000 domain each; z-order
+    // cells tile it, so the summed area drops by ~#files. Conservative 4×.
+    assert(z * 4 < plain, s"z-order box area $z not < 1/4 of plain $plain")
+
+    // and the data itself round-trips unchanged
+    val back = spark.read.parquet(s"$base/zorder")
+    assert(back.count() == n)
+    assert(back.agg(sum("x")).as[Long].head() ==
+      data.agg(sum("x")).as[Long].head())
+  }
 }
