@@ -214,4 +214,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(finals >= 2, s"expected two aggregation phases (salted + final):\n$p")
     assert(!p.contains("_salt#"), "salt must not survive into the output")
   }
+
+  test("q_char_diversity: straight scan projection, no exchange, no explode") {
+    val p = plan("q_char_diversity")
+    assert(!p.contains("Exchange"), s"char profile must not shuffle:\n$p")
+    assert(!p.contains("Generate"),
+      s"chars must not be exploded into rows:\n$p")
+    assert(p.contains("graft_char_hist"), s"missing codegen expression:\n$p")
+  }
+
+  test("q_zorder: key is a scan-side projection over ONE events scan") {
+    val p = plan("q_zorder")
+    // bounds ride in via BroadcastNestedLoopJoin of a 1-row aggregate —
+    // the only join; the key itself adds no exchange beyond the 1-row agg
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan") || l.contains("Scan parquet")) == 2,
+      s"expected exactly events scan + bounds scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("q_pmi: codegen bigram stream, no interpreted lambda, no nested-loop vocab join") {
+    val p = plan("q_pmi")
+    assert(p.contains("graft_word_shingles"),
+      s"bigrams must come from the codegen stream expression:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"vocab joins must stay equi-joins:\n$p")
+  }
+
+  test("q_bm25: probe terms and corpus stats broadcast; top-20 is partial top-k") {
+    val p = plan("q_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"final cut must be partial top-k, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe/idf joins must broadcast:\n$p")
+  }
+
+  test("q_inverted_index: postings build only for the broadcast top-200 terms") {
+    val p = plan("q_inverted_index")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"df cut must be partial top-k:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"surviving terms must broadcast back:\n$p")
+  }
 }
