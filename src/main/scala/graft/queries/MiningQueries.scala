@@ -227,6 +227,95 @@ object MiningQueries {
             .cast("long").as("gini_ppm"))
     },
 
+    // TextRank keyword extraction: weighted PageRank over the token
+    // co-occurrence graph (undirected edges = consecutive-token pairs
+    // with combined count ≥ 3, weights = counts). Every quantity is an
+    // integer: ranks live in micro units, each node's outgoing
+    // contribution is (rank·w) div wdeg (floor division, both engines),
+    // the damping step is 150000 + (85·Σ) div 100 — so 5 fixed
+    // iterations are bit-deterministic and hash-comparable. Shapes: one
+    // codegen bigram-stream pass builds the edge list; edges (with
+    // degree) are checkpointed once and re-joined per round — a Pregel
+    // message round is one equi-join + one partial-agg'd groupBy on the
+    // destination key, never a driver-side loop over rows. The oracle
+    // unrolls the same 5 rounds as chained CTEs.
+    "q_textrank" -> Q(
+      """WITH t AS (SELECT string_split_regex(lower(trim(text)), '\s+') toks
+        |           FROM documents),
+        |bg AS (SELECT toks[i] x, toks[i + 1] y FROM t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g),
+        |und AS (SELECT least(x, y) u, greatest(x, y) v,
+        |    CAST(count(*) AS BIGINT) w
+        |  FROM bg WHERE x <> y GROUP BY 1, 2 HAVING count(*) >= 3),
+        |e AS (SELECT u, v, w FROM und UNION ALL SELECT v, u, w FROM und),
+        |deg AS (SELECT u, CAST(sum(w) AS BIGINT) wdeg FROM e GROUP BY 1),
+        |ed AS (SELECT e.u, e.v, e.w, deg.wdeg FROM e JOIN deg ON e.u = deg.u),
+        |r0 AS (SELECT u AS term, CAST(1000000 AS BIGINT) rank FROM deg),
+        |r1 AS (SELECT ed.v AS term, CAST(150000 +
+        |    (85 * sum((r0.rank * ed.w) // ed.wdeg)) // 100 AS BIGINT) rank
+        |  FROM ed JOIN r0 ON ed.u = r0.term GROUP BY 1),
+        |r2 AS (SELECT ed.v AS term, CAST(150000 +
+        |    (85 * sum((r1.rank * ed.w) // ed.wdeg)) // 100 AS BIGINT) rank
+        |  FROM ed JOIN r1 ON ed.u = r1.term GROUP BY 1),
+        |r3 AS (SELECT ed.v AS term, CAST(150000 +
+        |    (85 * sum((r2.rank * ed.w) // ed.wdeg)) // 100 AS BIGINT) rank
+        |  FROM ed JOIN r2 ON ed.u = r2.term GROUP BY 1),
+        |r4 AS (SELECT ed.v AS term, CAST(150000 +
+        |    (85 * sum((r3.rank * ed.w) // ed.wdeg)) // 100 AS BIGINT) rank
+        |  FROM ed JOIN r3 ON ed.u = r3.term GROUP BY 1),
+        |r5 AS (SELECT ed.v AS term, CAST(150000 +
+        |    (85 * sum((r4.rank * ed.w) // ed.wdeg)) // 100 AS BIGINT) rank
+        |  FROM ed JOIN r4 ON ed.u = r4.term GROUP BY 1)
+        |SELECT term, rank AS rank_micro FROM r5
+        |ORDER BY rank_micro DESC, term LIMIT 50""".stripMargin) {
+      (s, dir) =>
+      val d = table(s, dir, "documents")
+      val pairs = d.select(explode(TextOps.shingleStream(d("text"), 2))
+          .as("g"))
+        .filter(col("g").contains(" "))
+        .select(substring_index(col("g"), " ", 1).as("x"),
+          substring_index(col("g"), " ", -1).as("y"))
+      val ed = graft.ops.TextRank.withDegree(
+        graft.ops.TextRank.edges(pairs, minW = 3))
+      graft.ops.TextRank.run(ed, iters = 5)
+        .select(col("term"), col("rank").as("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("term")).limit(50)
+    },
+
+    // Overlapping sliding-window RAG chunking: width-64-token chunks at
+    // stride 48 (16-token overlap), emitted as (doc_id, chunk_id,
+    // tok_start, n_tok, chunk_sha) — the retrieval-side complement of the
+    // non-overlapping pretraining packer (q_seq_pack). Pure native
+    // functions over the scan (sequence → explode → slice → concat_ws →
+    // sha2): no interpreted lambdas, no shuffle at all — chunking 100 TB
+    // is embarrassingly parallel and the plan must stay a straight
+    // projection. Chunk text leaves the query as its sha256 (hashable
+    // across engines, and the 64-token bodies never move).
+    "q_chunk_overlap" -> Q(
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, s, list_slice(toks, s, s + 63) chunk
+        |  FROM t, LATERAL (SELECT unnest(
+        |    generate_series(1, len(toks), 48)) AS s) g)
+        |SELECT doc_id, CAST((s - 1) // 48 AS BIGINT) AS chunk_id,
+        |  CAST(s AS BIGINT) AS tok_start,
+        |  CAST(len(chunk) AS BIGINT) AS n_tok,
+        |  sha256(array_to_string(chunk, ' ')) AS chunk_sha
+        |FROM c""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      d.select(d("doc_id"), TextOps.tokens(d("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")), lit(48))).as("s"))
+        .select(col("doc_id"),
+          ((col("s") - 1) / 48).cast("long").as("chunk_id"),
+          col("s").cast("long").as("tok_start"),
+          slice(col("toks"), col("s"), lit(64)).as("chunk"))
+        .select(col("doc_id"), col("chunk_id"), col("tok_start"),
+          size(col("chunk")).cast("long").as("n_tok"),
+          sha2(concat_ws(" ", col("chunk")), 256).as("chunk_sha"))
+    },
+
     // Z-order (Morton) layout keys over events(user_id, value) — the
     // multi-dimensional clustering key behind `Sinks.writeZOrdered`
     // (Delta/Iceberg OPTIMIZE ZORDER BY, from primitives). Bucketing and

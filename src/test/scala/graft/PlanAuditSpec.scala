@@ -256,4 +256,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"surviving terms must broadcast back:\n$p")
   }
+
+  test("q_chunk_overlap: chunking is a straight scan projection, zero exchange") {
+    val p = plan("q_chunk_overlap")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"missing chunk-start generator:\n$p")
+  }
+
+  test("textrank round: equi-join + partial-agg'd groupBy (the Pregel shape)") {
+    // audit ONE message round pre-checkpoint (the query's final plan is
+    // severed by the per-round localCheckpoint, by design)
+    import spark.implicits._
+    val pairs = Seq(("a", "b"), ("b", "c"), ("a", "b"), ("b", "a"))
+      .toDF("x", "y")
+    val ed = graft.ops.TextRank.withDegree(
+      graft.ops.TextRank.edges(pairs, minW = 1))
+    val p = graft.ops.TextRank.round(ed, graft.ops.TextRank.init(ed))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"rank propagation must stay an equi-join:\n$p")
+    assert(p.contains("partial_sum"),
+      s"message sums must combine map-side:\n$p")
+  }
 }
