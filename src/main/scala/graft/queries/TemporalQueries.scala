@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+
+/** Temporal-warehouse tier: slowly-changing-dimension (SCD type 2)
+  * construction and time-grid resampling with gap fill — the two
+  * change-tracking shapes every feature/metrics pipeline needs next to
+  * as-of joins and sessionization (AnalyticsQueries).
+  *
+  * Time discipline (the q_sessionize precedent): `events.ts` is a long of
+  * ns since epoch (nanosAsLong); both engines floor ns→µs (`ts div 1000`
+  * / `epoch_us`) and all intervals stay exact integer microseconds.
+  * Money-ish doubles are floored to integer micros BEFORE any sum
+  * (`floor(value·1e6)` is deterministic on identical input bits; long
+  * sums are order-independent), so every output cell is hash-comparable.
+  */
+object TemporalQueries {
+
+  val all: Map[String, Q] = Map(
+
+    // SCD type 2: collapse each user's event stream into versioned
+    // [valid_from, valid_to) attribute intervals — consecutive runs of
+    // the same event_type become one dimension row, closed by the next
+    // run's start (NULL = current). One window pass flags run starts
+    // (lag), a running sum numbers the runs, a groupBy collapses them,
+    // and lead() closes the intervals: two window functions + one
+    // partial-agg'd groupBy, all partitioned by user_id — at 100 TB the
+    // entity key is the only shuffle key and no interval logic touches
+    // the driver.
+    "q_scd2" -> Q(
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) tsu, event_type
+        |           FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type
+        |    THEN 1 ELSE 0 END AS is_change
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |runs AS (
+        |  SELECT *, CAST(sum(is_change) OVER (PARTITION BY user_id
+        |      ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS version
+        |  FROM flagged),
+        |dim AS (
+        |  SELECT user_id, version, event_type,
+        |    CAST(min(tsu) AS BIGINT) valid_from,
+        |    CAST(count(*) AS BIGINT) n_events
+        |  FROM runs GROUP BY 1, 2, 3)
+        |SELECT user_id, version, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |    AS valid_to,
+        |  n_events
+        |FROM dim""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .withColumn("tsu", expr("ts div 1000"))
+        .select("user_id", "event_id", "tsu", "event_type")
+      val w = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+      val prev = lag(col("event_type"), 1).over(w)
+      val runs = e
+        .withColumn("is_change",
+          when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("version", sum("is_change").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val dim = runs.groupBy("user_id", "version", "event_type")
+        .agg(min("tsu").as("valid_from"), count(lit(1)).as("n_events"))
+      dim.withColumn("valid_to",
+          lead(col("valid_from"), 1)
+            .over(Window.partitionBy("user_id").orderBy("version")))
+        .select("user_id", "version", "event_type", "valid_from",
+          "valid_to", "n_events")
+    },
+
+    // Time-grid resampling with gap fill: daily buckets per user over
+    // the corpus-wide [min, max] day range, missing days filled with
+    // zeros, plus a per-user running total — the spine/densify shape
+    // behind every metrics dashboard and feature-store backfill. The
+    // 1-row day-bounds aggregate broadcasts; the spine is
+    // users × sequence(days) (exploded from the broadcast bounds, i.e.
+    // the OUTPUT size, not a shuffle blow-up); the hot side is one
+    // partial-agg'd groupBy of events on (user, day). Per-day values are
+    // floored to integer micros per ROW before summing, so fills,
+    // totals, and the cumulative sum are exact.
+    "q_resample" -> Q(
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 1000000) AS BIGINT) val_micro
+        |  FROM events),
+        |bounds AS (SELECT min(day) mnd, max(day) mxd FROM e),
+        |days AS (SELECT unnest(generate_series(mnd, mxd)) AS day
+        |         FROM bounds),
+        |users AS (SELECT DISTINCT user_id FROM e),
+        |spine AS (SELECT user_id, day FROM users, days),
+        |agg AS (SELECT user_id, day, CAST(count(*) AS BIGINT) n_events,
+        |    CAST(sum(val_micro) AS BIGINT) val_micro
+        |  FROM e GROUP BY 1, 2),
+        |filled AS (
+        |  SELECT s.user_id, s.day,
+        |    coalesce(a.n_events, 0) AS n_events,
+        |    coalesce(a.val_micro, 0) AS val_micro
+        |  FROM spine s LEFT JOIN agg a
+        |    ON s.user_id = a.user_id AND s.day = a.day)
+        |SELECT user_id, day, n_events, val_micro,
+        |  CAST(sum(val_micro) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_val_micro
+        |FROM filled""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("day"),
+          floor(col("value") * 1000000).cast("long").as("val_micro"))
+      val bounds = e.agg(min("day").as("mnd"), max("day").as("mxd"))
+      val days = bounds
+        .select(explode(sequence(col("mnd"), col("mxd"))).as("day"))
+      val spine = e.select("user_id").distinct().crossJoin(broadcast(days))
+      val agg = e.groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_events"), sum("val_micro").as("val_micro"))
+      spine.join(agg, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("val_micro"), lit(0L)).as("val_micro"))
+        .withColumn("cum_val_micro",
+          sum("val_micro").over(Window.partitionBy("user_id").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+    },
+  )
+}

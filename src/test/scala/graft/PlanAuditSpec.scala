@@ -263,6 +263,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate"), s"missing chunk-start generator:\n$p")
   }
 
+  test("q_scd2: one user_id exchange serves every window AND the run collapse") {
+    val p = plan("q_scd2")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    // lag-flag window, run-sum window, (user, version, type) groupBy and
+    // the interval-closing lead window all cluster by user_id — subset
+    // partitioning satisfies them, so the whole dimension build is one
+    // shuffle of the entity key.
+    assert(exchanges == 1, s"expected exactly 1 hash exchange:\n$p")
+  }
+
+  test("q_resample: broadcast day spine; event side partial-aggs; no cartesian") {
+    val p = plan("q_resample")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // the only nested-loop is the intentional users × broadcast-days
+    // spine (output-sized, not a shuffle blow-up)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"unexpected nested-loop joins:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-day agg must combine map-side:\n$p")
+  }
+
   test("textrank round: equi-join + partial-agg'd groupBy (the Pregel shape)") {
     // audit ONE message round pre-checkpoint (the query's final plan is
     // severed by the per-round localCheckpoint, by design)
