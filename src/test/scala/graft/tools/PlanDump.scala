@@ -14,7 +14,9 @@ object PlanDump {
     "q_pipeline", "q_topk", "q_merge", "q_dedup_exact", "q_dedup_minhash",
     "q_ngram_jaccard", "q_dedup_clusters", "q_dedup_embed", "q_semdedup",
     "q_tfidf", "q_similarity_int8", "q_contamination_bloom",
-    "q_para_dedup", "q_ngram_lm", "q_profile", "q_repetition")
+    "q_para_dedup", "q_ngram_lm", "q_profile", "q_repetition",
+    "q_bm25", "q_pmi", "q_char_diversity", "q_chunk_overlap", "q_scd2",
+    "q_resample", "q_zorder")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r4.md")
