@@ -111,9 +111,13 @@ object Sinks {
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
                     path: String, nFiles: Int): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, max, min}
-    val st = df.agg(min(xCol).as("__mnx"), max(xCol).as("__mxx"),
+    // pin the input once: the bounds aggregate, repartitionByRange's
+    // range-boundary sampling pass, and the final write all re-read it —
+    // unpinned, an expensive upstream plan would execute three times
+    val pinned = df.localCheckpoint(false)
+    val st = pinned.agg(min(xCol).as("__mnx"), max(xCol).as("__mxx"),
       min(yCol).as("__mny"), max(yCol).as("__mxy"))
-    df.crossJoin(broadcast(st))
+    pinned.crossJoin(broadcast(st))
       .withColumn("__zkey", graft.ops.ZOrder.key(col(xCol), col(yCol),
         col("__mnx"), col("__mxx"), col("__mny"), col("__mxy")))
       .drop("__mnx", "__mxx", "__mny", "__mxy")

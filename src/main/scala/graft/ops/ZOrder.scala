@@ -32,14 +32,17 @@ object ZOrder {
   /** Scale `c` into an integer bucket in [0, 255] given its column-wide
     * [mn, mx]. All operands go through double so ONE expression shape
     * serves bigint and double columns alike (the oracle mirrors it).
+    * Degenerate inputs — NULL value, NULL bounds (all-null column), or a
+    * constant column (mx == mn, whose division would produce NaN) — are
+    * pinned to bucket 0 BEFORE the division on both engines, so neither
+    * NaN casts nor NULL-propagating least/greatest can diverge.
     */
-  def bucket(c: Column, mn: Column, mx: Column): Column = {
-    val scaled = floor(((c.cast("double") - mn.cast("double")) * 256) /
-      (mx.cast("double") - mn.cast("double")))
-    // mx row itself lands on 256; a constant column (mx == mn) divides by
-    // zero into NULL/NaN — pin both to the top/bottom bucket.
-    greatest(lit(0L), least(lit(255L), coalesce(scaled, lit(0L))))
-  }
+  def bucket(c: Column, mn: Column, mx: Column): Column =
+    when(c.isNull || mn.isNull || mx.isNull || mn === mx, lit(0L))
+      .otherwise(greatest(lit(0L), least(lit(255L),
+        // the mx row itself lands on 256 → clamped to the top bucket
+        floor(((c.cast("double") - mn.cast("double")) * 256) /
+          (mx.cast("double") - mn.cast("double"))))))
 
   /** Interleave the low [[bitsPerDim]] bits of two bucket columns:
     * bit i of `bx` lands at position 2i, bit i of `by` at 2i+1.

@@ -34,14 +34,35 @@ object MiningQueries {
       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
       |    '\s+')) AS term FROM documents)""".stripMargin
 
+  /** Consecutive-token bigram occurrence stream `(x, y)` — the codegen
+    * shingle stream split back into its two tokens; the contains-" "
+    * filter drops the partial shingle of <2-token docs, and the space
+    * round-trip is lossless because tokens are split on `\s+` (they
+    * never contain the single-space join character).
+    */
+  private def bigramPairs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(explode(TextOps.shingleStream(col("text"), 2)).as("g"))
+      .filter(col("g").contains(" "))
+      .select(substring_index(col("g"), " ", 1).as("x"),
+        substring_index(col("g"), " ", -1).as("y"))
+
+  // DuckDB twin of `bigramPairs` (positional unnest over the token list).
+  private val duckBigrams =
+    """t AS (SELECT string_split_regex(lower(trim(text)), '\s+') toks
+      |      FROM documents),
+      |bg AS (SELECT toks[i] x, toks[i + 1] y FROM t,
+      |  LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g)"""
+      .stripMargin
+
   val all: Map[String, Q] = Map(
 
     // BM25 (k1=1.2, b=0.75) relevance of every document against the
     // corpus's own top-5 terms (frequency desc, term asc — a total order,
     // so the probe set is deterministic). The per-(doc,term) saturation
     // term tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is cross-multiplied by
-    // 20·S·N into the all-integer num/den pair
-    //   num = 44·tf·S,  den = 20·S·tf + 6·S + 18·dl·N      (S=Σdl)
+    // 20·S into the all-integer num/den pair (avgdl = S/N, S = Σdl):
+    //   num = 44·tf·S,  den = 20·S·tf + 6·S + 18·dl·N
     // so the only float ops are ONE division, ONE multiply by the
     // integer idf_micro, and ONE round — then integer sums. Shapes: probe
     // terms and the (N,S) row broadcast; tf/dl shuffle on their keys;
@@ -110,15 +131,11 @@ object MiningQueries {
     // desc, x, y — total order). The two corpus totals ride in as 1-row
     // broadcast aggregates; unigram counts join per side.
     "q_pmi" -> Q(
-      """WITH t AS (SELECT doc_id,
-        |    string_split_regex(lower(trim(text)), '\s+') toks
-        |  FROM documents),
-        |bg AS (SELECT toks[i] x, toks[i + 1] y FROM t,
-        |  LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g),
+      s"""WITH $duckBigrams,
         |cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) c_xy FROM bg
         |        GROUP BY 1, 2),
         |uni AS (SELECT term, CAST(count(*) AS BIGINT) c FROM (
-        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) term
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) term
         |    FROM documents) GROUP BY 1),
         |nu AS (SELECT CAST(sum(c) AS BIGINT) n_uni FROM uni),
         |nb AS (SELECT CAST(sum(c_xy) AS BIGINT) n_big FROM cxy)
@@ -132,16 +149,7 @@ object MiningQueries {
         |WHERE c_xy >= 5
         |ORDER BY pmi_micro DESC, x, y LIMIT 100""".stripMargin) {
       (s, dir) =>
-      val d = table(s, dir, "documents")
-      // codegen shingle stream (one pass, no interpreted lambdas); the
-      // contains-" " filter drops the partial shingle of <2-token docs,
-      // and the space round-trip is lossless because tokens are split on
-      // \s+ (they never contain the single-space join character)
-      val pairs = d.select(explode(TextOps.shingleStream(d("text"), 2))
-          .as("g"))
-        .filter(col("g").contains(" "))
-        .select(substring_index(col("g"), " ", 1).as("x"),
-          substring_index(col("g"), " ", -1).as("y"))
+      val pairs = bigramPairs(s, dir)
       val cxy = pairs.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
       val uni = tok(s, dir).groupBy("term").agg(count(lit(1)).as("c"))
       val nu = uni.agg(sum("c").as("n_uni"))
@@ -240,10 +248,7 @@ object MiningQueries {
     // destination key, never a driver-side loop over rows. The oracle
     // unrolls the same 5 rounds as chained CTEs.
     "q_textrank" -> Q(
-      """WITH t AS (SELECT string_split_regex(lower(trim(text)), '\s+') toks
-        |           FROM documents),
-        |bg AS (SELECT toks[i] x, toks[i + 1] y FROM t,
-        |  LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g),
+      s"""WITH $duckBigrams,
         |und AS (SELECT least(x, y) u, greatest(x, y) v,
         |    CAST(count(*) AS BIGINT) w
         |  FROM bg WHERE x <> y GROUP BY 1, 2 HAVING count(*) >= 3),
@@ -269,14 +274,8 @@ object MiningQueries {
         |SELECT term, rank AS rank_micro FROM r5
         |ORDER BY rank_micro DESC, term LIMIT 50""".stripMargin) {
       (s, dir) =>
-      val d = table(s, dir, "documents")
-      val pairs = d.select(explode(TextOps.shingleStream(d("text"), 2))
-          .as("g"))
-        .filter(col("g").contains(" "))
-        .select(substring_index(col("g"), " ", 1).as("x"),
-          substring_index(col("g"), " ", -1).as("y"))
       val ed = graft.ops.TextRank.withDegree(
-        graft.ops.TextRank.edges(pairs, minW = 3))
+        graft.ops.TextRank.edges(bigramPairs(s, dir), minW = 3))
       graft.ops.TextRank.run(ed, iters = 5)
         .select(col("term"), col("rank").as("rank_micro"))
         .orderBy(col("rank_micro").desc, col("term")).limit(50)
@@ -328,12 +327,18 @@ object MiningQueries {
         |    CAST(max(user_id) AS BIGINT) mxx,
         |    min(value) mny, max(value) mxy FROM events),
         |b AS (SELECT event_id,
-        |  greatest(0, least(255, CAST(floor(
-        |    ((CAST(user_id AS DOUBLE) - CAST(mnx AS DOUBLE)) * 256) /
-        |    (CAST(mxx AS DOUBLE) - CAST(mnx AS DOUBLE))) AS BIGINT))) zx,
-        |  greatest(0, least(255, CAST(floor(
-        |    ((CAST(value AS DOUBLE) - CAST(mny AS DOUBLE)) * 256) /
-        |    (CAST(mxy AS DOUBLE) - CAST(mny AS DOUBLE))) AS BIGINT))) zy
+        |  CASE WHEN user_id IS NULL OR mnx IS NULL OR mxx IS NULL
+        |      OR mnx = mxx THEN 0
+        |    ELSE greatest(0, least(255, CAST(floor(
+        |      ((CAST(user_id AS DOUBLE) - CAST(mnx AS DOUBLE)) * 256) /
+        |      (CAST(mxx AS DOUBLE) - CAST(mnx AS DOUBLE))) AS BIGINT)))
+        |    END zx,
+        |  CASE WHEN value IS NULL OR mny IS NULL OR mxy IS NULL
+        |      OR mny = mxy THEN 0
+        |    ELSE greatest(0, least(255, CAST(floor(
+        |      ((CAST(value AS DOUBLE) - CAST(mny AS DOUBLE)) * 256) /
+        |      (CAST(mxy AS DOUBLE) - CAST(mny AS DOUBLE))) AS BIGINT)))
+        |    END zy
         |  FROM events, st)
         |SELECT event_id, zx, zy,
         |  (((zx >> 0) & 1) << 0) + (((zy >> 0) & 1) << 1) +

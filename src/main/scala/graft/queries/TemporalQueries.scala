@@ -12,8 +12,12 @@ import graft.Tables.table
   * as-of joins and sessionization (AnalyticsQueries).
   *
   * Time discipline (the q_sessionize precedent): `events.ts` is a long of
-  * ns since epoch (nanosAsLong); both engines floor ns→µs (`ts div 1000`
-  * / `epoch_us`) and all intervals stay exact integer microseconds.
+  * ns since epoch (nanosAsLong); both engines take ns→µs identically
+  * (`ts div 1000` / `epoch_us`) and all intervals stay exact integer
+  * microseconds. Wider bucketing must truncate toward zero on BOTH
+  * engines: Spark `div` truncates while DuckDB `//` floors, so the
+  * oracle uses the remainder form `(a - a % b) // b` (≡ trunc division
+  * for any sign) wherever Spark uses `div`.
   * Money-ish doubles are floored to integer micros BEFORE any sum
   * (`floor(value·1e6)` is deterministic on identical input bits; long
   * sums are order-independent), so every output cell is hash-comparable.
@@ -85,7 +89,9 @@ object TemporalQueries {
     // floored to integer micros per ROW before summing, so fills,
     // totals, and the cumulative sum are exact.
     "q_resample" -> Q(
-      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      """WITH e AS (SELECT user_id,
+        |    (epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000
+        |      AS day,
         |    CAST(floor(value * 1000000) AS BIGINT) val_micro
         |  FROM events),
         |bounds AS (SELECT min(day) mnd, max(day) mxd FROM e),

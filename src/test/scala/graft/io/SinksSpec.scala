@@ -166,4 +166,20 @@ class SinksSpec extends SparkSpec {
     assert(back.agg(sum("x")).as[Long].head() ==
       data.agg(sum("x")).as[Long].head())
   }
+
+  test("ZOrder.bucket: NULL values, NULL bounds, constant columns pin to 0") {
+    // degenerate inputs must not produce NaN/NULL buckets (or engine-
+    // divergent clamping) — they pin to bucket 0 pre-division
+    val rows = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)](
+      (5L, 0L, 10L),     // mid-range → 128
+      (10L, 0L, 10L),    // mx row → clamped top bucket
+      (null, 0L, 10L),   // null value
+      (5L, 5L, 5L),      // constant column (div-by-zero → NaN unguarded)
+      (5L, null, null))  // all-null column bounds
+      .toDF("c", "mn", "mx")
+    val out = rows.select(graft.ops.ZOrder
+      .bucket(col("c"), col("mn"), col("mx")).as("b"))
+      .as[Long].collect().toSeq
+    assert(out == Seq(128L, 255L, 0L, 0L, 0L), s"got $out")
+  }
 }
