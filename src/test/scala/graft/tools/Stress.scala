@@ -59,7 +59,19 @@ object Stress {
         Multimodal.fromText(d, "doc_id", "text")
           .select(explode(Multimodal.frameSample(col("payload"),
             col("meta.n_frames"))))
-          .count()))
+          .count()),
+      // iterative graph op: replicas multiply edge WEIGHTS ×N but the
+      // node set (vocabulary) is unchanged, so the 5 Pregel rounds must
+      // stay ~flat — only the one-shot edge-mining pass scales with rows
+      "textrank_5rounds" -> (d => {
+        val pairs = d.select(explode(
+            graft.ops.llm.TextOps.shingleStream(col("text"), 2)).as("g"))
+          .filter(col("g").contains(" "))
+          .select(substring_index(col("g"), " ", 1).as("x"),
+            substring_index(col("g"), " ", -1).as("y"))
+        graft.ops.TextRank.run(graft.ops.TextRank.withDegree(
+          graft.ops.TextRank.edges(pairs, minW = 3)), iters = 5).count()
+      }))
 
     println(s"corpus: $base docs (1x) vs ${base * factor} (${factor}x)")
     val results = ops.map { case (name, op) =>
