@@ -178,6 +178,29 @@ object AnalyticsQueries {
           count(lit(1)).as("cnt"))
     },
 
+    // Count-min sketch heavy-hitter estimation — the third classical
+    // sketch next to HLL (distinct) and GK (quantiles): frequency
+    // point-estimates from one mergeable aggregation pass. The sketch is
+    // built distributedly (Spark's count_min_sketch aggregate), the
+    // 1-row binary broadcasts, and the probe side reads it via the
+    // graft_cms_estimate expression (the read half Spark never shipped
+    // to SQL). Rows-only by design (sketch layout is engine-specific);
+    // est ≥ exact always, est ≤ exact + ε·N w.p. ≥ confidence — both
+    // bounds asserted in ApproxDistinctSpec.
+    "q_cms_heavy_hitters" -> Q.noOracle { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val tok = d.select(explode(
+        graft.ops.llm.TextOps.tokens(d("text"))).as("term"))
+      val sk = tok.agg(
+        expr("count_min_sketch(term, 0.001d, 0.99d, 42)").as("sk"))
+      val top = tok.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term")).limit(20)
+      top.crossJoin(broadcast(sk))
+        .select(col("term"), col("exact_cnt"),
+          graft.functions.CmsEstimate(col("sk"), col("term"))
+            .as("est_cnt"))
+    },
+
     // §2.4 ext — pivot (explicit value list keeps columns deterministic);
     // oracle via conditional aggregation, the portable PIVOT form.
     "q_pivot" -> Q(

@@ -39,4 +39,27 @@ class ApproxDistinctSpec extends SparkSpec {
     assert(approx >= lo.floor && approx <= hi.ceil,
       s"approx median $approx outside exact rank envelope [$lo, $hi]")
   }
+
+  test("count-min sketch: est >= exact always, est <= exact + eps*N w.h.p.") {
+    val rows = SparkEntry.queries("q_cms_heavy_hitters")(spark, sf0001)
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 20)
+    val n = Tables.table(spark, sf0001, "documents")
+      .select(explode(graft.ops.llm.TextOps.tokens(col("text"))).as("t"))
+      .count()
+    rows.foreach { case (term, exact, est) =>
+      // CMS never under-counts
+      assert(est >= exact, s"$term: est=$est < exact=$exact")
+      // eps = 0.001 → over-count <= eps*N with confidence 0.99 per
+      // probe; allow the full bound
+      assert(est <= exact + (0.001 * n).ceil.toLong,
+        s"$term: est=$est exceeds exact=$exact + eps*N")
+    }
+    // SQL registration of the probe side
+    val viaSql = spark.sql(
+      """SELECT graft_cms_estimate(count_min_sketch(x, 0.01d, 0.99d, 7), 'a')
+        |FROM VALUES ('a'), ('b'), ('a') AS t(x)""".stripMargin)
+      .as[Long].head()
+    assert(viaSql == 2L)
+  }
 }
