@@ -1154,6 +1154,29 @@ object LlmQueries {
         nClusters = 16, nprobe = 4, iters = 1)
     },
 
+    // Product quantization + ADC + exact refine (rows-only: codebooks
+    // and codes are engine-specific) — the faiss-standard compressed-ANN
+    // path: L2-normalized 64-dim vectors → 8 subspace codebooks of 64
+    // entries → 8 one-byte codes per vector (64× compression); queries
+    // precompute an m×k partial-dot lookup table (broadcast), ADC cuts
+    // the corpus to a 40-row shortlist per query by table-lookup sums
+    // (no vector arithmetic), and only the shortlist rescans its full
+    // vectors for exact cosine. Recall vs exact asserted in
+    // SimilaritySpec (0.90 on the near-random testdata, rescoring 6% of
+    // the corpus).
+    "q_pq_search" -> Q.noOracle { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val unit = e.toDF("id", "vec")
+        .withColumn("nv", Similarity.l2norm(col("vec")))
+        .select(col("id"),
+          transform(col("vec"), x => x / col("nv")).as("vec"))
+      val books = Pq.fitCodebooks(unit, m = 8, k = 64, iters = 1)
+      val codes = Pq.encode(unit, books, m = 8)
+      Pq.refineTopK(unit, codes, books, unit.filter(col("id") < 10),
+        m = 8, k = 5, shortlist = 40)
+    },
+
     // Multimodal plumbing: opaque binary payload + decode/frame-sample
     // stubs, digests computed over real bytes.
     "q_multimodal_meta" -> Q(
