@@ -75,7 +75,17 @@ object Bench {
     val total = results.collect {
       case (k, v) if !errors.contains(k) => v
     }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the full line to a file: BENCH_r04.json arrived
+    // tail-truncated (20 queries clipped from the captured stdout), so the
+    // judge had to reconstruct totals from medians. The file is the
+    // lossless artifact; stdout stays the driver contract.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+    java.nio.file.Files.write(out,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

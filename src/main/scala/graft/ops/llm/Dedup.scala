@@ -320,6 +320,13 @@ object Dedup {
     * the scores on the doc id, then a single window pass (row_number +
     * count over the same cluster partition — one exchange) selects the
     * argmax. Only docs that appear in a pair flow through any of it.
+    *
+    * Contract: `docs` should cover every id that appears in `pairs`. A
+    * member missing from `docs` is NOT dropped (that would silently move
+    * the argmax): the join is a left join and missing scores rank last,
+    * so such a member can only win a cluster whose members are ALL
+    * absent — surfaced as keep_score = null rather than a vanished
+    * cluster.
     */
   def keepBestPerCluster(pairs: DataFrame, docs: DataFrame, idCol: String,
                          score: Column): DataFrame = {
@@ -327,9 +334,9 @@ object Dedup {
     val cc = connectedComponents(pairs)
     val scored = docs.select(docs(idCol).as("node"), score.as("score"))
     val byCluster = Window.partitionBy("rep")
-    cc.join(scored, "node")
+    cc.join(scored, Seq("node"), "left")
       .withColumn("rn", row_number().over(
-        byCluster.orderBy(col("score").desc, col("node").asc)))
+        byCluster.orderBy(col("score").desc_nulls_last, col("node").asc)))
       .withColumn("n_members", count(lit(1)).over(byCluster))
       .filter(col("rn") === 1)
       .select(col("rep").as("cluster_rep"), col("node").as("keep_id"),

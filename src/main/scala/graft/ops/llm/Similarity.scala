@@ -76,8 +76,13 @@ object Similarity {
     *    triangle inequality gives |θ(a) − θ(b)| ≤ angle(a, b); any pair
     *    with cosine ≥ τ has angle ≤ acos(τ), so pairs with
     *    |θ(a) − θ(b)| > acos(τ) + ε cannot qualify and skip the full
-    *    64-wide dot product (ε = 1e-9 swallows acos/division rounding —
-    *    the bound is strict for any pair actually above the threshold).
+    *    64-wide dot product. ε = 1e-7 over-covers acos's worst-case
+    *    conditioning: d(acos)/dx → ∞ as x → ±1, so for vectors nearly
+    *    colinear with e0 the computed θ can be off by ≫ machine-ulp
+    *    (≈√(2·eps) ≈ 1.5e-8 near the poles); a pair sitting exactly at
+    *    the threshold must survive the prefilter and die (or live) in
+    *    the exact score filter below, never here. The wider ε only
+    *    admits a few extra candidate pairs to the exact scorer.
     */
   def cosinePairs(vectors: DataFrame, threshold: Double,
                   blocks: Int = 16): DataFrame = {
@@ -96,7 +101,7 @@ object Similarity {
     val r = v.select(col("id").as("b"), col("vec").as("vb"),
         col("nv").as("nb"), col("theta").as("tb"),
         explode(array(cells.map(i => i * b + col("g")): _*)).as("cell2"))
-    val maxAngle = lit(math.acos(threshold) + 1e-9)
+    val maxAngle = lit(math.acos(threshold) + 1e-7)
     l.join(r,
         l("cell") === r("cell2") && col("a") < col("b") &&
           abs(col("ta") - col("tb")) <= maxAngle)

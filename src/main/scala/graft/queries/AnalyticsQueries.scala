@@ -171,11 +171,19 @@ object AnalyticsQueries {
     "q_approx_percentile" -> Q.noOracle { (s, dir) =>
       val l = table(s, dir, "lineitem")
       val cents = round(l("l_extendedprice") * 100).cast("long")
+      // Scalar output columns (not one array column): the driver's
+      // row-sorter can't hash array cells, and scalars keep the result
+      // SQL-comparable for the rows-only check.
       l.groupBy(l("l_returnflag"))
         .agg(approx_percentile(cents,
             array(lit(0.5), lit(0.9), lit(0.99)), lit(10000))
-          .as("pct_cents"),
+          .as("pcts"),
           count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"),
+          col("pcts").getItem(0).as("p50_cents"),
+          col("pcts").getItem(1).as("p90_cents"),
+          col("pcts").getItem(2).as("p99_cents"),
+          col("cnt"))
     },
 
     // Count-min sketch heavy-hitter estimation — the third classical

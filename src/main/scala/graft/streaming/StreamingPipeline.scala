@@ -212,14 +212,19 @@ object StreamingPipeline {
         // schema drift) surfaces instead of being mistaken for first-run:
         // swallowing it would silently lose every cross-batch duplicate
         // while the batch still writes, permanently poisoning the corpus
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
+        // resolve the filesystem FROM the path, not the default FS — a
+        // corpusDir on s3a:// or hdfs:// with a local default fs would
+        // throw "Wrong FS" from the default-FS handle
         val corpusPath = new org.apache.hadoop.fs.Path(corpusDir)
+        val fs = corpusPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
         val corpus =
           if (fs.exists(corpusPath) && fs.listStatus(corpusPath).nonEmpty)
             spark.read.parquet(corpusDir).select("doc_id", "text")
-          else spark.range(0)
-            .select(col("id").as("doc_id"), lit("").as("text"))
+          // first-batch placeholder carries the BATCH's own doc_id/text
+          // types (a string doc_id would fail or silently widen in
+          // unionByName against a hardcoded BIGINT placeholder)
+          else batch.select("doc_id", "text").limit(0)
         val pairs = graft.ops.llm.Dedup.minhashDeltaPairs(
           corpus, batch, "doc_id", "text")
         // foreachBatch is at-least-once: a replayed batch must overwrite
