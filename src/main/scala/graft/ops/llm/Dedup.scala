@@ -68,17 +68,20 @@ object Dedup {
       .localCheckpoint(false)
     val post = withSet.select(col("doc"), col("n_"),
       explode(col("shs")).as("g"))
-    val dfreq = post.groupBy("g").agg(count(lit(1)).as("df_"))
+    // document frequency per shingle as a WINDOW count, not groupBy+join:
+    // the join form shuffles the full postings table twice (once into the
+    // agg, once into the join) plus the dfreq side; the window form is ONE
+    // exchange of the postings on g. The df table also grows with the
+    // corpus (distinct shingles), so there is no broadcast escape hatch at
+    // scale — removing the join removes that whole axis.
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
     // prefix length p = n - ceil(n*num/den) + 1 (integer-exact via doubles
     // for these magnitudes)
     val p = (col("n_") - ceil(col("n_") * num / lit(den.toDouble)) + 1)
       .cast("int")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc").orderBy(col("df_"), col("g"))
-    // no broadcast hint: the per-shingle DF table grows with the corpus
-    // (distinct shingles), so a forced broadcast OOMs at scale — AQE
-    // broadcasts it when it is actually small.
-    val prefix = post.join(dfreq, "g")
+    val prefix = post.withColumn("df_", count(lit(1)).over(wg))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= p)
     val l = prefix.select(col("doc").as("a"), col("n_").as("na"), col("g"))
