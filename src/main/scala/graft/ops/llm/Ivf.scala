@@ -98,4 +98,72 @@ object Ivf {
       .select(col("qid"), col("id"), col("rnk"),
         round(col("score"), 4).as("score4"))
   }
+
+  /** Bit-deterministic IVF search — the hash-verifiable twin of `topK`:
+    * every arithmetic step is either exact integer or a single correctly
+    * rounded IEEE op on exact integers, so the result is engine-portable
+    * (same rows in Spark and DuckDB), unlike float-cosine ANN.
+    *
+    *  - corpus and queries are int8-quantized (`Similarity.int8Codes`,
+    *    the oracle-checked q_quantize scheme);
+    *  - the coarse quantizer is seeded, not fitted: cells are the
+    *    `nClusters` corpus vectors with the smallest sha256(id) digests
+    *    (deterministic, SQL-expressible — Lloyd iterations would need
+    *    order-dependent float means);
+    *  - cell affinity: cos(v,c) on int8 codes = dot/(|v||c|) — the
+    *    dequant scales cancel, |v| is constant per row, so ranking cells
+    *    by sign-preserving dot²/|c|² is exact; the one double division is
+    *    of exact sub-2^53 integers (correctly rounded → bit-identical
+    *    across engines), ties broken on cid;
+    *  - final score: integer code-dot × both dequant scales (BIGINT),
+    *    exactly q_similarity_int8's scoring, restricted to the query's
+    *    `nprobe` best cells.
+    *
+    * Scale shape: the centroid table (nClusters rows) broadcasts to both
+    * assignment and probe sides; the corpus shuffles once, on cell id,
+    * into the probe join; TopK is two-phase WindowGroupLimit.
+    */
+  def int8TopKExact(vectors: DataFrame, queries: DataFrame, k: Int,
+                    nClusters: Int = 16, nprobe: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val v = Similarity.int8Codes(vectors)
+      .select(col("id"), col("codes").cast("array<double>").as("cv"),
+        col("maxabs_micro").as("mxv"))
+      .localCheckpoint(false) // branches: seeds + assignment
+    val cents = v
+      .withColumn("_h", sha2(col("id").cast("string"), 256))
+      .orderBy(col("_h")).limit(nClusters)
+      .select(row_number().over(w.orderBy(col("_h"))).as("cid"),
+        col("cv").as("cc"))
+      // greatest(,1): an all-zero seed vector has |c|²=0; its dot is then
+      // 0 too, so the clamp only avoids 0/0 without moving any score
+      .withColumn("cn2", greatest(
+        Similarity.dot(col("cc"), col("cc")).cast("long"), lit(1L)))
+    def cellScore(codes: Column): Column = {
+      val d = Similarity.dot(codes, col("cc")).cast("long")
+      (d * abs(d)).cast("double") / col("cn2")
+    }
+    val assigned = v.join(broadcast(cents))
+      .withColumn("_s", cellScore(col("cv")))
+      .withColumn("_r", row_number().over(
+        w.partitionBy(col("id")).orderBy(col("_s").desc, col("cid"))))
+      .filter(col("_r") === 1)
+      .select(col("cid"), col("id"), col("cv"), col("mxv"))
+    val q = Similarity.int8Codes(queries)
+      .select(col("id").as("qid"), col("codes").cast("array<double>")
+        .as("cq"), col("maxabs_micro").as("mxq"))
+    val probes = q.join(broadcast(cents))
+      .withColumn("_s", cellScore(col("cq")))
+      .withColumn("_r", row_number().over(
+        w.partitionBy(col("qid")).orderBy(col("_s").desc, col("cid"))))
+      .filter(col("_r") <= nprobe)
+      .select(col("cid"), col("qid"), col("cq"), col("mxq"))
+    val scored = assigned.join(probes, Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("score", Similarity.dot(col("cq"), col("cv"))
+        .cast("long") * col("mxq") * col("mxv"))
+    graft.ops.TopK(scored, Seq("qid"), scored("score"),
+        Seq(scored("id")), k)
+      .select(col("qid"), col("id"), col("rnk"), col("score"))
+  }
 }

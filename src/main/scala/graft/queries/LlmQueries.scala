@@ -1154,6 +1154,68 @@ object LlmQueries {
         nClusters = 16, nprobe = 4, iters = 1)
     },
 
+    // Hash-verified IVF: same bucketed search shape (coarse cells +
+    // nprobe probing + in-cell scoring) with every step integer-exact or
+    // a single correctly-rounded IEEE op — digest-seeded centroids, int8
+    // codes, scale-cancelling cell affinity — so the DuckDB oracle
+    // reproduces it row for row. Proves the BUCKETED path end-to-end,
+    // not just a recall bound (q_similarity_int8 proved flat scoring;
+    // q_similarity_ivf stays the float/Lloyd production variant).
+    "q_similarity_ivf_exact" -> Q(
+      """WITH c AS (
+        |  SELECT vec_id id,
+        |    CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(v,
+        |        x -> CAST(greatest(-127, floor(x * 127 / mx)) AS BIGINT))
+        |      END codes,
+        |    CAST(floor(mx * 1000000) AS BIGINT) mxm
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] v,
+        |          list_aggregate(list_transform(embedding::DOUBLE[],
+        |            x -> abs(x)), 'max') mx
+        |        FROM embeddings)),
+        |cents AS (
+        |  SELECT row_number() OVER (ORDER BY sha256(CAST(id AS VARCHAR)))
+        |      AS cid, codes cc,
+        |    greatest(CAST(list_sum(list_transform(
+        |      generate_series(1, len(codes)),
+        |      i -> codes[i] * codes[i])) AS BIGINT), 1) cn2
+        |  FROM c ORDER BY sha256(CAST(id AS VARCHAR)) LIMIT 16),
+        |ass AS (
+        |  SELECT cid, id, codes, mxm FROM (
+        |    SELECT n.cid, c.id, c.codes, c.mxm, row_number() OVER (
+        |        PARTITION BY c.id ORDER BY
+        |          CAST(d * abs(d) AS DOUBLE) / n.cn2 DESC, n.cid) rr
+        |    FROM c, cents n, LATERAL (SELECT CAST(list_sum(list_transform(
+        |      generate_series(1, len(c.codes)),
+        |      i -> c.codes[i] * n.cc[i])) AS BIGINT) AS d) dd)
+        |  WHERE rr = 1),
+        |q AS (SELECT id qid, codes qc, mxm qm FROM c WHERE id < 10),
+        |probes AS (
+        |  SELECT cid, qid, qc, qm FROM (
+        |    SELECT n.cid, q.qid, q.qc, q.qm, row_number() OVER (
+        |        PARTITION BY q.qid ORDER BY
+        |          CAST(d * abs(d) AS DOUBLE) / n.cn2 DESC, n.cid) rr
+        |    FROM q, cents n, LATERAL (SELECT CAST(list_sum(list_transform(
+        |      generate_series(1, len(q.qc)),
+        |      i -> q.qc[i] * n.cc[i])) AS BIGINT) AS d) dd)
+        |  WHERE rr <= 4),
+        |s AS (SELECT p.qid, a.id,
+        |        CAST(list_sum(list_transform(
+        |          generate_series(1, len(a.codes)),
+        |          i -> a.codes[i] * p.qc[i])) AS BIGINT) * p.qm * a.mxm
+        |          AS score
+        |      FROM ass a JOIN probes p ON a.cid = p.cid
+        |      WHERE a.id <> p.qid),
+        |r AS (SELECT qid, id, score, row_number() OVER (
+        |        PARTITION BY qid ORDER BY score DESC, id) rnk FROM s)
+        |SELECT qid, id, CAST(rnk AS INTEGER) AS rnk, score
+        |FROM r WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+      Ivf.int8TopKExact(e, e.filter(col("vec_id") < 10), k = 5,
+        nClusters = 16, nprobe = 4)
+    },
+
     // Product quantization + ADC + exact refine (rows-only: codebooks
     // and codes are engine-specific) — the faiss-standard compressed-ANN
     // path: L2-normalized 64-dim vectors → 8 subspace codebooks of 64

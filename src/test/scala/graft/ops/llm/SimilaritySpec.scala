@@ -44,6 +44,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall below floor")
   }
 
+  test("exact-int8 IVF: recall floor, self-free, deterministic reruns") {
+    val queries = embeddings.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(embeddings, queries, 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    def run() = Ivf.int8TopKExact(embeddings, queries, 5,
+      nClusters = 16, nprobe = 4)
+    val res = run().as[(Long, Long, Int, Long)].collect()
+    assert(res.length == 100, "5 rows per query")
+    assert(res.forall { case (q, i, _, _) => q != i })
+    val recall = (exact intersect
+      res.map(r => (r._1, r._2)).toSet).size.toDouble / exact.size
+    // nprobe=4 of 16 cells + int8 rounding: beat the ~25% scan fraction
+    assert(recall >= 0.4, s"exact-int8 IVF recall $recall below floor")
+    // bit-determinism (the property the oracle hash-check relies on):
+    // identical rows on a fresh plan, including scores
+    assert(run().as[(Long, Long, Int, Long)].collect().toSet ==
+      res.toSet, "rerun must be bit-identical")
+  }
+
   test("PQ: 8-byte codes, ADC recall vs brute force, stable encoding") {
     // L2-normalize first: ADC approximates the DOT product, so unit
     // vectors make it a cosine approximation (faiss inner-product recipe)
