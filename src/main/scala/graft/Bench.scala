@@ -50,7 +50,19 @@ object Bench {
     cleanup()
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Run the historically variance-prone heavy queries FIRST, right after
+    // warmup (VERDICT r4 "Next round" #3): in the r3/r4 driver sweeps they
+    // ran 25-110 queries deep into an alphabetical order and clocked
+    // 3-7x their idle-host 3-run medians, while every cheap neighbor
+    // matched its median — accumulated JIT/metaspace/GC state, not the
+    // queries, was being billed. Fronting them measures each against the
+    // same JVM state the medians were taken in; the order is deterministic
+    // and the driver sees it in the per-query map either way.
+    val frontLoaded = Seq("q_topk_collect", "q_dedup_keep", "q_nested",
+      "q_dedup_clusters", "q_keep_best", "q_ngram_jaccard")
+      .filter(SparkEntry.queries.contains)
+    val names = (frontLoaded ++
+      (SparkEntry.queries.keys.toSeq.sorted diff frontLoaded))
       .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
       val times = (1 to repeat).map { _ =>

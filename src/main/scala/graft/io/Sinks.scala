@@ -138,9 +138,27 @@ object Sinks {
   def text(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).text(path)
 
+  /** S4: the exact record projection the Kafka batch sink consumes —
+    * (key, value) cast to STRING, everything else dropped. Factored out of
+    * [[kafka]] so the layout is testable without a broker (none exists in
+    * the sandbox): the write path below is `kafkaPayload(df).write`, so a
+    * spec over this frame IS a spec over what lands on the topic.
+    * Fails at analysis time (not inside the Kafka writer) when the input
+    * is missing either column.
+    */
+  def kafkaPayload(df: DataFrame, keyCol: String = "key",
+                   valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(df.columns.contains(keyCol) && df.columns.contains(valueCol),
+      s"Kafka sink needs '$keyCol' and '$valueCol' columns; " +
+        s"got ${df.columns.mkString(", ")}")
+    df.select(col(keyCol).cast("string").as("key"),
+      col(valueCol).cast("string").as("value"))
+  }
+
   /** S4: Kafka sink — (key, value) string columns required by the format. */
   def kafka(df: DataFrame, brokers: String, topic: String): Unit =
-    df.selectExpr("CAST(key AS STRING) key", "CAST(value AS STRING) value")
+    kafkaPayload(df)
       .write.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("topic", topic).save()

@@ -21,6 +21,53 @@ class PlanAuditSpec extends SparkSpec {
       s"expected Partial+Final WindowGroupLimit:\n$p")
   }
 
+  test("q_pipeline: production top-k is Partial+Final WindowGroupLimit") {
+    // the declared flagship query itself — not just the TopK unit — must
+    // carry the map-side group limit, or a hot prefix's full fan-in
+    // crosses the wire at 100 TB
+    val p = plan("q_pipeline")
+    assert(p.contains("Partial") && p.contains("WindowGroupLimit"),
+      s"missing partial window group limit:\n$p")
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"expected Partial+Final WindowGroupLimit:\n$p")
+  }
+
+  test("topCompletions on a skewed prefix: map-side limit + correct hot top-k") {
+    // SURVEY §4.3 skew shape: one hot 2-char prefix holding 5000 distinct
+    // queries, a uniform tail, spread over several map tasks. Audits the
+    // PRODUCTION path (Pipeline.topCompletions) at the fixture the skew
+    // guard exists for, in both the native and salted variants.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{get_json_object, lit}
+    val hot = (1 to 5000).map(i => ("ho", s"how to $i", (i % 7 + 1).toLong))
+    val tail = (1 to 1000).map(i => (s"t$i", s"q$i", 1L))
+    val freq = (hot ++ tail).toDF("prefix", "query", "frequency")
+      .repartition(8)
+
+    val native = Pipeline.topCompletions(freq, k = 10)
+    val p = native.queryExecution.executedPlan.toString
+    assert(p.contains("Partial") &&
+      p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"skewed production plan lost the two-phase group limit:\n$p")
+
+    val salted = Pipeline.topCompletions(freq, k = 10, salts = 16)
+    val ps = salted.queryExecution.executedPlan.toString
+    assert(ps.linesIterator.count(_.contains("WindowGroupLimit")) >= 3,
+      s"salted plan must carry the extra spreading phase:\n$ps")
+
+    // both variants agree, and the hot prefix's winner is the true argmax:
+    // highest frequency (7), ties broken by query asc
+    val n = native.as[(String, String)].collect().toMap
+    val s = salted.as[(String, String)].collect().toMap
+    assert(n == s, "salted completions diverged from native")
+    assert(n.size == 1001)
+    val top = get_json_object(lit(n("ho")), "$[0]")
+    val first = spark.range(1).select(top).as[String].head()
+    val expected = hot.sortBy { case (_, q, f) => (-f, q) }.head._2
+    assert(first == expected,
+      s"hot-prefix argmax wrong: $first != $expected")
+  }
+
   test("q_join_inner: dimensions broadcast, no cartesian product") {
     val p = plan("q_join_inner")
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,

@@ -167,6 +167,37 @@ class SinksSpec extends SparkSpec {
       data.agg(sum("x")).as[Long].head())
   }
 
+  test("kafkaPayload: exact key/value layout the Kafka sink writes (S4)") {
+    // No broker exists in the sandbox, but Sinks.kafka is literally
+    // `kafkaPayload(df).write.format("kafka")` — so asserting this frame
+    // asserts the record layout that lands on the topic. The reference
+    // publishes (prefix, completions-json) pairs; non-string columns must
+    // be cast, extra columns dropped, and the output schema must be the
+    // two nullable strings the kafka source/sink contract requires.
+    val out = Sinks.kafkaPayload(
+      graft.Pipeline.topCompletions(
+        Seq(("ho", "how", 3L), ("ho", "hot", 1L))
+          .toDF("prefix", "query", "frequency"), k = 10)
+        .withColumnRenamed("prefix", "key")
+        .withColumnRenamed("completions", "value")
+        .withColumn("extra", lit(42)))
+    assert(out.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("key", "string"), ("value", "string")))
+    val rows = out.as[(String, String)].collect().toMap
+    assert(rows.keySet == Set("ho"))
+    assert(rows("ho").contains("how") && rows("ho").contains("hot"))
+
+    // numeric key casts rather than failing
+    val numKey = Sinks.kafkaPayload(Seq((7L, "v")).toDF("key", "value"))
+      .as[(String, String)].head()
+    assert(numKey == ("7", "v"))
+
+    // a frame missing the contract columns fails loudly at plan time
+    intercept[IllegalArgumentException] {
+      Sinks.kafkaPayload(Seq(("a", "b")).toDF("prefix", "completions"))
+    }
+  }
+
   test("ZOrder.bucket: NULL values, NULL bounds, constant columns pin to 0") {
     // degenerate inputs must not produce NaN/NULL buckets (or engine-
     // divergent clamping) — they pin to bucket 0 pre-division
