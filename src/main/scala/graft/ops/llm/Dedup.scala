@@ -315,6 +315,44 @@ object Dedup {
     dupProfile(df.select(df(idCol).as("doc"),
       explode(TextOps.shingleSet(df(textCol), n)).as("u")), "shingles")
 
+  /** C4-style boilerplate removal at chunk granularity (C4 drops any line
+    * occurring in >= minDf distinct pages, `c4_utils` rule; the synthetic
+    * corpus has no line structure, so the unit is the w-token chunk —
+    * same segmentation as [[chunkDupStats]], but measuring DISTINCT-doc
+    * frequency and REBUILDING the doc without its boilerplate units).
+    * Output per doc: (doc_id, n_units, n_boiler, clean_sha) where
+    * clean_sha fingerprints the cleaned text (kept chunks rejoined in
+    * position order; sha2("") when everything was boilerplate).
+    *
+    * Scale shape: distinct-doc frequency without a countDistinct shuffle —
+    * rows are clustered once by the chunk digest, a lag marker flags each
+    * chunk's first occurrence per doc, and a full-partition sum of the
+    * marker IS the distinct-doc frequency. Both window passes share the
+    * ONE csha exchange (same partition spec); the only other exchange is
+    * the per-doc rollup. Chunk text rides along because the doc is
+    * rebuilt — the same corpus-sized volume CCNet's paragraph pass moves.
+    */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        w: Int = 10, minDf: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val units = df.select(df(idCol).as("doc"),
+        posexplode(TextOps.tokenChunks(df(textCol), w)).as(Seq("pos", "c")))
+      .withColumn("csha", sha2(col("c"), 256))
+    val byChunk = Window.partitionBy("csha")
+    val ordered = byChunk.orderBy("doc", "pos")
+    units
+      .withColumn("first_in_doc",
+        when(lag("doc", 1).over(ordered).isNull ||
+          lag("doc", 1).over(ordered) =!= col("doc"), 1L).otherwise(0L))
+      .withColumn("df", sum("first_in_doc").over(byChunk))
+      .groupBy(col("doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"),
+        sha2(array_join(transform(sort_array(collect_list(
+          when(col("df") < minDf, struct(col("pos"), col("c"))))),
+          e => e.getField("c")), " "), 256).as("clean_sha"))
+  }
+
   /** Quality-aware survivor selection: given near-dup pairs and a per-doc
     * score, pick each cluster's HIGHEST-scoring member (ties → lowest id)
     * instead of the blind min-id survivor — what a production dedup

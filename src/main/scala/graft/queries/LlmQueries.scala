@@ -622,6 +622,64 @@ object LlmQueries {
         TextOps.stopwordCount(d("text"), TextOps.stopEn))
     },
 
+    // C4-style boilerplate removal at chunk granularity: a 10-token chunk
+    // appearing in >= 2 DISTINCT docs is boilerplate; each doc is rebuilt
+    // without its boilerplate chunks and fingerprinted. One csha-keyed
+    // exchange serves both window passes (lag marker + df sum), one more
+    // for the per-doc rollup (plan-audited).
+    "q_boilerplate" -> Q(
+      """WITH base AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') toks
+        |  FROM documents),
+        |ch AS (SELECT doc_id,
+        |    unnest(generate_series(1, len(toks) // 10)) pos, toks
+        |  FROM base),
+        |u AS (SELECT doc_id, pos,
+        |    array_to_string(toks[(pos-1)*10+1:(pos-1)*10+10], ' ') c
+        |  FROM ch),
+        |df AS (SELECT c, CAST(count(DISTINCT doc_id) AS BIGINT) df
+        |       FROM u GROUP BY 1),
+        |j AS (SELECT u.doc_id, u.pos, u.c, df.df FROM u JOIN df USING (c))
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) n_units,
+        |  CAST(count(*) FILTER (WHERE df >= 2) AS BIGINT) n_boiler,
+        |  sha256(coalesce(array_to_string(
+        |    list(c ORDER BY pos) FILTER (WHERE df < 2), ' '), '')) clean_sha
+        |FROM j GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.removeBoilerplate(table(s, dir, "documents"), "doc_id", "text",
+        w = 10, minDf = 2)
+    },
+
+    // BPE merge-candidate mining (the inner loop of byte-pair-encoding
+    // tokenizer training): adjacent character-pair counts weighted by word
+    // frequency. The corpus shuffles ONCE (map-combined word counts); the
+    // quadratic-looking pair expansion runs over the DISTINCT-word table
+    // (Heaps' law: sublinear in corpus size), and the global top-50 is a
+    // TakeOrdered partial top-k, not a full sort.
+    "q_bpe_pairs" -> Q(
+      """WITH w AS (SELECT tok, CAST(count(*) AS BIGINT) freq FROM
+        |  (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) tok
+        |   FROM documents)
+        |  WHERE length(tok) >= 2 GROUP BY 1),
+        |p AS (SELECT substring(tok, i, 2) pair, freq FROM
+        |  (SELECT tok, freq,
+        |     unnest(generate_series(1, length(tok)-1)) i FROM w))
+        |SELECT pair, CAST(sum(freq) AS BIGINT) cnt
+        |FROM p GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 50""".stripMargin
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val toks = d.select(
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(length(col("tok")) >= 2)
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      freq.select(explode(transform(
+            sequence(lit(1), length(col("tok")) - 1),
+            i => col("tok").substr(i, lit(2)))).as("pair"),
+          col("freq"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc).limit(50)
+    },
+
     // Paragraph-level (CCNet-style) duplication profile: 10-token chunks,
     // occurrences counted corpus-wide, per-doc duplicated-chunk stats.
     // Chunk text is sha256'd at the scan — only digests shuffle; the count

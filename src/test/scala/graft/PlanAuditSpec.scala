@@ -332,6 +332,25 @@ class PlanAuditSpec extends SparkSpec {
       s"per-day agg must combine map-side:\n$p")
   }
 
+  test("q_boilerplate: one chunk exchange serves both windows, one doc rollup") {
+    val p = plan("q_boilerplate")
+    val exchanges = p.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("Reused"))
+    // lag marker + df sum share the csha partitioning; a countDistinct or
+    // join-back formulation would shuffle the chunk stream again
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"df must come from the window, not a join-back:\n$p")
+  }
+
+  test("q_bpe_pairs: map-combined aggs, top-50 is a partial top-k") {
+    val p = plan("q_bpe_pairs")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"word/pair counts must combine map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must be a partial top-k, not a global sort:\n$p")
+  }
+
   test("textrank round: equi-join + partial-agg'd groupBy (the Pregel shape)") {
     // audit ONE message round pre-checkpoint (the query's final plan is
     // severed by the per-round localCheckpoint, by design)

@@ -139,6 +139,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("removeBoilerplate: shared chunks drop, unique chunks survive in order") {
+    // w=2 chunks; "nav bar" and "foot er x" appear in several docs (the
+    // boilerplate), each doc keeps its unique middle. doc 4 is ALL
+    // boilerplate → clean_sha must be sha2("") not null; doc 5 is too
+    // short for one chunk → absent from the output.
+    val d = Seq(
+      (1L, "nav bar alpha beta foot er"),
+      (2L, "nav bar gamma delta foot er"),
+      (3L, "nav bar epsilon zeta foot er"),
+      (4L, "nav bar foot er"),
+      (5L, "tiny")).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplate(d, "doc_id", "text", w = 2, minDf = 2)
+      .select("doc_id", "n_units", "n_boiler", "clean_sha")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L)._1 == 3 && out(1L)._2 == 2)
+    assert(out(4L) == ((2L, 2L, shaHex(""))))
+    assert(out(1L)._3 == shaHex("alpha beta"))
+    assert(out(2L)._3 == shaHex("gamma delta"))
+    // a doc where boilerplate separates two kept chunks keeps their order
+    val d2 = Seq(
+      (1L, "aa bb nav bar cc dd"),
+      (2L, "zz yy nav bar xx ww")).toDF("doc_id", "text")
+    val out2 = Dedup.removeBoilerplate(d2, "doc_id", "text", w = 2, minDf = 2)
+      .select("doc_id", "clean_sha").as[(Long, String)].collect().toMap
+    assert(out2(1L) == shaHex("aa bb cc dd"))
+    assert(out2(2L) == shaHex("zz yy xx ww"))
+  }
+
+  private def shaHex(s: String): String = {
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   test("fast xxhash signatures: equal shingle sets get equal sigs") {
     val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zeta eta theta iota")).toDF("doc_id", "text")

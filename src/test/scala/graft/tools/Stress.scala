@@ -60,6 +60,54 @@ object Stress {
           .select(explode(Multimodal.frameSample(col("payload"),
             col("meta.n_frames"))))
           .count()),
+      // X12i streaming incremental ingest dedup, end-to-end through the
+      // file source + AvailableNow checkpointed query (RocksDB state store
+      // via GraftSession): 4 micro-batches, each band-joined against the
+      // corpus accumulated so far. The factor must track the linear
+      // delta×corpus join volume, never corpus² — the quadratic
+      // corpus self-join this op exists to avoid.
+      "stream_incremental_dedup" -> (d => {
+        val spark = d.sparkSession
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-sstress").toString
+        val src = d.select(col("doc_id"), col("text"))
+        src.repartition(4).write.mode("overwrite").parquet(s"$root/src")
+        val docs = spark.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
+        graft.streaming.StreamingPipeline.incrementalDedup(docs,
+          s"$root/corpus", s"$root/pairs", s"$root/ckpt")
+        spark.read.parquet(s"$root/pairs").count()
+      }),
+      // X12f streaming dedup within watermark on the RocksDB state store:
+      // replicas share text, so the dedup KEY set — and therefore the
+      // state store and the output — must stay FLAT at Nx input (printed
+      // below from the query's own progress); only scan/hash work grows.
+      "stream_dedup_watermark" -> (d => {
+        val spark = d.sparkSession
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-wstress").toString
+        val src = d.select(col("doc_id"), col("text"))
+        src.repartition(4).write.mode("overwrite").parquet(s"$root/src")
+        val ev = spark.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
+          .select(
+            timestamp_micros(lit(1700000000000000L) +
+              pmod(col("doc_id"), lit(60L)) * 1000000L).as("ts"),
+            sha2(col("text"), 256).as("k"))
+        val out = graft.streaming.StreamingPipeline
+          .dedupWithinWatermark(ev, Seq("k"))
+        val q = out.writeStream.format("memory").queryName("wstress")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .start()
+        q.awaitTermination()
+        val stateRows = q.recentProgress.flatMap(_.stateOperators)
+          .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+        println(s"    stream_dedup_watermark: final state rows = $stateRows")
+        val n = spark.table("wstress").count()
+        spark.sql("DROP TABLE IF EXISTS wstress")
+        n
+      }),
       // iterative graph op: replicas multiply edge WEIGHTS ×N but the
       // node set (vocabulary) is unchanged, so the 5 Pregel rounds must
       // stay ~flat — only the one-shot edge-mining pass scales with rows
