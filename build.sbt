@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Heap sizing note (r5): 24g/Xms-pinned/PreTouch variants were tried
+  // against the roaming +2-4s full-GC pause that lands on ~2 random
+  // minhash-family queries per single-run sweep — all were SLOWER on
+  // this VM (committing tens of GiB of fresh pages under firecracker
+  // costs more than the GC it saves). 8g is the measured optimum; the
+  // residual noise is characterized in ROUND5_NOTES.md.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -394,6 +394,45 @@ object LlmQueries {
           n = 3, num = 8, den = 10)
     },
 
+    // Sorted-neighborhood (merge/purge) near-dup mining: docs ordered by
+    // their sorted-distinct-token canonical key within key-prefix blocks,
+    // candidates = rows within 3 positions, exact-Jaccard verified. The
+    // deliberately bounded candidate set (3N, skew-immune) mines 12 of
+    // PPJoin's exhaustive 25 pairs on this corpus — the classic recall/
+    // cost tradeoff of the blocking family, here oracle-checked.
+    "q_sorted_neighborhood" -> Q(
+      s"""WITH base0 AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\\s+') toks
+        |  FROM documents),
+        |k AS (SELECT doc_id,
+        |    array_to_string(list_sort(list_distinct(toks)), ' ') skey
+        |  FROM base0),
+        |nb AS (SELECT doc_id, skey,
+        |    lead(doc_id, 1) OVER w n1, lead(doc_id, 2) OVER w n2,
+        |    lead(doc_id, 3) OVER w n3
+        |  FROM k WINDOW w AS (
+        |    PARTITION BY substring(skey, 1, 8) ORDER BY skey, doc_id)),
+        |cand AS (SELECT DISTINCT least(doc_id, y) a, greatest(doc_id, y) b
+        |  FROM (SELECT doc_id, unnest([n1, n2, n3]) y FROM nb)
+        |  WHERE y IS NOT NULL),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks)-2, 1)),
+        |    i -> array_to_string(toks[i:i+2], ' '))) sh FROM base0),
+        |v AS (SELECT c.a, c.b,
+        |    CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+        |      AS INTEGER) inter,
+        |    CAST(len(sa.sh) + len(sb.sh) AS INTEGER) s
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.a
+        |  JOIN sh sb ON sb.doc_id = c.b)
+        |SELECT a, b, inter, (s - inter) AS uni
+        |FROM v WHERE inter * 10 >= (s - inter) * 8""".stripMargin) {
+      (s, dir) =>
+        Dedup.sortedNeighborhoodPairs(table(s, dir, "documents"),
+          "doc_id", "text", n = 3, win = 3, prefixLen = 8,
+          num = 8, den = 10)
+    },
+
     // MinHash + banded LSH near-dup: 8 sha256 signatures, 4 bands of r=2,
     // same-bucket candidates verified with exact shingle Jaccard >= 0.8.
     // The full LSH pipeline is oracle-checked because the signatures are

@@ -139,6 +139,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("sortedNeighborhood: adjacent-key near-dups found, candidates bounded") {
+    // doc 3 appends a LATE-sorting token, so its canonical key shares the
+    // block prefix with docs 1/2 and the three sort adjacent; a token that
+    // sorted first would move doc 3 to another block — the documented
+    // blocked-SNM recall tradeoff (covered by the PPJoin/LSH miners).
+    val d = Seq(
+      (1L, base), (2L, base.toUpperCase),
+      (3L, base + " zzz"),
+      (4L, unrelated),
+      (5L, "tiny doc")).toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(d, "doc_id", "text",
+        n = 3, win = 3, prefixLen = 8, num = 5, den = 10)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup pair missed: $pairs")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      s"near-dup pair missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated doc must not pair: $pairs")
+    // the candidate space is win×N by construction — verified pairs can
+    // never exceed it (skew-immunity, unlike a hot-shingle posting join)
+    assert(pairs.size <= 3 * 5)
+  }
+
   test("removeBoilerplate: shared chunks drop, unique chunks survive in order") {
     // w=2 chunks; "nav bar" and "foot er x" appear in several docs (the
     // boilerplate), each doc keeps its unique middle. doc 4 is ALL
