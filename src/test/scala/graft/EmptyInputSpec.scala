@@ -69,6 +69,15 @@ class EmptyInputSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("round-5 dedup ops on empty input") {
+    assert(Dedup.removeBoilerplate(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.sortedNeighborhoodPairs(noDocs, "doc_id", "text")
+      .count() == 0)
+    // all-whitespace docs tokenize to nothing chunkable
+    val blank = Seq((1L, "   "), (2L, "")).toDF("doc_id", "text")
+    assert(Dedup.removeBoilerplate(blank, "doc_id", "text").count() == 0)
+  }
+
   test("sessionize and time joins on empty input") {
     val noEvents = Seq.empty[(Long, Long, Long)]
       .toDF("user_id", "ts", "event_id")

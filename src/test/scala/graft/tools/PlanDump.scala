@@ -16,10 +16,13 @@ object PlanDump {
     "q_tfidf", "q_similarity_int8", "q_contamination_bloom",
     "q_para_dedup", "q_ngram_lm", "q_profile", "q_repetition",
     "q_bm25", "q_pmi", "q_char_diversity", "q_chunk_overlap", "q_scd2",
-    "q_resample", "q_zorder")
+    "q_resample", "q_zorder",
+    // round 5
+    "q_boilerplate", "q_bpe_pairs", "q_sorted_neighborhood",
+    "q_similarity_ivf_exact", "q_pq_search")
 
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("PLANS_r4.md")
+    val out = args.headOption.getOrElse("PLANS_r5.md")
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
     val spark = GraftSession.local("graft-plan-dump", 8)
     spark.sparkContext.setLogLevel("WARN")
