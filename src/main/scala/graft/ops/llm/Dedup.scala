@@ -102,6 +102,61 @@ object Dedup {
       .filter(col("inter") * den >= col("uni") * num)
   }
 
+  /** Containment (asymmetric-Jaccard) pair mining: (a, b) where
+    * |A∩B| / |A| >= num/den — doc a is (nearly) CONTAINED in doc b. The
+    * excerpt/quote/subset-duplicate signal that symmetric Jaccard misses:
+    * a paragraph quoted inside a much larger page has tiny Jaccard but
+    * containment ~1.
+    *
+    * Exact via a containment-adapted prefix filter: order each doc's
+    * shingles by global rarity (df asc, shingle asc); if B shares NONE of
+    * A's floor((1-t)|A|)+1 rarest shingles then |A∩B| <= |A| - p < t|A|,
+    * so joining only that prefix against the full posting table is a
+    * LOSSLESS prune (same soundness argument as PPJoin, with the t|A|
+    * bound replacing the symmetric one). A size prune rides on the join:
+    * |A∩B| <= |B| forces |B| >= t|A| for any qualifying pair. Exact
+    * verification then scores candidates on the
+    * materialized shingle sets. One window exchange for df (no
+    * groupBy+join-back), rare-shingle postings keep the candidate join
+    * short. Output (a, b, inter, na), asymmetric — both directions can
+    * appear, and for exact duplicates both do.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, num: Int = 9, den: Int = 10)
+      : DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val withSet = df.select(df(idCol).as("doc"), df(textCol).as("_t"))
+      .repartition(par)
+      .select(col("doc"), TextOps.shingleSet(col("_t"), n).as("shs"))
+      .withColumn("n_", size(col("shs")))
+      .localCheckpoint(false)
+    val post = withSet.select(col("doc"), col("n_"),
+      explode(col("shs")).as("g"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy(col("df_"), col("g"))
+    val p = (col("n_") - ceil(col("n_") * num / lit(den.toDouble)) + 1)
+      .cast("int")
+    val withDf = post.withColumn("df_", count(lit(1)).over(wg))
+    val prefix = withDf.withColumn("rk", row_number().over(wd))
+      .filter(col("rk") <= p)
+      .select(col("doc").as("a"), col("n_").as("na"), col("g"))
+    val full = withDf.select(col("doc").as("b"), col("n_").as("nb"),
+      col("g").as("g2"))
+    val cand = prefix.join(full,
+        prefix("g") === full("g2") && col("a") =!= col("b") &&
+          col("nb") * den >= col("na") * num)
+      .select("a", "b").distinct()
+    val sets = withSet.select(col("doc"), col("shs"))
+    val interC = size(array_intersect(col("sa"), col("sb")))
+    cand
+      .join(sets.toDF("a", "sa"), "a")
+      .join(sets.toDF("b", "sb"), "b")
+      .select(col("a"), col("b"), interC.as("inter"),
+        size(col("sa")).as("na"))
+      .filter(col("inter") * den >= col("na") * num)
+  }
+
   /** Sorted-neighborhood near-dup mining (the merge/purge blocking
     * strategy of Hernández & Stolfo 1995, blocked variant): docs are
     * ordered by a similarity-preserving canonical key — the sorted

@@ -394,6 +394,26 @@ object LlmQueries {
           n = 3, num = 8, den = 10)
     },
 
+    // Containment (asymmetric Jaccard) pairs: |A∩B|/|A| >= 0.9 — the
+    // excerpt/subset-duplicate signal symmetric Jaccard misses. The Spark
+    // side is the lossless containment prefix filter; the oracle is the
+    // EXHAUSTIVE pair join, so a hash match certifies candidate
+    // completeness, not just verification math.
+    "q_containment" -> Q(
+      s"""WITH $duckShingles,
+        |tok AS (SELECT doc_id, unnest(sh) g FROM base),
+        |sizes AS (SELECT doc_id, len(sh) n_ FROM base),
+        |inter AS (
+        |  SELECT l.doc_id a, r.doc_id b, CAST(count(*) AS INTEGER) inter
+        |  FROM tok l JOIN tok r ON l.g = r.g AND l.doc_id <> r.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.a, i.b, i.inter, CAST(sa.n_ AS INTEGER) na
+        |FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+        |WHERE i.inter * 10 >= sa.n_ * 9""".stripMargin) { (s, dir) =>
+      Dedup.containmentPairs(table(s, dir, "documents"), "doc_id", "text",
+        n = 3, num = 9, den = 10)
+    },
+
     // Sorted-neighborhood (merge/purge) near-dup mining: docs ordered by
     // their sorted-distinct-token canonical key within key-prefix blocks,
     // candidates = rows within 3 positions, exact-Jaccard verified. The

@@ -343,6 +343,15 @@ class PlanAuditSpec extends SparkSpec {
       s"df must come from the window, not a join-back:\n$p")
   }
 
+  test("q_containment: df from a window, prefix-posting equi-join, no cartesian") {
+    val p = plan("q_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"containment mining must stay an equi-join on the shingle:\n$p")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      s"shingle df must come from a window, not groupBy+join-back:\n$p")
+  }
+
   test("q_bpe_pairs: map-combined aggs, top-50 is a partial top-k") {
     val p = plan("q_bpe_pairs")
     assert(p.contains("partial_count") || p.contains("partial_sum"),

@@ -139,6 +139,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment: excerpt found one-directionally, Jaccard-invisible") {
+    // doc 2 embeds doc 1 verbatim inside much more text: containment
+    // (1 in 2) is 1.0 while symmetric Jaccard is ~0.2 — the case the
+    // subset-dup signal exists for. Direction matters: (2 in 1) fails.
+    val small = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 30).map(i => s"filler$i").mkString(" ")
+    val d = Seq(
+      (1L, small),
+      (2L, small + " " + filler),
+      (3L, "unrelated words entirely about other topics")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(d, "doc_id", "text",
+        n = 3, num = 9, den = 10)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)), s"got $out")
+    // sanity: the same pair is invisible to symmetric Jaccard at 0.8
+    val jac = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 8, 10)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)))
+  }
+
   test("sortedNeighborhood: adjacent-key near-dups found, candidates bounded") {
     // doc 3 appends a LATE-sorting token, so its canonical key shares the
     // block prefix with docs 1/2 and the three sort adjacent; a token that
