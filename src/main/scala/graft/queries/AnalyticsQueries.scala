@@ -162,6 +162,22 @@ object AnalyticsQueries {
           count(lit(1)).as("cnt"))
     },
 
+    // Mergeable HLL sketch state (Apache DataSketches via
+    // hll_sketch_agg/hll_union_agg): per-(priority, status) sketches are
+    // the STORED partial state — at 100 TB these are what a nightly job
+    // persists per partition/day — and the per-priority rollup merges
+    // sketches without rescanning the fact table. Rows-only by design
+    // (sketch binaries are engine-specific); the estimate-vs-exact error
+    // bound is asserted in ApproxDistinctSpec.
+    "q_hll_merge" -> Q.noOracle { (s, dir) =>
+      val o = table(s, dir, "orders")
+      val partials = o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      partials.groupBy("o_orderpriority")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("est_custs"))
+    },
+
     // GK quantile sketch (approx_percentile): mergeable partial sketches,
     // one pass, rank error <= 1/accuracy — the production quantile path
     // when an exact per-group sort (q_percentile) is too expensive.

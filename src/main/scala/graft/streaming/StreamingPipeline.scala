@@ -177,6 +177,31 @@ object StreamingPipeline {
       .select(col("c_user").as("user_id"), col("click_id"), col("view_id"))
   }
 
+  /** Left-OUTER interval attribution (X12e variant): every click is
+    * emitted, matched views attached when one exists within the horizon,
+    * NULL view_id otherwise — the "unattributed conversion" row an inner
+    * join silently drops. The outer side can only emit its null-extended
+    * row once the watermark proves no matching view can still arrive, so
+    * results trail the watermark by design; state stays bounded by the
+    * same horizon condition as the inner form.
+    */
+  def clickViewJoinOuter(clicks: DataFrame, views: DataFrame,
+                         watermark: String = "10 minutes",
+                         horizon: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    c.join(v,
+        col("c_user") === col("v_user") &&
+          col("v_ts") <= col("c_ts") &&
+          col("v_ts") >= col("c_ts") - expr(s"INTERVAL $horizon"),
+        "leftOuter")
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"))
+  }
+
   /** Watermarked streaming dedup: first occurrence of each key wins;
     * duplicates arriving within the watermark horizon are dropped and the
     * per-key state is GC'd once the watermark passes — the streaming twin

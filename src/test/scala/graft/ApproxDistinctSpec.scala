@@ -23,6 +23,32 @@ class ApproxDistinctSpec extends SparkSpec {
     }
   }
 
+  test("merged HLL sketches estimate within error; merge equals rescan") {
+    val o = Tables.table(spark, sf0001, "orders")
+    // the declared query's shape: partial sketches per (priority, status),
+    // unioned per priority — compared against the exact distinct count
+    val partials = o.groupBy("o_orderpriority", "o_orderstatus")
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val merged = partials.groupBy("o_orderpriority")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = o.groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("exact"))
+    val rows = merged.join(exact, "o_orderpriority")
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, est, ex) =>
+      val rel = math.abs(est - ex).toDouble / ex
+      assert(rel <= 0.1, s"$k: est=$est exact=$ex rel=$rel")
+    }
+    // merging partials must equal sketching the whole table directly —
+    // THE mergeability property that makes stored sketch state valid
+    val direct = o.groupBy("o_orderpriority")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est"))
+      .as[(String, Long)].collect().toMap
+    val viaMerge = merged.as[(String, Long)].collect().toMap
+    assert(viaMerge == direct, s"merge path diverged: $viaMerge vs $direct")
+  }
+
   test("approx_percentile within the sketch's rank-error bound of exact") {
     val o = Tables.table(spark, sf0001, "orders")
     val c = round(col("o_totalprice") * 100).cast("long")

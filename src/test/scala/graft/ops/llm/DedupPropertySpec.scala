@@ -106,6 +106,38 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  // -- naive containment reference ----------------------------------------
+  private def naiveContainment(docs: Seq[(Long, String)], n: Int,
+                               num: Int, den: Int)
+      : Set[(Long, Long, Int, Int)] =
+    (for {
+      (a, ta) <- docs; (b, tb) <- docs if a != b
+      sa = shingleSet(ta, n); sb = shingleSet(tb, n)
+      inter = (sa intersect sb).size
+      if inter * den >= sa.size * num
+    } yield (a, b, inter, sa.size)).toSet
+
+  test("containment prefix filter never changes the result set") {
+    (1L to 3L).foreach { s =>
+      val bases = (0 until 6).map(i => genDoc(s, i))
+      // excerpts embedded in larger docs (the asymmetric case), exact
+      // copies (both directions must appear), unrelated docs, tiny docs
+      // (single-shingle sets stress the prefix-size floor)
+      val docs = bases.zipWithIndex.flatMap { case (d, i) =>
+        val container = d + " " + genDoc(s + 7, i)
+        Seq((i * 10L, d), (i * 10L + 1, container),
+          (i * 10L + 2, d), (i * 10L + 3, genDoc(s + 13, i)))
+      } ++ Seq((900L, "tiny"), (901L, "spark"))
+      val expected = naiveContainment(docs, n = 3, num = 8, den = 10)
+      val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n = 3, num = 8, den = 10)
+        .as[(Long, Long, Int, Int)].collect().toSet
+      assert(got == expected,
+        s"seed $s: got=${got.size} naive=${expected.size} diff=" +
+          s"${(got diff expected) ++ (expected diff got)}")
+    }
+  }
+
   test("substringDupStats equals the naive cross-doc shingle count") {
     (1L to 3L).foreach { s =>
       val docs = (0 until 12).map(i => (i.toLong, genDoc(s, i / 2)))

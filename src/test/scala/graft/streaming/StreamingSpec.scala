@@ -165,6 +165,37 @@ class StreamingSpec extends SparkSpec {
     assert(!rows((1L, 102L)), "view after the click must not join to it")
   }
 
+  test("left-outer interval join emits unattributed clicks after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val out = StreamingPipeline.clickViewJoinOuter(
+      clicks.toDF().toDF("user_id", "ts", "event_id"),
+      views.toDF().toDF("user_id", "ts", "event_id"))
+    val q = out.writeStream.format("memory").queryName("ssjo")
+      .outputMode("append").start()
+    try {
+      // click 1 has an in-horizon view; click 2 has NO view at all — the
+      // row an inner join drops and the outer join must null-extend
+      clicks.addData((1L, ts("2025-06-10 12:00:00"), 1L),
+        (2L, ts("2025-06-10 12:00:00"), 2L))
+      views.addData((1L, ts("2025-06-10 11:30:00"), 100L))
+      q.processAllAvailable()
+      // advance BOTH watermarks well past click 2's join horizon so its
+      // null-extended row is provably final and flushes
+      clicks.addData((9L, ts("2025-06-10 20:00:00"), 9L))
+      views.addData((9L, ts("2025-06-10 20:00:00"), 900L))
+      q.processAllAvailable()
+      val rows = spark.table("ssjo")
+        .select("click_id", "view_id")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(rows((1L, Some(100L))), s"matched click must join: $rows")
+      assert(rows((2L, None)),
+        s"unattributed click must emit with NULL view after watermark: $rows")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark keeps first occurrence per key") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = Timestamp.valueOf(s)
