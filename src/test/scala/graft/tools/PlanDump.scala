@@ -19,6 +19,7 @@ object PlanDump {
     "q_resample", "q_zorder",
     // round 5
     "q_boilerplate", "q_bpe_pairs", "q_sorted_neighborhood",
+    "q_containment", "q_hll_merge",
     "q_similarity_ivf_exact", "q_pq_search")
 
   def main(args: Array[String]): Unit = {
