@@ -875,6 +875,53 @@ object LlmQueries {
         .select("lang", "source", "n", "sqrt_milli", "weight_ppm")
     },
 
+    // Mixture APPLICATION: the q_mix_weights temperature weights turned
+    // into an actual sampled corpus — per-cell acceptance rate
+    // rate_ppm = weight_ppm * (corpus/2) / n (targeting half the corpus,
+    // sqrt-temperature shares), acceptance by deterministic hash
+    // threshold (first 6 sha256 hex chars vs a per-cell hex cut) so the
+    // sample is reproducible and oracle-checkable. Scale: cell rates are
+    // a tiny broadcast; acceptance is a scan-side filter — sampling 100
+    // TB costs one pass and no shuffle.
+    "q_mix_apply" -> Q(
+      """WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT) n
+        |           FROM documents GROUP BY 1, 2),
+        |s AS (SELECT lang, source, n,
+        |  CAST(floor(sqrt(CAST(n * 1000000 AS DOUBLE))) AS BIGINT)
+        |    sqrt_milli FROM g),
+        |t AS (SELECT CAST(sum(sqrt_milli) AS BIGINT) tot,
+        |             CAST(sum(n) AS BIGINT) corpus FROM s),
+        |r AS (SELECT lang, source, n,
+        |  least(1000000,
+        |    (((sqrt_milli * 1000000) // t.tot) * (t.corpus // 2)) // n)
+        |    rate_ppm
+        |  FROM s, t)
+        |SELECT d.doc_id, d.lang, d.source, r.rate_ppm
+        |FROM documents d JOIN r
+        |  ON d.lang = r.lang AND d.source = r.source
+        |WHERE r.rate_ppm >= 1000000 OR
+        |  substr(sha256(lower(trim(d.text))), 1, 6) <
+        |    printf('%06x', (r.rate_ppm * 16777216) // 1000000)"""
+        .stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val g = d.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        .withColumn("sqrt_milli",
+          floor(sqrt((col("n") * 1000000L).cast("double"))).cast("long"))
+      val t = g.agg(sum(col("sqrt_milli")).as("tot"),
+        sum(col("n")).as("corpus"))
+      val r = g.crossJoin(t)
+        .withColumn("rate_ppm",
+          least(lit(1000000L),
+            expr("((sqrt_milli * 1000000 div tot) * (corpus div 2)) div n")))
+        .select("lang", "source", "rate_ppm")
+      d.join(broadcast(r), Seq("lang", "source"))
+        .filter(col("rate_ppm") >= 1000000L ||
+          substring(sha2(lower(trim(col("text"))), 256), 1, 6) <
+            lower(lpad(hex(expr("rate_ppm * 16777216 div 1000000")),
+              6, "0")))
+        .select("doc_id", "lang", "source", "rate_ppm")
+    },
+
     // Cross-source duplicate leakage: MinHash near-dup pairs joined back
     // to doc sources, counted per unordered source pair — the audit that
     // catches one crawl re-serving another's content. Pair mining reuses

@@ -332,6 +332,21 @@ class PlanAuditSpec extends SparkSpec {
       s"per-day agg must combine map-side:\n$p")
   }
 
+  test("q_mix_apply: cell rates broadcast, acceptance is a scan-side filter") {
+    val p = plan("q_mix_apply")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell-rate table must broadcast against the scan:\n$p")
+    // sampling itself must add no exchange — the corpus scan feeds the
+    // broadcast join directly; the only hash exchanges build the tiny
+    // per-cell stats (the groupBy and its totals rollup)
+    val exchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") &&
+        !l.contains("Reused"))
+    assert(exchanges <= 2, s"sampling must not shuffle the corpus:\n$p")
+    assert(p.contains("PushedFilters"),
+      s"corpus side must stay a direct scan:\n$p")
+  }
+
   test("q_boilerplate: one chunk exchange serves both windows, one doc rollup") {
     val p = plan("q_boilerplate")
     val exchanges = p.linesIterator
