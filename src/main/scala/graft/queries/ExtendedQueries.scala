@@ -27,6 +27,40 @@ object ExtendedQueries {
 
   val all: Map[String, Q] = Map(
 
+    // Runtime bloom-filter join pruning (the 100 TB big-join move Spark's
+    // InjectRuntimeFilter performs internally, here explicit and
+    // oracle-checked): a bloom built from the FILTERED dim keys prefilters
+    // the fact scan BEFORE the shuffle join, so non-matching fact rows
+    // never cross the wire; bloom false positives are harmless — the
+    // exact join still decides membership, which is why the result stays
+    // hash-identical to the plain join. The bloom is a fixed-size binary
+    // collected once (like a broadcast var), never the key set itself.
+    "q_bloom_join" -> Q(
+      """SELECT p.p_brand,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) revenue_cents,
+        |  CAST(count(*) AS BIGINT) n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size = 1
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val part = table(s, dir, "part")
+      val li = table(s, dir, "lineitem")
+      val dim = part.filter(col("p_size") === 1)
+        .select(col("p_partkey"), col("p_brand"))
+      val bloom = dim
+        .agg(call_function("graft_bloom_agg", xxhash64(col("p_partkey")),
+          lit(100000L), lit(800000L)).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      val pruned =
+        if (bloom == null) li.limit(0)
+        else li.filter(call_function("graft_might_contain",
+          lit(bloom), xxhash64(col("l_partkey"))))
+      pruned.join(dim, pruned("l_partkey") === dim("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(cents(col("l_extendedprice"))).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+    },
+
     // Full-outer join: customers of a nation subset vs per-customer order
     // aggregates — left-only (customers without orders), right-only
     // (customers outside the subset), and matched rows all surface.

@@ -332,6 +332,20 @@ class PlanAuditSpec extends SparkSpec {
       s"per-day agg must combine map-side:\n$p")
   }
 
+  test("q_bloom_join: bloom prunes the fact scan before the join") {
+    val p = plan("q_bloom_join")
+    assert(p.contains("might_contain"),
+      s"runtime bloom filter missing from the fact side:\n$p")
+    // the prune must sit below the join: find the Filter containing
+    // might_contain and confirm a lineitem FileScan beneath it
+    val lines = p.linesIterator.toVector
+    val fi = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("might_contain"))
+    assert(fi >= 0 && lines.drop(fi).exists(_.contains("lineitem")),
+      s"bloom filter must sit directly on the fact scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
   test("q_mix_apply: cell rates broadcast, acceptance is a scan-side filter") {
     val p = plan("q_mix_apply")
     assert(p.contains("BroadcastHashJoin"),
