@@ -113,10 +113,14 @@ object Bench {
           case Some(b) if !errors.contains(name) &&
               t > 1.5 * b && t - b > 2.0 =>
             val t0 = System.nanoTime()
-            try run(name) catch { case _: Throwable => () }
-            val t2 = (System.nanoTime() - t0) / 1e9
+            val ok = try { run(name); true }
+              catch { case _: Throwable => false }
+            // a FAILED rerun must not report its (short) failure time as
+            // the query's cost — keep the first, valid measurement
+            val t2 = if (ok) (System.nanoTime() - t0) / 1e9
+              else Double.MaxValue
             cleanup()
-            retried(name) = (t, t2)
+            retried(name) = (t, if (ok) t2 else -1.0)
             name -> math.min(t, t2)
           case _ => name -> t
         }
