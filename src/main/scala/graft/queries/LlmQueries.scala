@@ -681,6 +681,62 @@ object LlmQueries {
         TextOps.stopwordCount(d("text"), TextOps.stopEn))
     },
 
+    // The composed corpus-cleaning pipeline — the flagship end-to-end
+    // LLM-data query: MinHash near-dup clusters → quality-argmax survivor
+    // per cluster (losers dropped) → minimum-length quality gate →
+    // per-lang corpus stats. Every stage is an already-verified operator;
+    // the composition is what a production pre-training data job actually
+    // runs, and the whole chain stays hash-checked.
+    "q_corpus_clean" -> Q(
+      s"""WITH RECURSIVE $duckShingles,
+        |$duckMinhashPairs,
+        |edges AS (
+        |  SELECT a src, b dst FROM mh_pairs
+        |  UNION ALL SELECT b, a FROM mh_pairs),
+        |cc AS (
+        |  SELECT DISTINCT src AS node, src AS rep FROM edges
+        |  UNION
+        |  SELECT e.dst, cc.rep FROM cc, edges e WHERE cc.node = e.src),
+        |reps AS (SELECT node, CAST(min(rep) AS BIGINT) rep
+        |         FROM cc GROUP BY node),
+        |scored AS (SELECT doc_id node,
+        |  CAST(len(regexp_extract_all(lower(trim(text)),
+        |    '\\b(the|a|and|of|to|in|is|for|on|with)\\b')) AS INTEGER) score
+        |  FROM documents),
+        |ranked AS (SELECT r.node,
+        |    row_number() OVER (PARTITION BY r.rep
+        |      ORDER BY s.score DESC, r.node ASC) rn
+        |  FROM reps r JOIN scored s ON s.node = r.node),
+        |losers AS (SELECT node FROM ranked WHERE rn > 1),
+        |kept AS (
+        |  SELECT d.lang,
+        |    string_split_regex(lower(trim(d.text)), '\\s+') toks
+        |  FROM documents d
+        |  WHERE d.doc_id NOT IN (SELECT node FROM losers)),
+        |q AS (SELECT lang, len(toks) nt FROM kept WHERE len(toks) >= 20)
+        |SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+        |  CAST(sum(nt) AS BIGINT) n_tokens
+        |FROM q GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val pairs = Dedup.minhashDedup(d, "doc_id", "text",
+        n = 3, bands = 4, num = 8, den = 10)
+      val cc = Dedup.connectedComponents(pairs)
+      val scored = cc.join(
+        d.select(d("doc_id").as("node"),
+          TextOps.stopwordCount(d("text"), TextOps.stopEn).as("score")),
+        "node")
+      val w = Window.partitionBy("rep")
+        .orderBy(col("score").desc, col("node").asc)
+      val losers = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 1).select(col("node").as("doc_id"))
+      val kept = d.join(losers, Seq("doc_id"), "left_anti")
+      kept.select(kept("lang"),
+          size(TextOps.tokens(kept("text"))).as("nt"))
+        .filter(col("nt") >= 20)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+    },
+
     // C4-style boilerplate removal at chunk granularity: a 10-token chunk
     // appearing in >= 2 DISTINCT docs is boilerplate; each doc is rebuilt
     // without its boilerplate chunks and fingerprinted. One csha-keyed
