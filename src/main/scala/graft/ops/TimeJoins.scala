@@ -48,6 +48,23 @@ object TimeJoins {
         (col(ts) - col("_mts")).as("gap"))
   }
 
+  /** As-of join with a staleness tolerance: like [[asof]], but a match
+    * older than `tolerance` is NULLed out instead of silently used — the
+    * market-data rule that a quote more than N seconds stale must not
+    * price a trade. Every left row still appears (left semantics); only
+    * the match and its gap are withheld. Same single-shuffle union+window
+    * plan as asof; the tolerance is a post-window scalar predicate.
+    */
+  def asofTolerance(left: DataFrame, right: DataFrame, key: String,
+                    ts: String, leftId: String, rightId: String,
+                    tolerance: Long): DataFrame = {
+    val base = asof(left, right, key, ts, leftId, rightId)
+    val fresh = col("gap").isNotNull && col("gap") <= tolerance
+    base
+      .withColumn(rightId, when(fresh, col(rightId)))
+      .withColumn("gap", when(fresh, col("gap")))
+  }
+
   /** Bounded range self/two-table join: pairs (a, b) with the same key and
     * `0 < b.ts - a.ts <= range`. Implemented as a BIN join: each left row
     * is emitted into its own time bin and the next (bin width = range),

@@ -449,6 +449,28 @@ object Dedup {
           e => e.getField("c")), " "), 256).as("clean_sha"))
   }
 
+  /** Per-node triangle participation over an undirected pair graph (rows
+    * (a, b) with a < b, distinct): how many triangles each node closes.
+    * The LSH-graph density diagnostic — true near-dup clusters are
+    * cliques (triangle-rich), chains of borderline pairwise matches are
+    * not, so triangles-per-pair separates safe transitive merges from
+    * over-merge risk before connectedComponents unions anything.
+    * Ordered-triple join on the canonical a<b edges (x<y<z): each
+    * triangle counted exactly once; two equi-joins on the pair table +
+    * a map-combined rollup — pair-graph-sized, never corpus-sized.
+    */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("a"), col("b")).localCheckpoint(false)
+    val paths = e.toDF("x", "y")
+      .join(e.toDF("y2", "z"), col("y") === col("y2"))
+      .select(col("x"), col("y"), col("z"))
+    val tri = paths.join(e.toDF("x2", "z2"),
+        col("x") === col("x2") && col("z") === col("z2"))
+      .select(col("x"), col("y"), col("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
   /** Quality-aware survivor selection: given near-dup pairs and a per-doc
     * score, pick each cluster's HIGHEST-scoring member (ties → lowest id)
     * instead of the blind min-id survivor — what a production dedup

@@ -461,6 +461,35 @@ object AnalyticsQueries {
           .withColumnRenamed("tsu", "ts")
     },
 
+    // As-of with staleness tolerance: a matched view older than 10
+    // minutes is withheld (NULL match + NULL gap), every click still
+    // appears — the "quote too stale to price the trade" rule. Same
+    // single-shuffle asof plan; tolerance is a post-window predicate.
+    "q_asof_tolerance" -> Q(
+      """WITH c AS (SELECT user_id, event_id cid, epoch_us(ts) tsu
+        |           FROM events WHERE event_type = 'click'),
+        |v0 AS (SELECT user_id, event_id vid, epoch_us(ts) tsu
+        |       FROM events WHERE event_type = 'view'),
+        |v AS (SELECT user_id, tsu, max(vid) vid FROM v0 GROUP BY 1, 2),
+        |m AS (SELECT c.cid AS click_id, c.user_id, c.tsu AS ts,
+        |  v.vid AS view_id, c.tsu - v.tsu AS gap
+        |  FROM c ASOF LEFT JOIN v
+        |    ON c.user_id = v.user_id AND c.tsu >= v.tsu)
+        |SELECT click_id, user_id, ts,
+        |  CASE WHEN gap <= 600000000 THEN view_id END AS view_id,
+        |  CASE WHEN gap <= 600000000 THEN gap END AS gap
+        |FROM m""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .withColumn("tsu", expr("ts div 1000"))
+      val clicks = e.filter(e("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id").as("click_id"))
+      val views = e.filter(e("event_type") === "view")
+        .select(col("user_id"), col("tsu"), col("event_id").as("view_id"))
+      TimeJoins.asofTolerance(clicks, views, "user_id", "tsu",
+          "click_id", "view_id", tolerance = 600000000L)
+        .withColumnRenamed("tsu", "ts")
+    },
+
     // Range join: event pairs of the same user within a 1-hour window,
     // via the bin-join shape (equi on (user, time-bin), exact predicate
     // inside the bucket). Oracle is the plain non-equi join.

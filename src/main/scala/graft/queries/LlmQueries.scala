@@ -681,6 +681,28 @@ object LlmQueries {
         TextOps.stopwordCount(d("text"), TextOps.stopEn))
     },
 
+    // Triangle counting on the near-dup pair graph: the density
+    // diagnostic that separates clique-like true-duplicate clusters from
+    // chains of borderline matches BEFORE connectedComponents merges
+    // them. Ordered-triple join — each triangle once.
+    "q_triangles" -> Q(
+      s"""WITH $duckShingles,
+        |$duckMinhashPairs,
+        |tri AS (
+        |  SELECT e1.a x, e1.b y, e2.b z
+        |  FROM mh_pairs e1
+        |  JOIN mh_pairs e2 ON e2.a = e1.b
+        |  JOIN mh_pairs e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT node, CAST(count(*) AS BIGINT) n_tri FROM (
+        |  SELECT x node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.triangleCounts(Dedup.minhashDedup(
+        table(s, dir, "documents"), "doc_id", "text",
+        n = 3, bands = 4, num = 8, den = 10))
+    },
+
     // The composed corpus-cleaning pipeline — the flagship end-to-end
     // LLM-data query: MinHash near-dup clusters → quality-argmax survivor
     // per cluster (losers dropped) → minimum-length quality gate →

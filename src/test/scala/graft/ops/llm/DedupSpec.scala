@@ -139,6 +139,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("triangleCounts: cliques counted once each, chains triangle-free") {
+    // 4-clique on {1..4}: 4 triangles, each node in C(3,2)=3 of them;
+    // the 10-11-12 chain closes nothing and must not appear
+    val edges = (for { a <- 1 to 4; b <- a + 1 to 4 }
+      yield (a.toLong, b.toLong)) ++ Seq((10L, 11L), (11L, 12L))
+    val out = Dedup.triangleCounts(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $out")
+  }
+
   test("containment: excerpt found one-directionally, Jaccard-invisible") {
     // doc 2 embeds doc 1 verbatim inside much more text: containment
     // (1 in 2) is 1.0 while symmetric Jaccard is ~0.2 — the case the
