@@ -33,4 +33,32 @@ object Sessionize {
         min(df(order)).as("first_event"),
         max(df(order)).as("last_event"))
   }
+
+  /** Dual-rule sessionization (the GA4-style gap + max-duration pair): a
+    * gap session additionally splits every `cap` time units of absolute
+    * offset from its start, so no emitted session spans more than `cap`.
+    * The cap split is the deterministic offset-bucket form
+    * (floor((ts - session_start) / cap)) — no iteration, and every
+    * window/groupBy clusters by a superset of the key, so the WHOLE
+    * dual-rule computation still runs on the ONE per-key exchange.
+    * Output adds `part_idx` (the cap bucket within the gap session).
+    */
+  def capped(df: DataFrame, key: String, ts: String, order: String,
+             gap: Long, cap: Long): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = Window.partitionBy(df(key)).orderBy(df(ts), df(order))
+    val delta: Column = df(ts) - lag(df(ts), 1).over(w)
+    val isNew = when(delta.isNull || delta > gap, 1L).otherwise(0L)
+    val withIdx = df.withColumn("session_idx", sum(isNew)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(withIdx(key), col("session_idx"))
+    withIdx
+      .withColumn("_off", withIdx(ts) - min(withIdx(ts)).over(ws))
+      .withColumn("part_idx", expr(s"_off div ${cap}L"))
+      .groupBy(withIdx(key), col("session_idx"), col("part_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(withIdx(ts)) - min(withIdx(ts))).as("dur"),
+        min(withIdx(order)).as("first_event"),
+        max(withIdx(order)).as("last_event"))
+  }
 }

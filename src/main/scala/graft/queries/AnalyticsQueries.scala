@@ -461,6 +461,42 @@ object AnalyticsQueries {
           .withColumnRenamed("tsu", "ts")
     },
 
+    // Dual-rule sessionization: 12h gap AND a 24h max-duration cap (the
+    // GA4-style pair) — 426 of 3292 gap sessions at sf0.01 exceed the cap
+    // and split. Whole computation rides the one per-key exchange.
+    "q_sessionize_capped" -> Q(
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) tsu FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, tsu,
+        |    CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |           IS NULL
+        |         OR tsu - lag(tsu) OVER (PARTITION BY user_id
+        |             ORDER BY tsu, event_id) > 43200000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, event_id, tsu,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |st AS (SELECT user_id, event_id, tsu, sid,
+        |  tsu - min(tsu) OVER (PARTITION BY user_id, sid) offs
+        |  FROM sess),
+        |p AS (SELECT user_id, event_id, tsu, sid,
+        |  (offs - offs % 86400000000) // 86400000000 pid FROM st)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+        |  CAST(pid AS BIGINT) AS part_idx,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(tsu) - min(tsu) AS BIGINT) AS dur,
+        |  CAST(min(event_id) AS BIGINT) AS first_event,
+        |  CAST(max(event_id) AS BIGINT) AS last_event
+        |FROM p GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+      Sessionize.capped(e, "user_id", "ts_us", "event_id",
+        gap = 43_200_000_000L, cap = 86_400_000_000L)
+    },
+
     // As-of with staleness tolerance: a matched view older than 10
     // minutes is withheld (NULL match + NULL gap), every click still
     // appears — the "quote too stale to price the trade" rule. Same

@@ -51,6 +51,19 @@ object Stress {
         Dedup.minhashDedup(d, "doc_id", "text").count()),
       "dedup_clusters" -> (d => Dedup.connectedComponents(
         Dedup.minhashDedup(d, "doc_id", "text")).count()),
+      // r5 ops: each bucketed/bounded by design — factors must track the
+      // candidate-space growth, never replication²
+      "containment_pairs" -> (d =>
+        Dedup.containmentPairs(d, "doc_id", "text",
+          n = 3, num = 9, den = 10).count()),
+      "sorted_neighborhood" -> (d =>
+        Dedup.sortedNeighborhoodPairs(d, "doc_id", "text",
+          n = 3, win = 3, prefixLen = 8, num = 8, den = 10).count()),
+      "boilerplate_removal" -> (d =>
+        Dedup.removeBoilerplate(d, "doc_id", "text",
+          w = 10, minDf = 2).count()),
+      "triangle_counts" -> (d => Dedup.triangleCounts(
+        Dedup.minhashDedup(d, "doc_id", "text")).count()),
       "chunk_dup_stats" -> (d =>
         Dedup.chunkDupStats(d, "doc_id", "text", w = 10).count()),
       "substring_dup_stats" -> (d =>
