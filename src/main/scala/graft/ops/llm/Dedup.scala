@@ -449,6 +449,77 @@ object Dedup {
           e => e.getField("c")), " "), 256).as("clean_sha"))
   }
 
+  /** Edit-distance near-dup pairs (the prefix + location filters of
+    * Ed-Join, Xiao et al. 2008): pairs whose normalized `prefixChars`-
+    * char prefixes are within `maxDist` Levenshtein edits. One edit
+    * destroys at most q physical char-q-grams, so among each string's
+    * q·maxDist+1 globally-rarest grams at least one SURVIVES into any
+    * qualifying partner — and a surviving gram's copy sits within
+    * ±maxDist positions (edits shift text by at most one position each).
+    * Candidates are therefore an equi-join on (gram, position-bin): the
+    * location filter is what keeps a hot gram from becoming a hot join
+    * key on low-diversity text (without it, word-soup corpora degrade to
+    * ~all-pairs). Length prune |len(a)-len(b)| <= maxDist rides the
+    * join; exact levenshtein verifies survivors. Strings shorter than
+    * q+maxDist evade the gram bound and pair among themselves directly
+    * (the long×tiny case dies on the length prune) — completeness for
+    * every length is certified by q_edit_distance's exhaustive oracle
+    * and the DedupPropertySpec brute-force reference.
+    * Output (a, b, dist).
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        q: Int = 3, maxDist: Int = 2,
+                        prefixChars: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val norm = df.select(df(idCol).as("doc"),
+        substring(lower(trim(df(textCol))), 1, prefixChars).as("s"))
+      .repartition(par)
+      .withColumn("len", length(col("s")))
+      .localCheckpoint(false)
+    val big = norm.filter(col("len") >= q + maxDist)
+    val grams = big.select(col("doc"), col("len"),
+        posexplode(transform(
+          sequence(lit(1), greatest(col("len") - (q - 1), lit(1))),
+          i => col("s").substr(i, lit(q)))).as(Seq("pos", "g")))
+    val dfreq = grams.withColumn("df_",
+      count(lit(1)).over(Window.partitionBy("g")))
+    val ranked = dfreq.withColumn("rk", row_number().over(
+      Window.partitionBy("doc").orderBy(col("df_"), col("g"), col("pos"))))
+    // Position banding (Ed-Join's location filter): a surviving gram's
+    // copy sits within ±maxDist positions, so the join is equi on
+    // (g, pos-bin) with the probe exploded into the 3 adjacent bins —
+    // a hot gram's postings split across len/(maxDist+1) bins instead
+    // of one hot key, and the exact |pa-pb| band prunes inside the bin.
+    val binW = maxDist + 1
+    val prefix = ranked.filter(col("rk") <= q * maxDist + 1)
+      .select(col("doc").as("a"), col("len").as("la"),
+        col("g"), col("pos").as("pa"),
+        explode(array(expr(s"pos div $binW") - 1, expr(s"pos div $binW"),
+          expr(s"pos div $binW") + 1)).as("bin"))
+    val full = dfreq.select(col("doc").as("b"), col("len").as("lb"),
+      col("g").as("g2"), col("pos").as("pb"),
+      expr(s"pos div $binW").as("bin2"))
+    val candBig = prefix.join(full,
+        prefix("g") === full("g2") && col("bin") === col("bin2") &&
+          col("a") < col("b") &&
+          abs(col("pa") - col("pb")) <= maxDist &&
+          abs(col("la") - col("lb")) <= maxDist)
+      .select("a", "b").distinct()
+    val tiny = norm.filter(col("len") < q + maxDist)
+    val candTiny = tiny.select(col("doc").as("a"), col("len").as("la"))
+      .join(tiny.select(col("doc").as("b"), col("len").as("lb")),
+        col("a") < col("b") && abs(col("la") - col("lb")) <= maxDist)
+      .select("a", "b")
+    val cand = candBig.unionByName(candTiny)
+    cand
+      .join(norm.select(col("doc").as("a"), col("s").as("sa")), "a")
+      .join(norm.select(col("doc").as("b"), col("s").as("sb")), "b")
+      .select(col("a"), col("b"),
+        levenshtein(col("sa"), col("sb")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Per-node triangle participation over an undirected pair graph (rows
     * (a, b) with a < b, distinct): how many triangles each node closes.
     * The LSH-graph density diagnostic — true near-dup clusters are

@@ -681,6 +681,23 @@ object LlmQueries {
         TextOps.stopwordCount(d("text"), TextOps.stopEn))
     },
 
+    // Ed-Join edit-distance pair mining: Levenshtein <= 2 on 64-char
+    // normalized prefixes, candidates from the lossless q-gram prefix +
+    // position-band filters. The oracle is the EXHAUSTIVE length-pruned
+    // join, so the hash match certifies candidate completeness of the
+    // filter, not just the verify math.
+    "q_edit_distance" -> Q(
+      """WITH n AS (SELECT doc_id, substr(lower(trim(text)), 1, 64) s
+        |           FROM documents)
+        |SELECT a.doc_id a, b.doc_id b,
+        |  CAST(levenshtein(a.s, b.s) AS INTEGER) dist
+        |FROM n a JOIN n b ON a.doc_id < b.doc_id
+        |  AND abs(length(a.s) - length(b.s)) <= 2
+        |WHERE levenshtein(a.s, b.s) <= 2""".stripMargin) { (s, dir) =>
+      Dedup.editDistancePairs(table(s, dir, "documents"),
+        "doc_id", "text", q = 3, maxDist = 2, prefixChars = 64)
+    },
+
     // Triangle counting on the near-dup pair graph: the density
     // diagnostic that separates clique-like true-duplicate clusters from
     // chains of borderline matches BEFORE connectedComponents merges

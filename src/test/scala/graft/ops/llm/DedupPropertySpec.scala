@@ -138,6 +138,42 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  // -- naive Levenshtein reference -----------------------------------------
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("Ed-Join q-gram prefix filter never changes the edit-distance set") {
+    (1L to 3L).foreach { s =>
+      val r = new scala.util.Random(s)
+      val bases = (0 until 8).map(i => genDoc(s, i))
+      val docs = bases.zipWithIndex.flatMap { case (d, i) =>
+        val chars = d.toCharArray
+        chars(r.nextInt(chars.length)) = 'z'
+        Seq((i * 10L, d), (i * 10L + 1, d),          // exact dup
+          (i * 10L + 2, new String(chars)))          // 1-char edit
+      } ++ Seq((900L, "ab"), (901L, "abcd"), (902L, "xy")) // tiny strings
+      val maxD = 3
+      def norm(t: String) = t.trim.toLowerCase.take(24)
+      val expected = (for {
+        (a, ta) <- docs; (b, tb) <- docs if a < b
+        dist = lev(norm(ta), norm(tb)) if dist <= maxD
+      } yield (a, b, dist)).toSet
+      val got = Dedup.editDistancePairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", q = 3, maxDist = maxD, prefixChars = 24)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == expected,
+        s"seed $s: got=${got.size} naive=${expected.size} diff=" +
+          s"${(got diff expected) ++ (expected diff got)}")
+    }
+  }
+
   test("substringDupStats equals the naive cross-doc shingle count") {
     (1L to 3L).foreach { s =>
       val docs = (0 until 12).map(i => (i.toLong, genDoc(s, i / 2)))
