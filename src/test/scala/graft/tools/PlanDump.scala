@@ -19,7 +19,9 @@ object PlanDump {
     "q_resample", "q_zorder",
     // round 5
     "q_boilerplate", "q_bpe_pairs", "q_sorted_neighborhood",
-    "q_containment", "q_hll_merge",
+    "q_containment", "q_hll_merge", "q_mix_apply", "q_bloom_join",
+    "q_corpus_clean", "q_triangles", "q_edit_distance",
+    "q_sessionize_capped", "q_asof_tolerance",
     "q_similarity_ivf_exact", "q_pq_search")
 
   def main(args: Array[String]): Unit = {
