@@ -461,6 +461,80 @@ object AnalyticsQueries {
           .withColumnRenamed("tsu", "ts")
     },
 
+    // Ordered funnel analysis: signup → click (within 24h) → purchase
+    // (within 24h of the click) — the ORDER-sensitive conversion count a
+    // plain per-type aggregate can't express. Three chained conditional
+    // window-mins over ONE user exchange (every window shares the
+    // user_id partition), then a single-row rollup. 150 → 65 → 29 users
+    // at sf0.01.
+    "q_funnel" -> Q(
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) tsu
+        |           FROM events),
+        |u AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN tsu END) t1
+        |  FROM e GROUP BY 1),
+        |u2 AS (SELECT u.user_id, u.t1,
+        |    min(CASE WHEN e.event_type = 'click' AND e.tsu > u.t1
+        |             AND e.tsu <= u.t1 + 86400000000 THEN e.tsu END) t2
+        |  FROM u JOIN e ON e.user_id = u.user_id GROUP BY 1, 2),
+        |u3 AS (SELECT u2.user_id, u2.t1, u2.t2,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.tsu > u2.t2
+        |             AND e.tsu <= u2.t2 + 86400000000 THEN e.tsu END) t3
+        |  FROM u2 JOIN e ON e.user_id = u2.user_id GROUP BY 1, 2, 3)
+        |SELECT
+        |  CAST(count(*) FILTER (WHERE t1 IS NOT NULL) AS BIGINT) n_signup,
+        |  CAST(count(*) FILTER (WHERE t2 IS NOT NULL) AS BIGINT)
+        |    n_then_click,
+        |  CAST(count(*) FILTER (WHERE t3 IS NOT NULL) AS BIGINT)
+        |    n_then_purchase
+        |FROM u3""".stripMargin) { (s, dir) =>
+      val win = 86_400_000_000L
+      val e = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tsu"))
+      val wU = Window.partitionBy("user_id")
+      val s1 = e.withColumn("t1",
+        min(when(col("event_type") === "signup", col("tsu"))).over(wU))
+      val s2 = s1.withColumn("t2",
+        min(when(col("event_type") === "click" &&
+          col("tsu") > col("t1") && col("tsu") <= col("t1") + win,
+          col("tsu"))).over(wU))
+      val s3 = s2.withColumn("t3",
+        min(when(col("event_type") === "purchase" &&
+          col("tsu") > col("t2") && col("tsu") <= col("t2") + win,
+          col("tsu"))).over(wU))
+      s3.select(col("user_id"), col("t1"), col("t2"), col("t3"))
+        .distinct()
+        .agg(count(col("t1")).as("n_signup"),
+          count(col("t2")).as("n_then_click"),
+          count(col("t3")).as("n_then_purchase"))
+    },
+
+    // Cohort retention: users bucketed by first-activity day, counted
+    // per (cohort, day-offset) they return on — the classic retention
+    // triangle. One user exchange serves the cohort window AND the
+    // per-user-day dedup (key-superset clustering); only the final tiny
+    // (cohort, offset) rollup re-shuffles.
+    "q_retention" -> Q(
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 d
+        |           FROM events),
+        |c AS (SELECT user_id, min(d) cohort FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, c.cohort, e.d - c.cohort offs
+        |      FROM e JOIN c ON e.user_id = c.user_id)
+        |SELECT cohort, offs, CAST(count(*) AS BIGINT) n_users
+        |FROM a GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("d"))
+      val wU = Window.partitionBy("user_id")
+      e.withColumn("cohort", min("d").over(wU))
+        .select(col("user_id"), col("cohort"),
+          (col("d") - col("cohort")).as("offs"))
+        .distinct()
+        .groupBy("cohort", "offs")
+        .agg(count(lit(1)).as("n_users"))
+    },
+
     // Dual-rule sessionization: 12h gap AND a 24h max-duration cap (the
     // GA4-style pair) — 426 of 3292 gap sessions at sf0.01 exceed the cap
     // and split. Whole computation rides the one per-key exchange.
