@@ -510,6 +510,31 @@ object AnalyticsQueries {
           count(col("t3")).as("n_then_purchase"))
     },
 
+    // Event-transition matrix (first-order Markov counts): how often each
+    // event type is followed by each other type within a user's ordered
+    // stream — the path-analysis staple behind sankey/flow charts. One
+    // lead() window on the user exchange, then a tiny 5x5 rollup.
+    "q_transitions" -> Q(
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(ts) tsu FROM events),
+        |nx AS (SELECT event_type ft,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY tsu, event_id) tt
+        |  FROM e)
+        |SELECT ft AS from_type, tt AS to_type,
+        |  CAST(count(*) AS BIGINT) cnt
+        |FROM nx WHERE tt IS NOT NULL GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        val e = table(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts div 1000").as("tsu"))
+        val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        e.withColumn("to_type", lead("event_type", 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("cnt"))
+    },
+
     // Cohort retention: users bucketed by first-activity day, counted
     // per (cohort, day-offset) they return on — the classic retention
     // triangle. One user exchange serves the cohort window AND the
