@@ -88,56 +88,76 @@ object Bench {
       name -> times(times.length / 2) // median (== the value when repeat=1)
     }
 
-    // Retry pass: on this VM a full-GC pause lands on ~1-2 random
+    // GC-noise audit pass: on this VM a full-GC pause lands on ~1-2 random
     // minhash-family queries per single-run sweep (+2-4s; r5 sweeps
     // flagged disjoint sets each time, every one clean in 3-run
-    // isolation). For any query outside its committed gate tolerance,
-    // run it ONCE more and report the min — a genuine regression is slow
-    // on the rerun too, a GC hit is not. Both numbers are published in
-    // the "retried" field so the protocol is auditable. Skipped when
-    // SPARK_GRAFT_REPEAT>1 (the median is already robust).
-    val baselines: Map[String, Double] =
+    // isolation). Any query outside its committed gate tolerance is run
+    // ONCE more and the (first, rerun) pair published in "retried" — a
+    // genuine regression is slow on the rerun too, a GC hit is not. The
+    // HEADLINE "value"/"queries" numbers are always the FIRST measurement
+    // (symmetric, unbiased); the rerun is evidence for whoever applies a
+    // retry policy downstream, never folded into the headline. Skipped
+    // when SPARK_GRAFT_REPEAT>1 (the median is already robust).
+    //
+    // Baseline file contract: must parse as JSON and its "sf" must match
+    // this run's sfDir, else the audit pass is skipped and the reason is
+    // published in "baseline_status" — a stale/mismatched baseline must
+    // not silently change which queries get audited.
+    val (baselines, baselineStatus): (Map[String, Double], String) =
       try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_BASELINE.json")), "UTF-8")
-        val qsBlock = txt.substring(txt.indexOf("\"queries\""))
-        "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
-          .findAllMatchIn(qsBlock)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
-    val retried = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
-    val finalResults =
-      if (repeat > 1) results
-      else results.map { case (name, t) =>
-        baselines.get(name) match {
-          case Some(b) if !errors.contains(name) &&
-              t > 1.5 * b && t - b > 2.0 =>
-            val t0 = System.nanoTime()
-            val ok = try { run(name); true }
-              catch { case _: Throwable => false }
-            // a FAILED rerun must not report its (short) failure time as
-            // the query's cost — keep the first, valid measurement
-            val t2 = if (ok) (System.nanoTime() - t0) / 1e9
-              else Double.MaxValue
-            cleanup()
-            retried(name) = (t, if (ok) t2 else -1.0)
-            name -> math.min(t, t2)
-          case _ => name -> t
+        val j = JsonMethods.parse(txt)
+        val bsf = j \ "sf" match {
+          case JString(s) => s
+          case _ => ""
         }
+        if (bsf != sfDir) (Map.empty[String, Double], s"sf_mismatch:$bsf")
+        else {
+          val qs = j \ "queries" match {
+            case JObject(fields) => fields.collect {
+              case JField(k, JDouble(v)) => k -> v
+              case JField(k, JInt(v)) => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty[String, Double]
+          }
+          (qs, if (qs.isEmpty) "empty" else "ok")
+        }
+      } catch {
+        case _: java.nio.file.NoSuchFileException =>
+          (Map.empty, "absent")
+        case e: Throwable =>
+          (Map.empty, s"parse_error:${e.getClass.getSimpleName}")
       }
+    val retried = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    if (repeat == 1) results.foreach { case (name, t) =>
+      baselines.get(name) match {
+        case Some(b) if !errors.contains(name) &&
+            t > 1.5 * b && t - b > 2.0 =>
+          val t0 = System.nanoTime()
+          val ok = try { run(name); true }
+            catch { case _: Throwable => false }
+          val t2 = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          cleanup()
+          retried(name) = (t, t2)
+        case _ => ()
+      }
+    }
 
-    val qs = finalResults.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = finalResults.collect {
+    val total = results.collect {
       case (k, v) if !errors.contains(k) => v
     }.sum
     val retr = retried.map { case (k, (a, b)) =>
       "\"" + k + f"""\":{"first":$a%.3f,"rerun":$b%.3f}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"retried":$retr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"retried":$retr,"baseline_status":"$baselineStatus","sf":"$sfDir"}"""
     println(line)
     // Also persist the full line to a file: BENCH_r04.json arrived
     // tail-truncated (20 queries clipped from the captured stdout), so the

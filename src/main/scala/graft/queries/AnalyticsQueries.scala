@@ -287,8 +287,10 @@ object AnalyticsQueries {
           p("p_size").as("size2"), p("p_name").as("name_b"))
         l.join(r, col("brand") === col("brand2") &&
             col("size") === col("size2") && col("a") < col("b"))
-          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-          .filter(col("dist") <= 12)
+          // banded DP + early exit; returns -1 above the threshold and
+          // the exact distance otherwise — same rows, same values
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 12))
+          .filter(col("dist") >= 0)
           .select(col("a"), col("b"), col("dist"))
     },
 

@@ -366,10 +366,22 @@ class PlanAuditSpec extends SparkSpec {
     val exchanges = p.linesIterator
       .count(l => l.contains("Exchange") && !l.contains("Reused"))
     // lag marker + df sum share the csha partitioning; a countDistinct or
-    // join-back formulation would shuffle the chunk stream again
-    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$p")
+    // join-back formulation would shuffle the chunk stream again. Upper
+    // bound, not exact: exact exchange counts are brittle across Spark
+    // versions/AQE; the property that matters is "no extra shuffle".
+    assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       s"df must come from the window, not a join-back:\n$p")
+  }
+
+  test("q_edit_distance: every join equi — no nested-loop, no cartesian") {
+    // the small-string path must be a length-band/string equi-join, not
+    // the all-tiny-pairs BroadcastNestedLoopJoin it once was: on a web
+    // corpus with millions of near-empty docs that sub-path is n².
+    val p = plan("q_edit_distance")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"edit-distance mining must stay equi-join only:\n$p")
   }
 
   test("q_containment: df from a window, prefix-posting equi-join, no cartesian") {

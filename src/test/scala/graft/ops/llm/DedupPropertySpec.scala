@@ -158,7 +158,17 @@ class DedupPropertySpec extends SparkSpec {
         chars(r.nextInt(chars.length)) = 'z'
         Seq((i * 10L, d), (i * 10L + 1, d),          // exact dup
           (i * 10L + 2, new String(chars)))          // 1-char edit
-      } ++ Seq((900L, "ab"), (901L, "abcd"), (902L, "xy")) // tiny strings
+      } ++ Seq((900L, "ab"), (901L, "abcd"), (902L, "xy"), // tiny strings
+        // the q+maxDist..q*(maxDist+1) band where the gram-survival
+        // bound does NOT hold (maxDist edits can destroy every q-gram):
+        (903L, "abcde"), (904L, "abzde"),                 // len 5, dist 1
+        (905L, "abcdefgh"), (906L, "azcdezgh"),           // len 8, dist 2
+        (907L, "qrstuvwxy"), (908L, "qrZtuZwxZ"),         // len 9, dist 3
+        // small×big-fringe pairs straddling the smallCut boundary
+        // (len 11 has 9 < q*maxDist+1 = 10 grams; len 12-13 are big):
+        (909L, "hello world"), (910L, "hello worlds"),    // 11 vs 12
+        (911L, "hello worldZZ"),                          // 11 vs 13, dist 2
+        (912L, "hello"), (913L, "hello"))                 // dup small strings
       val maxD = 3
       def norm(t: String) = t.trim.toLowerCase.take(24)
       val expected = (for {
@@ -172,6 +182,32 @@ class DedupPropertySpec extends SparkSpec {
         s"seed $s: got=${got.size} naive=${expected.size} diff=" +
           s"${(got diff expected) ++ (expected diff got)}")
     }
+  }
+
+  test("editDistancePairs default params: short-string band is complete") {
+    // q=3, maxDist=2 => gram bound holds only for len >= 9; strings of
+    // length 5..8 can lose every 3-gram to 2 edits. 'abcde' vs 'abzde'
+    // (dist 1, zero shared 3-grams) is the canonical miss of a
+    // q+maxDist cutoff; the len-8 vs len-10 pair crosses small×big.
+    val docs = Seq(
+      (1L, "abcde"), (2L, "abzde"),                    // len 5, dist 1
+      (3L, "abcdefgh"), (4L, "abZdeZgh"),              // len 8, dist 2
+      (5L, "abcdefgh"),                                // dup of 3
+      (6L, "abcdefghij"),                              // len 10 (big)
+      (7L, "abcdefgh__"), (8L, ""), (9L, "a"),         // fringe + empties
+      (10L, "completely different text here"))
+    def lev2(a: String, b: String) = lev(a, b)
+    val expected = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      la = ta.trim.toLowerCase.take(64); lb2 = tb.trim.toLowerCase.take(64)
+      dist = lev2(la, lb2) if dist <= 2
+    } yield (a, b, dist)).toSet
+    val got = Dedup.editDistancePairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", q = 3, maxDist = 2, prefixChars = 64)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected,
+      s"got=${got.size} naive=${expected.size} diff=" +
+        s"${(got diff expected) ++ (expected diff got)}")
   }
 
   test("substringDupStats equals the naive cross-doc shingle count") {
