@@ -139,6 +139,39 @@ object Pq {
     * corpus. Output: (qid, id, rnk, score4) — same shape as
     * [[Similarity.bruteForceTopK]].
     */
+  /** Hash-verifiable twin of [[refineTopK]]: same ADC-shortlist → refine
+    * pipeline, but the refine rescore is the exact-integer int8 score
+    * (code-dot × both dequant scales, [[Similarity.int8TopK]]'s scoring)
+    * instead of float cosine. With `shortlist` ≥ the corpus size the ADC
+    * stage provably passes every candidate through (its approximate
+    * ordering cannot drop a true neighbor), so the result is
+    * bit-deterministic and a DuckDB oracle can replay it — certifying
+    * that the ADC equi-join covers every (query, vector) pair, the
+    * shortlist window is applied per query, and the refine rescore +
+    * tie-breaks are exact. The approximate small-shortlist path stays
+    * covered by q_pq_search's recall spec; this twin is the
+    * "mathematically possible" exact half of the pair.
+    */
+  def refineTopKInt(vectors: DataFrame, codes: DataFrame,
+                    codebooks: DataFrame, queries: DataFrame, m: Int,
+                    k: Int, shortlist: Int): DataFrame = {
+    val cand = adcTopK(codes, codebooks, queries, m, shortlist)
+      .select(col("qid"), col("id"))
+    val v = Similarity.int8Codes(vectors)
+      .select(col("id"), col("codes").cast("array<double>").as("cv"),
+        col("maxabs_micro").as("mxv"))
+    val q = Similarity.int8Codes(queries)
+      .select(col("id").as("qid"), col("codes").cast("array<double>")
+        .as("cq"), col("maxabs_micro").as("mxq"))
+    cand.join(v, Seq("id")).join(broadcast(q), Seq("qid"))
+      .withColumn("score", Similarity.dot(col("cq"), col("cv"))
+        .cast("long") * col("mxq") * col("mxv"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("id"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("id"), col("rnk"), col("score"))
+  }
+
   def refineTopK(vectors: DataFrame, codes: DataFrame, codebooks: DataFrame,
                  queries: DataFrame, m: Int, k: Int,
                  shortlist: Int): DataFrame = {

@@ -253,6 +253,64 @@ object Similarity {
     array_distinct(array(bucket +: flips: _*))
   }
 
+  /** Bit-deterministic LSH ANN — the hash-verifiable twin of [[annTopK]]
+    * (what [[Ivf.int8TopKExact]] is to `Ivf.topK`): every step is exact
+    * integer arithmetic, so the bucket assignment, the candidate set, and
+    * the scores are engine-portable and a DuckDB oracle can enumerate the
+    * SAME buckets.
+    *
+    *  - corpus and queries int8-quantize via [[int8Codes]] (the
+    *    oracle-checked q_quantize scheme);
+    *  - hyperplanes are integer-valued, derived from an LCG formula both
+    *    engines compute literally: w(p,i) = ((1103515245·(p·dim+i) +
+    *    12345 + seed) mod 2³¹) mod 17 − 8 ∈ [−8, 8];
+    *  - bucket id = Σ_p [dot(codes, w_p) ≥ 0]·2^p — an INTEGER key
+    *    (0..2^planes−1), no float sign anywhere; probes = own bucket and
+    *    every Hamming-1 neighbor, i.e. bucket XOR 2^j (planes+1 equi
+    *    keys, all distinct by construction);
+    *  - candidate score = int code-dot × both dequant scales (BIGINT) —
+    *    exactly q_similarity_int8's scoring, restricted to bucket
+    *    collisions; ties break on id.
+    *
+    * Scale shape is identical to the production float path: the query
+    * side broadcasts, the corpus computes its bucket scan-side and joins
+    * equi on the integer bucket — never all-pairs. Output:
+    * (qid, id, rnk, score).
+    */
+  def annTopKExactInt(vectors: DataFrame, queries: DataFrame, k: Int,
+                      dim: Int, planes: Int = 8,
+                      seed: Long = 42L): DataFrame = {
+    require(planes <= 62, "bucket id must fit a long")
+    // integer hyperplanes: the LCG formula is mirrored verbatim in the
+    // oracle SQL — change one only with the other
+    val w: Array[Array[Long]] = Array.tabulate(planes, dim) { (p, i) =>
+      ((1103515245L * (p * dim + i) + 12345L + seed) % 2147483648L) % 17L - 8L
+    }
+    def bucketOfInt(codes: Column): Column =
+      w.zipWithIndex.map { case (row, p) =>
+        // exact: |dot| <= 127·8·dim, integer-valued doubles
+        val d = dot(codes, array(row.map(x => lit(x.toDouble)): _*))
+        when(d >= 0d, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val v = int8Codes(vectors)
+      .select(col("id"), col("codes").cast("array<double>").as("cv"),
+        col("maxabs_micro").as("mxv"))
+      .withColumn("bucket", bucketOfInt(col("cv")))
+    val q = int8Codes(queries)
+      .select(col("id").as("qid"), col("codes").cast("array<double>")
+        .as("cq"), col("maxabs_micro").as("mxq"))
+      .withColumn("b0", bucketOfInt(col("cq")))
+      .withColumn("probe", explode(array(col("b0") +:
+        (0 until planes).map(j => col("b0").bitwiseXOR(lit(1L << j))): _*)))
+    val scored = v.join(broadcast(q),
+        col("bucket") === col("probe") && col("id") =!= col("qid"))
+      .withColumn("score", dot(col("cq"), col("cv")).cast("long") *
+        col("mxq") * col("mxv"))
+    graft.ops.TopK(scored, Seq("qid"), scored("score"),
+        Seq(scored("id")), k)
+      .select(col("qid"), col("id"), col("rnk"), col("score"))
+  }
+
   /** ANN top-k: hyperplane-bucketed candidates (query probes its bucket +
     * Hamming-1 neighbors), exact cosine re-rank within candidates.
     *

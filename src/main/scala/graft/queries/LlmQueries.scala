@@ -1475,6 +1475,102 @@ object LlmQueries {
         nClusters = 16, nprobe = 4)
     },
 
+    // Bit-deterministic LSH ANN — the hash-verified twin of
+    // q_similarity_ann (what q_similarity_ivf_exact is to
+    // q_similarity_ivf): int8 codes, INTEGER hyperplanes from an LCG
+    // formula the oracle replays literally, integer bucket ids joined
+    // equi, Hamming-1 multiprobe via XOR, int8 integer scoring. The hash
+    // match certifies the LSH candidate enumeration itself (bucket
+    // assignment + probe set + collision join), not just the rescoring.
+    "q_similarity_ann_exact" -> Q(
+      """WITH c AS (
+        |  SELECT vec_id id,
+        |    CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(v,
+        |        x -> CAST(greatest(-127, floor(x * 127 / mx)) AS BIGINT))
+        |      END codes,
+        |    CAST(floor(mx * 1000000) AS BIGINT) mxm
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] v,
+        |          list_aggregate(list_transform(embedding::DOUBLE[],
+        |            x -> abs(x)), 'max') mx
+        |        FROM embeddings)),
+        |pl AS (
+        |  SELECT p, list_transform(generate_series(0, 63),
+        |    i -> ((1103515245 * (p * 64 + i) + 12345 + 42)
+        |          % 2147483648) % 17 - 8) w
+        |  FROM generate_series(0, 7) t(p)),
+        |buck AS (
+        |  SELECT id, codes, mxm,
+        |    CAST(sum(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+        |      AS bucket
+        |  FROM (SELECT c.id, c.codes, c.mxm, pl.p,
+        |          CAST(list_sum(list_transform(generate_series(1, 64),
+        |            i -> c.codes[i] * pl.w[i])) AS BIGINT) d
+        |        FROM c, pl)
+        |  GROUP BY id, codes, mxm),
+        |probes AS (
+        |  SELECT id qid, codes qc, mxm qm, bucket probe
+        |  FROM buck WHERE id < 10
+        |  UNION ALL
+        |  SELECT id, codes, mxm, xor(bucket, CAST(1 << p AS BIGINT))
+        |  FROM buck, generate_series(0, 7) t(p) WHERE id < 10),
+        |s AS (
+        |  SELECT p.qid, b.id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(b.codes)),
+        |      i -> b.codes[i] * p.qc[i])) AS BIGINT) * p.qm * b.mxm
+        |      AS score
+        |  FROM buck b JOIN probes p ON b.bucket = p.probe
+        |  WHERE b.id <> p.qid),
+        |r AS (SELECT qid, id, score, row_number() OVER (
+        |        PARTITION BY qid ORDER BY score DESC, id) rnk FROM s)
+        |SELECT qid, id, CAST(rnk AS INTEGER) AS rnk, score
+        |FROM r WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+      Similarity.annTopKExactInt(e, e.filter(col("vec_id") < 10), k = 5,
+        dim = 64, planes = 8, seed = 42L)
+    },
+
+    // PQ ADC-shortlist + exact-integer refine — the hash-verified twin
+    // of q_pq_search. shortlist >= corpus makes the ADC stage provably
+    // lossless (its approximate ordering cannot drop a candidate), so
+    // the pipeline's output is the exact int8 top-k and the oracle can
+    // replay it: certifies the ADC equi-join covers every (query,
+    // vector) pair, the per-query shortlist window, and the refine
+    // rescore + tie order. The small-shortlist approximate path stays
+    // covered by q_pq_search's recall spec.
+    "q_pq_refine" -> Q(
+      """WITH c AS (
+        |  SELECT vec_id id,
+        |    CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(v,
+        |        x -> CAST(greatest(-127, floor(x * 127 / mx)) AS BIGINT))
+        |      END codes,
+        |    CAST(floor(mx * 1000000) AS BIGINT) mxm
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] v,
+        |          list_aggregate(list_transform(embedding::DOUBLE[],
+        |            x -> abs(x)), 'max') mx
+        |        FROM embeddings)),
+        |q AS (SELECT id qid, codes qc, mxm qm FROM c WHERE id < 10),
+        |s AS (SELECT q.qid, c.id,
+        |        CAST(list_sum(list_transform(
+        |          generate_series(1, len(c.codes)),
+        |          i -> c.codes[i] * q.qc[i])) AS BIGINT) * q.qm * c.mxm
+        |          AS score
+        |      FROM c, q WHERE c.id <> q.qid),
+        |r AS (SELECT qid, id, score, row_number() OVER (
+        |        PARTITION BY qid ORDER BY score DESC, id) rnk FROM s)
+        |SELECT qid, id, CAST(rnk AS INTEGER) AS rnk, score
+        |FROM r WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val vecs = e.toDF("id", "vec")
+      val books = Pq.fitCodebooks(vecs, m = 8, k = 64, iters = 1)
+      val codes = Pq.encode(vecs, books, m = 8)
+      Pq.refineTopKInt(vecs, codes, books, vecs.filter(col("id") < 10),
+        m = 8, k = 5, shortlist = 1000000)
+    },
+
     // Product quantization + ADC + exact refine (rows-only: codebooks
     // and codes are engine-specific) — the faiss-standard compressed-ANN
     // path: L2-normalized 64-dim vectors → 8 subspace codebooks of 64

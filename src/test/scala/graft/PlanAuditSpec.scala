@@ -384,6 +384,34 @@ class PlanAuditSpec extends SparkSpec {
       s"edit-distance mining must stay equi-join only:\n$p")
   }
 
+  test("declared ANN/embed queries: zero jobs at plan-construction time") {
+    // annTopK's dim-inference is an EAGER aggregate when dim is omitted;
+    // the declared registry entries pass dim=64 so building the plan
+    // must not launch any Spark job (at 100 TB that scan is a full
+    // corpus pass before the query even starts)
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.add(j.stageInfos.map(_.name).mkString("|"))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries("q_similarity_ann")(spark, sf0001)
+      SparkEntry.queries("q_similarity_ann_exact")(spark, sf0001)
+      SparkEntry.queries("q_dedup_embed")(spark, sf0001)
+      Thread.sleep(500) // let any in-flight job-start events post
+      // "parquet at ..." jobs are footer/schema reads from the source
+      // registration — metadata-sized, not corpus scans; anything else
+      // (e.g. the inference aggregate's collect) is a real pass
+      val scans = jobs.toArray(Array.empty[String])
+        .filterNot(_.startsWith("parquet at"))
+      assert(scans.isEmpty,
+        s"eager job(s) ran while only CONSTRUCTING the plans: " +
+          scans.mkString("; "))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("q_containment: df from a window, prefix-posting equi-join, no cartesian") {
     val p = plan("q_containment")
     assert(!p.contains("CartesianProduct") &&

@@ -63,6 +63,43 @@ class SimilaritySpec extends SparkSpec {
       res.toSet, "rerun must be bit-identical")
   }
 
+  test("exact-int8 ANN: recall floor, self-free, deterministic reruns") {
+    val queries = embeddings.filter(col("vec_id") < 20)
+    val exact = Similarity.int8TopK(embeddings, queries, 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    // planes=4 mirrors the float ANN recall test: 5 probes of 16 buckets
+    // ≈ 31% of bucket space on near-random vectors — the integer
+    // hyperplanes must hold the same floor the float ones do
+    def run() = Similarity.annTopKExactInt(embeddings, queries, 5,
+      dim = 64, planes = 4)
+    val res = run().as[(Long, Long, Int, Long)].collect()
+    assert(res.forall { case (q, i, _, _) => q != i })
+    assert(res.groupBy(_._1).size == 20, "every query answered")
+    val recall = (exact intersect
+      res.map(r => (r._1, r._2)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.4, s"exact-int8 ANN recall $recall below floor")
+    assert(run().as[(Long, Long, Int, Long)].collect().toSet ==
+      res.toSet, "rerun must be bit-identical")
+  }
+
+  test("PQ refineTopKInt with full shortlist equals int8 top-k exactly") {
+    // shortlist >= corpus => the ADC stage is provably lossless, so the
+    // whole PQ pipeline must reduce to the exact int8 ranking — the
+    // property q_pq_refine's oracle hash-checks per row
+    val queries = embeddings.filter(col("vec_id") < 10)
+    val vecs = embeddings.toDF("id", "vec")
+    val books = Pq.fitCodebooks(vecs, m = 8, k = 16, iters = 1)
+    val codes = Pq.encode(vecs, books, m = 8)
+    val refined = Pq.refineTopKInt(vecs, codes, books,
+        vecs.filter(col("id") < 10), m = 8, k = 5, shortlist = 1000000)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val exact = Similarity.int8TopK(embeddings, queries, 5)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(refined == exact,
+      s"refine(full shortlist) must equal exact int8 top-k; diff=" +
+        s"${(refined diff exact) ++ (exact diff refined)}")
+  }
+
   test("PQ: 8-byte codes, ADC recall vs brute force, stable encoding") {
     // L2-normalize first: ADC approximates the DOT product, so unit
     // vectors make it a cosine approximation (faiss inner-product recipe)
