@@ -1256,6 +1256,33 @@ object LlmQueries {
         "doc_id", "text", maxHamming = 3, bands = 6)
     },
 
+    // NER-style entity templating — the reference's planned-but-unbuilt
+    // query normalization (NER-Explanation.txt: "how to install docker
+    // in linux" → "how to install APPLICATION in OS") as a
+    // dictionary-broadcast join: recognized tokens become type tags,
+    // everything else passes through lowercased. The dictionary rides
+    // in the query (a VALUES table on the oracle side).
+    "q_normalize_entities" -> Q(
+      """SELECT doc_id,
+        |  array_to_string(list_transform(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> CASE t
+        |      WHEN 'spark' THEN 'APPLICATION'
+        |      WHEN 'linux' THEN 'OS'
+        |      WHEN 'customer' THEN 'PERSON'
+        |      WHEN 'join' THEN 'OPERATION'
+        |      WHEN 'scan' THEN 'OPERATION'
+        |      ELSE t END), ' ') AS templated
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dict = Seq(
+        "spark" -> "APPLICATION", "linux" -> "OS", "customer" -> "PERSON",
+        "join" -> "OPERATION", "scan" -> "OPERATION")
+        .toDF("surface", "tag")
+      Entities.template(table(s, dir, "documents"), "doc_id", "text", dict)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // PII-style scrub: emails/URLs/long digit runs → typed placeholders,
     // plus per-doc counts of what was redacted.
     "q_redact" -> Q(
