@@ -11,6 +11,15 @@ import org.apache.spark.sql.SparkSession
   *    (q_topk_collect's to_json/collect_list never executed under count);
   *  - one untimed warmup query absorbs JVM/codegen/parquet-footer warmup
   *    instead of billing it to whichever query runs first;
+  *  - the dedup family's shared pair/signature bases (queries.SharedBases)
+  *    build cold in their own timed phase after warmup — published as
+  *    "shared_base_build" and INCLUDED in the headline total — so a
+  *    query's time never depends on whether an earlier consumer already
+  *    built the index;
+  *  - headline "value"/"queries" are always the FIRST measurement; the
+  *    gate-outlier rerun pass only publishes (first, rerun) evidence in
+  *    "retried" for downstream policy, never folds min() into the
+  *    headline;
   *  - failures are reported in an "errors" field, never silently timed as
   *    successes.
   *
@@ -39,9 +48,14 @@ object Bench {
     // the next timer starts; the SQL cache manager cleared too (RDD-level
     // unpersist alone leaves its entries pinned); one GC nudge so the
     // freed heap is compacted on our time, not the next query's.
+    // SharedBases' RDDs are SPARED: they model a persisted index reused
+    // across the dedup family (built inside the first consumer's timer),
+    // not per-query scratch — see queries.SharedBases.
     def cleanup(): Unit = {
       spark.catalog.clearCache()
+      val keep = graft.queries.SharedBases.retainedRddIds
       spark.sparkContext.getPersistentRDDs.values
+        .filterNot(r => keep.contains(Integer.valueOf(r.id)))
         .foreach(_.unpersist(blocking = true))
       System.gc()
     }
@@ -56,6 +70,22 @@ object Bench {
       try run(wq) catch { case _: Throwable => () }
       cleanup()
     }
+    // warmup buys JIT/codegen state only — shared index bases built by a
+    // warmup query are dropped, then rebuilt COLD in an explicitly timed
+    // index-build phase (the TPC load-phase pattern): the dedup family's
+    // shared pair/signature bases are an index reused across ~11 queries,
+    // so billing the build to whichever consumer happens to run first
+    // would make that query's time depend on sweep order. The build time
+    // is published as "shared_base_build" AND included in the headline
+    // total — nothing is untimed, it just has its own line item.
+    graft.queries.SharedBases.invalidateAll(spark)
+    val tBase = System.nanoTime()
+    try {
+      graft.queries.SharedBases.minhashPairs(spark, sfDir)
+      graft.queries.SharedBases.minhashSigs(spark, sfDir)
+      graft.queries.SharedBases.jaccardPairs(spark, sfDir)
+    } catch { case _: Throwable => () }
+    val baseBuild = (System.nanoTime() - tBase) / 1e9
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Run the historically variance-prone heavy queries FIRST, right after
@@ -150,14 +180,15 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect {
+    val total = baseBuild + results.collect {
       case (k, v) if !errors.contains(k) => v
     }.sum
     val retr = retried.map { case (k, (a, b)) =>
       "\"" + k + f"""\":{"first":$a%.3f,"rerun":$b%.3f}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"retried":$retr,"baseline_status":"$baselineStatus","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"retried":$retr,""" +
+        f""""shared_base_build":$baseBuild%.3f,"baseline_status":"$baselineStatus","sf":"$sfDir"}"""
     println(line)
     // Also persist the full line to a file: BENCH_r04.json arrived
     // tail-truncated (20 queries clipped from the captured stdout), so the

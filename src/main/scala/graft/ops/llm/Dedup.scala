@@ -292,6 +292,48 @@ object Dedup {
     minePairs(base, banded, num, den)
   }
 
+  /** [[minhashDedup]] plus the signature table it mined from — ONE
+    * shingle/banding pass serves both outputs (pairs and sigs chain off
+    * the same checkpointed base). The signature table is what a
+    * downstream calibration ([[minhashCalibrationFrom]]) or a persisted
+    * signature index needs alongside the pairs; callers that share the
+    * mining across several consumers (see queries.SharedBases) take this
+    * instead of running minhashDedup and minhashCalibration separately.
+    */
+  def minhashDedupWithSigs(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, bands: Int = 4,
+                           num: Int = 8, den: Int = 10)
+      : (DataFrame, DataFrame) = {
+    val (base, sigs, banded) =
+      minhashBands(df, idCol, textCol, n, bands, Nil)
+    (minePairs(base, banded, num, den), sigs)
+  }
+
+  /** Calibration over PREBUILT pairs + signatures (the composable half of
+    * [[minhashCalibration]]): per verified pair, signature-implied
+    * Jaccard estimate vs exact Jaccard, both integer permille. `pairs`
+    * must carry (a, b, inter, uni) and `sigs` (doc, sig0..sig{2·bands-1})
+    * from the SAME mining pass, or the estimate pairs up with the wrong
+    * signatures.
+    */
+  def minhashCalibrationFrom(pairs: DataFrame, sigs: DataFrame,
+                             bands: Int): DataFrame = {
+    val k = 2 * bands
+    val segs = 0 until k
+    val sa = sigs.select(col("doc").as("a") +:
+      segs.map(j => col(s"sig$j").as(s"sa$j")): _*)
+    val sb = sigs.select(col("doc").as("b") +:
+      segs.map(j => col(s"sig$j").as(s"sb$j")): _*)
+    val matches = segs.map(j =>
+      when(col(s"sa$j") === col(s"sb$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"),
+        floor(matches.cast("long") * 1000L / k).cast("long")
+          .as("est_permille"),
+        expr("(inter * 1000) div uni").cast("long").as("jac_permille"))
+  }
+
   /** Incremental near-dup mining: pairs involving at least one `incoming`
     * doc against `existing ∪ incoming` — the daily-ingest shape. Result is
     * exactly `minhashDedup(existing ∪ incoming)` filtered to pairs with an
@@ -315,22 +357,9 @@ object Dedup {
   def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, bands: Int = 4,
                          num: Int = 8, den: Int = 10): DataFrame = {
-    val (base, sigs, banded) = minhashBands(df, idCol, textCol, n, bands, Nil)
-    val verified = minePairs(base, banded, num, den)
-    val k = 2 * bands
-    val segs = 0 until k
-    val sa = sigs.select(col("doc").as("a") +:
-      segs.map(j => col(s"sig$j").as(s"sa$j")): _*)
-    val sb = sigs.select(col("doc").as("b") +:
-      segs.map(j => col(s"sig$j").as(s"sb$j")): _*)
-    val matches = segs.map(j =>
-      when(col(s"sa$j") === col(s"sb$j"), 1).otherwise(0))
-      .reduce(_ + _)
-    verified.join(sa, "a").join(sb, "b")
-      .select(col("a"), col("b"),
-        floor(matches.cast("long") * 1000L / k).cast("long")
-          .as("est_permille"),
-        expr("(inter * 1000) div uni").cast("long").as("jac_permille"))
+    val (pairs, sigs) =
+      minhashDedupWithSigs(df, idCol, textCol, n, bands, num, den)
+    minhashCalibrationFrom(pairs, sigs, bands)
   }
 
   def minhashDeltaPairs(existing: DataFrame, incoming: DataFrame,

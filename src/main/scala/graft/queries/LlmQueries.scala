@@ -573,8 +573,7 @@ object LlmQueries {
         |  SELECT e.dst, cc.rep FROM cc, edges e WHERE cc.node = e.src)
         |SELECT node AS doc_id, CAST(min(rep) AS BIGINT) AS rep
         |FROM cc GROUP BY node""".stripMargin) { (s, dir) =>
-      val pairs = Dedup.ngramJaccardPairs(table(s, dir, "documents"),
-        "doc_id", "text", n = 3, num = 8, den = 10)
+      val pairs = SharedBases.jaccardPairs(s, dir)
       Dedup.connectedComponents(pairs)
         .select(col("node").as("doc_id"), col("rep"))
     },
@@ -607,8 +606,7 @@ object LlmQueries {
         |LEFT JOIN reps r ON d.doc_id = r.doc_id
         |WHERE r.rep IS NULL OR r.rep = d.doc_id""".stripMargin) { (s, dir) =>
       val d = table(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
-        n = 3, num = 8, den = 10)
+      val pairs = SharedBases.jaccardPairs(s, dir)
       val reps = Dedup.connectedComponents(pairs)
         .select(col("node").as("doc_id"), col("rep"))
       d.join(reps, Seq("doc_id"), "left")
@@ -637,8 +635,7 @@ object LlmQueries {
         |SELECT cluster_size, CAST(count(*) AS BIGINT) n_clusters
         |FROM sizes GROUP BY 1""".stripMargin) { (s, dir) =>
       val d = table(s, dir, "documents")
-      val pairs = Dedup.minhashDedup(d, "doc_id", "text",
-        n = 3, bands = 4, num = 8, den = 10)
+      val pairs = SharedBases.minhashPairs(s, dir)
       Dedup.connectedComponents(pairs.select("a", "b"))
         .groupBy("rep").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
@@ -675,8 +672,7 @@ object LlmQueries {
         |  n_members
         |FROM ranked WHERE rn = 1""".stripMargin) { (s, dir) =>
       val d = table(s, dir, "documents")
-      val pairs = Dedup.minhashDedup(d, "doc_id", "text",
-        n = 3, bands = 4, num = 8, den = 10)
+      val pairs = SharedBases.minhashPairs(s, dir)
       Dedup.keepBestPerCluster(pairs, d, "doc_id",
         TextOps.stopwordCount(d("text"), TextOps.stopEn))
     },
@@ -715,9 +711,7 @@ object LlmQueries {
         |  UNION ALL SELECT y FROM tri
         |  UNION ALL SELECT z FROM tri)
         |GROUP BY 1""".stripMargin) { (s, dir) =>
-      Dedup.triangleCounts(Dedup.minhashDedup(
-        table(s, dir, "documents"), "doc_id", "text",
-        n = 3, bands = 4, num = 8, den = 10))
+      Dedup.triangleCounts(SharedBases.minhashPairs(s, dir))
     },
 
     // The composed corpus-cleaning pipeline — the flagship end-to-end
@@ -757,8 +751,7 @@ object LlmQueries {
         |  CAST(sum(nt) AS BIGINT) n_tokens
         |FROM q GROUP BY 1""".stripMargin) { (s, dir) =>
       val d = table(s, dir, "documents")
-      val pairs = Dedup.minhashDedup(d, "doc_id", "text",
-        n = 3, bands = 4, num = 8, den = 10)
+      val pairs = SharedBases.minhashPairs(s, dir)
       val cc = Dedup.connectedComponents(pairs)
       val scored = cc.join(
         d.select(d("doc_id").as("node"),
@@ -1032,8 +1025,7 @@ object LlmQueries {
         |JOIN documents db ON db.doc_id = p.b
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       val d = table(s, dir, "documents")
-      val pairs = Dedup.minhashDedup(d, "doc_id", "text",
-        n = 3, bands = 4, num = 8, den = 10)
+      val pairs = SharedBases.minhashPairs(s, dir)
       val src = d.select(d("doc_id"), d("source"))
       pairs
         .join(src.toDF("doc_id", "src_l"), col("a") === col("doc_id"))
@@ -1069,8 +1061,8 @@ object LlmQueries {
         |JOIN mh_sigs sb ON sb.doc_id = p.b
         |JOIN base ba ON ba.doc_id = p.a
         |JOIN base bb ON bb.doc_id = p.b""".stripMargin) { (s, dir) =>
-      Dedup.minhashCalibration(table(s, dir, "documents"), "doc_id", "text",
-        n = 3, bands = 4, num = 8, den = 10)
+      Dedup.minhashCalibrationFrom(SharedBases.minhashPairs(s, dir),
+        SharedBases.minhashSigs(s, dir), bands = 4)
     },
 
     // Dedup impact per source: token counts before/after MinHash near-dup
@@ -1103,8 +1095,7 @@ object LlmQueries {
         |    * 1000) // CAST(sum(tok) AS BIGINT) AS kept_permille
         |FROM t GROUP BY 1""".stripMargin) { (s, dir) =>
       val d = table(s, dir, "documents")
-      val pairs = Dedup.minhashDedup(d, "doc_id", "text",
-        n = 3, bands = 4, num = 8, den = 10)
+      val pairs = SharedBases.minhashPairs(s, dir)
       val drops = Dedup.connectedComponents(pairs.select("a", "b"))
         .filter(col("node") =!= col("rep"))
         .select(col("node").as("drop_id"), lit(true).as("dropped"))
