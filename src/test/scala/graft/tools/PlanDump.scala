@@ -22,7 +22,10 @@ object PlanDump {
     "q_containment", "q_hll_merge", "q_mix_apply", "q_bloom_join",
     "q_corpus_clean", "q_triangles", "q_edit_distance",
     "q_sessionize_capped", "q_asof_tolerance",
-    "q_similarity_ivf_exact", "q_pq_search")
+    "q_similarity_ivf_exact", "q_pq_search",
+    // round 6
+    "q_similarity_ann_exact", "q_pq_refine", "q_normalize_entities",
+    "q_fuzzy_join")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")

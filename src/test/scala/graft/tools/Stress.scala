@@ -28,11 +28,12 @@ object Stress {
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text"), col("lang"))
     val base = docs.count()
     def replicate(k: Int): DataFrame =
       (0 until k).map(i => docs.select(
-        (col("doc_id") + lit(i * 10_000_000L)).as("doc_id"), col("text")))
+        (col("doc_id") + lit(i * 10_000_000L)).as("doc_id"), col("text"),
+        col("lang")))
         .reduce(_ unionByName _)
 
     def time(f: => Long): (Double, Long) = {
@@ -120,6 +121,38 @@ object Stress {
         val n = spark.table("wstress").count()
         spark.sql("DROP TABLE IF EXISTS wstress")
         n
+      }),
+      // r6 compositions (VERDICT r5 #5): the stress harness covered the
+      // COMPONENTS of these two; the compositions get their own entries.
+      // Ed-Join at Nx replication is the true-pair worst case: every doc
+      // gains N-1 identical twins, so the verified pair count grows
+      // ~N²/2 per original pair group — time must track candidate
+      // growth, never corpus².
+      "edit_distance_pairs" -> (d =>
+        Dedup.editDistancePairs(d, "doc_id", "text",
+          q = 3, maxDist = 2, prefixChars = 64).count()),
+      // the composed corpus-clean chain (q_corpus_clean's shape): minhash
+      // pairs → CC → quality-argmax losers → anti-join survivor gate →
+      // per-lang stats. Every stage is bucketed/bounded; the composition
+      // must not multiply their costs beyond the pair growth.
+      "corpus_clean_composed" -> (d => {
+        import graft.ops.llm.TextOps
+        val pairs = Dedup.minhashDedup(d, "doc_id", "text")
+        val cc = Dedup.connectedComponents(pairs)
+        val scored = cc.join(
+          d.select(col("doc_id").as("node"),
+            TextOps.stopwordCount(col("text"), TextOps.stopEn)
+              .as("score")), "node")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("rep")
+          .orderBy(col("score").desc, col("node").asc)
+        val losers = scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") > 1).select(col("node").as("doc_id"))
+        d.join(losers, Seq("doc_id"), "left_anti")
+          .select(col("lang"), size(TextOps.tokens(col("text"))).as("nt"))
+          .filter(col("nt") >= 20)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+          .count()
       }),
       // iterative graph op: replicas multiply edge WEIGHTS ×N but the
       // node set (vocabulary) is unchanged, so the 5 Pregel rounds must
