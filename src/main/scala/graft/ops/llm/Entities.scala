@@ -1,6 +1,6 @@
 package graft.ops.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** NER-style entity templating — the reference's one planned-but-never-
@@ -40,5 +40,79 @@ object Entities {
         sort_array(collect_list(struct(col("pos"),
           coalesce(col("tag"), col("tok")).as("out")))),
         e => e.getField("out")), " ").as("templated"))
+  }
+
+  /** Multi-token entity templating with GREEDY LEFTMOST-LONGEST match —
+    * the semantics every gazetteer tagger uses ("new york city" must
+    * become one CITY tag, not CITY + leftover tokens): at each position
+    * the longest dictionary surface form starting there wins, its tokens
+    * are consumed, and matching resumes after it. Surfaces are
+    * whitespace-joined token sequences of 1..`maxLen` tokens.
+    *
+    * Scale shape: span candidates come from `lead()` windows over the
+    * token stream (one per-doc exchange, no self-joins), each span
+    * length LEFT-joins the broadcast dictionary once, and the
+    * leftmost-longest scan is a per-doc `aggregate` HOF over the
+    * collected (pos, tok, len, tag) array — sequential semantics made
+    * relational by bounding the state (skip counter) inside one row.
+    * Nothing but the reassembly shuffles. Output: (id, templated).
+    */
+  def templateSpans(df: DataFrame, idCol: String, textCol: String,
+                    entities: DataFrame, maxLen: Int = 3): DataFrame = {
+    require(maxLen >= 1, "maxLen must be at least 1")
+    import org.apache.spark.sql.expressions.Window
+    val dict = entities.toDF("surface", "tag")
+    val w = Window.partitionBy("id").orderBy("pos")
+    val toks = df.select(df(idCol).as("id"),
+      posexplode(split(lower(trim(df(textCol))), "\\s+"))
+        .as(Seq("pos", "tok")))
+    // span text of length L starting at pos (null when it runs off the
+    // doc end — lead() yields null and concat_ws skips nothing: guard
+    // with an explicit null check on the last member)
+    def spanCol(l: Int): Column =
+      when(lead(col("tok"), l - 1).over(w).isNotNull,
+        concat_ws(" ", (0 until l).map(i =>
+          lead(col("tok"), i).over(w)): _*))
+    val withSpans = (2 to maxLen).foldLeft(
+      toks.withColumn("span1", col("tok"))) { (d, l) =>
+      d.withColumn(s"span$l", spanCol(l))
+    }
+    // one broadcast left join per span length; longest match wins
+    val matched = (1 to maxLen).foldLeft(withSpans) { (d, l) =>
+      d.join(broadcast(dict.select(col("surface").as(s"surf$l"),
+          col("tag").as(s"tag$l"))),
+        d(s"span$l") === col(s"surf$l"), "left")
+    }
+    // fold 1..maxLen so the OUTERMOST when is the longest span — the
+    // greedy contract is longest-match-wins at each position
+    val lenExpr = (1 to maxLen).foldLeft(lit(0)) { (acc, l) =>
+      when(col(s"tag$l").isNotNull, l).otherwise(acc)
+    }
+    val tagExpr = (1 to maxLen).foldLeft(lit(null).cast("string")) {
+      (acc, l) => when(col(s"tag$l").isNotNull, col(s"tag$l")).otherwise(acc)
+    }
+    val perPos = matched.select(col("id"),
+      struct(col("pos"), col("tok"), lenExpr.as("len"), tagExpr.as("tag"))
+        .as("e"))
+    // greedy leftmost-longest scan: fold the position-sorted array with
+    // (out, skip) state — skip>0 means this token was consumed by an
+    // accepted match to its left
+    perPos.groupBy(col("id"))
+      .agg(array_join(aggregate(
+        sort_array(collect_list(col("e"))),
+        struct(array().cast("array<string>").as("out"),
+          lit(0).as("skip")),
+        (acc, e) => {
+          val out = acc.getField("out"); val skip = acc.getField("skip")
+          when(skip > 0,
+            struct(out.as("out"), (skip - 1).as("skip")))
+          .when(e.getField("len") >= 1,
+            struct(concat(out, array(e.getField("tag"))).as("out"),
+              (e.getField("len") - 1).as("skip")))
+          .otherwise(
+            struct(concat(out, array(e.getField("tok"))).as("out"),
+              lit(0).as("skip")))
+        },
+        acc => acc.getField("out")), " ").as("templated"))
   }
 }

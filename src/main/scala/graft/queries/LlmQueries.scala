@@ -1274,6 +1274,56 @@ object LlmQueries {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // Multi-token entity templating with greedy leftmost-longest match
+    // (the gazetteer-tagger contract: 'sort merge join' is ONE tag, and
+    // 'spark join' must beat 'spark'+'join'). Sequential consumption
+    // made relational: per-position longest-match info from lead()
+    // windows + broadcast dict joins, then a per-doc aggregate() fold
+    // with a bounded skip state. The oracle replays the same greedy
+    // walk as a recursive CTE.
+    "q_entity_spans" -> Q(
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') l
+        |      FROM documents),
+        |dict(surface, tag) AS (VALUES
+        |  ('customer part join', 'CPJ'), ('merge join', 'MJ'),
+        |  ('hash join', 'HJ'), ('spark', 'APPLICATION'),
+        |  ('join', 'OPERATION'), ('customer', 'PERSON')),
+        |walk AS (
+        |  SELECT doc_id, 1 AS pos, CAST('' AS VARCHAR) AS out, l FROM d
+        |  UNION ALL
+        |  SELECT w.doc_id, w.pos + m.len,
+        |    CASE WHEN w.pos = 1 THEN m.piece
+        |         ELSE w.out || ' ' || m.piece END,
+        |    w.l
+        |  FROM walk w, LATERAL (
+        |    SELECT len, piece FROM (
+        |      SELECT 3 AS len, t.tag AS piece, 1 AS pr FROM dict t
+        |        WHERE w.pos + 2 <= len(w.l) AND t.surface =
+        |          w.l[w.pos] || ' ' || w.l[w.pos+1] || ' ' || w.l[w.pos+2]
+        |      UNION ALL
+        |      SELECT 2, t.tag, 2 FROM dict t
+        |        WHERE w.pos + 1 <= len(w.l) AND t.surface =
+        |          w.l[w.pos] || ' ' || w.l[w.pos+1]
+        |      UNION ALL
+        |      SELECT 1, t.tag, 3 FROM dict t WHERE t.surface = w.l[w.pos]
+        |      UNION ALL
+        |      SELECT 1, w.l[w.pos], 4)
+        |    ORDER BY pr LIMIT 1) m
+        |  WHERE w.pos <= len(w.l))
+        |SELECT doc_id, out AS templated
+        |FROM walk WHERE pos = len(l) + 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dict = Seq(
+        "customer part join" -> "CPJ", "merge join" -> "MJ",
+        "hash join" -> "HJ", "spark" -> "APPLICATION",
+        "join" -> "OPERATION", "customer" -> "PERSON")
+        .toDF("surface", "tag")
+      Entities.templateSpans(table(s, dir, "documents"), "doc_id", "text",
+        dict, maxLen = 3)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // PII-style scrub: emails/URLs/long digit runs → typed placeholders,
     // plus per-doc counts of what was redacted.
     "q_redact" -> Q(
