@@ -25,7 +25,7 @@ object PlanDump {
     "q_similarity_ivf_exact", "q_pq_search",
     // round 6
     "q_similarity_ann_exact", "q_pq_refine", "q_normalize_entities",
-    "q_fuzzy_join")
+    "q_entity_spans", "q_fuzzy_join")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
