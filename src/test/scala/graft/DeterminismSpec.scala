@@ -11,7 +11,11 @@ class DeterminismSpec extends SparkSpec {
     Seq("q_pipeline", "q_dedup_minhash", "q_similarity", "q_merge",
       "q_topk_collect", "q_sessionize", "q_simhash_dedup", "q_skew_salt",
       "q_stratified_sample", "q_join_outer", "q_contamination",
-      "q_shard_split")
+      "q_shard_split",
+      // round 6: integer-LSH/PQ twins and the greedy span fold — their
+      // determinism IS the property their oracle hash-checks rely on
+      "q_similarity_ann_exact", "q_pq_refine", "q_entity_spans",
+      "q_edit_distance")
 
   test("results identical under shuffle.partitions 4 vs 7") {
     val conf = "spark.sql.shuffle.partitions"
