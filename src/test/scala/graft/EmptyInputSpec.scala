@@ -78,6 +78,30 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.removeBoilerplate(blank, "doc_id", "text").count() == 0)
   }
 
+  test("round-6 ops on empty input") {
+    assert(Dedup.editDistancePairs(noDocs, "doc_id", "text").count() == 0)
+    // blank/short docs: the small-string band must survive being the
+    // WHOLE corpus (the gram path sees zero rows)
+    val blank = Seq((1L, ""), (2L, " "), (3L, "ab")).toDF("doc_id", "text")
+    assert(Dedup.editDistancePairs(blank, "doc_id", "text").count() == 3)
+    val noDict = Seq.empty[(String, String)].toDF("surface", "tag")
+    assert(Entities.template(noDocs, "doc_id", "text", noDict)
+      .count() == 0)
+    assert(Entities.templateSpans(noDocs, "doc_id", "text", noDict, 3)
+      .count() == 0)
+    // empty DICTIONARY over real docs: pure pass-through
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(Entities.templateSpans(docs, "doc_id", "text", noDict, 3)
+      .as[(Long, String)].head() == ((1L, "a b c")))
+    assert(Similarity.annTopKExactInt(noVecs, noVecs, 5, dim = 3)
+      .count() == 0)
+    val noCodes = Seq.empty[(Long, Int, Int)].toDF("id", "sub", "code")
+    val noBooks = Seq.empty[(Int, Int, Array[Double])]
+      .toDF("sub", "code", "cvec")
+    assert(Pq.refineTopKInt(noVecs, noCodes, noBooks, noVecs,
+      m = 1, k = 5, shortlist = 10).count() == 0)
+  }
+
   test("sessionize and time joins on empty input") {
     val noEvents = Seq.empty[(Long, Long, Long)]
       .toDF("user_id", "ts", "event_id")
