@@ -210,6 +210,30 @@ class DedupPropertySpec extends SparkSpec {
         s"${(got diff expected) ++ (expected diff got)}")
   }
 
+  test("editDistancePairs equals brute force on random danger-zone strings") {
+    // randomized sweep concentrated on lengths 0..2·smallCut where the
+    // gram bound, the small-string band, and the fringe all interact —
+    // tiny alphabet so edits collide and matches are dense
+    val alpha = "abc"
+    (1L to 5L).foreach { seed =>
+      val r = new scala.util.Random(seed)
+      val docs = (0 until 60).map { i =>
+        val len = r.nextInt(19) // 0..18 covers small, fringe, big at q=3,d=2
+        (i.toLong, Seq.fill(len)(alpha(r.nextInt(alpha.length))).mkString)
+      }
+      val expected = (for {
+        (a, ta) <- docs; (b, tb) <- docs if a < b
+        dist = lev(ta, tb) if dist <= 2
+      } yield (a, b, dist)).toSet
+      val got = Dedup.editDistancePairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", q = 3, maxDist = 2, prefixChars = 64)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == expected,
+        s"seed $seed: got=${got.size} naive=${expected.size} diff=" +
+          s"${(got diff expected) ++ (expected diff got)}")
+    }
+  }
+
   test("substringDupStats equals the naive cross-doc shingle count") {
     (1L to 3L).foreach { s =>
       val docs = (0 until 12).map(i => (i.toLong, genDoc(s, i / 2)))

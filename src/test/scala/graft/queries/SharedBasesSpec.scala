@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** SharedBases contract: consumers get the same rows the standalone
+  * operator would produce, reuse returns the SAME materialized base, and
+  * an external cleanup (benchmark hygiene, memory pressure) triggers a
+  * transparent rebuild instead of a broken cached handle.
+  */
+class SharedBasesSpec extends SparkSpec {
+
+  test("shared minhash pairs equal the standalone mining") {
+    val standalone = graft.ops.llm.Dedup.minhashDedup(
+        graft.Tables.table(spark, sf0001, "documents"), "doc_id", "text",
+        n = 3, bands = 4, num = 8, den = 10)
+      .collect().map(_.toString).sorted.toSeq
+    val shared = SharedBases.minhashPairs(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    assert(shared == standalone)
+  }
+
+  test("reuse hits the cache; external unpersist triggers a rebuild") {
+    val first = SharedBases.minhashPairs(spark, sf0001)
+    val retainedBefore = SharedBases.retainedRddIds.size()
+    // second call must NOT grow the retained set (cache hit)
+    SharedBases.minhashPairs(spark, sf0001)
+    assert(SharedBases.retainedRddIds.size() == retainedBefore)
+    val rows = first.collect().map(_.toString).sorted.toSeq
+    // simulate the benchmark cleanup / memory-pressure path: every
+    // persistent RDD is dropped behind SharedBases' back
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val rebuilt = SharedBases.minhashPairs(spark, sf0001)
+    assert(rebuilt.collect().map(_.toString).sorted.toSeq == rows,
+      "rebuild after external unpersist must reproduce the same base")
+    // calibration composes the rebuilt pairs+sigs without error
+    assert(graft.ops.llm.Dedup.minhashCalibrationFrom(
+      SharedBases.minhashPairs(spark, sf0001),
+      SharedBases.minhashSigs(spark, sf0001), bands = 4).count() >= 0)
+  }
+
+  test("invalidateAll clears the retained set and unpersists the bases") {
+    SharedBases.jaccardPairs(spark, sf0001)
+    assert(!SharedBases.retainedRddIds.isEmpty)
+    val ids = new java.util.HashSet(SharedBases.retainedRddIds)
+    SharedBases.invalidateAll(spark)
+    assert(SharedBases.retainedRddIds.isEmpty)
+    ids.forEach { id =>
+      assert(!spark.sparkContext.getPersistentRDDs.contains(id.toInt),
+        s"rdd $id still persisted after invalidateAll")
+    }
+  }
+}
