@@ -362,6 +362,47 @@ object Dedup {
     minhashCalibrationFrom(pairs, sigs, bands)
   }
 
+  /** LSH k-NN document graph: each doc's `k` most-similar neighbors
+    * among its banded-LSH bucket collisions, ranked by exact shingle
+    * Jaccard in integer ppm (ties → lower neighbor id). The shape
+    * semantic clustering / curriculum ordering / near-dup exploration
+    * needs: unlike [[minhashDedup]] there is NO similarity threshold —
+    * every bucket collision is a candidate edge, and ranking keeps the
+    * best k per doc in BOTH directions (the graph is directed; x can be
+    * y's nearest neighbor without the converse).
+    *
+    * Scale shape: candidates are the same banded bucket equi-join as the
+    * dedup miner (a doc meets only its bucket mates, never the corpus);
+    * per-doc degree is bounded by bucket sizes; the top-k cut is the
+    * two-phase WindowGroupLimit. Docs with no collision have no rows —
+    * the graph covers the LSH-connected subset by construction.
+    * Output: (doc_id, nbr_id, rnk, inter, uni, jac_ppm).
+    */
+  def knnGraph(df: DataFrame, idCol: String, textCol: String, k: Int,
+               n: Int = 3, bands: Int = 4): DataFrame = {
+    val (base, _, banded) = minhashBands(df, idCol, textCol, n, bands, Nil)
+    val l = banded.toDF("a", "band", "bkey")
+    val r = banded.toDF("b", "band2", "bkey2")
+    val cand = l.join(r,
+        l("band") === r("band2") && l("bkey") === r("bkey2") &&
+          l("a") =!= r("b"))
+      .select("a", "b").distinct()
+    val withSets = cand
+      .join(base.select(col("doc").as("a"), col("sh").as("sh_a")), "a")
+      .join(base.select(col("doc").as("b"), col("sh").as("sh_b")), "b")
+    val interC = size(array_intersect(col("sh_a"), col("sh_b")))
+    val uniC = size(col("sh_a")) + size(col("sh_b")) - interC
+    val scored = withSets
+      .select(col("a").as("doc_id"), col("b").as("nbr_id"),
+        interC.as("inter"), uniC.as("uni"))
+      .withColumn("jac_ppm",
+        expr("(CAST(inter AS BIGINT) * 1000000) div uni"))
+    graft.ops.TopK(scored, Seq("doc_id"), scored("jac_ppm"),
+        Seq(scored("nbr_id")), k)
+      .select(col("doc_id"), col("nbr_id"), col("rnk"),
+        col("inter"), col("uni"), col("jac_ppm"))
+  }
+
   def minhashDeltaPairs(existing: DataFrame, incoming: DataFrame,
                         idCol: String, textCol: String,
                         n: Int = 3, bands: Int = 4,

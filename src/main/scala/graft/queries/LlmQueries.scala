@@ -33,11 +33,10 @@ object LlmQueries {
       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks
       |        FROM documents))""".stripMargin
 
-  // DuckDB-side MinHash+LSH verified pairs (mirrors Dedup.minhashDedup with
-  // n=3, bands=4, num=8, den=10): chain after `base` (duckShingles); yields
-  // `mh_pairs(a, b)`. Kept byte-compatible with the q_dedup_minhash
-  // pipeline — shared by queries that consume the pair set downstream.
-  private val duckMinhashPairs =
+  // DuckDB-side MinHash banding (mirrors Dedup.minhashBands with n=3,
+  // bands=4): chain after `base` (duckShingles); yields
+  // `mh_banded(doc_id, band, bkey)` (+ mh_sigs for calibration).
+  private val duckMinhashBands =
     """mh_hashed AS (SELECT doc_id, sh,
       |  list_transform(sh, x -> sha256(x)) hs FROM base),
       |mh_sigs AS (SELECT doc_id, sh,
@@ -54,7 +53,15 @@ object LlmQueries {
       |  SELECT doc_id, 0 band, s0 || s1 bkey FROM mh_sigs
       |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM mh_sigs
       |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM mh_sigs
-      |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM mh_sigs),
+      |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM mh_sigs)"""
+      .stripMargin
+
+  // DuckDB-side MinHash+LSH verified pairs (mirrors Dedup.minhashDedup with
+  // n=3, bands=4, num=8, den=10): chain after `base` (duckShingles); yields
+  // `mh_pairs(a, b)`. Kept byte-compatible with the q_dedup_minhash
+  // pipeline — shared by queries that consume the pair set downstream.
+  private val duckMinhashPairs =
+    s"""$duckMinhashBands,
       |mh_cand AS (
       |  SELECT DISTINCT l.doc_id a, r.doc_id b
       |  FROM mh_banded l JOIN mh_banded r
@@ -1040,6 +1047,39 @@ object LlmQueries {
     // signature-implied Jaccard estimate (matching 32-bit families / 8)
     // against the exact Jaccard, both in integer permille — the check
     // that (k, bands) is tuned before trusting estimates at full scale.
+    // LSH k-NN document graph: each doc's 5 most-similar bucket-mates by
+    // exact Jaccard (integer ppm, ties → lower neighbor id), both
+    // directions, no threshold — the semantic-clustering / curriculum
+    // shape. The oracle enumerates the same band buckets.
+    "q_knn_graph" -> Q(
+      s"""WITH $duckShingles,
+        |$duckMinhashBands,
+        |knn_cand AS (
+        |  SELECT DISTINCT l.doc_id a, r.doc_id b
+        |  FROM mh_banded l JOIN mh_banded r
+        |    ON l.band = r.band AND l.bkey = r.bkey
+        |    AND l.doc_id <> r.doc_id),
+        |scored AS (
+        |  SELECT c.a doc_id, c.b nbr_id,
+        |    CAST(len(list_intersect(ba.sh, bb.sh)) AS INTEGER) inter,
+        |    CAST(len(ba.sh) + len(bb.sh)
+        |      - len(list_intersect(ba.sh, bb.sh)) AS INTEGER) uni
+        |  FROM knn_cand c
+        |  JOIN base ba ON ba.doc_id = c.a
+        |  JOIN base bb ON bb.doc_id = c.b),
+        |rr AS (
+        |  SELECT doc_id, nbr_id, inter, uni,
+        |    (CAST(inter AS BIGINT) * 1000000) // uni AS jac_ppm,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY (CAST(inter AS BIGINT) * 1000000) // uni DESC,
+        |        nbr_id) rnk
+        |  FROM scored)
+        |SELECT doc_id, nbr_id, CAST(rnk AS INTEGER) AS rnk, inter, uni,
+        |  jac_ppm
+        |FROM rr WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      Dedup.knnGraph(table(s, dir, "documents"), "doc_id", "text", k = 5)
+    },
+
     "q_minhash_calib" -> Q(
       s"""WITH $duckShingles,
         |$duckMinhashPairs

@@ -60,6 +60,31 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact, s"lsh=$lsh exact=$exact")
   }
 
+  test("knnGraph: exact dup is the rank-1 neighbor in BOTH directions") {
+    val g = Dedup.knnGraph(docs, "doc_id", "text", k = 5)
+      .select("doc_id", "nbr_id", "rnk", "jac_ppm")
+      .as[(Long, Long, Int, Long)].collect()
+    val byDoc = g.groupBy(_._1)
+    // exact dup (1,2): each is the other's nearest neighbor at ppm 1e6
+    assert(byDoc(1L).exists(e => e._2 == 2L && e._3 == 1 &&
+      e._4 == 1000000L), s"doc 1 top: ${byDoc(1L).toSeq}")
+    assert(byDoc(2L).exists(e => e._2 == 1L && e._3 == 1 &&
+      e._4 == 1000000L), s"doc 2 top: ${byDoc(2L).toSeq}")
+    // the graph is threshold-free: the near-dup edge carries its true
+    // sub-threshold-or-not similarity rather than being cut
+    assert(g.forall { case (d, n, _, _) => d != n }, "no self edges")
+    // ranks are dense and ordered by non-increasing ppm within each doc
+    byDoc.values.foreach { es =>
+      val sorted = es.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to es.length).toSeq)
+      val ppms = sorted.map(_._4)
+      assert(ppms.zip(ppms.drop(1)).forall { case (x, y) => x >= y })
+    }
+    // unrelated doc 4 shares no bucket with the dup cluster
+    assert(!g.exists(e => e._1 == 4L && Set(1L, 2L, 3L)(e._2)),
+      s"unrelated doc gained a cluster edge: ${g.toSeq}")
+  }
+
   test("connected components: min-label propagation over pair chains") {
     // chain 1-2-3 plus isolated pair (7,9): components {1,2,3} and {7,9}
     val pairs = Seq((2L, 3L), (1L, 2L), (7L, 9L)).toDF("a", "b")
