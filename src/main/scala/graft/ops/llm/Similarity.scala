@@ -311,6 +311,66 @@ object Similarity {
       .select(col("qid"), col("id"), col("rnk"), col("score"))
   }
 
+  /** Exact-integer LSH k-NN graph over the embedding corpus — the
+    * ANN-graph build (kNN init for clustering / NN-descent / SemDeDup at
+    * scale): every vector's `k` best same-bucket mates across `tables`
+    * independent hyperplane tables, scored with the exact int8 integer
+    * score and deterministic ties. Multiple tables are the standard
+    * recall lever for a GRAPH build (each vector meets each table's
+    * bucket mates; union of candidates, deduped) — unlike the
+    * query-side multiprobe of [[annTopKExactInt]], which would multiply
+    * the corpus×corpus join volume by probes².
+    *
+    * Same bit-determinism recipe as [[annTopKExactInt]]: integer LCG
+    * hyperplanes (table t shifts the seed by t·7919), integer bucket
+    * ids, integer scoring — the DuckDB oracle enumerates the same
+    * buckets of every table. Scale shape: the join is equi on
+    * (table, bucket), work Σ|bucket|² per table, never n²; the top-k
+    * cut is the two-phase WindowGroupLimit. Output:
+    * (id, nbr_id, rnk, score).
+    */
+  def knnGraphExactInt(vectors: DataFrame, k: Int, dim: Int,
+                       planes: Int = 8, tables: Int = 2,
+                       seed: Long = 42L): DataFrame = {
+    require(planes <= 62, "bucket id must fit a long")
+    val v = int8Codes(vectors)
+      .select(col("id"), col("codes").cast("array<double>").as("cv"),
+        col("maxabs_micro").as("mxv"))
+      .localCheckpoint(false) // branches: bucket keys + both score sides
+    def bucketOfInt(codes: Column, tblSeed: Long): Column =
+      (0 until planes).map { p =>
+        val row = (0 until dim).map { i =>
+          ((1103515245L * (p * dim + i) + 12345L + tblSeed) %
+            2147483648L) % 17L - 8L
+        }
+        val d = dot(codes, array(row.map(x => lit(x.toDouble)): _*))
+        when(d >= 0d, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val keyed = v.select(col("id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          bucketOfInt(col("cv"), seed + t * 7919L).as("bucket"))): _*))
+        .as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
+    val cand = keyed.toDF("a", "tbl", "bucket")
+      .join(keyed.toDF("b", "tbl2", "bucket2"),
+        col("tbl") === col("tbl2") && col("bucket") === col("bucket2") &&
+          col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    val scored = cand
+      .join(v.select(col("id").as("a"), col("cv").as("cva"),
+        col("mxv").as("mxa")), "a")
+      .join(v.select(col("id").as("b"), col("cv").as("cvb"),
+        col("mxv").as("mxb")), "b")
+      .withColumn("score", dot(col("cva"), col("cvb")).cast("long") *
+        col("mxa") * col("mxb"))
+      .select(col("a").as("id"), col("b").as("nbr_id"), col("score"))
+    graft.ops.TopK(scored, Seq("id"), scored("score"),
+        Seq(scored("nbr_id")), k)
+      .select(col("id"), col("nbr_id"), col("rnk"), col("score"))
+  }
+
   /** ANN top-k: hyperplane-bucketed candidates (query probes its bucket +
     * Hamming-1 neighbors), exact cosine re-rank within candidates.
     *

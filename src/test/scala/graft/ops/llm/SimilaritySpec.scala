@@ -82,6 +82,36 @@ class SimilaritySpec extends SparkSpec {
       res.toSet, "rerun must be bit-identical")
   }
 
+  test("exact-int8 kNN graph: no self edges, deterministic, tables lever") {
+    // planes=4 (16 buckets over 500 near-random vectors) so buckets are
+    // populated enough for recall to be meaningful; the declared query's
+    // hash match certifies enumeration at any parameterization
+    def run(tables: Int) = Similarity.knnGraphExactInt(embeddings,
+      k = 5, dim = 64, planes = 4, tables = tables)
+    val g2 = run(2).as[(Long, Long, Int, Long)].collect()
+    assert(g2.forall { case (a, b, _, _) => a != b }, "no self edges")
+    // dense ranks, non-increasing scores per doc
+    g2.groupBy(_._1).values.foreach { es =>
+      val sorted = es.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to es.length).toSeq)
+      val sc = sorted.map(_._4)
+      assert(sc.zip(sc.drop(1)).forall { case (x, y) => x >= y })
+    }
+    assert(run(2).as[(Long, Long, Int, Long)].collect().toSet ==
+      g2.toSet, "rerun must be bit-identical")
+    // more tables = more candidates = recall vs the exact int8 graph
+    // must not DROP, and edge coverage must grow on near-random vectors
+    val exact = Similarity.int8TopK(embeddings, embeddings, 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    def recall(g: Array[(Long, Long, Int, Long)]) =
+      (exact intersect g.map(e => (e._1, e._2)).toSet).size.toDouble /
+        exact.size
+    val r1 = recall(run(1).as[(Long, Long, Int, Long)].collect())
+    val r2 = recall(g2)
+    assert(r2 >= r1, s"second table must not lose recall ($r1 -> $r2)")
+    assert(r2 > 0.05, s"graph recall $r2 degenerate")
+  }
+
   test("PQ refineTopKInt with full shortlist equals int8 top-k exactly") {
     // shortlist >= corpus => the ADC stage is provably lossless, so the
     // whole PQ pipeline must reduce to the exact int8 ranking — the
