@@ -1080,6 +1080,108 @@ object LlmQueries {
       Dedup.knnGraph(table(s, dir, "documents"), "doc_id", "text", k = 5)
     },
 
+    // Mutual-kNN clustering: keep only RECIPROCATED kNN edges (the
+    // standard denoising step — a hub doc that many point AT but that
+    // points elsewhere itself does not glue clusters), then connected
+    // components. Completes the graph→clusters story over q_knn_graph.
+    "q_knn_clusters" -> Q(
+      s"""WITH RECURSIVE $duckShingles,
+        |$duckMinhashBands,
+        |knn_cand AS (
+        |  SELECT DISTINCT l.doc_id a, r.doc_id b
+        |  FROM mh_banded l JOIN mh_banded r
+        |    ON l.band = r.band AND l.bkey = r.bkey
+        |    AND l.doc_id <> r.doc_id),
+        |scored AS (
+        |  SELECT c.a doc_id, c.b nbr_id,
+        |    CAST(len(list_intersect(ba.sh, bb.sh)) AS INTEGER) inter,
+        |    CAST(len(ba.sh) + len(bb.sh)
+        |      - len(list_intersect(ba.sh, bb.sh)) AS INTEGER) uni
+        |  FROM knn_cand c
+        |  JOIN base ba ON ba.doc_id = c.a
+        |  JOIN base bb ON bb.doc_id = c.b),
+        |topk AS (
+        |  SELECT doc_id, nbr_id FROM (
+        |    SELECT doc_id, nbr_id, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY (CAST(inter AS BIGINT) * 1000000) // uni DESC,
+        |        nbr_id) rnk
+        |    FROM scored) WHERE rnk <= 5),
+        |mutual AS (
+        |  SELECT e.doc_id a, e.nbr_id b FROM topk e
+        |  JOIN topk r ON r.doc_id = e.nbr_id AND r.nbr_id = e.doc_id
+        |  WHERE e.doc_id < e.nbr_id),
+        |edges AS (
+        |  SELECT a src, b dst FROM mutual
+        |  UNION ALL SELECT b, a FROM mutual),
+        |cc AS (
+        |  SELECT DISTINCT src AS node, src AS rep FROM edges
+        |  UNION
+        |  SELECT e.dst, cc.rep FROM cc, edges e WHERE cc.node = e.src)
+        |SELECT node AS doc_id, CAST(min(rep) AS BIGINT) AS rep
+        |FROM cc GROUP BY node""".stripMargin) { (s, dir) =>
+      val g = Dedup.knnGraph(table(s, dir, "documents"),
+        "doc_id", "text", k = 5)
+      val e = g.select(col("doc_id").as("a"), col("nbr_id").as("b"))
+      val mutual = e.intersect(e.select(col("b").as("a"), col("a").as("b")))
+        .filter(col("a") < col("b"))
+      Dedup.connectedComponents(mutual)
+        .select(col("node").as("doc_id"), col("rep"))
+    },
+
+    // Held-out cross-entropy scoring: a unigram LM from the src0 slice
+    // scores every src1 document (integer-micro per-term costs, explicit
+    // OOV cost ln(total+1) from the same broadcast total) — the
+    // KenLM-style quality/importance filter primitive for data mixing,
+    // distinct from q_surprisal's in-corpus self-scoring.
+    "q_cross_surprisal" -> Q(
+      """WITH rtok AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) term
+        |  FROM documents WHERE source = 'src0'),
+        |f AS (SELECT term, CAST(count(*) AS BIGINT) freq FROM rtok
+        |      GROUP BY 1),
+        |n AS (SELECT CAST(sum(freq) AS DOUBLE) total FROM f),
+        |m AS (SELECT term,
+        |        CAST(round(-ln(freq / total) * 10000) AS BIGINT) micro
+        |      FROM f, n),
+        |oov AS (SELECT CAST(round(ln(total + 1) * 10000) AS BIGINT)
+        |          oov_micro FROM n),
+        |ttf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+        |      '\s+')) term
+        |    FROM documents WHERE source = 'src1')
+        |  GROUP BY 1, 2)
+        |SELECT ttf.doc_id,
+        |  CAST(sum(ttf.tf * coalesce(m.micro, o.oov_micro)) AS BIGINT)
+        |    AS xent_micro4,
+        |  CAST(sum(ttf.tf) AS BIGINT) AS n_tok,
+        |  CAST(sum(CASE WHEN m.micro IS NULL THEN ttf.tf ELSE 0 END)
+        |    AS BIGINT) AS n_oov
+        |FROM ttf LEFT JOIN m ON ttf.term = m.term, oov o
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val rtok = d.filter(col("source") === "src0")
+        .select(explode(TextOps.tokens(d("text"))).as("term"))
+      val f = rtok.groupBy("term").agg(count(lit(1)).as("freq"))
+      val n1 = f.agg(sum("freq").cast("double").as("total"))
+      val m = f.crossJoin(broadcast(n1))
+        .select(col("term"),
+          round(-log(col("freq") / col("total")) * 10000, 0)
+            .cast("long").as("micro"))
+      val oov = n1.select(round(log(col("total") + 1) * 10000, 0)
+        .cast("long").as("oov_micro"))
+      val ttf = d.filter(col("source") === "src1")
+        .select(d("doc_id"), explode(TextOps.tokens(d("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      ttf.join(m, Seq("term"), "left").crossJoin(broadcast(oov))
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * coalesce(col("micro"), col("oov_micro")))
+            .cast("long").as("xent_micro4"),
+          sum("tf").cast("long").as("n_tok"),
+          sum(when(col("micro").isNull, col("tf")).otherwise(0L))
+            .cast("long").as("n_oov"))
+    },
+
     "q_minhash_calib" -> Q(
       s"""WITH $duckShingles,
         |$duckMinhashPairs
