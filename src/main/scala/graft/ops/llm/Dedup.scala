@@ -342,9 +342,9 @@ object Dedup {
     * DELTA's bands only — the full corpus never joins against itself, and
     * when the delta is small AQE broadcasts it, so an increment costs one
     * corpus scan + a delta-sized join instead of a corpus×corpus bucket
-    * join. At production scale the `existing` band table comes from a
-    * persisted signature index (write `minhashBands`' output bucketed by
-    * (band, bkey) via Sinks.writeBucketed) instead of being recomputed.
+    * join. At production scale use [[minhashDeltaPairsIndexed]] instead:
+    * the `existing` side arrives as the persisted [[minhashIndex]]
+    * tables and is never re-shingled at all.
     */
   /** Estimator-calibration view: for every LSH-verified pair, the Jaccard
     * ESTIMATE implied by the MinHash signatures (matching 32-bit families /
@@ -401,6 +401,52 @@ object Dedup {
         Seq(scored("nbr_id")), k)
       .select(col("doc_id"), col("nbr_id"), col("rnk"),
         col("inter"), col("uni"), col("jac_ppm"))
+  }
+
+  /** The (band-table, shingle-table) pair that IS a MinHash signature
+    * index: bands = (doc, band, bkey) for the bucket join, base =
+    * (doc, sh) for exact-Jaccard verification. Persist both — bucketed
+    * by their join keys via `Sinks.writeBucketed` — and increments stop
+    * re-shingling the corpus entirely ([[minhashDeltaPairsIndexed]]).
+    */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, bands: Int = 4): (DataFrame, DataFrame) = {
+    val (base, _, banded) = minhashBands(df, idCol, textCol, n, bands, Nil)
+    (banded.select(col("doc"), col("band"), col("bkey")),
+      base.select(col("doc"), col("sh")))
+  }
+
+  /** Incremental near-dup mining against a PERSISTED index — the
+    * production form of [[minhashDeltaPairs]]: the corpus side arrives
+    * as the stored (bands, base) tables of [[minhashIndex]], so an
+    * increment costs ONE delta-sized shingle pass + a delta-sized
+    * bucket join + verification reads of only the colliding corpus
+    * docs. The corpus text is never rescanned, never re-shingled.
+    * Result is row-identical to `minhashDeltaPairs(corpus, incoming)`
+    * (spec-asserted); ids must be disjoint between index and delta,
+    * as in the recompute form.
+    */
+  def minhashDeltaPairsIndexed(indexBands: DataFrame, indexBase: DataFrame,
+                               incoming: DataFrame,
+                               idCol: String, textCol: String,
+                               n: Int = 3, bands: Int = 4,
+                               num: Int = 8, den: Int = 10): DataFrame = {
+    val (dBase, _, dBanded) =
+      minhashBands(incoming, idCol, textCol, n, bands, Nil)
+    val l = indexBands.select(col("doc").as("x"), col("band"), col("bkey"))
+      .unionByName(dBanded.select(col("doc").as("x"), col("band"),
+        col("bkey")))
+    val r = dBanded.select(col("doc").as("d"), col("band").as("band2"),
+      col("bkey").as("bkey2"))
+    val cand = l.join(r,
+        col("band") === col("band2") && col("bkey") === col("bkey2") &&
+          col("x") =!= col("d"))
+      .select(least(col("x"), col("d")).as("a"),
+        greatest(col("x"), col("d")).as("b"))
+      .distinct()
+    val allBase = indexBase.select(col("doc"), col("sh"))
+      .unionByName(dBase.select(col("doc"), col("sh")))
+    verifyPairs(cand, allBase, num, den)
   }
 
   def minhashDeltaPairs(existing: DataFrame, incoming: DataFrame,

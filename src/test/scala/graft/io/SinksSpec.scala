@@ -108,6 +108,43 @@ class SinksSpec extends SparkSpec {
       s"bucket-aligned agg must not shuffle:\n$planAligned")
   }
 
+  test("persisted minhash index: delta mining equals recompute, reads buckets") {
+    import graft.ops.llm.Dedup
+    val bandsT = "graft_mh_bands"; val baseT = "graft_mh_base"
+    spark.sql(s"DROP TABLE IF EXISTS $bandsT")
+    spark.sql(s"DROP TABLE IF EXISTS $baseT")
+    val seed = "spark merges batches of rows into partitions every stage"
+    val corpus = (1 to 40).map(i =>
+      (i.toLong, if (i % 7 == 0) seed else s"$seed variant number $i here"))
+      .toDF("doc_id", "text")
+    val delta = Seq((101L, seed), (102L, seed + " again"),
+      (103L, "entirely unrelated words about cooking fresh pasta"),
+      (104L, "entirely unrelated words about cooking fresh pasta"))
+      .toDF("doc_id", "text")
+    // build + persist the index once (bucketed on the join keys)
+    val (bands, base) = Dedup.minhashIndex(corpus, "doc_id", "text")
+    graft.io.Sinks.writeBucketed(bands, bandsT, buckets = 4,
+      keys = Seq("band", "bkey"))
+    graft.io.Sinks.writeBucketed(base, baseT, buckets = 4,
+      keys = Seq("doc"))
+    // increments mine against the STORED tables - no corpus rescan
+    val got = Dedup.minhashDeltaPairsIndexed(spark.table(bandsT),
+      spark.table(baseT), delta, "doc_id", "text")
+    val expected = Dedup.minhashDeltaPairs(corpus, delta,
+      "doc_id", "text")
+    assert(got.collect().map(_.toString).sorted.toSeq ==
+      expected.collect().map(_.toString).sorted.toSeq,
+      "indexed path must be row-identical to the recompute path")
+    // delta x delta pairs are found too (103, 104 duplicate each other)
+    assert(got.select("a", "b").as[(Long, Long)].collect().toSet
+      .contains((103L, 104L)))
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains(bandsT) && p.contains(baseT),
+      s"index tables must be the corpus side:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"index scans must use their bucketing:\n$p")
+  }
+
   test("bucketAligned merge: only the delta shuffles, history stays put") {
     val table = "graft_bucketed_state2"
     spark.sql(s"DROP TABLE IF EXISTS $table")
