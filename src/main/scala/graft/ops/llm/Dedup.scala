@@ -431,12 +431,24 @@ object Dedup {
                                idCol: String, textCol: String,
                                n: Int = 3, bands: Int = 4,
                                num: Int = 8, den: Int = 10): DataFrame = {
-    val (dBase, _, dBanded) =
-      minhashBands(incoming, idCol, textCol, n, bands, Nil)
+    val (dBands, dBase) = minhashIndex(incoming, idCol, textCol, n, bands)
+    minhashDeltaPairsIndexed(indexBands, indexBase, dBands, dBase,
+      num, den)
+  }
+
+  /** Pure index-table form: both the corpus AND the delta arrive as
+    * prebuilt (bands, base) tables — no text column touched at all.
+    * This is what a streaming ingest uses when the delta's index slice
+    * is also being appended to the store (build it once, mine with it,
+    * write it).
+    */
+  def minhashDeltaPairsIndexed(indexBands: DataFrame, indexBase: DataFrame,
+                               deltaBands: DataFrame, deltaBase: DataFrame,
+                               num: Int, den: Int): DataFrame = {
     val l = indexBands.select(col("doc").as("x"), col("band"), col("bkey"))
-      .unionByName(dBanded.select(col("doc").as("x"), col("band"),
+      .unionByName(deltaBands.select(col("doc").as("x"), col("band"),
         col("bkey")))
-    val r = dBanded.select(col("doc").as("d"), col("band").as("band2"),
+    val r = deltaBands.select(col("doc").as("d"), col("band").as("band2"),
       col("bkey").as("bkey2"))
     val cand = l.join(r,
         col("band") === col("band2") && col("bkey") === col("bkey2") &&
@@ -445,7 +457,7 @@ object Dedup {
         greatest(col("x"), col("d")).as("b"))
       .distinct()
     val allBase = indexBase.select(col("doc"), col("sh"))
-      .unionByName(dBase.select(col("doc"), col("sh")))
+      .unionByName(deltaBase.select(col("doc"), col("sh")))
     verifyPairs(cand, allBase, num, den)
   }
 

@@ -225,6 +225,65 @@ object StreamingPipeline {
     * checkpoint gives exactly-once batch accounting, and a batch is also
     * deduped against itself (minhashDeltaPairs includes delta×delta).
     */
+  /** Index-backed continuous-ingest near-dup detection — the streaming
+    * form of the persisted signature index (`Dedup.minhashIndex`): the
+    * state is the accumulated (bands, base) tables, NOT the corpus
+    * text, so each micro-batch shingles ONLY itself, mines against the
+    * stored index (`Dedup.minhashDeltaPairsIndexed`, pure index-table
+    * form — the batch's index slice is built once and used for both the
+    * join and the append), and appends its slice idempotently
+    * (`batch=<id>` directories, same at-least-once → exactly-once
+    * accounting as [[incrementalDedup]]). Versus incrementalDedup, the
+    * per-batch cost drops from O(corpus re-shingle) to O(delta +
+    * colliding-bucket reads) — the difference between a pipeline that
+    * slows down as the corpus grows and one that doesn't.
+    */
+  def incrementalDedupIndexed(docs: DataFrame, indexDir: String,
+                              pairsDir: String,
+                              checkpointDir: String): Unit = {
+    val q = docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val (dBands, dBase) = graft.ops.llm.Dedup.minhashIndex(
+          batch, "doc_id", "text")
+        // the batch's slice is read back from ITS OWN idempotent write:
+        // one shingle pass per batch, shared by the join and the store
+        dBands.write.mode("overwrite")
+          .parquet(s"$indexDir/bands/batch=$batchId")
+        dBase.write.mode("overwrite")
+          .parquet(s"$indexDir/base/batch=$batchId")
+        val wBands = spark.read.parquet(s"$indexDir/bands/batch=$batchId")
+        val wBase = spark.read.parquet(s"$indexDir/base/batch=$batchId")
+        // accumulated index = every PRIOR batch's slice (explicit list:
+        // the current batch must not join itself twice, and a replayed
+        // batch must not see its own half-written slice as "corpus")
+        val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        def prior(kind: String, empty: DataFrame): DataFrame = {
+          val dir = new org.apache.hadoop.fs.Path(s"$indexDir/$kind")
+          if (!fs.exists(dir)) empty.limit(0)
+          else {
+            val slices = fs.listStatus(dir).map(_.getPath)
+              .filter(_.getName.startsWith("batch="))
+              .filterNot(_.getName == s"batch=$batchId")
+              .map(_.toString)
+            if (slices.isEmpty) empty.limit(0)
+            else spark.read.parquet(slices: _*)
+          }
+        }
+        val pairs = graft.ops.llm.Dedup.minhashDeltaPairsIndexed(
+          prior("bands", wBands), prior("base", wBase),
+          wBands, wBase, num = 8, den = 10)
+        pairs.write.mode("overwrite")
+          .parquet(s"$pairsDir/batch=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   def incrementalDedup(docs: DataFrame, corpusDir: String, pairsDir: String,
                        checkpointDir: String): Unit = {
     val q = docs.writeStream

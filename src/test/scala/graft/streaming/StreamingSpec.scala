@@ -271,6 +271,58 @@ class StreamingSpec extends SparkSpec {
       "replayed batch must not duplicate pairs")
   }
 
+  test("index-backed incremental dedup: same pairs, corpus never re-shingled") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-inc-idx").toString
+    val (index, pairs, ckpt) = (s"$dir/index", s"$dir/pairs", s"$dir/ckpt")
+    val a = "spark merges batches of rows into partitions for every stage"
+    val mem = MemoryStream[(Long, String)]
+    def drain(): Unit = StreamingPipeline.incrementalDedupIndexed(
+      mem.toDS().toDF("doc_id", "text"), index, pairs, ckpt)
+    // batch 1: unrelated docs seed the index; the batch still dedups
+    // against ITSELF (5 and 6 are exact dups)
+    mem.addData((1L, a),
+      (2L, "totally different cooking text about pasta"),
+      (5L, "the self dup doc"), (6L, "the self dup doc"))
+    drain()
+    val p1 = spark.read.parquet(pairs)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(p1.contains((5L, 6L)), s"delta×delta pair missing: $p1")
+    // index state = (bands, base) slices (+ the batch partition column),
+    // not document text
+    assert(spark.read.parquet(s"$index/bands").columns.toSet ==
+      Set("doc", "band", "bkey", "batch"))
+    assert(spark.read.parquet(s"$index/base").columns.toSet ==
+      Set("doc", "sh", "batch"))
+    // batch 2: near-dup of 1 + exact dup of 2 found via the STORED index
+    mem.addData((3L, a + " again"),
+      (4L, "totally different cooking text about pasta"))
+    drain()
+    val found = spark.read.parquet(pairs)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(found.contains((2L, 4L)), s"exact dup vs index missing: $found")
+    assert(found.contains((1L, 3L)), s"near dup vs index missing: $found")
+    assert(spark.read.parquet(s"$index/base").count() == 6)
+    // replay with no new data: checkpoint accounting holds
+    drain()
+    assert(spark.read.parquet(pairs).count() == found.size.toLong,
+      "replayed batch must not duplicate pairs")
+    // and the indexed stream found exactly what the recompute stream
+    // would: batch-mode full mining restricted to cross/self pairs
+    val all = Seq((1L, a),
+      (2L, "totally different cooking text about pasta"),
+      (5L, "the self dup doc"), (6L, "the self dup doc"),
+      (3L, a + " again"),
+      (4L, "totally different cooking text about pasta"))
+      .toDF("doc_id", "text")
+    val batchPairs = graft.ops.llm.Dedup.minhashDedup(
+        all, "doc_id", "text")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(found == batchPairs,
+      s"stream/batch divergence: ${(found diff batchPairs) ++
+        (batchPairs diff found)}")
+  }
+
   private implicit class ToMap2(rows: Array[(String, String, Long)]) {
     def toMap2: Map[(String, String), Long] =
       rows.map { case (p, q, f) => (p, q) -> f }.toMap
