@@ -92,6 +92,23 @@ object Stress {
           s"$root/corpus", s"$root/pairs", s"$root/ckpt")
         spark.read.parquet(s"$root/pairs").count()
       }),
+      // X12k index-backed streaming ingest dedup: state = (bands, base)
+      // slices, never corpus text. Same 4-micro-batch drive as the
+      // recompute op above — the factor comparison between the two IS
+      // the measured value of the persisted index (per-batch corpus
+      // re-shingle vs delta-only).
+      "stream_inc_dedup_indexed" -> (d => {
+        val spark = d.sparkSession
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-sstress-idx").toString
+        val src = d.select(col("doc_id"), col("text"))
+        src.repartition(4).write.mode("overwrite").parquet(s"$root/src")
+        val docs = spark.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
+        graft.streaming.StreamingPipeline.incrementalDedupIndexed(docs,
+          s"$root/index", s"$root/pairs", s"$root/ckpt")
+        spark.read.parquet(s"$root/pairs").count()
+      }),
       // X12f streaming dedup within watermark on the RocksDB state store:
       // replicas share text, so the dedup KEY set — and therefore the
       // state store and the output — must stay FLAT at Nx input (printed
