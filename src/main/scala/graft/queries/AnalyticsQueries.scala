@@ -211,6 +211,25 @@ object AnalyticsQueries {
     // to SQL). Rows-only by design (sketch layout is engine-specific);
     // est ≥ exact always, est ≤ exact + ε·N w.p. ≥ confidence — both
     // bounds asserted in ApproxDistinctSpec.
+    // Exact heavy hitters — the hash-verified twin of the CMS sketch
+    // below (what q_count_distinct is to the HLL and q_percentile to
+    // the GK sketch): same top-20 selection with deterministic ties,
+    // no estimate column, fully oracle-checkable. Completes the
+    // exact-twin pairing for all three sketch families.
+    "q_heavy_hitters" -> Q(
+      """SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt FROM (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS term
+        |  FROM documents) t
+        |GROUP BY term
+        |ORDER BY count(*) DESC, term LIMIT 20""".stripMargin) {
+      (s, dir) =>
+      val d = table(s, dir, "documents")
+      d.select(explode(graft.ops.llm.TextOps.tokens(d("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term")).limit(20)
+    },
+
     "q_cms_heavy_hitters" -> Q.noOracle { (s, dir) =>
       val d = table(s, dir, "documents")
       val tok = d.select(explode(
