@@ -58,7 +58,7 @@ object Decontaminate {
     val bloom = probeShingles
       .agg(call_function("graft_bloom_agg", xxhash64(col("g")),
         lit(estItems), lit(numBits)).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+      .head().getAs[Array[Byte]]("bf")
     // empty probe set → the aggregate returns null (no bloom to build);
     // the exact join over zero probe shingles is the correct (empty)
     // answer and avoids an untyped null literal in might_contain

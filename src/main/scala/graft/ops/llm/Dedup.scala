@@ -802,7 +802,7 @@ object Dedup {
     // scale would otherwise make equal sums compare unequal and the
     // loop spin to maxIter.
     def repSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("rep").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
     // both-null = empty input (sum over zero rows), which is its own
     // fixpoint; initial (value, null) is never converged.
     def converged(a: java.math.BigDecimal, b: java.math.BigDecimal) =

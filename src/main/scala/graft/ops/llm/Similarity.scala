@@ -231,7 +231,8 @@ object Similarity {
   def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Column = {
     val rnd = new Random(seed)
     val w = Array.fill(planes, dim)(rnd.nextDouble() * 2 - 1)
-    array(w.map(p => array(p.map(lit): _*)): _*)
+    array(w.toIndexedSeq.map(p =>
+      array(p.toIndexedSeq.map(lit): _*)): _*)
   }
 
   /** Sign-bit bucket string of `vec` against `planesCol` ("1011...", one
@@ -289,7 +290,8 @@ object Similarity {
     def bucketOfInt(codes: Column): Column =
       w.zipWithIndex.map { case (row, p) =>
         // exact: |dot| <= 127·8·dim, integer-valued doubles
-        val d = dot(codes, array(row.map(x => lit(x.toDouble)): _*))
+        val d = dot(codes,
+          array(row.toIndexedSeq.map(x => lit(x.toDouble)): _*))
         when(d >= 0d, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
     val v = int8Codes(vectors)

@@ -50,7 +50,7 @@ object ExtendedQueries {
       val bloom = dim
         .agg(call_function("graft_bloom_agg", xxhash64(col("p_partkey")),
           lit(100000L), lit(800000L)).as("bf"))
-        .head.getAs[Array[Byte]]("bf")
+        .head().getAs[Array[Byte]]("bf")
       val pruned =
         if (bloom == null) li.limit(0)
         else li.filter(call_function("graft_might_contain",

@@ -270,7 +270,7 @@ object StreamingPipeline {
               .filterNot(_.getName == s"batch=$batchId")
               .map(_.toString)
             if (slices.isEmpty) empty.limit(0)
-            else spark.read.parquet(slices: _*)
+            else spark.read.parquet(slices.toIndexedSeq: _*)
           }
         }
         val pairs = graft.ops.llm.Dedup.minhashDeltaPairsIndexed(
