@@ -331,7 +331,8 @@ object Dedup {
       .select(col("a"), col("b"),
         floor(matches.cast("long") * 1000L / k).cast("long")
           .as("est_permille"),
-        expr("(inter * 1000) div uni").cast("long").as("jac_permille"))
+        expr("(CAST(inter AS BIGINT) * 1000) div uni").cast("long")
+          .as("jac_permille"))
   }
 
   /** Incremental near-dup mining: pairs involving at least one `incoming`

@@ -13,6 +13,20 @@ import org.apache.spark.sql.functions._
   */
 object Entities {
 
+  /** Canonical dictionary shape shared by both templating forms: the
+    * token stream is lowercased and trimmed before lookup, so surfaces
+    * must be too or they silently never match; and a surface listed
+    * twice (two tags) would multiply token rows through the broadcast
+    * left join, corrupting the reassembly. Normalize + keep the
+    * lexicographically smallest tag per surface (deterministic, so the
+    * declared queries hash stably whatever the input order).
+    */
+  private def canonicalDict(entities: DataFrame): DataFrame =
+    entities.toDF("surface", "tag")
+      .select(lower(trim(col("surface"))).as("surface"), col("tag"))
+      .where(length(col("surface")) > 0)
+      .groupBy("surface").agg(min("tag").as("tag"))
+
   /** Replace every whitespace token whose lowercase form appears in
     * `entities` = (surface, tag) with its tag; all other tokens pass
     * through lowercased. Output: (id, templated).
@@ -33,7 +47,7 @@ object Entities {
     val toks = df.select(df(idCol).as("id"),
       posexplode(split(lower(trim(df(textCol))), "\\s+"))
         .as(Seq("pos", "tok")))
-    val dict = entities.toDF("surface", "tag")
+    val dict = canonicalDict(entities)
     toks.join(broadcast(dict), toks("tok") === dict("surface"), "left")
       .groupBy(col("id"))
       .agg(array_join(transform(
@@ -61,7 +75,7 @@ object Entities {
                     entities: DataFrame, maxLen: Int = 3): DataFrame = {
     require(maxLen >= 1, "maxLen must be at least 1")
     import org.apache.spark.sql.expressions.Window
-    val dict = entities.toDF("surface", "tag")
+    val dict = canonicalDict(entities)
     val w = Window.partitionBy("id").orderBy("pos")
     val toks = df.select(df(idCol).as("id"),
       posexplode(split(lower(trim(df(textCol))), "\\s+"))

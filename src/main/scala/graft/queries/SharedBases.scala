@@ -60,6 +60,25 @@ object SharedBases {
   private def alive(s: SparkSession, e: Entry): Boolean =
     s.sparkContext.getPersistentRDDs.contains(e.rddId)
 
+  /** Fingerprint of the backing `documents` parquet: sorted
+    * (name, length, modTime) of its data files, hashed. Folded into every
+    * cache key so a table rewritten mid-session misses the memo and
+    * rebuilds instead of serving stale bases — the directory path alone
+    * cannot see a rewrite (aliveness only detects external unpersist).
+    * One cheap driver-side listing per lookup; no Spark job.
+    */
+  private def fingerprint(s: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val parts =
+      if (!fs.exists(path)) Seq("absent")
+      else fs.listStatus(path).toSeq
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted
+    java.lang.Long.toHexString(
+      parts.mkString("|").hashCode.toLong & 0xffffffffL)
+  }
+
   private def put(s: SparkSession, key: String, src: DataFrame): Entry = {
     val rdd = src.rdd.persist(StorageLevel.MEMORY_AND_DISK)
     rdd.count() // materialize eagerly: consumers must see a warm index
@@ -69,8 +88,18 @@ object SharedBases {
     e
   }
 
-  private def drop(key: String): Unit =
-    cache.remove(key).foreach(e => retained.remove(Integer.valueOf(e.rddId)))
+  /** Drop every cached entry for `prefix` regardless of fingerprint —
+    * called on a miss so bases built against a since-rewritten table
+    * don't linger as retained-but-unreachable RDDs.
+    */
+  private def dropPrefix(s: SparkSession, prefix: String): Unit =
+    cache.keys.filter(_.startsWith(prefix)).toSeq.foreach { k =>
+      cache.remove(k).foreach { e =>
+        s.sparkContext.getPersistentRDDs.get(e.rddId)
+          .foreach(_.unpersist(blocking = false))
+        retained.remove(Integer.valueOf(e.rddId))
+      }
+    }
 
   /** Verified MinHash near-dup pairs (a, b, inter, uni) over
     * `documents` at the declared-family parameters.
@@ -87,13 +116,15 @@ object SharedBases {
   private def minhashBoth(s: SparkSession,
                           dir: String): (DataFrame, DataFrame) =
     synchronized {
-      val kp = s"mh_pairs:$dir"
-      val ks = s"mh_sigs:$dir"
+      val fp = fingerprint(s, dir)
+      val kp = s"mh_pairs:$dir@$fp"
+      val ks = s"mh_sigs:$dir@$fp"
       (cache.get(kp), cache.get(ks)) match {
         case (Some(p), Some(g)) if alive(s, p) && alive(s, g) =>
           (p.df, g.df)
         case _ =>
-          drop(kp); drop(ks)
+          dropPrefix(s, s"mh_pairs:$dir@")
+          dropPrefix(s, s"mh_sigs:$dir@")
           val (pairs, sigs) = Dedup.minhashDedupWithSigs(
             Tables.table(s, dir, "documents"), "doc_id", "text",
             n = 3, bands = 4, num = 8, den = 10)
@@ -108,11 +139,11 @@ object SharedBases {
     */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     synchronized {
-      val key = s"jac_pairs:$dir"
+      val key = s"jac_pairs:$dir@${fingerprint(s, dir)}"
       cache.get(key) match {
         case Some(e) if alive(s, e) => e.df
         case _ =>
-          drop(key)
+          dropPrefix(s, s"jac_pairs:$dir@")
           put(s, key, Dedup.ngramJaccardPairs(
             Tables.table(s, dir, "documents"), "doc_id", "text",
             n = 3, num = 8, den = 10)).df

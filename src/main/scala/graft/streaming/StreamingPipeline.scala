@@ -237,6 +237,16 @@ object StreamingPipeline {
     * per-batch cost drops from O(corpus re-shingle) to O(delta +
     * colliding-bucket reads) — the difference between a pipeline that
     * slows down as the corpus grows and one that doesn't.
+    *
+    * Concurrency contract: `indexDir` is OWNED by exactly one stream
+    * (the checkpoint already enforces one writer per checkpointDir; the
+    * index must pair 1:1 with it — two streams sharing an indexDir would
+    * each read the other's batches as "corpus" with no ordering
+    * guarantee). Within that contract, slices are still published
+    * ATOMICALLY — written to a dot-prefixed temp directory and renamed
+    * into place — so a crash mid-write leaves garbage that `prior()`'s
+    * `batch=` filter never lists, never a half-written slice read as
+    * corpus by the replay.
     */
   def incrementalDedupIndexed(docs: DataFrame, indexDir: String,
                               pairsDir: String,
@@ -249,11 +259,23 @@ object StreamingPipeline {
         val (dBands, dBase) = graft.ops.llm.Dedup.minhashIndex(
           batch, "doc_id", "text")
         // the batch's slice is read back from ITS OWN idempotent write:
-        // one shingle pass per batch, shared by the join and the store
-        dBands.write.mode("overwrite")
-          .parquet(s"$indexDir/bands/batch=$batchId")
-        dBase.write.mode("overwrite")
-          .parquet(s"$indexDir/base/batch=$batchId")
+        // one shingle pass per batch, shared by the join and the store.
+        // Write-to-temp + rename makes publication atomic: a slice is
+        // either absent or complete under $kind/batch=<id>, never partial
+        val hadoopFs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def publish(df: DataFrame, kind: String): Unit = {
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$indexDir/$kind/.tmp-batch=$batchId")
+          val dst = new org.apache.hadoop.fs.Path(
+            s"$indexDir/$kind/batch=$batchId")
+          df.write.mode("overwrite").parquet(tmp.toString)
+          if (hadoopFs.exists(dst)) hadoopFs.delete(dst, true)
+          if (!hadoopFs.rename(tmp, dst))
+            throw new java.io.IOException(s"rename $tmp -> $dst failed")
+        }
+        publish(dBands, "bands")
+        publish(dBase, "base")
         val wBands = spark.read.parquet(s"$indexDir/bands/batch=$batchId")
         val wBase = spark.read.parquet(s"$indexDir/base/batch=$batchId")
         // accumulated index = every PRIOR batch's slice (explicit list:

@@ -103,6 +103,21 @@ class EntitiesSpec extends SparkSpec {
     }
   }
 
+  test("messy dictionary: case/whitespace normalized, dup surfaces collapse") {
+    // ' Docker ' must still match (tokens are lower(trim)ed before lookup)
+    // and a surface listed twice must NOT multiply token rows through the
+    // broadcast left join — deterministically the min tag wins
+    val messy = Seq(" Docker " -> "APPLICATION", "docker" -> "ZZZ_TOOL",
+      "LINUX" -> "OS", "" -> "EMPTY").toDF("surface", "tag")
+    val docs = Seq((1L, "install docker in linux")).toDF("doc_id", "text")
+    val t = Entities.template(docs, "doc_id", "text", messy)
+      .as[(Long, String)].collect().toMap
+    assert(t(1L) == "install APPLICATION in OS")
+    val s = Entities.templateSpans(docs, "doc_id", "text", messy, 3)
+      .as[(Long, String)].collect().toMap
+    assert(s(1L) == "install APPLICATION in OS")
+  }
+
   test("dictionary join is a broadcast, reassembly is one exchange") {
     val docs = Seq((1L, "docker linux")).toDF("doc_id", "text")
     val p = Entities.template(docs, "doc_id", "text", dict)

@@ -39,6 +39,28 @@ class SharedBasesSpec extends SparkSpec {
       SharedBases.minhashSigs(spark, sf0001), bands = 4).count() >= 0)
   }
 
+  test("rewriting the backing table misses the memo (no stale bases)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sb_stale").toString
+    def write(docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+    // two identical docs -> exactly-one verified pair at any threshold
+    write(Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely unrelated text about spark plans")))
+    val before = SharedBases.jaccardPairs(spark, dir).count()
+    assert(before >= 1)
+    // rewrite with all-distinct docs: the fingerprint (file names, sizes,
+    // mtimes) changes, so the memo must rebuild, not serve the old pairs
+    write(Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "completely unrelated text about spark plans")))
+    val after = SharedBases.jaccardPairs(spark, dir).count()
+    assert(after == 0,
+      s"stale shared base served after table rewrite ($before -> $after)")
+  }
+
   test("invalidateAll clears the retained set and unpersists the bases") {
     SharedBases.jaccardPairs(spark, sf0001)
     assert(!SharedBases.retainedRddIds.isEmpty)
