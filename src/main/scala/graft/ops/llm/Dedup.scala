@@ -378,16 +378,25 @@ object Dedup {
     * two-phase WindowGroupLimit. Docs with no collision have no rows —
     * the graph covers the LSH-connected subset by construction.
     * Output: (doc_id, nbr_id, rnk, inter, uni, jac_ppm).
+    *
+    * Hot-bucket guard: unlike threshold dedup (where verification
+    * prunes), a kNN graph has NO threshold, so one degenerate bucket — a
+    * giant near-dup family, spam mirrors, boilerplate — would go
+    * quadratic before the top-k cut. Buckets over `maxBucket` therefore
+    * contribute only `maxBucket` deterministically-sampled join partners
+    * (ranked by a stable hash of (band, bkey, doc)): candidate volume is
+    * Σ|bucket|·min(|bucket|, maxBucket), every doc still appears on the
+    * probe side so nobody loses coverage, and the recall cost is bounded
+    * to oversize buckets — inside a near-dup family any `maxBucket`-
+    * sample of mates is near-interchangeable for ranking. The default is
+    * far above organic bucket sizes (it only exists to stop adversarial
+    * skew), so results are identical on normal corpora.
     */
   def knnGraph(df: DataFrame, idCol: String, textCol: String, k: Int,
-               n: Int = 3, bands: Int = 4): DataFrame = {
+               n: Int = 3, bands: Int = 4,
+               maxBucket: Int = 4096): DataFrame = {
     val (base, _, banded) = minhashBands(df, idCol, textCol, n, bands, Nil)
-    val l = banded.toDF("a", "band", "bkey")
-    val r = banded.toDF("b", "band2", "bkey2")
-    val cand = l.join(r,
-        l("band") === r("band2") && l("bkey") === r("bkey2") &&
-          l("a") =!= r("b"))
-      .select("a", "b").distinct()
+    val cand = knnCandidates(banded, maxBucket)
     val withSets = cand
       .join(base.select(col("doc").as("a"), col("sh").as("sh_a")), "a")
       .join(base.select(col("doc").as("b"), col("sh").as("sh_b")), "b")
@@ -402,6 +411,32 @@ object Dedup {
         Seq(scored("nbr_id")), k)
       .select(col("doc_id"), col("nbr_id"), col("rnk"),
         col("inter"), col("uni"), col("jac_ppm"))
+  }
+
+  /** Capped candidate generation for the kNN graph: the banded bucket
+    * self-join, with the RIGHT side of each (band, bkey) bucket limited
+    * to `maxBucket` members picked by rank of xxhash64(band, bkey, doc)
+    * (doc as tie-break — fully deterministic under any partitioning).
+    * The left (probe) side keeps every member, so each doc still
+    * receives candidates; only its choice of partners inside an
+    * oversized bucket is sampled. Candidates per bucket:
+    * |bucket| · min(|bucket|, maxBucket) instead of |bucket|².
+    */
+  private[llm] def knnCandidates(banded: DataFrame,
+                                 maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, "maxBucket must be at least 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("band2", "bkey2")
+      .orderBy(xxhash64(col("band2"), col("bkey2"), col("b")), col("b"))
+    val l = banded.toDF("a", "band", "bkey")
+    val r = banded.toDF("b", "band2", "bkey2")
+      .withColumn("_br", row_number().over(w))
+      .filter(col("_br") <= maxBucket)
+      .drop("_br")
+    l.join(r,
+        l("band") === r("band2") && l("bkey") === r("bkey2") &&
+          l("a") =!= r("b"))
+      .select("a", "b").distinct()
   }
 
   /** The (band-table, shingle-table) pair that IS a MinHash signature

@@ -327,13 +327,22 @@ object Similarity {
     * hyperplanes (table t shifts the seed by t·7919), integer bucket
     * ids, integer scoring — the DuckDB oracle enumerates the same
     * buckets of every table. Scale shape: the join is equi on
-    * (table, bucket), work Σ|bucket|² per table, never n²; the top-k
-    * cut is the two-phase WindowGroupLimit. Output:
-    * (id, nbr_id, rnk, score).
+    * (table, bucket), work Σ|bucket|·min(|bucket|, maxBucket) per
+    * table, never n²; the top-k cut is the two-phase WindowGroupLimit.
+    * Output: (id, nbr_id, rnk, score).
+    *
+    * Hot-bucket guard (same rationale as `Dedup.knnGraph`): a graph
+    * build has no similarity threshold, so one bucket holding a giant
+    * duplicate-embedding family would go quadratic. Buckets over
+    * `maxBucket` contribute only that many deterministically-sampled
+    * join partners (rank of xxhash64(tbl, bucket, id)); the probe side
+    * keeps every vector, so coverage is unchanged and only partner
+    * choice inside oversize buckets is sampled. The default never
+    * triggers on organic bucket sizes.
     */
   def knnGraphExactInt(vectors: DataFrame, k: Int, dim: Int,
                        planes: Int = 8, tables: Int = 2,
-                       seed: Long = 42L): DataFrame = {
+                       seed: Long = 42L, maxBucket: Int = 4096): DataFrame = {
     require(planes <= 62, "bucket id must fit a long")
     val v = int8Codes(vectors)
       .select(col("id"), col("codes").cast("array<double>").as("cv"),
@@ -355,8 +364,13 @@ object Similarity {
         .as("tb"))
       .select(col("id"), col("tb.tbl").as("tbl"),
         col("tb.bucket").as("bucket"))
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy("tbl2", "bucket2")
+      .orderBy(xxhash64(col("tbl2"), col("bucket2"), col("b")), col("b"))
     val cand = keyed.toDF("a", "tbl", "bucket")
-      .join(keyed.toDF("b", "tbl2", "bucket2"),
+      .join(keyed.toDF("b", "tbl2", "bucket2")
+          .withColumn("_br", row_number().over(bw))
+          .filter(col("_br") <= maxBucket).drop("_br"),
         col("tbl") === col("tbl2") && col("bucket") === col("bucket2") &&
           col("a") =!= col("b"))
       .select("a", "b").distinct()

@@ -85,6 +85,43 @@ class DedupSpec extends SparkSpec {
       s"unrelated doc gained a cluster edge: ${g.toSeq}")
   }
 
+  test("knnCandidates: hot-bucket cap bounds a degenerate duplicate family") {
+    // 1000 identical docs — the adversarial corpus for a threshold-free
+    // graph build: every band has ONE bucket holding all 1000, so the
+    // uncapped candidate join is quadratic (1000·999 ordered pairs).
+    // The cap must bound candidates to ~n·cap while keeping every doc
+    // on the probe side.
+    val fam = (1L to 1000L)
+      .map(i => (i, "all of these documents carry exactly the same text"))
+      .toDF("doc_id", "text")
+    val bands = Dedup.minhashIndex(fam, "doc_id", "text")._1
+      .localCheckpoint()
+    val uncapped = Dedup.knnCandidates(bands, Int.MaxValue).count()
+    assert(uncapped == 999000L, s"degenerate family must be quadratic " +
+      s"uncapped, got $uncapped")
+    val capped = Dedup.knnCandidates(bands, 32)
+    val cappedN = capped.count()
+    // ≤ cap partners per doc per band (4 bands; distinct() may merge)
+    assert(cappedN <= 1000L * 32 * 4,
+      s"capped candidates $cappedN exceed the n·cap·bands bound")
+    assert(cappedN < uncapped / 5,
+      s"cap had no effect: $cappedN vs $uncapped")
+    // coverage: every doc still probes — only partner CHOICE is sampled
+    assert(capped.select("a").distinct().count() == 1000L)
+    // determinism: the sampled partner set is stable across reruns
+    assert(Dedup.knnCandidates(bands, 32).count() == cappedN)
+  }
+
+  test("knnGraph: default hot-bucket cap is a no-op on organic data") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    def run(cap: Int) =
+      Dedup.knnGraph(d, "doc_id", "text", k = 5, maxBucket = cap)
+        .select("doc_id", "nbr_id", "rnk", "jac_ppm")
+        .as[(Long, Long, Int, Long)].collect().toSet
+    assert(run(4096) == run(Int.MaxValue),
+      "default cap changed results on a normal corpus")
+  }
+
   test("connected components: min-label propagation over pair chains") {
     // chain 1-2-3 plus isolated pair (7,9): components {1,2,3} and {7,9}
     val pairs = Seq((2L, 3L), (1L, 2L), (7L, 9L)).toDF("a", "b")

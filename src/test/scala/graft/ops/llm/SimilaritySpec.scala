@@ -82,6 +82,27 @@ class SimilaritySpec extends SparkSpec {
       res.toSet, "rerun must be bit-identical")
   }
 
+  test("exact-int8 kNN graph: hot-bucket cap keeps coverage on a dup family") {
+    import spark.implicits._
+    // 300 identical vectors: one bucket per table holds all of them —
+    // the capped join must still give every vector neighbors, and the
+    // default cap must not change results on organic data
+    val dup = (1L to 300L).map(i => (i, Seq.fill(64)(0.5)))
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<double>").as("vec"))
+    val g = Similarity.knnGraphExactInt(dup, k = 3, dim = 64,
+        planes = 4, tables = 2, maxBucket = 16)
+      .select("id", "nbr_id").as[(Long, Long)].collect()
+    assert(g.map(_._1).distinct.length == 300,
+      "capped graph lost probe-side coverage")
+    assert(g.forall { case (a, b) => a != b })
+    def norm(cap: Int) = Similarity.knnGraphExactInt(embeddings,
+        k = 5, dim = 64, planes = 4, tables = 2, maxBucket = cap)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(norm(4096) == norm(Int.MaxValue),
+      "default cap changed results on organic embeddings")
+  }
+
   test("exact-int8 kNN graph: no self edges, deterministic, tables lever") {
     // planes=4 (16 buckets over 500 near-random vectors) so buckets are
     // populated enough for recall to be meaningful; the declared query's

@@ -184,8 +184,16 @@ object Stress {
           graft.ops.TextRank.edges(pairs, minW = 3)), iters = 5).count()
       }))
 
+    // SPARK_GRAFT_STRESS_ONLY=a,b restricts the run — the isolation probe
+    // (one op, fresh JVM) that adjudicates whether a drifted reading is
+    // the op or the session it shared (preceding ops' leftover state,
+    // retained index bases, GC debt).
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(ops)(names => ops.filter(o => names(o._1)))
+
     println(s"corpus: $base docs (1x) vs ${base * factor} (${factor}x)")
-    val results = ops.map { case (name, op) =>
+    val results = selected.map { case (name, op) =>
       val d1 = replicate(1).localCheckpoint()
       val (t1, n1) = time(op(d1))
       val dN = replicate(factor).localCheckpoint()
