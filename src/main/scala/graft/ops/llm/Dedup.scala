@@ -452,6 +452,20 @@ object Dedup {
       base.select(col("doc"), col("sh")))
   }
 
+  /** Full self-mining from a persisted index — the cross-session form of
+    * [[minhashDedup]]: candidates AND verification come entirely from the
+    * stored (bands, base) tables of [[minhashIndex]], so the corpus text
+    * is never rescanned or re-shingled. Row-identical to `minhashDedup`
+    * on the corpus the index was built from (spec-asserted). When the
+    * tables were written with `Sinks.writeBucketed` on their join keys
+    * ((band, bkey) and (doc)), the bucket self-join and both verify
+    * joins read pre-bucketed scans.
+    */
+  def minhashPairsFromIndex(indexBands: DataFrame, indexBase: DataFrame,
+                            num: Int = 8, den: Int = 10): DataFrame =
+    minePairs(indexBase.select(col("doc"), col("sh")),
+      indexBands.select(col("doc"), col("band"), col("bkey")), num, den)
+
   /** Incremental near-dup mining against a PERSISTED index — the
     * production form of [[minhashDeltaPairs]]: the corpus side arrives
     * as the stored (bands, base) tables of [[minhashIndex]], so an

@@ -134,6 +134,42 @@ object SharedBases {
       }
     }
 
+  /** Cross-session persistence: write the MinHash index behind the
+    * shared bases as bucketed metastore tables (`<prefix>_bands` on
+    * (band, bkey), `<prefix>_base` on doc) — exactly the
+    * `Dedup.minhashIndex` + `Sinks.writeBucketed` contract the
+    * incremental miner (`minhashDeltaPairsIndexed`) already consumes. A
+    * LATER session calls [[minhashPairsFromStore]] and serves the whole
+    * dedup family from bucketed scans without ever re-shingling the
+    * corpus — the cross-session twin of the session-scoped memo above.
+    */
+  def persistIndex(s: SparkSession, dir: String,
+                   prefix: String = "graft_sb_mh"): (String, String) = {
+    val (bands, base) = Dedup.minhashIndex(
+      Tables.table(s, dir, "documents"), "doc_id", "text",
+      n = 3, bands = 4)
+    val bandsT = s"${prefix}_bands"
+    val baseT = s"${prefix}_base"
+    graft.io.Sinks.writeBucketed(bands, bandsT, buckets = 4,
+      keys = Seq("band", "bkey"))
+    graft.io.Sinks.writeBucketed(base, baseT, buckets = 4,
+      keys = Seq("doc"))
+    (bandsT, baseT)
+  }
+
+  /** Verified near-dup pair base served from the STORED index tables of
+    * [[persistIndex]] — row-identical to [[minhashPairs]] at the
+    * declared-family parameters (spec-asserted), costing bucketed scans
+    * instead of a corpus shingle pass. The consumer chain (clusters,
+    * survivors, keep-best, triangles) composes off this exactly as off
+    * the in-session memo.
+    */
+  def minhashPairsFromStore(s: SparkSession,
+                            prefix: String = "graft_sb_mh",
+                            num: Int = 8, den: Int = 10): DataFrame =
+    Dedup.minhashPairsFromIndex(s.table(s"${prefix}_bands"),
+      s.table(s"${prefix}_base"), num, den)
+
   /** Verified exact-Jaccard pairs (a, b, inter, uni) over `documents`
     * at the declared-family parameters.
     */

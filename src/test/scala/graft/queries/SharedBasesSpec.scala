@@ -61,6 +61,42 @@ class SharedBasesSpec extends SparkSpec {
       s"stale shared base served after table rewrite ($before -> $after)")
   }
 
+  test("persisted index: a NEW session serves q_dedup_clusters from the store") {
+    import org.apache.spark.sql.functions._
+    val prefix = "graft_sb_roundtrip"
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_bands")
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_base")
+    // q_dedup_clusters' exact shape: pairs -> CC -> cluster-size histogram
+    def clusters(pairs: org.apache.spark.sql.DataFrame) =
+      graft.ops.llm.Dedup.connectedComponents(pairs.select("a", "b"))
+        .groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .collect().map(_.toString).sorted.toSeq
+    val expected = clusters(SharedBases.minhashPairs(spark, sf0001))
+    // session 1 persists the index; "restart": memo cleared, new session
+    // state — only the metastore tables survive
+    SharedBases.persistIndex(spark, sf0001, prefix)
+    SharedBases.invalidateAll(spark)
+    val s2 = spark.newSession()
+    val pairs = SharedBases.minhashPairsFromStore(s2, prefix)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains(s"${prefix}_bands") &&
+      plan.contains(s"${prefix}_base"),
+      s"store tables must feed the mining:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"index scans must use their bucketing:\n$plan")
+    assert(!plan.toLowerCase.contains("documents.parquet"),
+      s"corpus must not be rescanned:\n$plan")
+    // row-identity of the pair base itself...
+    assert(pairs.collect().map(_.toString).sorted.toSeq ==
+      SharedBases.minhashPairs(spark, sf0001).collect()
+        .map(_.toString).sorted.toSeq,
+      "stored-index pairs must be row-identical to the in-session base")
+    // ...and of the full declared-query composition in the new session
+    assert(clusters(pairs) == expected,
+      "q_dedup_clusters served from the store must match")
+  }
+
   test("invalidateAll clears the retained set and unpersists the bases") {
     SharedBases.jaccardPairs(spark, sf0001)
     assert(!SharedBases.retainedRddIds.isEmpty)
