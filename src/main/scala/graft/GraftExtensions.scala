@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CharHistStats, CmsEstimate, DotProduct, NgramStats, WordShingles}
+import graft.functions.{CharHistStats, CmsEstimate, DotProduct, GreedySpanScan, NgramStats, WordShingles}
 
 /** Session-extensions entry point: registers the native graft expressions
   * as SQL functions, so `spark.sql("... graft_dot(a, b) ...")` works in
@@ -87,6 +87,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_char_hist(text)")
         CharHistStats(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_greedy_span_scan"),
+      new ExpressionInfo(classOf[GreedySpanScan].getName,
+        "graft_greedy_span_scan"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "graft_greedy_span_scan(array<struct<pos,tok,len,tag>>)")
+        GreedySpanScan(children.head)
       }))
     // read side of Spark's count_min_sketch aggregate (which IS in the
     // public registry but has no SQL-consumable probe)

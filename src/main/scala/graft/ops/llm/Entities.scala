@@ -66,13 +66,35 @@ object Entities {
     * Scale shape: span candidates come from `lead()` windows over the
     * token stream (one per-doc exchange, no self-joins), each span
     * length LEFT-joins the broadcast dictionary once, and the
-    * leftmost-longest scan is a per-doc `aggregate` HOF over the
-    * collected (pos, tok, len, tag) array — sequential semantics made
-    * relational by bounding the state (skip counter) inside one row.
-    * Nothing but the reassembly shuffles. Output: (id, templated).
+    * leftmost-longest scan is ONE codegen expression
+    * ([[graft.functions.GreedySpanScan]]) over the collected
+    * (pos, tok, len, tag) array — sequential semantics made relational
+    * by bounding the state (skip counter) inside one row, without the
+    * interpreted `aggregate`-HOF fold that previously broke the
+    * whole-stage span of the reassembly stage. Nothing but the
+    * reassembly shuffles. Output: (id, templated).
     */
   def templateSpans(df: DataFrame, idCol: String, textCol: String,
                     entities: DataFrame, maxLen: Int = 3): DataFrame = {
+    val perPos = templateSpanInput(df, idCol, textCol, entities, maxLen)
+    // greedy leftmost-longest scan over the position-sorted array with
+    // (out, skip) state — skip>0 means this token was consumed by an
+    // accepted match to its left. One codegen expression
+    // (functions.GreedySpanScan) does the walk and the re-join in a
+    // single linear pass; the interpreted fold it replaced survives as
+    // [[templateSpansHof]], the bit-parity oracle.
+    perPos.groupBy(col("id"))
+      .agg(graft.functions.GreedySpanScan(
+        sort_array(collect_list(col("e")))).as("templated"))
+  }
+
+  /** Shared front half of both templateSpans forms: the per-position
+    * (pos, tok, len, tag) candidate table, `len` the longest dictionary
+    * match starting at pos (0 = none). Output: (id, e:struct).
+    */
+  private def templateSpanInput(df: DataFrame, idCol: String,
+                                textCol: String, entities: DataFrame,
+                                maxLen: Int): DataFrame = {
     require(maxLen >= 1, "maxLen must be at least 1")
     import org.apache.spark.sql.expressions.Window
     val dict = canonicalDict(entities)
@@ -105,12 +127,21 @@ object Entities {
     val tagExpr = (1 to maxLen).foldLeft(lit(null).cast("string")) {
       (acc, l) => when(col(s"tag$l").isNotNull, col(s"tag$l")).otherwise(acc)
     }
-    val perPos = matched.select(col("id"),
+    matched.select(col("id"),
       struct(col("pos"), col("tok"), lenExpr.as("len"), tagExpr.as("tag"))
         .as("e"))
-    // greedy leftmost-longest scan: fold the position-sorted array with
-    // (out, skip) state — skip>0 means this token was consumed by an
-    // accepted match to its left
+  }
+
+  /** The interpreted `aggregate`-HOF form of [[templateSpans]]' greedy
+    * walk — kept as the bit-parity oracle for the codegen
+    * [[graft.functions.GreedySpanScan]] (NativeExpressionsSpec asserts
+    * equality on every doc). Not a production path: the fold's per-step
+    * array concats are O(n²) per doc and break whole-stage codegen.
+    */
+  private[graft] def templateSpansHof(df: DataFrame, idCol: String,
+                                      textCol: String, entities: DataFrame,
+                                      maxLen: Int = 3): DataFrame = {
+    val perPos = templateSpanInput(df, idCol, textCol, entities, maxLen)
     perPos.groupBy(col("id"))
       .agg(array_join(aggregate(
         sort_array(collect_list(col("e"))),

@@ -115,6 +115,28 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(tiny == Seq((1L, 1L, 1L), (4L, 2L, 10L), (2L, 2L, 2L)))
   }
 
+  test("GreedySpanScan matches the interpreted aggregate-HOF fold") {
+    import graft.ops.llm.Entities
+    val dict = Seq("sort merge join" -> "SMJ", "merge join" -> "MJ",
+      "hash join" -> "HJ", "spark" -> "APPLICATION",
+      "join" -> "OPERATION").toDF("surface", "tag")
+    // the full declared-query corpus, plus crafted edge docs
+    val d = graft.Tables.table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (100001L, ""), (100002L, "   "), (100003L, "join"),
+        (100004L, "sort merge join merge join hash join spark join"),
+        (100005L, "sort merge joins")).toDF("doc_id", "text"))
+    val native = Entities.templateSpans(d, "doc_id", "text", dict, 3)
+      .as[(Long, String)].collect().toMap
+    val hof = Entities.templateSpansHof(d, "doc_id", "text", dict, 3)
+      .as[(Long, String)].collect().toMap
+    assert(native.size == hof.size && native.nonEmpty)
+    native.foreach { case (id, t) =>
+      assert(t == hof(id), s"doc $id: native='$t' hof='${hof(id)}'")
+    }
+  }
+
   test("SQL registration via GraftExtensions") {
     assert(spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
@@ -128,5 +150,13 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT graft_char_hist('abca').sum_sq")
       .as[Long].head() == 6L)
+    assert(spark.sql(
+      """SELECT graft_greedy_span_scan(array(
+        |  named_struct('pos', 0, 'tok', 'new', 'len', 2, 'tag', 'CITY'),
+        |  named_struct('pos', 1, 'tok', 'york', 'len', 0,
+        |               'tag', CAST(NULL AS STRING)),
+        |  named_struct('pos', 2, 'tok', 'pizza', 'len', 0,
+        |               'tag', CAST(NULL AS STRING))))""".stripMargin)
+      .as[String].head() == "CITY pizza")
   }
 }
