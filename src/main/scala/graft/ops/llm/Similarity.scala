@@ -342,38 +342,26 @@ object Similarity {
     */
   def knnGraphExactInt(vectors: DataFrame, k: Int, dim: Int,
                        planes: Int = 8, tables: Int = 2,
-                       seed: Long = 42L, maxBucket: Int = 4096): DataFrame = {
-    require(planes <= 62, "bucket id must fit a long")
+                       seed: Long = 42L, maxBucket: Int = 4096): DataFrame =
+    knnGraphExactInt(vectors, k, dim, Seq.fill(tables)(planes), seed,
+      maxBucket)
+
+  /** Per-table plane counts — the mixed-resolution form: COARSE tables
+    * (few planes, big buckets) buy recall, FINE tables (many planes,
+    * small buckets) buy cheap precise candidates; mixing beats a uniform
+    * configuration at the same candidate budget (recall spec). Table t
+    * uses `planesPerTable(t)` hyperplanes with the t-shifted LCG seed —
+    * the oracle enumerates each table's buckets with its own plane
+    * count.
+    */
+  def knnGraphExactInt(vectors: DataFrame, k: Int, dim: Int,
+                       planesPerTable: Seq[Int], seed: Long,
+                       maxBucket: Int): DataFrame = {
     val v = int8Codes(vectors)
       .select(col("id"), col("codes").cast("array<double>").as("cv"),
         col("maxabs_micro").as("mxv"))
       .localCheckpoint(false) // branches: bucket keys + both score sides
-    def bucketOfInt(codes: Column, tblSeed: Long): Column =
-      (0 until planes).map { p =>
-        val row = (0 until dim).map { i =>
-          ((1103515245L * (p * dim + i) + 12345L + tblSeed) %
-            2147483648L) % 17L - 8L
-        }
-        val d = dot(codes, array(row.map(x => lit(x.toDouble)): _*))
-        when(d >= 0d, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    val keyed = v.select(col("id"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("tbl"),
-          bucketOfInt(col("cv"), seed + t * 7919L).as("bucket"))): _*))
-        .as("tb"))
-      .select(col("id"), col("tb.tbl").as("tbl"),
-        col("tb.bucket").as("bucket"))
-    val bw = org.apache.spark.sql.expressions.Window
-      .partitionBy("tbl2", "bucket2")
-      .orderBy(xxhash64(col("tbl2"), col("bucket2"), col("b")), col("b"))
-    val cand = keyed.toDF("a", "tbl", "bucket")
-      .join(keyed.toDF("b", "tbl2", "bucket2")
-          .withColumn("_br", row_number().over(bw))
-          .filter(col("_br") <= maxBucket).drop("_br"),
-        col("tbl") === col("tbl2") && col("bucket") === col("bucket2") &&
-          col("a") =!= col("b"))
-      .select("a", "b").distinct()
+    val cand = knnExactCandidates(v, dim, planesPerTable, seed, maxBucket)
     val scored = cand
       .join(v.select(col("id").as("a"), col("cv").as("cva"),
         col("mxv").as("mxa")), "a")
@@ -385,6 +373,46 @@ object Similarity {
     graft.ops.TopK(scored, Seq("id"), scored("score"),
         Seq(scored("nbr_id")), k)
       .select(col("id"), col("nbr_id"), col("rnk"), col("score"))
+  }
+
+  /** Candidate stage of [[knnGraphExactInt]], exposed for budget/recall
+    * specs: per-table hyperplane bucketing (table t gets
+    * `planesPerTable(t)` planes at the t-shifted seed), capped bucket
+    * self-join, distinct (a, b) pairs. `v` must be the int8Codes
+    * projection (id, cv, mxv).
+    */
+  private[graft] def knnExactCandidates(v: DataFrame, dim: Int,
+                                      planesPerTable: Seq[Int], seed: Long,
+                                      maxBucket: Int): DataFrame = {
+    require(planesPerTable.nonEmpty, "at least one table")
+    require(planesPerTable.forall(p => p >= 1 && p <= 62),
+      "plane counts must be in [1, 62] (bucket id must fit a long)")
+    def bucketOfInt(codes: Column, planes: Int, tblSeed: Long): Column =
+      (0 until planes).map { p =>
+        val row = (0 until dim).map { i =>
+          ((1103515245L * (p * dim + i) + 12345L + tblSeed) %
+            2147483648L) % 17L - 8L
+        }
+        val d = dot(codes, array(row.map(x => lit(x.toDouble)): _*))
+        when(d >= 0d, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val keyed = v.select(col("id"),
+      explode(array(planesPerTable.zipWithIndex.map { case (np, t) =>
+        struct(lit(t).as("tbl"),
+          bucketOfInt(col("cv"), np, seed + t * 7919L).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy("tbl2", "bucket2")
+      .orderBy(xxhash64(col("tbl2"), col("bucket2"), col("b")), col("b"))
+    keyed.toDF("a", "tbl", "bucket")
+      .join(keyed.toDF("b", "tbl2", "bucket2")
+          .withColumn("_br", row_number().over(bw))
+          .filter(col("_br") <= maxBucket).drop("_br"),
+        col("tbl") === col("tbl2") && col("bucket") === col("bucket2") &&
+          col("a") =!= col("b"))
+      .select("a", "b").distinct()
   }
 
   /** ANN top-k: hyperplane-bucketed candidates (query probes its bucket +

@@ -1794,6 +1794,63 @@ object LlmQueries {
         tables = 2, seed = 42L)
     },
 
+    // Mixed-resolution variant of the graph build: table 0 is COARSE
+    // (4 planes — big buckets, recall) and table 1 FINE (8 planes —
+    // small precise buckets). On clustered corpora the mix dominates a
+    // uniform configuration at equal candidate budget (SimilaritySpec);
+    // the oracle enumerates each table's buckets with ITS OWN plane
+    // count, so the per-table parameterization itself is
+    // hash-certified.
+    "q_knn_graph_mixed" -> Q(
+      """WITH c AS (
+        |  SELECT vec_id id,
+        |    CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(v,
+        |        x -> CAST(greatest(-127, floor(x * 127 / mx)) AS BIGINT))
+        |      END codes,
+        |    CAST(floor(mx * 1000000) AS BIGINT) mxm
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] v,
+        |          list_aggregate(list_transform(embedding::DOUBLE[],
+        |            x -> abs(x)), 'max') mx
+        |        FROM embeddings)),
+        |cfg(tt, np) AS (VALUES (0, 4), (1, 8)),
+        |pl AS (
+        |  SELECT cfg.tt, p, list_transform(generate_series(0, 63),
+        |    i -> ((1103515245 * (p * 64 + i) + 12345 + 42 + cfg.tt * 7919)
+        |          % 2147483648) % 17 - 8) w
+        |  FROM cfg, generate_series(0, 7) t1(p)
+        |  WHERE p < cfg.np),
+        |buck AS (
+        |  SELECT id, tt,
+        |    CAST(sum(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+        |      AS bucket
+        |  FROM (SELECT c.id, pl.tt, pl.p,
+        |          CAST(list_sum(list_transform(generate_series(1, 64),
+        |            i -> c.codes[i] * pl.w[i])) AS BIGINT) d
+        |        FROM c, pl)
+        |  GROUP BY id, tt),
+        |cand AS (
+        |  SELECT DISTINCT l.id a, r.id b
+        |  FROM buck l JOIN buck r
+        |    ON l.tt = r.tt AND l.bucket = r.bucket AND l.id <> r.id),
+        |s AS (
+        |  SELECT cand.a id, cand.b nbr_id,
+        |    CAST(list_sum(list_transform(
+        |      generate_series(1, len(ca.codes)),
+        |      i -> ca.codes[i] * cb.codes[i])) AS BIGINT)
+        |      * ca.mxm * cb.mxm AS score
+        |  FROM cand JOIN c ca ON ca.id = cand.a
+        |    JOIN c cb ON cb.id = cand.b),
+        |r AS (SELECT id, nbr_id, score, row_number() OVER (
+        |        PARTITION BY id ORDER BY score DESC, nbr_id) rnk FROM s)
+        |SELECT id, nbr_id, CAST(rnk AS INTEGER) AS rnk, score
+        |FROM r WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+      Similarity.knnGraphExactInt(e, k = 5, dim = 64,
+        planesPerTable = Seq(4, 8), seed = 42L, maxBucket = 4096)
+    },
+
     // PQ ADC-shortlist + exact-integer refine — the hash-verified twin
     // of q_pq_search. shortlist >= corpus makes the ADC stage provably
     // lossless (its approximate ordering cannot drop a candidate), so

@@ -82,6 +82,50 @@ class SimilaritySpec extends SparkSpec {
       res.toSet, "rerun must be bit-identical")
   }
 
+  test("per-table plane counts: mixed coarse+fine dominates uniform on " +
+      "clustered data at equal candidate budget") {
+    import spark.implicits._
+    // two-tier clustered corpus (the LLM-embedding shape SemDeDup
+    // assumes): 60 clusters x 8 members, half near-twins (sigma 0.02),
+    // half loose mates (sigma 0.15). On ISOTROPIC data uniform tables
+    // maximize recall/candidate (KnnProbe) — the mixed win is a
+    // structure property, so the spec builds the structure.
+    def lcg(s: Long): Long =
+      s * 6364136223846793005L + 1442695040888963407L
+    val dim = 64
+    val rows = (0 until 60).flatMap { c =>
+      val cs = lcg(c + 1)
+      val center = Array.tabulate(dim)(i =>
+        ((lcg(cs + i) >>> 11).toDouble / (1L << 53) - 0.5))
+      (0 until 8).map { m =>
+        val ms = lcg(cs + 1000 + m)
+        val sigma = if (m % 2 == 1) 0.02 else 0.15
+        (c * 8L + m, Array.tabulate(dim)(i => center(i) +
+          sigma * ((lcg(ms + i) >>> 11).toDouble / (1L << 53) - 0.5)).toSeq)
+      }
+    }
+    val cdf = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint()
+    val exact3 = Similarity.int8TopK(cdf, cdf, 3)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    def run(pp: Seq[Int]): (Long, Double) = {
+      val g = Similarity.knnGraphExactInt(cdf, 3, dim, pp, 42L, 4096)
+        .select("id", "nbr_id").as[(Long, Long)].collect().toSet
+      val v = Similarity.int8Codes(cdf)
+        .select(col("id"), col("codes").cast("array<double>").as("cv"),
+          col("maxabs_micro").as("mxv"))
+      val cand = Similarity.knnExactCandidates(v, dim, pp, 42L, 4096).count()
+      (cand, (exact3 intersect g).size.toDouble / exact3.size)
+    }
+    val (candU, recU) = run(Seq(5, 5))   // uniform
+    val (candM, recM) = run(Seq(4, 10))  // coarse + fine
+    assert(candM <= candU,
+      s"mixed must fit the uniform budget: $candM vs $candU")
+    assert(recM > recU,
+      s"mixed must beat uniform recall at <= budget: $recM vs $recU")
+  }
+
   test("exact-int8 kNN graph: hot-bucket cap keeps coverage on a dup family") {
     import spark.implicits._
     // 300 identical vectors: one bucket per table holds all of them —
