@@ -706,6 +706,43 @@ object AnalyticsQueries {
       graft.streaming.StreamingPipeline.windowedEventCountsBatch(s, dir)
     },
 
+    // §2.11.5/S1 — the reference's ACTUAL operational loop as a declared
+    // hash-checked entry (README.md:81-91: hourly log files, a cumulative
+    // frequency state, one incremental merge per run): documents.text is
+    // written out as 24 "hourly" text files, read back through the
+    // glob/list source, and `Pipeline.incrementalRun` executes TWICE from
+    // empty state — the oracle certifies the merged state carries exactly
+    // 2x the batch counts (the re-sum semantics of J1, not an overwrite).
+    // Newlines are flattened before the file write so file lines == table
+    // rows and the parquet-side oracle sees the identical corpus.
+    "q_pipeline_incremental" -> Q(
+      """WITH norm AS (
+        |  SELECT lower(trim(regexp_replace(text, '[\r\n]+', ' ', 'g')))
+        |    AS query
+        |  FROM documents
+        |  WHERE length(trim(regexp_replace(text, '[\r\n]+', ' ', 'g'))) >= 2)
+        |SELECT prefix, query, CAST(count(*) * 2 AS BIGINT) AS frequency
+        |FROM (
+        |  SELECT substr(query, 1, l) AS prefix, query FROM norm,
+        |  LATERAL (SELECT unnest(generate_series(2,
+        |    least(length(query), 60))) AS l) ls)
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_incr").toString
+      d.select(pmod(col("doc_id"), lit(24)).cast("int").as("h"),
+          regexp_replace(col("text"), "[\\r\\n]+", " ").as("value"))
+        .write.partitionBy("h").mode("overwrite").text(root)
+      // the 24-file list form of the source — the glob/list reader the
+      // reference documents but never shipped (SURVEY §2.11.5)
+      val lines = graft.io.Sources.textLines(s,
+        (0 until 24).map(h => s"$root/h=$h"): _*)
+      val (state1, _) =
+        graft.Pipeline.incrementalRun(lines, graft.Pipeline.emptyState(s))
+      val (state2, _) = graft.Pipeline.incrementalRun(lines, state1)
+      state2.select("prefix", "query", "frequency")
+    },
+
     // S5/§2.11.4 — nested design-doc completions shape:
     // [{"query":...,"frequency":...}] in rank order (JsonPack.nested).
     "q_nested" -> Q(

@@ -15,7 +15,7 @@ class DeterminismSpec extends SparkSpec {
       // round 6: integer-LSH/PQ twins and the greedy span fold — their
       // determinism IS the property their oracle hash-checks rely on
       "q_similarity_ann_exact", "q_pq_refine", "q_entity_spans",
-      "q_edit_distance")
+      "q_edit_distance", "q_pipeline_incremental", "q_knn_graph_mixed")
 
   test("results identical under shuffle.partitions 4 vs 7") {
     val conf = "spark.sql.shuffle.partitions"
