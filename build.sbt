@@ -33,4 +33,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // costs more than the GC it saves). 8g is the measured optimum; the
   // residual noise is characterized in ROUND5_NOTES.md.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // GC pinning (r7): measured head-to-head on the 12-query heavy subset
+  // (2 sweeps each, same tree): ParallelGC 25.7/27.5 s vs default G1
+  // 27.8/30.3 s — ParallelGC faster on ~every query (q_pq_refine 3.3/3.5
+  // vs 3.9/4.1, q_knn_clusters 3.3/3.6 vs 3.7/3.7) and tighter
+  // run-to-run. Expected for a throughput-bound batch workload on a
+  // small (8g) heap: G1's concurrent cycles + region management buy
+  // pause goals this benchmark doesn't need. Override via SPARK_GC_FLAGS.
+) ++ sys.env.getOrElse("SPARK_GC_FLAGS", "-XX:+UseParallelGC")
+  .split(" ").filter(_.nonEmpty).toSeq
