@@ -118,18 +118,43 @@ object Similarity {
     * Σ|cell|² ≪ n² — the property that makes semantic dedup tractable at
     * corpus scale (the quantizer caps |cell|, so cells stay
     * executor-sized; with ~√n balanced cells the pair space collapses by
-    * ~√n). Skew note: a production quantizer yields thousands of cells;
-    * a low-cardinality cell column concentrates shuffle keys and should
-    * be salted or sub-quantized first.
+    * ~√n).
+    *
+    * Hot-cell guard (r7): a cell of size m lands its full m² candidate
+    * space on ONE shuffle key — the skew the r6 audit flagged for
+    * low-cardinality cell columns. Cells over `targetCell` are
+    * grid-decomposed: each member gets a deterministic sub-block
+    * u ∈ [0, s) with s = ceil(m / targetCell); the a-side replicates a
+    * member to keys (u, j) for every j < s, the b-side to (i, u) for
+    * every i < s, so an unordered pair (x, y) meets on exactly ONE
+    * composite key (cell, uₓ, u_y). Total comparisons are unchanged
+    * (m² spread across s² keys of ~(m/s)² each) — the guard buys
+    * parallelism and bounded task size, never a different answer: the
+    * pair OUTPUT is identical to the plain join, and cells at or under
+    * `targetCell` keep s = 1, which degenerates to the plain equi-join.
+    * The per-cell counts are a one-row-per-cell aggregate broadcast to
+    * both sides (cells are few by construction — that's the premise of
+    * the skew risk).
     */
-  def semDedupPairs(vectors: DataFrame, tau: Double): DataFrame = {
+  def semDedupPairs(vectors: DataFrame, tau: Double,
+      targetCell: Int = 4096): DataFrame = {
+    require(targetCell >= 1, s"targetCell must be >= 1, got $targetCell")
     val v = vectors.toDF("id", "cell", "vec")
       .withColumn("nv", l2norm(col("vec")))
-    val a = v.select(col("id").as("a"), col("cell"),
-      col("vec").as("va"), col("nv").as("na"))
-    val b = v.select(col("id").as("b"), col("cell").as("cellb"),
-      col("vec").as("vb"), col("nv").as("nb"))
-    a.join(b, col("cell") === col("cellb") && col("a") < col("b"))
+    val s = greatest(lit(1),
+      ceil(col("cnt").cast("double") / lit(targetCell))).cast("int")
+    val counts = v.groupBy("cell")
+      .agg(count(lit(1)).as("cnt")).select(col("cell"), s.as("s"))
+    val w = v.join(broadcast(counts), Seq("cell"))
+      .withColumn("u", pmod(xxhash64(col("id")), col("s")).cast("int"))
+    val a = w.select(col("id").as("a"), col("cell"),
+      col("vec").as("va"), col("nv").as("na"), col("u").as("ua"),
+      explode(sequence(lit(0), col("s") - 1)).as("j"))
+    val b = w.select(col("id").as("b"), col("cell").as("cellb"),
+      col("vec").as("vb"), col("nv").as("nb"), col("u").as("ub"),
+      explode(sequence(lit(0), col("s") - 1)).as("i"))
+    a.join(b, col("cell") === col("cellb") && col("ua") === col("i") &&
+        col("j") === col("ub") && col("a") < col("b"))
       .withColumn("score", cosine(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("score") >= tau)
       .select(col("a"), col("b"), col("cell"),
@@ -141,8 +166,9 @@ object Similarity {
     * DROP list (drop_id, keep_id) — what the pipeline deletes; docs in no
     * pair never enter the component computation at all.
     */
-  def semDedup(vectors: DataFrame, tau: Double): DataFrame = {
-    val pairs = semDedupPairs(vectors, tau).select("a", "b")
+  def semDedup(vectors: DataFrame, tau: Double,
+      targetCell: Int = 4096): DataFrame = {
+    val pairs = semDedupPairs(vectors, tau, targetCell).select("a", "b")
     Dedup.connectedComponents(pairs)
       .filter(col("node") =!= col("rep"))
       .select(col("node").as("drop_id"), col("rep").as("keep_id"))

@@ -318,6 +318,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semDedupPairs: hot-cell grid decomposition is output-identical and balanced") {
+    // Degenerate corpus (the r6 skew audit's scenario): ONE cell holding
+    // everything, so the plain equi-join lands the full 1200² candidate
+    // space on a single shuffle key. 150 families × 8 near-copies each —
+    // a deterministic per-copy wobble keeps within-family cosine ≈ 0.98
+    // (well above τ), random 16-dim directions keep cross-family cosine
+    // centered at 0 (a few cross pairs clearing τ is fine — both paths
+    // must find the same ones).
+    val r = new scala.util.Random(7)
+    val vs = (0 until 150).flatMap { f =>
+      val base = Array.fill(16)(r.nextDouble() * 2 - 1)
+      (0 until 8).map { k =>
+        val wob = base.zipWithIndex.map { case (x, d) =>
+          x + 0.01 * k * (((d * 31 + f) % 7) - 3)
+        }
+        ((f * 8 + k).toLong, 0, wob)
+      }
+    }
+    val df = vs.toDF("id", "cell", "vec")
+    val plain = Similarity.semDedupPairs(df, 0.8, targetCell = Int.MaxValue)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val salted = Similarity.semDedupPairs(df, 0.8, targetCell = 150)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // identical answer — the grid buys parallelism, never recall
+    assert(salted == plain,
+      s"diff=${(salted diff plain) ++ (plain diff salted)}")
+    assert(plain.size >= 150 * 28, s"expected all within-family pairs, got ${plain.size}")
+    // balance: s = ceil(1200/150) = 8 sub-blocks; the largest block (and
+    // so the largest per-composite-key candidate set, maxBlock²) must be
+    // ~1200/8, not 1200 — i.e. the single hot key is actually dissolved
+    val maxBlock = df.select(pmod(xxhash64(col("id")), lit(8)).as("u"))
+      .groupBy("u").count().agg(max("count")).as[Long].head()
+    assert(maxBlock <= 2L * 150, s"sub-block imbalance: $maxBlock")
+    // and rerun determinism of the salted path
+    val again = Similarity.semDedupPairs(df.repartition(7), 0.8, targetCell = 150)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(again == salted)
+  }
+
   test("ANN multi-probe recall vs brute force") {
     val queries = embeddings.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(embeddings, queries, 5)
