@@ -88,6 +88,11 @@ object Bench {
       graft.queries.SharedBases.minhashPairs(spark, sfDir)
       graft.queries.SharedBases.minhashSigs(spark, sfDir)
       graft.queries.SharedBases.jaccardPairs(spark, sfDir)
+      // q_pipeline_incremental's 24-hourly-file fixture (r7 verdict #1):
+      // built HERE, timed, so the query's own timer measures the glob
+      // read + two incremental runs instead of 24-way small-file write
+      // I/O (the one r7 bench flag a rerun did not clear).
+      graft.queries.IncrFixture.paths(spark, sfDir)
     } catch { case _: Throwable => () }
     val baseBuild = (System.nanoTime() - tBase) / 1e9
 

@@ -709,12 +709,13 @@ object AnalyticsQueries {
     // §2.11.5/S1 — the reference's ACTUAL operational loop as a declared
     // hash-checked entry (README.md:81-91: hourly log files, a cumulative
     // frequency state, one incremental merge per run): documents.text is
-    // written out as 24 "hourly" text files, read back through the
-    // glob/list source, and `Pipeline.incrementalRun` executes TWICE from
-    // empty state — the oracle certifies the merged state carries exactly
-    // 2x the batch counts (the re-sum semantics of J1, not an overwrite).
-    // Newlines are flattened before the file write so file lines == table
-    // rows and the parquet-side oracle sees the identical corpus.
+    // laid out as 24 "hourly" text files (IncrFixture — built once per
+    // JVM, overwritten not leaked, deleted on exit; only existing h=
+    // partitions are read so sparse doc_id residues can't 404), read back
+    // through the glob/list source, and `Pipeline.incrementalRun` executes
+    // TWICE from empty state — the oracle certifies the merged state
+    // carries exactly 2x the batch counts (the re-sum semantics of J1,
+    // not an overwrite).
     "q_pipeline_incremental" -> Q(
       """WITH norm AS (
         |  SELECT lower(trim(regexp_replace(text, '[\r\n]+', ' ', 'g')))
@@ -727,16 +728,9 @@ object AnalyticsQueries {
         |  LATERAL (SELECT unnest(generate_series(2,
         |    least(length(query), 60))) AS l) ls)
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-      val d = table(s, dir, "documents")
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_incr").toString
-      d.select(pmod(col("doc_id"), lit(24)).cast("int").as("h"),
-          regexp_replace(col("text"), "[\\r\\n]+", " ").as("value"))
-        .write.partitionBy("h").mode("overwrite").text(root)
       // the 24-file list form of the source — the glob/list reader the
       // reference documents but never shipped (SURVEY §2.11.5)
-      val lines = graft.io.Sources.textLines(s,
-        (0 until 24).map(h => s"$root/h=$h"): _*)
+      val lines = graft.io.Sources.textLines(s, IncrFixture.paths(s, dir): _*)
       val (state1, _) =
         graft.Pipeline.incrementalRun(lines, graft.Pipeline.emptyState(s))
       val (state2, _) = graft.Pipeline.incrementalRun(lines, state1)

