@@ -135,26 +135,65 @@ object Similarity {
     * The per-cell counts are a one-row-per-cell aggregate broadcast to
     * both sides (cells are few by construction — that's the premise of
     * the skew risk).
+    *
+    * Hard partner cap (r8, the `Dedup.knnGraph` treatment): the grid
+    * guard bounds TASK size but total comparisons stay Σ|cell|² — an
+    * adversarial cell (a giant identical-embedding family) still pays
+    * its full quadratic candidate space. Cells over `maxCell` therefore
+    * contribute only `maxCell` deterministically-sampled PARTNERS
+    * (ranked by xxhash64(cell, id), id tie-break — stable under any
+    * partitioning); the probe side keeps every member, so comparisons
+    * are Σ|cell|·min(|cell|, maxCell), nobody loses coverage, and the
+    * recall cost is confined to oversize cells, where any maxCell-sample
+    * of near-identical partners is interchangeable for the downstream
+    * connected-components merge. The default cap never triggers on
+    * organic cell sizes (quantizers cap |cell| by construction) — output
+    * is then pair-for-pair identical to the uncapped join, and the
+    * rank window is skipped entirely.
+    *
+    * Plan shape (r8, per ADVICE): the (id, cell, vec, nv) projection is
+    * localCheckpoint-ed ONCE and feeds the cell counts and both verify
+    * sides — one source scan, not three. Candidates travel as skinny
+    * (cell, id, u) rows through the replicating grid join; vectors join
+    * back AFTER the distinct canonicalization, so embedding payloads are
+    * never replicated s× through the explode.
     */
   def semDedupPairs(vectors: DataFrame, tau: Double,
-      targetCell: Int = 4096): DataFrame = {
+      targetCell: Int = 4096, maxCell: Int = Int.MaxValue): DataFrame = {
     require(targetCell >= 1, s"targetCell must be >= 1, got $targetCell")
+    require(maxCell >= 1, s"maxCell must be >= 1, got $maxCell")
     val v = vectors.toDF("id", "cell", "vec")
       .withColumn("nv", l2norm(col("vec")))
+      .localCheckpoint(false) // counts + candidate keys + both verify sides
+    val keys0 = v.select(col("id"), col("cell"))
+    val keys =
+      if (maxCell == Int.MaxValue) keys0.withColumn("r", lit(1))
+      else keys0.withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cell")
+          .orderBy(xxhash64(col("cell"), col("id")), col("id"))))
     val s = greatest(lit(1),
-      ceil(col("cnt").cast("double") / lit(targetCell))).cast("int")
-    val counts = v.groupBy("cell")
+      ceil(least(col("cnt"), lit(maxCell.toLong)).cast("double") /
+        lit(targetCell))).cast("int")
+    val counts = keys0.groupBy("cell")
       .agg(count(lit(1)).as("cnt")).select(col("cell"), s.as("s"))
-    val w = v.join(broadcast(counts), Seq("cell"))
+    val k = keys.join(broadcast(counts), Seq("cell"))
       .withColumn("u", pmod(xxhash64(col("id")), col("s")).cast("int"))
-    val a = w.select(col("id").as("a"), col("cell"),
-      col("vec").as("va"), col("nv").as("na"), col("u").as("ua"),
+    val a = k.select(col("id").as("a"), col("cell"), col("u").as("ua"),
       explode(sequence(lit(0), col("s") - 1)).as("j"))
-    val b = w.select(col("id").as("b"), col("cell").as("cellb"),
-      col("vec").as("vb"), col("nv").as("nb"), col("u").as("ub"),
-      explode(sequence(lit(0), col("s") - 1)).as("i"))
-    a.join(b, col("cell") === col("cellb") && col("ua") === col("i") &&
-        col("j") === col("ub") && col("a") < col("b"))
+    val b = k.filter(col("r") <= maxCell)
+      .select(col("id").as("b"), col("cell").as("cellb"),
+        col("u").as("ub"), explode(sequence(lit(0), col("s") - 1)).as("i"))
+    val cand = a.join(b,
+        col("cell") === col("cellb") && col("ua") === col("i") &&
+          col("j") === col("ub") && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"), col("cell"))
+      .distinct()
+    cand
+      .join(v.select(col("id").as("a"), col("vec").as("va"),
+        col("nv").as("na")), "a")
+      .join(v.select(col("id").as("b"), col("vec").as("vb"),
+        col("nv").as("nb")), "b")
       .withColumn("score", cosine(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("score") >= tau)
       .select(col("a"), col("b"), col("cell"),
@@ -167,8 +206,9 @@ object Similarity {
     * pair never enter the component computation at all.
     */
   def semDedup(vectors: DataFrame, tau: Double,
-      targetCell: Int = 4096): DataFrame = {
-    val pairs = semDedupPairs(vectors, tau, targetCell).select("a", "b")
+      targetCell: Int = 4096, maxCell: Int = Int.MaxValue): DataFrame = {
+    val pairs = semDedupPairs(vectors, tau, targetCell, maxCell)
+      .select("a", "b")
     Dedup.connectedComponents(pairs)
       .filter(col("node") =!= col("rep"))
       .select(col("node").as("drop_id"), col("rep").as("keep_id"))

@@ -357,6 +357,36 @@ class SimilaritySpec extends SparkSpec {
     assert(again == salted)
   }
 
+  test("semDedupPairs: maxCell partner cap bounds candidates, keeps coverage") {
+    // Adversarial cell the grid guard alone can't save: 600 IDENTICAL
+    // embeddings in one cell — every pair qualifies, so the uncapped pair
+    // space is 600·599/2 ≈ 180k no matter how the grid spreads it. With
+    // maxCell = 16 the partner side shrinks to a deterministic 16-sample:
+    // candidates are ≤ 600·16 canonical pairs, yet every member still
+    // probes the sample, so nobody drops out of the dedup graph — the
+    // same contract as Dedup.knnGraph's hot-bucket cap.
+    val df = (0 until 600).map(i => (i.toLong, 0, Array(1.0, 0.5, -0.25)))
+      .toDF("id", "cell", "vec")
+    val capped = Similarity.semDedupPairs(df, 0.9, targetCell = 64,
+      maxCell = 16)
+    val pairs = capped.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty && pairs.size <= 600 * 16,
+      s"cap failed to bound pairs: ${pairs.size}")
+    // coverage: every doc appears in at least one pair
+    val covered = pairs.flatMap(p => Seq(p._1, p._2))
+    assert(covered == (0 until 600).map(_.toLong).toSet,
+      s"coverage lost: ${600 - covered.size} docs missing")
+    // the sampled hub keeps the family one component: 599 of 600 drop
+    val drops = Similarity.semDedup(df, 0.9, targetCell = 64, maxCell = 16)
+    assert(drops.count() == 599L)
+    assert(drops.agg(min("keep_id")).as[Long].head() == 0L)
+    // determinism of the sampled partner choice under repartitioning
+    val again = Similarity.semDedupPairs(df.repartition(7), 0.9,
+        targetCell = 64, maxCell = 16)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(again == pairs)
+  }
+
   test("ANN multi-probe recall vs brute force") {
     val queries = embeddings.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(embeddings, queries, 5)
