@@ -157,6 +157,26 @@ object Dedup {
       .filter(col("inter") * den >= col("na") * num)
   }
 
+  /** Bounded-output containment mining (r7 verdict #3): the full pair
+    * list of [[containmentPairs]] is output-linear in the TRUE pair
+    * count, which an adversarial corpus (a giant mutual-containment
+    * family) makes quadratic — at 100 TB the run cost becomes pair
+    * materialization itself. This variant keeps, per contained doc `a`,
+    * only its `k` strongest containers (inter desc, b asc — the
+    * WindowGroupLimit cut of `knnGraph`, map-side-limited in both
+    * phases), so output is <= k rows per doc no matter how degenerate
+    * the corpus. Candidate generation and verification are unchanged —
+    * the cap bounds what is EMITTED, the plan's intermediate volume is
+    * already bounded by the prefix filter. Output (a, b, rnk, inter, na).
+    */
+  def containmentTopK(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, n: Int = 3, num: Int = 9, den: Int = 10)
+      : DataFrame = {
+    val p = containmentPairs(df, idCol, textCol, n, num, den)
+    graft.ops.TopK(p, Seq("a"), p("inter"), Seq(p("b")), k)
+      .select(col("a"), col("b"), col("rnk"), col("inter"), col("na"))
+  }
+
   /** Sorted-neighborhood near-dup mining (the merge/purge blocking
     * strategy of Hernández & Stolfo 1995, blocked variant): docs are
     * ordered by a similarity-preserving canonical key — the sorted
@@ -437,6 +457,43 @@ object Dedup {
         l("band") === r("band2") && l("bkey") === r("bkey2") &&
           l("a") =!= r("b"))
       .select("a", "b").distinct()
+  }
+
+  /** Containment k-NN graph — the BOUNDED-COMPUTE containment miner
+    * (r7 verdict #3): [[knnGraph]]'s capped LSH-bucket candidate
+    * machinery reused verbatim, but scored with asymmetric containment
+    * |A∩B|/|A| instead of Jaccard: per doc, its `k` strongest containers
+    * among same-bucket mates. Candidate volume is the capped
+    * Σ|bucket|·min(|bucket|, maxBucket) — never the true-pair count, so
+    * an adversarial mutual-containment family costs what MinHash mining
+    * costs (32× stress: minhash-level time factors), not the ~N²/2 the
+    * exact miner must verify.
+    *
+    * Recall contract (the honest tradeoff vs [[containmentTopK]]):
+    * candidates come from MinHash buckets, whose collision rate tracks
+    * JACCARD — a tiny excerpt inside a much larger page (containment ~1,
+    * Jaccard ~|A|/|B|) may never share a bucket. This graph is the scale
+    * path for corpora where near-dup families dominate; the lossless
+    * prefix-filter miner ([[containmentPairs]]/[[containmentTopK]])
+    * remains the full-recall form. Output
+    * (a, b, rnk, inter, na, cont_ppm).
+    */
+  def containmentGraph(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, n: Int = 3, bands: Int = 4,
+                       maxBucket: Int = 4096): DataFrame = {
+    val (base, _, banded) = minhashBands(df, idCol, textCol, n, bands, Nil)
+    val cand = knnCandidates(banded, maxBucket)
+    val scored = cand
+      .join(base.select(col("doc").as("a"), col("sh").as("sh_a")), "a")
+      .join(base.select(col("doc").as("b"), col("sh").as("sh_b")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(col("sh_a")).as("na"))
+      .withColumn("cont_ppm",
+        expr("(CAST(inter AS BIGINT) * 1000000) div na"))
+    graft.ops.TopK(scored, Seq("a"), scored("cont_ppm"), Seq(scored("b")), k)
+      .select(col("a"), col("b"), col("rnk"), col("inter"), col("na"),
+        col("cont_ppm"))
   }
 
   /** The (band-table, shingle-table) pair that IS a MinHash signature
@@ -751,6 +808,26 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), lit(0).as("dist"))
     bigPairs.unionByName(smallDiff).unionByName(smallSame)
+  }
+
+  /** Bounded-output edit-distance mining (r7 verdict #3, the
+    * [[containmentTopK]] rationale): symmetrize [[editDistancePairs]]'s
+    * canonical a<b pairs into directed (doc_id, nbr_id) edges and keep
+    * each doc's `k` closest neighbors (dist asc, nbr_id asc) via the
+    * WindowGroupLimit cut — output <= k rows per doc even when a
+    * near-identical family makes the true pair count quadratic. Output
+    * (doc_id, nbr_id, rnk, dist).
+    */
+  def editDistanceTopK(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, q: Int = 3, maxDist: Int = 2,
+                       prefixChars: Int = 64): DataFrame = {
+    val p = editDistancePairs(df, idCol, textCol, q, maxDist, prefixChars)
+    val sym = p.select(col("a").as("doc_id"), col("b").as("nbr_id"),
+        col("dist"))
+      .unionByName(p.select(col("b").as("doc_id"), col("a").as("nbr_id"),
+        col("dist")))
+    graft.ops.TopK(sym, Seq("doc_id"), -sym("dist"), Seq(sym("nbr_id")), k)
+      .select(col("doc_id"), col("nbr_id"), col("rnk"), col("dist"))
   }
 
   /** Per-node triangle participation over an undirected pair graph (rows

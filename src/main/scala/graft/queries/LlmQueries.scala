@@ -421,6 +421,68 @@ object LlmQueries {
         n = 3, num = 9, den = 10)
     },
 
+    // Bounded-output containment mining: per contained doc, only the 3
+    // strongest containers survive the WindowGroupLimit cut — the
+    // emit-side cap that keeps adversarial mutual-containment families
+    // (quadratic TRUE pair counts) from making output materialization
+    // the run cost at scale. Oracle = exhaustive pairs + the same
+    // window, so the hash certifies the cut's determinism too.
+    "q_containment_topk" -> Q(
+      s"""WITH $duckShingles,
+        |tok AS (SELECT doc_id, unnest(sh) g FROM base),
+        |sizes AS (SELECT doc_id, len(sh) n_ FROM base),
+        |inter AS (
+        |  SELECT l.doc_id a, r.doc_id b, CAST(count(*) AS INTEGER) inter
+        |  FROM tok l JOIN tok r ON l.g = r.g AND l.doc_id <> r.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT i.a, i.b, i.inter, CAST(sa.n_ AS INTEGER) na
+        |  FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+        |  WHERE i.inter * 10 >= sa.n_ * 9),
+        |rr AS (SELECT a, b, inter, na,
+        |    row_number() OVER (PARTITION BY a ORDER BY inter DESC, b) rnk
+        |  FROM p)
+        |SELECT a, b, CAST(rnk AS INTEGER) AS rnk, inter, na
+        |FROM rr WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      Dedup.containmentTopK(table(s, dir, "documents"), "doc_id", "text",
+        k = 3, n = 3, num = 9, den = 10)
+    },
+
+    // Containment kNN graph — the bounded-COMPUTE containment form: the
+    // capped LSH-bucket candidates of q_knn_graph, scored by asymmetric
+    // containment (inter/na), cut to each doc's 3 strongest containers.
+    // Candidate volume is Σ|bucket|·min(|bucket|,cap), never the true
+    // pair count — the scale path when mutual-containment families make
+    // the exact miner's output quadratic (recall contract: bucket
+    // collision tracks Jaccard, so low-Jaccard excerpt pairs may miss;
+    // the lossless q_containment/q_containment_topk remain for those).
+    "q_containment_graph" -> Q(
+      s"""WITH $duckShingles,
+        |$duckMinhashBands,
+        |knn_cand AS (
+        |  SELECT DISTINCT l.doc_id a, r.doc_id b
+        |  FROM mh_banded l JOIN mh_banded r
+        |    ON l.band = r.band AND l.bkey = r.bkey
+        |    AND l.doc_id <> r.doc_id),
+        |scored AS (
+        |  SELECT c.a, c.b,
+        |    CAST(len(list_intersect(ba.sh, bb.sh)) AS INTEGER) inter,
+        |    CAST(len(ba.sh) AS INTEGER) na
+        |  FROM knn_cand c
+        |  JOIN base ba ON ba.doc_id = c.a
+        |  JOIN base bb ON bb.doc_id = c.b),
+        |rr AS (
+        |  SELECT a, b, inter, na,
+        |    (CAST(inter AS BIGINT) * 1000000) // na AS cont_ppm,
+        |    row_number() OVER (PARTITION BY a
+        |      ORDER BY (CAST(inter AS BIGINT) * 1000000) // na DESC,
+        |        b) rnk
+        |  FROM scored)
+        |SELECT a, b, CAST(rnk AS INTEGER) AS rnk, inter, na, cont_ppm
+        |FROM rr WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      Dedup.containmentGraph(table(s, dir, "documents"), "doc_id", "text",
+        k = 3)
+    },
+
     // Sorted-neighborhood (merge/purge) near-dup mining: docs ordered by
     // their sorted-distinct-token canonical key within key-prefix blocks,
     // candidates = rows within 3 positions, exact-Jaccard verified. The
@@ -699,6 +761,30 @@ object LlmQueries {
         |WHERE levenshtein(a.s, b.s) <= 2""".stripMargin) { (s, dir) =>
       Dedup.editDistancePairs(table(s, dir, "documents"),
         "doc_id", "text", q = 3, maxDist = 2, prefixChars = 64)
+    },
+
+    // Bounded-output edit-distance mining: symmetrized pairs cut to each
+    // doc's 3 closest neighbors (dist asc, nbr asc) — the per-doc emit
+    // cap over the same lossless Ed-Join candidates. Oracle = exhaustive
+    // length-pruned join, symmetrized, same window.
+    "q_edit_distance_topk" -> Q(
+      """WITH n AS (SELECT doc_id, substr(lower(trim(text)), 1, 64) s
+        |           FROM documents),
+        |p AS (SELECT a.doc_id a, b.doc_id b,
+        |    CAST(levenshtein(a.s, b.s) AS INTEGER) dist
+        |  FROM n a JOIN n b ON a.doc_id < b.doc_id
+        |    AND abs(length(a.s) - length(b.s)) <= 2
+        |  WHERE levenshtein(a.s, b.s) <= 2),
+        |sym AS (SELECT a doc_id, b nbr_id, dist FROM p
+        |  UNION ALL SELECT b, a, dist FROM p),
+        |rr AS (SELECT doc_id, nbr_id, dist,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY dist, nbr_id) rnk
+        |  FROM sym)
+        |SELECT doc_id, nbr_id, CAST(rnk AS INTEGER) AS rnk, dist
+        |FROM rr WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      Dedup.editDistanceTopK(table(s, dir, "documents"),
+        "doc_id", "text", k = 3, q = 3, maxDist = 2, prefixChars = 64)
     },
 
     // Triangle counting on the near-dup pair graph: the density

@@ -290,6 +290,37 @@ class DedupSpec extends SparkSpec {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  test("bounded-output miners: top-k cut caps emitted rows on a degenerate family") {
+    // 120 near-identical docs (an adversarial mutual-containment family):
+    // the full miners emit ~120² pairs; the topK forms must emit <= k per
+    // doc while every doc still surfaces with its best partners.
+    val fam = (0 until 120).map(i =>
+      (i.toLong, base + s" tail${i % 3}")).toDF("doc_id", "text")
+    val ck = Dedup.containmentTopK(fam, "doc_id", "text", k = 2,
+        n = 3, num = 8, den = 10)
+      .select("a", "b", "rnk").as[(Long, Long, Int)].collect()
+    assert(ck.nonEmpty && ck.length <= 120 * 2,
+      s"containment cut failed: ${ck.length} rows")
+    assert(ck.map(_._1).distinct.length == 120, "every doc keeps partners")
+    assert(ck.forall(_._3 <= 2))
+    val full = Dedup.containmentPairs(fam, "doc_id", "text",
+      n = 3, num = 8, den = 10).count()
+    assert(full > 120L * 2, s"fixture not degenerate enough: $full pairs")
+    val ek = Dedup.editDistanceTopK(fam, "doc_id", "text", k = 2,
+        q = 3, maxDist = 2, prefixChars = 64)
+      .select("doc_id", "nbr_id", "rnk", "dist")
+      .as[(Long, Long, Int, Int)].collect()
+    assert(ek.nonEmpty && ek.length <= 120 * 2,
+      s"edit-distance cut failed: ${ek.length} rows")
+    assert(ek.map(_._1).distinct.length == 120)
+    // ranks order by distance: a doc's rank-1 neighbor is never farther
+    // than its rank-2
+    ek.groupBy(_._1).values.foreach { es =>
+      val s = es.sortBy(_._3)
+      assert(s.map(_._4).toSeq == s.map(_._4).sorted.toSeq)
+    }
+  }
+
   test("fast xxhash signatures: equal shingle sets get equal sigs") {
     val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zeta eta theta iota")).toDF("doc_id", "text")

@@ -148,6 +148,22 @@ object Stress {
       "edit_distance_pairs" -> (d =>
         Dedup.editDistancePairs(d, "doc_id", "text",
           q = 3, maxDist = 2, prefixChars = 64).count()),
+      // r8 bounded-output modes (VERDICT r7 #3). The *_topk forms cap
+      // EMITTED rows (<= k per doc) over the exact lossless candidates —
+      // compute still tracks the true pair count (inherent to exact
+      // mining), so their factors read like the full miners'. The
+      // containment GRAPH reuses the capped LSH-bucket machinery, so its
+      // factor must read like minhash_pairs' (2-5x), not the exact
+      // miners' (35-45x) — that delta IS the measured value of the
+      // bounded-compute path.
+      "containment_topk" -> (d =>
+        Dedup.containmentTopK(d, "doc_id", "text", k = 3,
+          n = 3, num = 9, den = 10).count()),
+      "containment_graph" -> (d =>
+        Dedup.containmentGraph(d, "doc_id", "text", k = 3).count()),
+      "edit_distance_topk" -> (d =>
+        Dedup.editDistanceTopK(d, "doc_id", "text", k = 3,
+          q = 3, maxDist = 2, prefixChars = 64).count()),
       // the composed corpus-clean chain (q_corpus_clean's shape): minhash
       // pairs → CC → quality-argmax losers → anti-join survivor gate →
       // per-lang stats. Every stage is bucketed/bounded; the composition
