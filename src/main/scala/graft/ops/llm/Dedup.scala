@@ -66,6 +66,42 @@ object Dedup {
       .select(col("doc"), TextOps.shingleSet(col("_t"), n).as("shs"))
       .withColumn("n_", size(col("shs")))
       .localCheckpoint(false)
+    ppjoin(withSet, num, den)
+  }
+
+  /** The shingle-set table that IS the exact-Jaccard/PPJoin index:
+    * (doc, shs). Persist it — bucketed by doc via `Sinks.writeBucketed` —
+    * and a later session mines with [[ngramJaccardPairsFromIndex]]
+    * without ever re-tokenizing or re-shingling the corpus (the shingle
+    * pass dominates the standalone miner). The cross-session twin of
+    * `minhashIndex` for the exact tier.
+    */
+  def jaccardIndex(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    df.select(df(idCol).as("doc"), df(textCol).as("_t"))
+      .repartition(par)
+      .select(col("doc"), TextOps.shingleSet(col("_t"), n).as("shs"))
+  }
+
+  /** Full PPJoin mining from a persisted [[jaccardIndex]] table —
+    * row-identical to [[ngramJaccardPairs]] on the corpus the index was
+    * built from (spec-asserted), costing bucketed scans of (doc, shs)
+    * instead of the corpus shingle pass. No localCheckpoint here: the
+    * branches re-read the stored table, which is exactly what the store
+    * is for, and severing lineage would hide its bucketing from the
+    * verify joins.
+    */
+  def ngramJaccardPairsFromIndex(indexBase: DataFrame,
+                                 num: Int = 8, den: Int = 10): DataFrame =
+    ppjoin(indexBase.select(col("doc"), col("shs"))
+      .withColumn("n_", size(col("shs"))), num, den)
+
+  /** PPJoin body over a prepared shingle base (doc, shs, n_) — shared by
+    * the standalone miner (checkpointed base) and the stored-index form
+    * (bucketed scans).
+    */
+  private def ppjoin(withSet: DataFrame, num: Int, den: Int): DataFrame = {
     val post = withSet.select(col("doc"), col("n_"),
       explode(col("shs")).as("g"))
     // document frequency per shingle as a WINDOW count, not groupBy+join:
@@ -441,6 +477,20 @@ object Dedup {
     * receives candidates; only its choice of partners inside an
     * oversized bucket is sampled. Candidates per bucket:
     * |bucket| · min(|bucket|, maxBucket) instead of |bucket|².
+    *
+    * Cap observability (r7 ADVICE): sampling inside oversize buckets is
+    * a recall decision that must never be silent — the observed metric
+    * `graft_knn_bucket_cap.n_buckets_at_cap` (a `Dataset.observe`
+    * CollectMetrics node: exactly one surviving row per at-cap bucket
+    * carries rank == maxBucket) reports per-run how many buckets hit the
+    * cap; production listeners (QueryExecutionListener /
+    * StreamingQueryListener) alert on it. The metric counts buckets of
+    * size >= maxBucket — a bucket of EXACTLY maxBucket rows is counted
+    * though nothing was dropped (the boundary over-report is the price
+    * of keeping the CollectMetrics node ABOVE the rank filter, where it
+    * cannot break the Filter-over-Window adjacency that
+    * InferWindowGroupLimit needs to map-side-limit the cap itself —
+    * plan-asserted in PlanAuditSpec).
     */
   private[llm] def knnCandidates(banded: DataFrame,
                                  maxBucket: Int): DataFrame = {
@@ -452,6 +502,9 @@ object Dedup {
     val r = banded.toDF("b", "band2", "bkey2")
       .withColumn("_br", row_number().over(w))
       .filter(col("_br") <= maxBucket)
+      .observe("graft_knn_bucket_cap",
+        count(when(col("_br") === maxBucket, true))
+          .as("n_buckets_at_cap"))
       .drop("_br")
     l.join(r,
         l("band") === r("band2") && l("bkey") === r("bkey2") &&

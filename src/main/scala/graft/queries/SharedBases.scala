@@ -180,6 +180,33 @@ object SharedBases {
     Dedup.minhashPairsFromIndex(s.table(s"${prefix}_bands"),
       s.table(s"${prefix}_base"), num, den)
 
+  /** Cross-session persistence for the exact-Jaccard tier (the
+    * [[persistIndex]] recipe applied to PPJoin): the shingle-set base of
+    * `Dedup.jaccardIndex` written as a bucketed metastore table
+    * (`<prefix>_base` on doc). A later session calls
+    * [[jaccardPairsFromStore]] and mines row-identically without
+    * re-tokenizing the corpus — the shingle pass is what dominates the
+    * standalone miner.
+    */
+  def persistJaccardBase(s: SparkSession, dir: String,
+                         prefix: String = "graft_sb_jac"): String = {
+    val base = Dedup.jaccardIndex(
+      Tables.table(s, dir, "documents"), "doc_id", "text", n = 3)
+    val baseT = s"${prefix}_base"
+    graft.io.Sinks.writeBucketed(base, baseT, buckets = 4,
+      keys = Seq("doc"))
+    baseT
+  }
+
+  /** Verified exact-Jaccard pair base served from the STORED shingle
+    * table of [[persistJaccardBase]] — row-identical to [[jaccardPairs]]
+    * at the declared-family parameters (spec-asserted).
+    */
+  def jaccardPairsFromStore(s: SparkSession,
+                            prefix: String = "graft_sb_jac",
+                            num: Int = 8, den: Int = 10): DataFrame =
+    Dedup.ngramJaccardPairsFromIndex(s.table(s"${prefix}_base"), num, den)
+
   /** Verified exact-Jaccard pairs (a, b, inter, uni) over `documents`
     * at the declared-family parameters.
     */

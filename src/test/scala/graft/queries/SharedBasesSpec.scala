@@ -41,7 +41,7 @@ class SharedBasesSpec extends SparkSpec {
 
   test("rewriting the backing table misses the memo (no stale bases)") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("sb_stale").toString
+    val dir = graft.TempDirs.create("sb_stale")
     def write(docs: Seq[(Long, String)]): Unit =
       docs.toDF("doc_id", "text").write.mode("overwrite")
         .parquet(s"$dir/documents.parquet")
@@ -95,6 +95,26 @@ class SharedBasesSpec extends SparkSpec {
     // ...and of the full declared-query composition in the new session
     assert(clusters(pairs) == expected,
       "q_dedup_clusters served from the store must match")
+  }
+
+  test("persisted jaccard base: a NEW session mines row-identical from the store") {
+    val prefix = "graft_sb_jac_roundtrip"
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_base")
+    val expected = SharedBases.jaccardPairs(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    SharedBases.persistJaccardBase(spark, sf0001, prefix)
+    SharedBases.invalidateAll(spark)
+    val s2 = spark.newSession()
+    val pairs = SharedBases.jaccardPairsFromStore(s2, prefix)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains(s"${prefix}_base"),
+      s"store table must feed the mining:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"index scans must use their bucketing:\n$plan")
+    assert(!plan.toLowerCase.contains("documents.parquet"),
+      s"corpus must not be re-shingled:\n$plan")
+    assert(pairs.collect().map(_.toString).sorted.toSeq == expected,
+      "stored-base pairs must be row-identical to the in-session base")
   }
 
   test("invalidateAll clears the retained set and unpersists the bases") {
