@@ -32,6 +32,13 @@ object GraftSession {
       // side effect of loading a table — session config mutation mid-query
       // is race-prone under concurrent query construction).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferWindowGroupLimit only rewrites rank filters whose limit is
+      // BELOW this threshold (default 1000). The kNN/semdedup hot-bucket
+      // caps rank-filter at maxBucket=4096; raising the threshold past
+      // them makes the caps map-side group limits too — an adversarial
+      // million-row bucket is cut to 4096 rows per map task BEFORE the
+      // shuffle, not after. Plan-asserted in PlanAuditSpec.
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "5000")
       // Streaming state off-heap: the default HDFS-backed provider keeps
       // every key in executor heap — at 100 TB (billions of dedup keys,
       // wide stream-stream join buffers) that OOMs long before the

@@ -152,51 +152,53 @@ object Similarity {
     * rank window is skipped entirely.
     *
     * Plan shape (r8, per ADVICE): the (id, cell, vec, nv) projection is
-    * localCheckpoint-ed ONCE and feeds the cell counts and both verify
-    * sides — one source scan, not three. Candidates travel as skinny
-    * (cell, id, u) rows through the replicating grid join; vectors join
-    * back AFTER the distinct canonicalization, so embedding payloads are
-    * never replicated s× through the explode.
+    * localCheckpoint-ed ONCE and feeds the cell counts and both join
+    * sides — one source scan, not three. The pair join itself keeps the
+    * r7 inline shape (vectors ride the equi-join, score computed in
+    * place, no distinct pass): each unordered pair is emitted exactly
+    * once by construction — both-in-sample pairs by the a < b direction,
+    * sampled-partner pairs by their single surviving direction
+    * (`a < b OR rank(a) > maxCell`) — so no join-back or dedup exchange
+    * is ever needed, capped or not.
     */
   def semDedupPairs(vectors: DataFrame, tau: Double,
       targetCell: Int = 4096, maxCell: Int = Int.MaxValue): DataFrame = {
     require(targetCell >= 1, s"targetCell must be >= 1, got $targetCell")
     require(maxCell >= 1, s"maxCell must be >= 1, got $maxCell")
-    val v = vectors.toDF("id", "cell", "vec")
+    val v0 = vectors.toDF("id", "cell", "vec")
       .withColumn("nv", l2norm(col("vec")))
-      .localCheckpoint(false) // counts + candidate keys + both verify sides
-    val keys0 = v.select(col("id"), col("cell"))
-    val keys =
-      if (maxCell == Int.MaxValue) keys0.withColumn("r", lit(1))
-      else keys0.withColumn("r", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("cell")
-          .orderBy(xxhash64(col("cell"), col("id")), col("id"))))
+      .localCheckpoint(false) // counts + both join sides: one source scan
+    val v =
+      if (maxCell == Int.MaxValue) v0.withColumn("r", lit(1))
+      else v0.withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cell")
+            .orderBy(xxhash64(col("cell"), col("id")), col("id"))))
+        // cap observability: see Dedup.knnCandidates — one row per
+        // oversize cell carries rank maxCell+1
+        .observe("graft_semdedup_cell_cap",
+          count(when(col("r") === maxCell.toLong + 1L, true))
+            .as("n_capped_cells"))
     val s = greatest(lit(1),
       ceil(least(col("cnt"), lit(maxCell.toLong)).cast("double") /
         lit(targetCell))).cast("int")
-    val counts = keys0.groupBy("cell")
+    val counts = v0.groupBy("cell")
       .agg(count(lit(1)).as("cnt")).select(col("cell"), s.as("s"))
-    val k = keys.join(broadcast(counts), Seq("cell"))
+    val w = v.join(broadcast(counts), Seq("cell"))
       .withColumn("u", pmod(xxhash64(col("id")), col("s")).cast("int"))
-    val a = k.select(col("id").as("a"), col("cell"), col("u").as("ua"),
-      explode(sequence(lit(0), col("s") - 1)).as("j"))
-    val b = k.filter(col("r") <= maxCell)
+    val a = w.select(col("id").as("a"), col("cell"),
+      col("vec").as("va"), col("nv").as("na"), col("r").as("ra"),
+      col("u").as("ua"), explode(sequence(lit(0), col("s") - 1)).as("j"))
+    val b = w.filter(col("r") <= maxCell)
       .select(col("id").as("b"), col("cell").as("cellb"),
-        col("u").as("ub"), explode(sequence(lit(0), col("s") - 1)).as("i"))
-    val cand = a.join(b,
-        col("cell") === col("cellb") && col("ua") === col("i") &&
-          col("j") === col("ub") && col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"), col("cell"))
-      .distinct()
-    cand
-      .join(v.select(col("id").as("a"), col("vec").as("va"),
-        col("nv").as("na")), "a")
-      .join(v.select(col("id").as("b"), col("vec").as("vb"),
-        col("nv").as("nb")), "b")
+        col("vec").as("vb"), col("nv").as("nb"), col("u").as("ub"),
+        explode(sequence(lit(0), col("s") - 1)).as("i"))
+    a.join(b, col("cell") === col("cellb") && col("ua") === col("i") &&
+        col("j") === col("ub") &&
+        (col("a") < col("b") || col("ra") > maxCell.toLong))
       .withColumn("score", cosine(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("score") >= tau)
-      .select(col("a"), col("b"), col("cell"),
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"), col("cell"),
         round(col("score"), 4).as("score4"))
   }
 
@@ -475,7 +477,14 @@ object Similarity {
     keyed.toDF("a", "tbl", "bucket")
       .join(keyed.toDF("b", "tbl2", "bucket2")
           .withColumn("_br", row_number().over(bw))
-          .filter(col("_br") <= maxBucket).drop("_br"),
+          .filter(col("_br") <= maxBucket)
+          // cap observability: see Dedup.knnCandidates — counts buckets
+          // of size >= maxBucket; sits ABOVE the filter so the
+          // Filter-over-Window adjacency keeps InferWindowGroupLimit
+          .observe("graft_knn_bucket_cap",
+            count(when(col("_br") === maxBucket, true))
+              .as("n_buckets_at_cap"))
+          .drop("_br"),
         col("tbl") === col("tbl2") && col("bucket") === col("bucket2") &&
           col("a") =!= col("b"))
       .select("a", "b").distinct()

@@ -429,6 +429,44 @@ class PlanAuditSpec extends SparkSpec {
       s"top-50 must be a partial top-k, not a global sort:\n$p")
   }
 
+  test("q_knn_graph: capped candidate join — window-rank cut, equi-join, no cartesian") {
+    // the hot-bucket cap compiles to row_number over (band, bkey) filtered
+    // <= maxBucket; InferWindowGroupLimit must turn BOTH that cut and the
+    // final top-k into map-side group limits (Partial+Final each), and the
+    // bucket self-join must stay an equi-join
+    val p = plan("q_knn_graph")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"capped bucket join must stay equi:\n$p")
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 4,
+      s"expected Partial+Final WindowGroupLimit for BOTH the bucket cap " +
+        s"and the top-k cut:\n$p")
+  }
+
+  test("q_containment_graph: same capped machinery, containment scoring") {
+    val p = plan("q_containment_graph")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"containment graph must stay equi-join only:\n$p")
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 4,
+      s"expected the capped-candidate + top-k WindowGroupLimits:\n$p")
+  }
+
+  test("q_pipeline_incremental: reuses the audited q_pipeline plan shape") {
+    // the fix that moved the fixture write OUT of the query body means the
+    // declared plan is now the pipeline itself: agg pushed below the
+    // prefix generator (partial count before the exchange, explode after),
+    // no cartesian anywhere, and the text source feeding it directly
+    val p = plan("q_pipeline_incremental")
+    assert(p.contains("Generate explode"),
+      s"prefix expansion must be the post-agg generator:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"batch counts must combine map-side below the generator:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("Scan text") || p.contains("FileScan text"),
+      s"must read the hourly text fixture through the file source:\n$p")
+  }
+
   test("textrank round: equi-join + partial-agg'd groupBy (the Pregel shape)") {
     // audit ONE message round pre-checkpoint (the query's final plan is
     // severed by the per-round localCheckpoint, by design)
