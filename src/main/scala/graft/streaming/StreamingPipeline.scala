@@ -246,11 +246,30 @@ object StreamingPipeline {
     * ATOMICALLY — written to a dot-prefixed temp directory and renamed
     * into place — so a crash mid-write leaves garbage that `prior()`'s
     * `batch=` filter never lists, never a half-written slice read as
-    * corpus by the replay.
+    * corpus by the replay. Crashed `.tmp-batch=` directories are swept
+    * at stream start (safe under the single-writer contract: no
+    * concurrent publisher can be mid-rename), so they cannot accumulate
+    * under indexDir across restarts.
+    *
+    * Atomicity scope: `FileSystem.rename` is atomic on HDFS and local
+    * filesystems — the stores this contract targets. On object stores
+    * (S3A), rename is a non-atomic copy+delete, so a crash mid-publish
+    * can leave a PARTIAL `batch=` directory that `prior()` would list;
+    * run indexDir on a rename-atomic filesystem (or an S3 committer
+    * layer that restores atomicity).
     */
   def incrementalDedupIndexed(docs: DataFrame, indexDir: String,
                               pairsDir: String,
                               checkpointDir: String): Unit = {
+    val sweepFs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    Seq("bands", "base").foreach { kind =>
+      val d = new org.apache.hadoop.fs.Path(s"$indexDir/$kind")
+      if (sweepFs.exists(d))
+        sweepFs.listStatus(d).map(_.getPath)
+          .filter(_.getName.startsWith(".tmp-batch="))
+          .foreach(p => sweepFs.delete(p, true))
+    }
     val q = docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
