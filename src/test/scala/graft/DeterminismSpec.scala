@@ -15,13 +15,16 @@ class DeterminismSpec extends SparkSpec {
       // round 6: integer-LSH/PQ twins and the greedy span fold — their
       // determinism IS the property their oracle hash-checks rely on
       "q_similarity_ann_exact", "q_pq_refine", "q_entity_spans",
-      "q_edit_distance", "q_pipeline_incremental", "q_knn_graph_mixed")
+      "q_edit_distance", "q_pipeline_incremental", "q_knn_graph_mixed",
+      // round 8: bounded-output miners — the top-k cut's tie-breaks are
+      // load-bearing for the oracle hash
+      "q_containment_topk", "q_edit_distance_topk", "q_containment_graph")
 
-  test("results identical under shuffle.partitions 4 vs 7") {
+  private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"
     val orig = spark.conf.get(conf)
-    def runAll(): Map[String, Seq[String]] = queries.map { q =>
-      q -> SparkEntry.queries(q)(spark, sf0001)
+    def runAll(): Map[String, Seq[String]] = qs.map { q =>
+      q -> SparkEntry.queries(q)(spark, dir)
         .collect().map(_.toString).toSeq.sorted
     }.toMap
     try {
@@ -29,10 +32,23 @@ class DeterminismSpec extends SparkSpec {
       val a = runAll()
       spark.conf.set(conf, "4")
       val b = runAll()
-      queries.foreach { q =>
+      qs.foreach { q =>
         assert(a(q) == b(q), s"$q differs across partition counts")
         assert(a(q).nonEmpty, s"$q returned nothing")
       }
     } finally spark.conf.set(conf, orig)
+  }
+
+  test("results identical under shuffle.partitions 4 vs 7") {
+    diff(queries, sf0001)
+  }
+
+  test("heavy tier at sf0.1: kNN/PQ/edit-distance identical under 4 vs 7 partitions") {
+    // r7 verdict #6: certify determinism at the BENCH scale factor, not
+    // just the correctness-gate SFs — the kNN bucket sampling, PQ
+    // codebook fit, and banded-DP verify all involve per-partition
+    // evaluation order that must not reach the output
+    diff(Seq("q_knn_graph", "q_knn_graph_embed", "q_pq_refine",
+      "q_edit_distance"), sf01)
   }
 }

@@ -15,7 +15,7 @@ class PipelineSpec extends SparkSpec {
   private val fixture = "/root/reference/input-data/2025-06-10-23.txt"
 
   test("replaying the same batch twice doubles frequencies, keeps top-K") {
-    val dir = Files.createTempDirectory("graft-pipe").toString
+    val dir = graft.TempDirs.create("graft-pipe")
     val stateDir = s"$dir/state"
     val topKDir = s"$dir/topk"
 
@@ -47,7 +47,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("state survives a failed-read scenario: staging dir never becomes state") {
-    val dir = Files.createTempDirectory("graft-pipe2").toString
+    val dir = graft.TempDirs.create("graft-pipe2")
     val stateDir = s"$dir/state"
     Main.runOnce(spark, fixture, stateDir, s"$dir/topk", 5)
     assert(!Files.exists(java.nio.file.Paths.get(stateDir + ".staging")),

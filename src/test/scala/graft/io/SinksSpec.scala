@@ -17,7 +17,7 @@ class SinksSpec extends SparkSpec {
   import spark.implicits._
 
   test("overwriteSafely: plan reading the target survives the overwrite") {
-    val dir = Files.createTempDirectory("graft-sink").toString + "/state"
+    val dir = graft.TempDirs.create("graft-sink") + "/state"
     Seq(("ab", 1L), ("cd", 2L)).toDF("k", "v")
       .write.parquet(dir)
     // a LAZY plan over the current state, then overwrite the same dir with
@@ -31,7 +31,7 @@ class SinksSpec extends SparkSpec {
   }
 
   test("text sink round-trips through the text source") {
-    val dir = Files.createTempDirectory("graft-text").toString + "/out"
+    val dir = graft.TempDirs.create("graft-text") + "/out"
     val lines = Seq("how to train", "a b c").toDF("value")
     Sinks.text(lines, dir)
     val back = graft.io.Sources.textLines(spark, dir)
@@ -65,7 +65,7 @@ class SinksSpec extends SparkSpec {
   }
 
   test("parquetSized controls output file count") {
-    val dir = Files.createTempDirectory("graft-sized").toString + "/out"
+    val dir = graft.TempDirs.create("graft-sized") + "/out"
     val df = (1 to 1000).toDF("i")
     Sinks.parquetSized(df, dir, targetRows = 250)
     val files = new java.io.File(dir).listFiles()
@@ -75,7 +75,7 @@ class SinksSpec extends SparkSpec {
   }
 
   test("csv and json sources round-trip with explicit schemas") {
-    val dir = Files.createTempDirectory("graft-srcs").toString
+    val dir = graft.TempDirs.create("graft-srcs")
     val df = Seq((1L, "ab"), (2L, "cd")).toDF("id", "txt")
     df.write.option("header", "true").csv(s"$dir/c")
     df.write.json(s"$dir/j")
@@ -88,7 +88,7 @@ class SinksSpec extends SparkSpec {
   }
 
   test("overwriteSafely: first write (no existing state) works") {
-    val dir = Files.createTempDirectory("graft-sink2").toString + "/state"
+    val dir = graft.TempDirs.create("graft-sink2") + "/state"
     Sinks.overwriteSafely(Seq(("x", 9L)).toDF("k", "v"), dir)
     assert(spark.read.parquet(dir).count() == 1)
   }
@@ -180,7 +180,7 @@ class SinksSpec extends SparkSpec {
     val data = (0 until n)
       .map(i => (i.toLong, (i * 2654435761L) % 1000L, ((i * 40503L) % 1000L).toDouble))
       .toDF("id", "x", "y")
-    val base = Files.createTempDirectory("graft-zorder").toString
+    val base = graft.TempDirs.create("graft-zorder")
     val files = 16
     data.repartition(files).write.parquet(s"$base/plain")
     Sinks.writeZOrdered(data, "x", "y", s"$base/zorder", files)

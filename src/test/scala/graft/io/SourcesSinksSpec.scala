@@ -13,7 +13,7 @@ class SourcesSinksSpec extends SparkSpec {
   import spark.implicits._
 
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString + "/t"
+    graft.TempDirs.create(prefix) + "/t"
 
   test("partitioned parquet: filter on the partition column prunes files") {
     val dir = tmp("graft-part")

@@ -17,7 +17,7 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   test("AvailableNow drains new files exactly once across invocations") {
-    val dir = Files.createTempDirectory("graft-stream").toString
+    val dir = graft.TempDirs.create("graft-stream")
     val logs = s"$dir/logs"; Files.createDirectories(Paths.get(logs))
     Files.writeString(Paths.get(s"$logs/h1.txt"), "abc\nabc\nxyz\n")
 
@@ -88,7 +88,7 @@ class StreamingSpec extends SparkSpec {
 
   test("flatMapGroupsWithState: counts survive across restarts via checkpoint") {
     implicit val sqlCtx = spark.sqlContext
-    val ckpt = Files.createTempDirectory("graft-state").toString
+    val ckpt = graft.TempDirs.create("graft-state")
     val seen = scala.collection.concurrent.TrieMap.empty[Long, Long]
     def drain(mem: MemoryStream[(Long, String)]): Unit = {
       val q = StreamingPipeline.statefulUserCounts(mem.toDS())
@@ -114,7 +114,7 @@ class StreamingSpec extends SparkSpec {
 
   test("transformWithState: counts survive across restarts via checkpoint") {
     implicit val sqlCtx = spark.sqlContext
-    val ckpt = Files.createTempDirectory("graft-tws").toString
+    val ckpt = graft.TempDirs.create("graft-tws")
     val seen = scala.collection.concurrent.TrieMap.empty[Long, Long]
     def drain(mem: MemoryStream[(Long, String)]): Unit = {
       val q = StreamingPipeline.statefulUserCountsTws(mem.toDS())
@@ -246,7 +246,7 @@ class StreamingSpec extends SparkSpec {
 
   test("incremental ingest dedup: batches mine pairs vs the growing corpus") {
     implicit val sqlCtx = spark.sqlContext
-    val dir = Files.createTempDirectory("graft-inc-dedup").toString
+    val dir = graft.TempDirs.create("graft-inc-dedup")
     val (corpus, pairs, ckpt) =
       (s"$dir/corpus", s"$dir/pairs", s"$dir/ckpt")
     val a = "spark merges batches of rows into partitions for every stage"
@@ -273,7 +273,7 @@ class StreamingSpec extends SparkSpec {
 
   test("index-backed incremental dedup: same pairs, corpus never re-shingled") {
     implicit val sqlCtx = spark.sqlContext
-    val dir = Files.createTempDirectory("graft-inc-idx").toString
+    val dir = graft.TempDirs.create("graft-inc-idx")
     val (index, pairs, ckpt) = (s"$dir/index", s"$dir/pairs", s"$dir/ckpt")
     val a = "spark merges batches of rows into partitions for every stage"
     val mem = MemoryStream[(Long, String)]

@@ -82,8 +82,7 @@ object Stress {
       // corpus self-join this op exists to avoid.
       "stream_incremental_dedup" -> (d => {
         val spark = d.sparkSession
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-sstress").toString
+        val root = graft.TempDirs.create("graft-sstress")
         val src = d.select(col("doc_id"), col("text"))
         src.repartition(4).write.mode("overwrite").parquet(s"$root/src")
         val docs = spark.readStream.schema(src.schema)
@@ -99,8 +98,7 @@ object Stress {
       // re-shingle vs delta-only).
       "stream_inc_dedup_indexed" -> (d => {
         val spark = d.sparkSession
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-sstress-idx").toString
+        val root = graft.TempDirs.create("graft-sstress-idx")
         val src = d.select(col("doc_id"), col("text"))
         src.repartition(4).write.mode("overwrite").parquet(s"$root/src")
         val docs = spark.readStream.schema(src.schema)
@@ -115,8 +113,7 @@ object Stress {
       // below from the query's own progress); only scan/hash work grows.
       "stream_dedup_watermark" -> (d => {
         val spark = d.sparkSession
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-wstress").toString
+        val root = graft.TempDirs.create("graft-wstress")
         val src = d.select(col("doc_id"), col("text"))
         src.repartition(4).write.mode("overwrite").parquet(s"$root/src")
         val ev = spark.readStream.schema(src.schema)
