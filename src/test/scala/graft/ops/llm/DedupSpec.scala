@@ -100,7 +100,28 @@ class DedupSpec extends SparkSpec {
     assert(uncapped == 999000L, s"degenerate family must be quadratic " +
       s"uncapped, got $uncapped")
     val capped = Dedup.knnCandidates(bands, 32)
+    // the cap trigger must be OBSERVED: 1000 identical docs share one
+    // bucket per band (4 bands) and every one is oversize
+    @volatile var observed = Map.empty[String, org.apache.spark.sql.Row]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = observed ++= qe.observedMetrics
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
     val cappedN = capped.count()
+    try {
+      var waited = 0
+      while (!observed.contains("graft_knn_bucket_cap") && waited < 10000) {
+        Thread.sleep(100); waited += 100
+      }
+      assert(observed.get("graft_knn_bucket_cap")
+        .exists(_.getLong(0) == 4L),
+        s"expected 4 at-cap buckets observed: $observed")
+    } finally spark.listenerManager.unregister(listener)
     // ≤ cap partners per doc per band (4 bands; distinct() may merge)
     assert(cappedN <= 1000L * 32 * 4,
       s"capped candidates $cappedN exceed the n·cap·bands bound")

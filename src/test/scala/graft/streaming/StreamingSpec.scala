@@ -294,10 +294,17 @@ class StreamingSpec extends SparkSpec {
       Set("doc", "band", "bkey", "batch"))
     assert(spark.read.parquet(s"$index/base").columns.toSet ==
       Set("doc", "sh", "batch"))
+    // a crashed publication's temp dir must be swept at the next stream
+    // start, not accumulate under indexDir forever (r7 ADVICE)
+    val stale = new java.io.File(s"$index/bands/.tmp-batch=999")
+    assert(stale.mkdirs())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$index/bands/.tmp-batch=999/junk"), "x")
     // batch 2: near-dup of 1 + exact dup of 2 found via the STORED index
     mem.addData((3L, a + " again"),
       (4L, "totally different cooking text about pasta"))
     drain()
+    assert(!stale.exists(), "stale .tmp-batch dir must be swept at start")
     val found = spark.read.parquet(pairs)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(found.contains((2L, 4L)), s"exact dup vs index missing: $found")
