@@ -549,6 +549,46 @@ object Dedup {
         col("cont_ppm"))
   }
 
+  /** Edit-distance k-NN graph — the bounded-COMPUTE edit-distance miner
+    * (the [[containmentGraph]] treatment applied to Ed-Join's problem):
+    * capped LSH-bucket candidates ([[knnCandidates]], the `knnGraph`
+    * machinery verbatim), scored with full Levenshtein over the
+    * normalized `prefixChars`-char prefixes, cut to each doc's `k`
+    * closest neighbors (dist asc, nbr asc). Candidate volume is the
+    * capped Σ|bucket|·min(|bucket|, maxBucket) — never the true-pair
+    * count, so an adversarial near-identical family costs what MinHash
+    * mining costs (32× stress), not the ~N²/2 pairs the exact miner
+    * must verify. Threshold-free like every graph build: edges carry
+    * their true distance instead of being cut at maxDist.
+    *
+    * Recall contract: candidates share a MinHash band over text
+    * shingles, which tracks Jaccard — a pair whose prefixes are close
+    * in edit distance but whose full texts diverge can miss. The
+    * lossless [[editDistancePairs]]/[[editDistanceTopK]] remain the
+    * full-recall forms. The normalized prefix rides the shingle pass as
+    * a carried column — one corpus scan total. Output
+    * (doc_id, nbr_id, rnk, dist).
+    */
+  def editDistanceGraph(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, n: Int = 3, bands: Int = 4,
+                        maxBucket: Int = 4096,
+                        prefixChars: Int = 64): DataFrame = {
+    val pre = df.select(df(idCol).as("_id"), df(textCol).as("_t0"),
+      substring(lower(trim(df(textCol))), 1, prefixChars).as("_s"))
+    val (base, _, banded) =
+      minhashBands(pre, "_id", "_t0", n, bands, Seq("_s"))
+    val cand = knnCandidates(
+      banded.select(col("doc"), col("band"), col("bkey")), maxBucket)
+    val scored = cand
+      .join(base.select(col("doc").as("a"), col("_s").as("sa")), "a")
+      .join(base.select(col("doc").as("b"), col("_s").as("sb")), "b")
+      .select(col("a").as("doc_id"), col("b").as("nbr_id"),
+        levenshtein(col("sa"), col("sb")).as("dist"))
+    graft.ops.TopK(scored, Seq("doc_id"), -scored("dist"),
+        Seq(scored("nbr_id")), k)
+      .select(col("doc_id"), col("nbr_id"), col("rnk"), col("dist"))
+  }
+
   /** The (band-table, shingle-table) pair that IS a MinHash signature
     * index: bands = (doc, band, bkey) for the bucket join, base =
     * (doc, sh) for exact-Jaccard verification. Persist both — bucketed

@@ -787,6 +787,38 @@ object LlmQueries {
         "doc_id", "text", k = 3, q = 3, maxDist = 2, prefixChars = 64)
     },
 
+    // Edit-distance kNN graph — the bounded-compute edit-distance form:
+    // capped LSH-bucket candidates scored by full Levenshtein on 64-char
+    // normalized prefixes, cut to each doc's 3 closest neighbors.
+    // Threshold-free (edges carry true distance); same recall contract
+    // as q_containment_graph (bucket collision tracks Jaccard).
+    "q_edit_distance_graph" -> Q(
+      s"""WITH $duckShingles,
+        |$duckMinhashBands,
+        |nrm AS (SELECT doc_id, substr(lower(trim(text)), 1, 64) s
+        |        FROM documents),
+        |knn_cand AS (
+        |  SELECT DISTINCT l.doc_id a, r.doc_id b
+        |  FROM mh_banded l JOIN mh_banded r
+        |    ON l.band = r.band AND l.bkey = r.bkey
+        |    AND l.doc_id <> r.doc_id),
+        |scored AS (
+        |  SELECT c.a doc_id, c.b nbr_id,
+        |    CAST(levenshtein(na.s, nb.s) AS INTEGER) dist
+        |  FROM knn_cand c
+        |  JOIN nrm na ON na.doc_id = c.a
+        |  JOIN nrm nb ON nb.doc_id = c.b),
+        |rr AS (
+        |  SELECT doc_id, nbr_id, dist,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY dist, nbr_id) rnk
+        |  FROM scored)
+        |SELECT doc_id, nbr_id, CAST(rnk AS INTEGER) AS rnk, dist
+        |FROM rr WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      Dedup.editDistanceGraph(table(s, dir, "documents"), "doc_id", "text",
+        k = 3)
+    },
+
     // Triangle counting on the near-dup pair graph: the density
     // diagnostic that separates clique-like true-duplicate clusters from
     // chains of borderline matches BEFORE connectedComponents merges

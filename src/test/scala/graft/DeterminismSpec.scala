@@ -18,7 +18,8 @@ class DeterminismSpec extends SparkSpec {
       "q_edit_distance", "q_pipeline_incremental", "q_knn_graph_mixed",
       // round 8: bounded-output miners — the top-k cut's tie-breaks are
       // load-bearing for the oracle hash
-      "q_containment_topk", "q_edit_distance_topk", "q_containment_graph")
+      "q_containment_topk", "q_edit_distance_topk", "q_containment_graph",
+      "q_edit_distance_graph")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

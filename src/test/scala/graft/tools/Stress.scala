@@ -161,6 +161,8 @@ object Stress {
       "edit_distance_topk" -> (d =>
         Dedup.editDistanceTopK(d, "doc_id", "text", k = 3,
           q = 3, maxDist = 2, prefixChars = 64).count()),
+      "edit_distance_graph" -> (d =>
+        Dedup.editDistanceGraph(d, "doc_id", "text", k = 3).count()),
       // the composed corpus-clean chain (q_corpus_clean's shape): minhash
       // pairs → CC → quality-argmax losers → anti-join survivor gate →
       // per-lang stats. Every stage is bucketed/bounded; the composition
