@@ -93,6 +93,10 @@ object Bench {
       // read + two incremental runs instead of 24-way small-file write
       // I/O (the one r7 bench flag a rerun did not clear).
       graft.queries.IncrFixture.paths(spark, sfDir)
+      // q_scan_* format fixtures (r8): same rule — the queries time the
+      // SCAN, the one-off fixture write bills the shared-base phase.
+      Seq("csv", "json", "orc", "part")
+        .foreach(graft.queries.FormatFixture.path(spark, sfDir, _))
     } catch { case _: Throwable => () }
     val baseBuild = (System.nanoTime() - tBase) / 1e9
 

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Per-JVM memoized copies of the `documents` table in the OTHER source
+  * formats (S1 family, SURVEY §2.1): csv, json-lines, orc, and a
+  * lang-partitioned parquet layout. Backs the `q_scan_csv` / `q_scan_json`
+  * / `q_scan_orc` / `q_scan_partitioned` declared queries, which read the
+  * fixture through [[graft.io.Sources]] and aggregate — so the DuckDB
+  * oracle (which sees the parquet stand-in, same convention as
+  * `q_scan_text`) certifies the format reader end-to-end: a wrong
+  * delimiter, schema drift, or partition-column loss changes the hash.
+  *
+  * Same lifecycle contract as [[IncrFixture]]: one deterministic
+  * destination per (source dir, format) under
+  * `$tmpdir/graft_fmt_fixture/<md5(dir)>/<format>`, written once per
+  * (dir, documents-fingerprint) with mode=overwrite — re-runs reuse
+  * instead of leaking — and the whole root is deleted by a JVM shutdown
+  * hook. Bench builds these in the TIMED shared-base phase so the
+  * per-query timer measures the scan, not fixture setup.
+  */
+private[graft] object FormatFixture {
+
+  /** Explicit read schema for the csv/json fixtures — production readers
+    * declare schemas (inference costs a full extra scan, Sources.scala).
+    */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+    StructField("text", StringType)))
+
+  private val cache = scala.collection.mutable.HashMap.empty[String, String]
+
+  private val root = java.nio.file.Paths.get(
+    System.getProperty("java.io.tmpdir"), "graft_fmt_fixture")
+
+  private lazy val registerCleanup: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(root)))
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: java.io.IOException => () })
+    }
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+      .select("doc_id", "lang", "source", "n_chars", "text")
+
+  /** Fixture path for `dir` in `format` (csv | json | orc | part), built
+    * on first use per (dir, documents-fingerprint).
+    */
+  def path(s: SparkSession, dir: String, format: String): String =
+    synchronized {
+      val key = s"$dir@$format@${SharedBases.fingerprint(s, dir)}"
+      cache.getOrElseUpdate(key, {
+        cache.keys.filter(_.startsWith(s"$dir@$format@")).toSeq
+          .foreach(cache.remove)
+        registerCleanup
+        val dest = root.resolve(md5(dir)).resolve(format).toString
+        val d = docs(s, dir)
+        format match {
+          case "csv" =>
+            // header on, default quoting — the reader side must agree on
+            // both or counts/lengths drift (the oracle would catch it).
+            // Spark's csv WRITER trims leading/trailing whitespace by
+            // default (ignore*WhiteSpace=true on write, false on read) —
+            // an asymmetric lossy default; pin both off so the roundtrip
+            // is byte-faithful for any corpus.
+            d.write.mode("overwrite").option("header", "true")
+              .option("ignoreLeadingWhiteSpace", "false")
+              .option("ignoreTrailingWhiteSpace", "false")
+              .csv(dest)
+          case "json" => d.write.mode("overwrite").json(dest)
+          case "orc" => d.write.mode("overwrite").orc(dest)
+          case "part" =>
+            // lang-partitioned parquet: the layout whose scan-time win is
+            // partition PRUNING (a lang predicate never opens other
+            // langs' files) — plan-asserted in PlanAuditSpec
+            d.write.mode("overwrite").partitionBy("lang").parquet(dest)
+          case other => sys.error(s"unknown fixture format: $other")
+        }
+        dest
+      })
+    }
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.ops.Compaction
+
+/** Data-layout tier: source-format scan coverage (S1 family, SURVEY §2.1)
+  * and the small-file compaction planner ([[graft.ops.Compaction]]).
+  *
+  * The format-scan queries close the S1 gap between "a csv/json/orc
+  * reader exists in `Sources`" (spec-only until this round) and "the
+  * reader is hash-certified end-to-end": each reads the `documents`
+  * corpus through a memoized fixture in that format
+  * ([[FormatFixture]] — built once per JVM, overwritten not leaked,
+  * deleted on exit) and aggregates per (lang, source); the DuckDB oracle
+  * computes the same aggregate on the parquet stand-in, so a wrong
+  * delimiter, quote/escape asymmetry, schema drift, lost rows, or a
+  * partition-column mixup changes the hash. Aggregating (not dumping
+  * rows) keeps the compare O(langs×sources) while still summing over
+  * every row's doc_id/n_chars/length(text).
+  *
+  * `q_compaction_plan` certifies the bin-packing math on a manifest
+  * stand-in derived from `documents` (path = source/doc_id, bytes =
+  * n_chars) — the filesystem front-end and the rewrite job are
+  * spec-covered on a real fragmented directory (CompactionSpec), since
+  * the oracle cannot list files.
+  */
+object LayoutQueries {
+
+  /** Shared (lang, source) rollup — counts, byte totals, text-length
+    * totals, id range. Any row loss, field corruption, or column swap
+    * in the format roundtrip moves at least one aggregate.
+    */
+  private def scanAgg(df: DataFrame): DataFrame =
+    df.groupBy("lang", "source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      sum(length(col("text"))).as("total_len"),
+      min(col("doc_id")).as("min_id"),
+      max(col("doc_id")).as("max_id"))
+
+  private val scanAggSql =
+    """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_len,
+      |  CAST(min(doc_id) AS BIGINT) AS min_id,
+      |  CAST(max(doc_id) AS BIGINT) AS max_id
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
+  /** Greedy-binning target for the manifest stand-in: small enough that
+    * every SF yields many multi-file bins (sf0.001 total ≈ 150 KB →
+    * ~9 bins; sf0.1 ≈ 1.5 MB → ~90).
+    */
+  private val planTarget = 16384L
+
+  def all: Map[String, Q] = Map(
+
+    // S1 csv — write-side quoting/whitespace and read-side schema must
+    // agree byte-for-byte with the parquet truth.
+    "q_scan_csv" -> Q(scanAggSql) { (s, dir) =>
+      scanAgg(graft.io.Sources.csv(
+        s, FormatFixture.path(s, dir, "csv"), FormatFixture.docSchema))
+    },
+
+    // S1 json-lines — explicit schema (no inference scan), unicode-safe.
+    "q_scan_json" -> Q(scanAggSql) { (s, dir) =>
+      scanAgg(graft.io.Sources.jsonLines(
+        s, FormatFixture.path(s, dir, "json"), FormatFixture.docSchema))
+    },
+
+    // S1 orc — the other vectorized columnar format in this Spark build.
+    "q_scan_orc" -> Q(scanAggSql) { (s, dir) =>
+      scanAgg(graft.io.Sources.orc(s, FormatFixture.path(s, dir, "orc")))
+    },
+
+    // S1 hive-partitioned parquet — lang comes back as a PARTITION
+    // column (directory name), not a data column; the lang IN (...)
+    // predicate prunes at planning time (PlanAuditSpec asserts the
+    // non-matching lang dirs never reach the scan). The oracle filters
+    // the flat parquet the same way, so a lost/mistyped partition value
+    // or over-pruned read changes the hash.
+    "q_scan_partitioned" -> Q(
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_len,
+        |  CAST(min(doc_id) AS BIGINT) AS min_id,
+        |  CAST(max(doc_id) AS BIGINT) AS max_id
+        |FROM documents WHERE lang IN ('en', 'fr')
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      scanAgg(
+        s.read.parquet(FormatFixture.path(s, dir, "part"))
+          .filter(col("lang").isin("en", "fr")))
+    },
+
+    // Compaction planner (ops/Compaction.plan + planSummary) on a
+    // manifest stand-in: one "file" per document, path = source/doc_id,
+    // bytes = n_chars. The oracle replays the greedy cumulative-sum
+    // binning bit-for-bit — bin = floor(bytes-before / target) over the
+    // path-sorted manifest — certifying bins are contiguous path ranges
+    // averaging the target.
+    "q_compaction_plan" -> Q(
+      s"""WITH manifest AS (
+         |  SELECT source || '/' ||
+         |      lpad(CAST(doc_id AS VARCHAR), 12, '0') || '.parquet'
+         |      AS path,
+         |    CAST(n_chars AS BIGINT) AS bytes
+         |  FROM documents),
+         |binned AS (
+         |  SELECT path, bytes,
+         |    CAST(floor(coalesce(sum(bytes) OVER (ORDER BY path
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      / $planTarget.0) AS BIGINT) AS bin
+         |  FROM manifest)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+         |  min(path) AS first_file, max(path) AS last_file
+         |FROM binned GROUP BY 1""".stripMargin) { (s, dir) =>
+      val manifest = table(s, dir, "documents").select(
+        concat(col("source"), lit("/"),
+          lpad(col("doc_id").cast("string"), 12, "0"),
+          lit(".parquet")).as("path"),
+        col("n_chars").cast("long").as("bytes"))
+      Compaction.planSummary(Compaction.plan(manifest, planTarget))
+    })
+}

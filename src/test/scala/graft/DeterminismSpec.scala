@@ -19,7 +19,9 @@ class DeterminismSpec extends SparkSpec {
       // round 8: bounded-output miners — the top-k cut's tie-breaks are
       // load-bearing for the oracle hash
       "q_containment_topk", "q_edit_distance_topk", "q_containment_graph",
-      "q_edit_distance_graph")
+      "q_edit_distance_graph",
+      // round 8: format-scan roundtrips + the compaction binning window
+      "q_scan_csv", "q_scan_partitioned", "q_compaction_plan")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -374,6 +374,34 @@ class PlanAuditSpec extends SparkSpec {
       s"df must come from the window, not a join-back:\n$p")
   }
 
+  test("q_scan_partitioned: lang predicate prunes partitions at plan time") {
+    // hive-partitioned layout (FormatFixture "part"): the lang IN (en,fr)
+    // predicate must be a PartitionFilter — directories for the other
+    // langs are never opened, the 100 TB win of partitioned layouts. A
+    // data-side filter here would mean the partition column degraded to
+    // a data column (full scan + row filter).
+    // the declared (aggregated) query is AQE-wrapped; its plan STRING
+    // still shows the pruning filter on the scan
+    val p = plan("q_scan_partitioned")
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      s"lang must appear as a partition filter:\n$p")
+    // mechanism check on the bare pruned read (no exchange -> no AQE
+    // wrapper -> the scan node is directly inspectable)
+    import org.apache.spark.sql.functions.col
+    val read = spark.read
+      .parquet(graft.queries.FormatFixture.path(spark, sf0001, "part"))
+      .filter(col("lang").isin("en", "fr"))
+    val s = read.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(s.partitionFilters.exists(_.toString.contains("lang")),
+      s"lang must be a partition filter: ${s.partitionFilters}")
+    // only the 2 selected of the 5 lang partitions survive pruning
+    assert(s.relation.location.listFiles(s.partitionFilters, Nil)
+      .flatMap(_.values.toSeq(s.relation.partitionSchema)
+        .map(String.valueOf)).toSet == Set("en", "fr"))
+  }
+
   test("q_edit_distance: every join equi — no nested-loop, no cartesian") {
     // the small-string path must be a length-band/string equi-join, not
     // the all-tiny-pairs BroadcastNestedLoopJoin it once was: on a web
