@@ -21,7 +21,10 @@ class DeterminismSpec extends SparkSpec {
       "q_containment_topk", "q_edit_distance_topk", "q_containment_graph",
       "q_edit_distance_graph",
       // round 8: format-scan roundtrips + the compaction binning window
-      "q_scan_csv", "q_scan_partitioned", "q_compaction_plan")
+      "q_scan_csv", "q_scan_partitioned", "q_compaction_plan",
+      // round 8: zone maps — the sorted variant's global rank window is
+      // the tie-break-sensitive piece
+      "q_zonemap", "q_zonemap_sorted")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"
