@@ -112,4 +112,21 @@ class EmptyInputSpec extends SparkSpec {
     assert(TimeJoins.rangeBinned(l, l, "user", "ts", "id", 10L)
       .count() == 0)
   }
+
+  test("layout ops on empty input") {
+    val noManifest = Seq.empty[(String, Long)].toDF("path", "bytes")
+    assert(Compaction.plan(noManifest, 100L).count() == 0)
+    assert(Compaction.planSummary(
+      Compaction.plan(noManifest, 100L)).count() == 0)
+    // an existing but file-less directory: empty manifest, metadata
+    // no-op, no destination written
+    val emptyDir = graft.TempDirs.create("graft-compact-empty")
+    assert(Compaction.listFiles(spark, emptyDir).count() == 0)
+    assert(Compaction.compact(spark, emptyDir, emptyDir + "-dest", 100L)
+      == Compaction.CompactResult(0L, 0L, 0L, 0L))
+    assert(!new java.io.File(emptyDir + "-dest").exists())
+    val noZoned = Seq.empty[(Long, java.lang.Long)].toDF("z", "v")
+    assert(ZoneMaps.prune(ZoneMaps.build(noZoned, col("z"), Seq("v")),
+      "v", lit(1), lit(2)).count() == 0)
+  }
 }
