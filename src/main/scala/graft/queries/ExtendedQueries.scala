@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
-import graft.ops.TopK
+import graft.ops.{Constraints, TopK}
 import graft.ops.llm.{Decontaminate, Multimodal, TextOps}
 
 /** Round-3 surface widening: outer/cross joins, set ops, conditional
@@ -566,6 +566,61 @@ object ExtendedQueries {
             col("meta.n_frames"))))
         .select(col("media_id"), col("pos").cast("long").as("frame_idx"),
           col("col").as("frame_sha"))
+    },
+
+    // Data-quality expectations gate (ops/Constraints): seven rules
+    // across three tables — predicate rules in ONE scan per table,
+    // key-uniqueness as a keys-only shuffle, referential integrity as
+    // an anti-join — reduced to violation COUNTS (one row per rule;
+    // row dumps don't scale to 100 TB audits). Rules are a deliberate
+    // mix: integrity rules that HOLD (0 — certifies no false
+    // positives) and content rules that FAIL with corpus-specific
+    // counts (certifies the counting; an all-zero result would hash
+    // trivially). NULL semantics per Constraints scaladoc: a NULL
+    // predicate is a violation; NULL keys group together; NULL FKs
+    // are skipped.
+    "q_constraints" -> Q(
+      """SELECT 'doc_id_unique' AS rule, CAST(coalesce(sum(cnt - 1), 0)
+        |    AS BIGINT) AS violations
+        |  FROM (SELECT count(*) AS cnt FROM documents GROUP BY doc_id)
+        |  WHERE cnt > 1
+        |UNION ALL SELECT 'text_not_null',
+        |  CAST(coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+        |    0) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'n_chars_consistent',
+        |  CAST(coalesce(sum(CASE WHEN NOT coalesce(
+        |    n_chars = length(text), false) THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) FROM documents
+        |UNION ALL SELECT 'n_chars_le_200',
+        |  CAST(coalesce(sum(CASE WHEN NOT coalesce(n_chars <= 200,
+        |    false) THEN 1 ELSE 0 END), 0) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'lang_allowed',
+        |  CAST(coalesce(sum(CASE WHEN NOT coalesce(
+        |    lang IN ('en', 'fr'), false) THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) FROM documents
+        |UNION ALL SELECT 'orders_custkey_fk', CAST(count(*) AS BIGINT)
+        |  FROM orders WHERE o_custkey IS NOT NULL
+        |    AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |UNION ALL SELECT 'l_quantity_range',
+        |  CAST(coalesce(sum(CASE WHEN NOT coalesce(
+        |    l_quantity BETWEEN 1 AND 50, false) THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) FROM lineitem""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      Constraints.all(Seq(
+        Constraints.unique(docs, "doc_id_unique", Seq("doc_id")),
+        Constraints.check(docs, Seq(
+          "text_not_null" -> col("text").isNull,
+          "n_chars_consistent" ->
+            Constraints.fails(col("n_chars") === length(col("text"))),
+          "n_chars_le_200" ->
+            Constraints.fails(col("n_chars") <= 200),
+          "lang_allowed" ->
+            Constraints.fails(col("lang").isin("en", "fr")))),
+        Constraints.orphans(table(s, dir, "orders"), "o_custkey",
+          table(s, dir, "customer"), "c_custkey", "orders_custkey_fk"),
+        Constraints.check(table(s, dir, "lineitem"), Seq(
+          "l_quantity_range" ->
+            Constraints.fails(col("l_quantity").between(1, 50))))))
     },
   )
 }

@@ -24,7 +24,9 @@ class DeterminismSpec extends SparkSpec {
       "q_scan_csv", "q_scan_partitioned", "q_compaction_plan",
       // round 8: zone maps — the sorted variant's global rank window is
       // the tie-break-sensitive piece
-      "q_zonemap", "q_zonemap_sorted")
+      "q_zonemap", "q_zonemap_sorted",
+      // round 8: the expectations gate (multi-table union of counts)
+      "q_constraints")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"
