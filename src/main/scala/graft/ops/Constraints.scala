@@ -69,4 +69,28 @@ object Constraints {
     * row frames). */
   def all(results: Seq[DataFrame]): DataFrame =
     results.reduce(_ unionByName _)
+
+  /** Row-level routing (the dead-letter half of the gate): append a
+    * `violations` array naming every predicate rule the row fails, in
+    * rule order. Pure projection — codegen, shuffle-free, and legal on
+    * STREAMING DataFrames unchanged (stateless), so the same rule set
+    * drives the batch audit and the ingest stream's quarantine split.
+    */
+  def tag(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "no rules")
+    df.withColumn("violations",
+      filter(array(rules.map { case (n, v) =>
+        when(v, lit(n))
+      }: _*), _.isNotNull))
+  }
+
+  /** [[tag]] split into (clean, quarantined): clean rows drop the
+    * marker column; quarantined rows keep it as the reason list.
+    */
+  def quarantine(df: DataFrame, rules: Seq[(String, Column)])
+      : (DataFrame, DataFrame) = {
+    val tagged = tag(df, rules)
+    (tagged.filter(size(col("violations")) === 0).drop("violations"),
+      tagged.filter(size(col("violations")) > 0))
+  }
 }

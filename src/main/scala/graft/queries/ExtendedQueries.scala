@@ -622,5 +622,31 @@ object ExtendedQueries {
           "l_quantity_range" ->
             Constraints.fails(col("l_quantity").between(1, 50))))))
     },
+
+    // Row-level half of the gate (Constraints.tag / quarantine): the
+    // quarantined rows with their reason list — the dead-letter route
+    // of an ingest split. Pure scan-side projection+filter (no
+    // shuffle, no join); identical code runs on the streaming ingest
+    // path because tag is stateless. Reasons are rule-order joined so
+    // the oracle hash pins both membership AND order.
+    "q_quarantine" -> Q(
+      """SELECT doc_id, array_to_string(list_filter(
+        |    [CASE WHEN NOT coalesce(n_chars <= 200, false)
+        |       THEN 'n_chars_le_200' END,
+        |     CASE WHEN NOT coalesce(lang IN ('en', 'fr'), false)
+        |       THEN 'lang_allowed' END],
+        |    x -> x IS NOT NULL), ',') AS violated
+        |FROM documents
+        |WHERE NOT coalesce(n_chars <= 200, false)
+        |   OR NOT coalesce(lang IN ('en', 'fr'), false)"""
+        .stripMargin) { (s, dir) =>
+      val (_, bad) = Constraints.quarantine(table(s, dir, "documents"),
+        Seq(
+          "n_chars_le_200" -> Constraints.fails(col("n_chars") <= 200),
+          "lang_allowed" ->
+            Constraints.fails(col("lang").isin("en", "fr"))))
+      bad.select(col("doc_id"),
+        array_join(col("violations"), ",").as("violated"))
+    },
   )
 }

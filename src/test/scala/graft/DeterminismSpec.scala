@@ -26,7 +26,8 @@ class DeterminismSpec extends SparkSpec {
       // the tie-break-sensitive piece
       "q_zonemap", "q_zonemap_sorted",
       // round 8: the expectations gate (multi-table union of counts)
-      "q_constraints")
+      // and its row-level quarantine split
+      "q_constraints", "q_quarantine")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

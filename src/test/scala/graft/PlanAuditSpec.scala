@@ -402,6 +402,30 @@ class PlanAuditSpec extends SparkSpec {
         .map(String.valueOf)).toSet == Set("en", "fr"))
   }
 
+  test("q_constraints: anti-join integrity leg, no cartesian, partial sums") {
+    val p = plan("q_constraints")
+    // referential rule is a real anti-join (broadcast or SMJ — AQE's
+    // call), never a nested loop over the parent
+    assert(p.contains("LeftAnti"), s"expected an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no unkeyed join:\n$p")
+    // predicate rules partial-aggregate on the scan side: violation
+    // sums combine map-side, data rows never shuffle
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("q_quarantine: scan-side projection+filter — zero exchanges, zero joins") {
+    // the dead-letter split must stay embarrassingly parallel: tag is
+    // a when/array projection, the route is a filter — at 100 TB this
+    // runs at scan speed or it is not an ingest gate
+    val p = plan("q_quarantine")
+    assert(!p.contains("Exchange"), s"quarantine must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"quarantine must not join:\n$p")
+    assert(p.contains("PushedFilters") || p.contains("Filter"),
+      s"expected a scan-side filter:\n$p")
+  }
+
   test("q_edit_distance: every join equi — no nested-loop, no cartesian") {
     // the small-string path must be a length-band/string equi-join, not
     // the all-tiny-pairs BroadcastNestedLoopJoin it once was: on a web

@@ -61,6 +61,49 @@ class ConstraintsSpec extends SparkSpec {
       "fk_ok")) == Map("fk_ok" -> 2L))
   }
 
+  test("tag/quarantine: reason list in rule order; split partitions input") {
+    val df = Seq[(Long, java.lang.Long, String)](
+      (1L, 100L, "en"),   // clean
+      (2L, 300L, "en"),   // n_le_200
+      (3L, 300L, "de"),   // both — order must be rule order
+      (4L, null, "xx")    // both (NULL fails the range rule)
+    ).toDF("id", "n", "lang")
+    val rules = Seq(
+      "n_le_200" -> Constraints.fails(col("n") <= 200),
+      "lang_allowed" -> Constraints.fails(col("lang").isin("en")))
+    val (clean, bad) = Constraints.quarantine(df, rules)
+    assert(clean.select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(!clean.columns.contains("violations"))
+    val reasons = bad.select(col("id"),
+        array_join(col("violations"), ",")).as[(Long, String)]
+      .collect().toMap
+    assert(reasons == Map(
+      2L -> "n_le_200",
+      3L -> "n_le_200,lang_allowed",
+      4L -> "n_le_200,lang_allowed"))
+    // split is a partition: no row lost, none in both
+    assert(clean.count() + bad.count() == df.count())
+  }
+
+  test("tag is stateless: identical on a streaming source") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    mem.addData((1L, 100L, "en"), (2L, 300L, "de"))
+    val rules = Seq(
+      "n_le_200" -> Constraints.fails(col("n") <= 200),
+      "lang_allowed" -> Constraints.fails(col("lang").isin("en")))
+    val tagged = Constraints.tag(
+      mem.toDF.toDF("id", "n", "lang"), rules)
+      .select(col("id"), array_join(col("violations"), ",").as("v"))
+    val q = tagged.writeStream.format("memory")
+      .queryName("constraints_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("constraints_stream")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "", 2L -> "n_le_200,lang_allowed"))
+  }
+
   test("all: rule families union into one (rule, violations) report") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val r = result(Constraints.all(Seq(
