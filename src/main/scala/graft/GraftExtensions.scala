@@ -71,6 +71,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children.head, children(1))
       }))
+    // per-ROW bloom probe for zone-map tables (BloomFilterMightContain
+    // requires a constant filter; a zone map carries one bloom per row)
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[graft.functions.BloomContains].getName,
+        "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_bloom_contains(bloomBinaryCol, xxhash64Value)")
+        graft.functions.BloomContains(children.head, children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_ngram_stats"),
       new ExpressionInfo(classOf[NgramStats].getName,

@@ -58,4 +58,45 @@ object ZoneMaps {
     zones.withColumn("skip",
       coalesce(col(s"${c}_max") < lo || col(s"${c}_min") > hi,
         lit(false)))
+
+  /** The point-lookup half of skipping: min/max answers RANGES, blooms
+    * answer `c = key` on high-cardinality columns where [min, max]
+    * spans everything. One pass, partial-aggregated like any other agg
+    * (map-side partial blooms OR-merge): per-zone bloom over
+    * xxhash64(`c`), sized by `estItems`/`numBits` (bits/item ≈ 80 →
+    * ~1e-6 false-positive rate; a false positive costs one wasted zone
+    * read, never a wrong answer).
+    */
+  def bloomZones(df: DataFrame, zone: Column, c: String,
+                 estItems: Long, numBits: Long): DataFrame =
+    df.groupBy(zone.as("zone"))
+      .agg(call_function("graft_bloom_agg", xxhash64(col(c)),
+        lit(estItems), lit(numBits)).as(s"${c}_bloom"))
+
+  /** Exact per-zone `contains(c = key)` computed the way a bloom-backed
+    * scan would: zones whose bloom rules the key out are answered
+    * `false` WITHOUT touching data; only bloom-candidate zones are
+    * verified against the rows. Blooms have no false negatives, so the
+    * result is row-identical to the brute-force group-by — which is
+    * exactly what the oracle checks — while the data pass touches only
+    * the candidate zones (at 100 TB: the files actually read).
+    */
+  def containsViaBloom(df: DataFrame, zone: Column, c: String,
+                       key: Column, estItems: Long = 1024,
+                       numBits: Long = 65536): DataFrame = {
+    val zoned = df.withColumn("zone", zone)
+    val blooms = bloomZones(zoned, col("zone"), c, estItems, numBits)
+    // per-ROW bloom probe (Spark's might_contain only takes a constant
+    // filter — one bloom per query; a zone map carries one per row)
+    val hit = graft.functions.BloomContains.contains(
+      col(s"${c}_bloom"), xxhash64(key))
+    val ruledOut = blooms.filter(!hit)
+      .select(col("zone"), lit(false).as("contains"))
+    val verified = zoned
+      .join(blooms.filter(hit).select("zone"), Seq("zone"), "left_semi")
+      .groupBy("zone")
+      .agg((max(when(col(c) === key, 1).otherwise(0)) === 1)
+        .as("contains"))
+    ruledOut.unionByName(verified)
+  }
 }

@@ -173,6 +173,22 @@ object LayoutQueries {
       val zones = ZoneMaps.build(ranked,
         floor((col("rn") - 1) / zoneRows), Seq("n_chars"))
       ZoneMaps.prune(zones, "n_chars", lit(predLo), lit(predHi))
+    },
+
+    // Point-lookup skipping (ZoneMaps.containsViaBloom): per-zone
+    // blooms rule most zones out without touching data; only bloom
+    // candidates are verified against rows. Blooms have no false
+    // negatives, so the result is row-identical to the brute-force
+    // group-by — the oracle certifies the whole bloom path end-to-end
+    // (a lost zone, a wrong hash, or a false negative changes the
+    // hash). On this corpus 9 of 10 zones skip.
+    "q_zonemap_contains" -> Q(
+      s"""SELECT CAST(floor(doc_id / $zoneRows) AS BIGINT) AS zone,
+         |  max(CASE WHEN n_chars = $probeChars THEN 1 ELSE 0 END) = 1
+         |    AS contains
+         |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      ZoneMaps.containsViaBloom(table(s, dir, "documents"),
+        floor(col("doc_id") / zoneRows), "n_chars", lit(probeChars))
     })
 
   /** Zone size (rows per ingest batch / file) and the skip predicate's
@@ -181,4 +197,9 @@ object LayoutQueries {
   private val zoneRows = 50
   private val predLo = 300
   private val predHi = 400
+
+  /** Point-lookup probe for the bloom-zone query (a mid-range n_chars
+    * value present in ~1 of 10 zones at every SF).
+    */
+  private val probeChars = 300L
 }

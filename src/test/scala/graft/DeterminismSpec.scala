@@ -24,7 +24,7 @@ class DeterminismSpec extends SparkSpec {
       "q_scan_csv", "q_scan_partitioned", "q_compaction_plan",
       // round 8: zone maps — the sorted variant's global rank window is
       // the tie-break-sensitive piece
-      "q_zonemap", "q_zonemap_sorted",
+      "q_zonemap", "q_zonemap_sorted", "q_zonemap_contains",
       // round 8: the expectations gate (multi-table union of counts)
       // and its row-level quarantine split
       "q_constraints", "q_quarantine")

@@ -137,6 +137,30 @@ class NativeExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("BloomContains matches constant-filter might_contain bit-for-bit") {
+    // same serialized filter, probed per-row by BloomContains vs as a
+    // constant by Spark's own BloomFilterMightContain — every verdict
+    // (true hits AND false-positive bits) must agree, since both read
+    // the same bit array
+    val vals = (1L to 200L).toDF("v")
+    val bloom = vals
+      .agg(call_function("graft_bloom_agg", xxhash64(col("v")),
+        lit(200L), lit(2048L)))
+      .head().getAs[Array[Byte]](0)
+    val probes = (150L to 400L).toDF("p")
+      .withColumn("bloom", lit(bloom))
+    val mine = probes.select(
+      BloomContains.contains(col("bloom"), xxhash64(col("p"))))
+      .as[Boolean].collect().toSeq
+    val theirs = probes.select(
+      call_function("graft_might_contain", lit(bloom),
+        xxhash64(col("p")))).as[Boolean].collect().toSeq
+    assert(mine == theirs)
+    // and it is a real filter: all members hit, most non-members miss
+    assert(mine.take(51).forall(identity))
+    assert(mine.drop(51).count(identity) < 20)
+  }
+
   test("SQL registration via GraftExtensions") {
     assert(spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")

@@ -43,6 +43,28 @@ class ZoneMapsSpec extends SparkSpec {
     assert(leaked == 0L, s"$leaked matching rows inside skipped zones")
   }
 
+  test("bloom zones: no false negatives, most absent zones ruled out") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val viaBloom = graft.ops.ZoneMaps.containsViaBloom(
+      docs, floor(col("doc_id") / 50), "n_chars", lit(300L))
+      .as[(Long, Boolean)].collect().toMap
+    val exact = docs.groupBy(floor(col("doc_id") / 50).as("zone"))
+      .agg((max(when(col("n_chars") === 300, 1).otherwise(0)) === 1)
+        .as("contains"))
+      .as[(Long, Boolean)].collect().toMap
+    // bloom-backed result must be row-identical to brute force (no
+    // false negatives; false positives only waste a verify read)
+    assert(viaBloom == exact)
+    // the skipping is real on this corpus: the BLOOM itself (not the
+    // verify pass) rules out most zones before any data is touched
+    val ruledOut = graft.ops.ZoneMaps.bloomZones(
+        docs, floor(col("doc_id") / 50), "n_chars", 1024L, 65536L)
+      .filter(!graft.functions.BloomContains.contains(
+        col("n_chars_bloom"), xxhash64(lit(300L)))).count()
+    assert(ruledOut >= 8,
+      s"bloom ruled out only $ruledOut of ${exact.size} zones")
+  }
+
   test("clustered layout skips more zones than write-order layout") {
     val byName = graft.SparkEntry.queries
     def skips(q: String): (Long, Long) = {
