@@ -59,6 +59,21 @@ object ZoneMaps {
       coalesce(col(s"${c}_max") < lo || col(s"${c}_min") > hi,
         lit(false)))
 
+  /** Multi-dimensional prune: skip when the zone's bounding box is
+    * disjoint from the predicate box in ANY dimension — the reason
+    * z-order layouts exist (a 1-D sort gives tight bounds on one
+    * column; a z-ordered layout keeps every zone's box small in ALL
+    * interleaved dimensions, so pruneBox skips on whichever dimension
+    * the query constrains). Same conservative NULL handling per dim.
+    */
+  def pruneBox(zones: DataFrame,
+               dims: Seq[(String, Column, Column)]): DataFrame =
+    zones.withColumn("skip",
+      dims.map { case (c, lo, hi) =>
+        coalesce(col(s"${c}_max") < lo || col(s"${c}_min") > hi,
+          lit(false))
+      }.reduce(_ || _))
+
   /** The point-lookup half of skipping: min/max answers RANGES, blooms
     * answer `c = key` on high-cardinality columns where [min, max]
     * spans everything. One pass, partial-aggregated like any other agg

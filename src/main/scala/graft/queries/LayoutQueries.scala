@@ -189,6 +189,65 @@ object LayoutQueries {
          |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
       ZoneMaps.containsViaBloom(table(s, dir, "documents"),
         floor(col("doc_id") / zoneRows), "n_chars", lit(probeChars))
+    },
+
+    // 2-D skipping over a Z-ORDERED layout (the payoff q_zorder's
+    // Morton keys exist for): events laid out in zkey order, zones of
+    // 100 rows, min/max stats on BOTH scaled dims, and a box predicate
+    // (zx AND zy each in [64,127]) pruned via disjointness in EITHER
+    // dim. A (zx)-sorted layout gives tight zx bounds but zy spans
+    // everything (ZoneMapsSpec measures the gap); the z-curve keeps
+    // every zone's bounding box small in both dims. Bucket/interleave
+    // math is the committed q_zorder formula; the oracle replays
+    // bucket → interleave → rank → zone → stats → skip bit-for-bit.
+    "q_zonemap_zorder" -> Q(
+      s"""WITH st AS (SELECT CAST(min(user_id) AS BIGINT) mnx,
+         |    CAST(max(user_id) AS BIGINT) mxx,
+         |    min(value) mny, max(value) mxy FROM events),
+         |b AS (SELECT event_id,
+         |  CASE WHEN user_id IS NULL OR mnx IS NULL OR mxx IS NULL
+         |      OR mnx = mxx THEN 0
+         |    ELSE greatest(0, least(255, CAST(floor(
+         |      ((CAST(user_id AS DOUBLE) - CAST(mnx AS DOUBLE)) * 256) /
+         |      (CAST(mxx AS DOUBLE) - CAST(mnx AS DOUBLE))) AS BIGINT)))
+         |    END zx,
+         |  CASE WHEN value IS NULL OR mny IS NULL OR mxy IS NULL
+         |      OR mny = mxy THEN 0
+         |    ELSE greatest(0, least(255, CAST(floor(
+         |      ((CAST(value AS DOUBLE) - CAST(mny AS DOUBLE)) * 256) /
+         |      (CAST(mxy AS DOUBLE) - CAST(mny AS DOUBLE))) AS BIGINT)))
+         |    END zy
+         |  FROM events, st),
+         |k AS (SELECT event_id, zx, zy,
+         |  (((zx >> 0) & 1) << 0) + (((zy >> 0) & 1) << 1) +
+         |  (((zx >> 1) & 1) << 2) + (((zy >> 1) & 1) << 3) +
+         |  (((zx >> 2) & 1) << 4) + (((zy >> 2) & 1) << 5) +
+         |  (((zx >> 3) & 1) << 6) + (((zy >> 3) & 1) << 7) +
+         |  (((zx >> 4) & 1) << 8) + (((zy >> 4) & 1) << 9) +
+         |  (((zx >> 5) & 1) << 10) + (((zy >> 5) & 1) << 11) +
+         |  (((zx >> 6) & 1) << 12) + (((zy >> 6) & 1) << 13) +
+         |  (((zx >> 7) & 1) << 14) + (((zy >> 7) & 1) << 15) AS zkey
+         |  FROM b),
+         |r AS (SELECT zx, zy,
+         |  row_number() OVER (ORDER BY zkey, event_id) AS rn FROM k)
+         |SELECT CAST(floor((rn - 1) / $zZoneRows) AS BIGINT) AS zone,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(min(zx) AS BIGINT) AS zx_min,
+         |  CAST(max(zx) AS BIGINT) AS zx_max,
+         |  CAST(sum(CASE WHEN zx IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS zx_nulls,
+         |  CAST(min(zy) AS BIGINT) AS zy_min,
+         |  CAST(max(zy) AS BIGINT) AS zy_max,
+         |  CAST(sum(CASE WHEN zy IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS zy_nulls,
+         |  coalesce(max(zx) < $boxLo OR min(zx) > $boxHi, false)
+         |    OR coalesce(max(zy) < $boxLo OR min(zy) > $boxHi, false)
+         |    AS skip
+         |FROM r GROUP BY 1""".stripMargin) { (s, dir) =>
+      val zones = ZoneMaps.build(zorderRanked(s, dir),
+        floor((col("rn") - 1) / zZoneRows), Seq("zx", "zy"))
+      ZoneMaps.pruneBox(zones, Seq(
+        ("zx", lit(boxLo), lit(boxHi)), ("zy", lit(boxLo), lit(boxHi))))
     })
 
   /** Zone size (rows per ingest batch / file) and the skip predicate's
@@ -202,4 +261,35 @@ object LayoutQueries {
     * value present in ~1 of 10 zones at every SF).
     */
   private val probeChars = 300L
+
+  /** Z-order zone size and the 2-D predicate box (each scaled dim in
+    * [64, 127] — a quarter of each axis, 1/16 of the plane).
+    */
+  private val zZoneRows = 100
+  private val boxLo = 64
+  private val boxHi = 127
+
+  /** Events with their z-order coords and curve rank: zx/zy scaled
+    * buckets (ZOrder.bucket over the column-wide bounds — one 1-row
+    * broadcast aggregate), rn = rank along the Morton curve. The
+    * global row_number is oracle scaffolding for deterministic zone
+    * ids; production gets zones for free as file identity from the
+    * `repartitionByRange(zkey) + sortWithinPartitions` write.
+    */
+  private[graft] def zorderRanked(s: org.apache.spark.sql.SparkSession,
+                                  dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val e = table(s, dir, "events")
+    val st = e.agg(min("user_id").as("mnx"), max("user_id").as("mxx"),
+      min("value").as("mny"), max("value").as("mxy"))
+    e.crossJoin(broadcast(st))
+      .select(col("event_id"),
+        graft.ops.ZOrder.bucket(col("user_id"), col("mnx"), col("mxx"))
+          .as("zx"),
+        graft.ops.ZOrder.bucket(col("value"), col("mny"), col("mxy"))
+          .as("zy"))
+      .withColumn("zkey", graft.ops.ZOrder.interleave(col("zx"), col("zy")))
+      .withColumn("rn",
+        row_number().over(Window.orderBy("zkey", "event_id")))
+  }
 }

@@ -25,6 +25,7 @@ class DeterminismSpec extends SparkSpec {
       // round 8: zone maps — the sorted variant's global rank window is
       // the tie-break-sensitive piece
       "q_zonemap", "q_zonemap_sorted", "q_zonemap_contains",
+      "q_zonemap_zorder",
       // round 8: the expectations gate (multi-table union of counts)
       // and its row-level quarantine split
       "q_constraints", "q_quarantine")

@@ -65,6 +65,35 @@ class ZoneMapsSpec extends SparkSpec {
       s"bloom ruled out only $ruledOut of ${exact.size} zones")
   }
 
+  test("z-order zones: 2-D box skipping sound, beats the 1-D sort") {
+    import org.apache.spark.sql.expressions.Window
+    val box = Seq(("zx", lit(64), lit(127)), ("zy", lit(64), lit(127)))
+    val ranked = graft.queries.LayoutQueries.zorderRanked(spark, sf0001)
+      .cache()
+    try {
+      val zZones = ZoneMaps.pruneBox(ZoneMaps.build(ranked,
+        floor((col("rn") - 1) / 20), Seq("zx", "zy")), box)
+      // same rows, 1-D layout: sorted by zx alone — zx bounds tight,
+      // zy bounds span everything
+      val sorted = ranked.withColumn("rs",
+        row_number().over(Window.orderBy("zx", "event_id")))
+      val sZones = ZoneMaps.pruneBox(ZoneMaps.build(sorted,
+        floor((col("rs") - 1) / 20), Seq("zx", "zy")), box)
+      def skips(z: org.apache.spark.sql.DataFrame): Long =
+        z.filter(col("skip")).count()
+      val (zs, ss) = (skips(zZones), skips(sZones))
+      assert(zs > ss,
+        s"z-order must out-skip the 1-D sort on a 2-D box: $zs vs $ss")
+      // 2-D soundness: no skipped zone holds an in-box row
+      val leaked = ranked
+        .withColumn("zone", floor((col("rn") - 1) / 20))
+        .join(zZones.filter(col("skip")).select("zone"), "zone")
+        .filter(col("zx").between(64, 127) &&
+          col("zy").between(64, 127)).count()
+      assert(leaked == 0L, s"$leaked in-box rows inside skipped zones")
+    } finally ranked.unpersist()
+  }
+
   test("clustered layout skips more zones than write-order layout") {
     val byName = graft.SparkEntry.queries
     def skips(q: String): (Long, Long) = {
