@@ -12,16 +12,36 @@ object Tables {
 
   /** Load one testdata table: `<sfDir>/<name>.parquet`.
     *
-    * `events.parquet` stores ns-precision timestamps, surfaced as LongType
-    * ns-since-epoch via `spark.sql.legacy.parquet.nanosAsLong` — set once
-    * in GraftSession.builder (a per-load `spark.conf.set` would mutate
-    * session state as a side effect and race under concurrent query
-    * construction). The flag only affects NANOS columns (every other
-    * testdata timestamp is µs); queries that need a real timestamp convert
-    * with `timestamp_micros(ts div 1000)`.
+    * `events.ts` is contractually a LongType of NANOSECONDS since epoch for
+    * every downstream consumer (queries convert with
+    * `timestamp_micros(ts div 1000)`), but the PHYSICAL parquet type has
+    * drifted across driver-side testdata regenerations: ns-precision
+    * (surfaced as Long via `spark.sql.legacy.parquet.nanosAsLong`, set in
+    * GraftSession.builder — the flag only affects NANOS columns) and
+    * µs-precision (surfaced as Timestamp/TimestampNTZ, on which nanosAsLong
+    * is a no-op — the round-8 sweep broke 12 temporal queries exactly this
+    * way). Normalize HERE, at the one load point, so the contract holds
+    * under either encoding; `unix_micros` is exact (no float path) and the
+    * UTC session timezone makes the NTZ cast the identity on the instant,
+    * matching DuckDB's `epoch_us` on the same file.
     */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** events.ts → LongType ns-since-epoch, whatever the physical encoding. */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df // ns physical + nanosAsLong: already ns-long
+      case Some(TimestampType) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("unix_micros(ts) * 1000"))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions
+          .expr("unix_micros(cast(ts as timestamp)) * 1000"))
+      case _ => df
+    }
 
   // -- Pipeline schemas (declared explicitly; no inference at runtime) ------
 
