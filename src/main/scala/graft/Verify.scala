@@ -13,15 +13,43 @@ object Verify {
     // dev-only subset knob (unset in the driver's run)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+    // A query that fails must STILL produce an output entry: the driver's
+    // correctness harness iterates over the dumped dirs, so a missing dir
+    // silently drops the query from CORRECTNESS_r{N}.json and an all-green
+    // artifact can mask broken queries (round 8: 12 temporal failures were
+    // invisible). The sentinel is a 1-row frame whose schema (graft_error)
+    // can never match any oracle — the failure surfaces as a FAIL entry.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val declared = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
+    declared.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = e.getClass.getSimpleName + ": " +
+          String.valueOf(e.getMessage)
+        errors(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
+        try {
+          import spark.implicits._
+          Seq(msg.take(500)).toDF("graft_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name sentinel write failed: $e2")
+        }
       }
     }
+    // Coverage assertion: every declared query has an output dir. A gap
+    // here means even the sentinel write failed — make it impossible to
+    // read the dump as complete.
+    val missing = declared.filterNot(n =>
+      java.nio.file.Files.exists(Paths.get(s"$outDir/$n")))
+    if (missing.nonEmpty)
+      System.err.println(
+        s"[verify] COVERAGE GAP — no output for: ${missing.mkString(",")}")
+    System.err.println(
+      s"[verify] declared=${declared.size} dumped=${declared.size - missing.size}" +
+        s" failed=${errors.size}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -37,6 +65,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable failure record alongside the dumps (same shape as
+    // Bench's "errors" field) — consumers that don't diff schemas can
+    // still see exactly which queries did not run.
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(300))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }

@@ -38,6 +38,12 @@ def main():
             continue
         try:
             got = con.sql(f"SELECT * FROM parquet_scan('{out}/{name}/*.parquet')").df()
+            if list(got.columns) == ["graft_error"]:
+                # Verify's failure sentinel: the query crashed at dump time
+                msg = got["graft_error"].iloc[0] if len(got) else "?"
+                print(f"FAIL {name}: query failed in Verify: {str(msg)[:200]}")
+                n_fail += 1
+                continue
             exp = con.sql(sql).df()
             gc, gr = rows_key(got)
             ec, er = rows_key(exp)
