@@ -83,21 +83,38 @@ object Bench {
     // is published as "shared_base_build" AND included in the headline
     // total — nothing is untimed, it just has its own line item.
     graft.queries.SharedBases.invalidateAll(spark)
+    // Per-item try/catch + per-item timing: one base failing must not
+    // silently skip the rest (a skipped IncrFixture would bill the fixture
+    // write to q_pipeline_incremental's timer), and when shared_base_build
+    // regresses (r8: 5.5 s → 35.5 s in the driver sweep) the detail map
+    // says WHICH base paid — published in BENCH_FULL.json.
+    val baseDetail = scala.collection.mutable.LinkedHashMap[String, Double]()
     val tBase = System.nanoTime()
-    try {
-      graft.queries.SharedBases.minhashPairs(spark, sfDir)
-      graft.queries.SharedBases.minhashSigs(spark, sfDir)
-      graft.queries.SharedBases.jaccardPairs(spark, sfDir)
-      // q_pipeline_incremental's 24-hourly-file fixture (r7 verdict #1):
-      // built HERE, timed, so the query's own timer measures the glob
-      // read + two incremental runs instead of 24-way small-file write
-      // I/O (the one r7 bench flag a rerun did not clear).
-      graft.queries.IncrFixture.paths(spark, sfDir)
-      // q_scan_* format fixtures (r8): same rule — the queries time the
-      // SCAN, the one-off fixture write bills the shared-base phase.
-      Seq("csv", "json", "orc", "part")
-        .foreach(graft.queries.FormatFixture.path(spark, sfDir, _))
-    } catch { case _: Throwable => () }
+    def timedBase(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] base $name failed: ${e.getMessage}")
+      }
+      baseDetail(name) = (System.nanoTime() - t0) / 1e9
+    }
+    timedBase("minhash_pairs") {
+      graft.queries.SharedBases.minhashPairs(spark, sfDir) }
+    timedBase("minhash_sigs") {
+      graft.queries.SharedBases.minhashSigs(spark, sfDir) }
+    timedBase("jaccard_pairs") {
+      graft.queries.SharedBases.jaccardPairs(spark, sfDir) }
+    // q_pipeline_incremental's 24-hourly-file fixture (r7 verdict #1):
+    // built HERE, timed, so the query's own timer measures the glob
+    // read + two incremental runs instead of 24-way small-file write
+    // I/O (the one r7 bench flag a rerun did not clear).
+    timedBase("incr_fixture") {
+      graft.queries.IncrFixture.paths(spark, sfDir); () }
+    // q_scan_* format fixtures (r8): same rule — the queries time the
+    // SCAN, the one-off fixture write bills the shared-base phase.
+    Seq("csv", "json", "orc", "part").foreach { f =>
+      timedBase(s"fixture_$f") {
+        graft.queries.FormatFixture.path(spark, sfDir, f); () }
+    }
     val baseBuild = (System.nanoTime() - tBase) / 1e9
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -189,28 +206,54 @@ object Bench {
       }
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
+    def qsJson(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
     val total = baseBuild + results.collect {
       case (k, v) if !errors.contains(k) => v
     }.sum
     val retr = retried.map { case (k, (a, b)) =>
       "\"" + k + f"""\":{"first":$a%.3f,"rerun":$b%.3f}"""
     }.mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"retried":$retr,""" +
-        f""""shared_base_build":$baseBuild%.3f,"baseline_status":"$baselineStatus","sf":"$sfDir"}"""
+    def errsJson(cap: Int): String = errors
+      .map { case (k, v) => "\"" + k + "\":\"" + v.take(cap) + "\"" }
+      .mkString("{", ",", "}")
+    val baseDet = qsJson(baseDetail.toSeq)
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(results)},""" +
+        s""""errors":${errsJson(160)},"retried":$retr,""" +
+        f""""shared_base_build":$baseBuild%.3f,"base_build_detail":$baseDet,""" +
+        f""""baseline_status":"$baselineStatus","sf":"$sfDir"}"""
+    // The file is the LOSSLESS artifact; stdout is the driver contract —
+    // and the driver's capture keeps only the last ~2000 chars of stdout
+    // (BENCH_r04 arrived tail-truncated; BENCH_r06/r07/r08 all recorded
+    // parsed:null because the full per-query map is ~5 KB). The stdout
+    // line therefore DEGRADES deterministically to fit ~1800 bytes: full
+    // query map if it fits, else the top-K slowest queries (the
+    // perf-grading subset) with an explicit omission count; error
+    // messages shorten before queries drop. Every omitted detail is in
+    // BENCH_FULL.json.
+    val budget = 1800
+    def stdoutLine(top: Int, errCap: Int): String = {
+      val byTime = results.sortBy { case (k, v) => (-v, k) }
+      val kept = byTime.take(top).sortBy(_._1)
+      val omitted = results.size - kept.size
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qsJson(kept)},""" +
+        s""""n_queries":${results.size},"queries_omitted":$omitted,""" +
+        s""""errors":${errsJson(errCap)},"n_errors":${errors.size},""" +
+        f""""shared_base_build":$baseBuild%.3f,"baseline_status":"$baselineStatus",""" +
+        f""""full":"BENCH_FULL.json","sf":"$sfDir"}"""
+    }
+    val candidates = Iterator((results.size, 80), (results.size, 40),
+      (60, 40), (40, 40), (25, 20), (12, 0), (0, 0))
+    val line = candidates.map { case (t, c) => stdoutLine(t, c) }
+      .find(_.length <= budget)
+      .getOrElse(stdoutLine(0, 0))
     println(line)
-    // Also persist the full line to a file: BENCH_r04.json arrived
-    // tail-truncated (20 queries clipped from the captured stdout), so the
-    // judge had to reconstruct totals from medians. The file is the
-    // lossless artifact; stdout stays the driver contract.
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
     java.nio.file.Files.write(out,
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
