@@ -2054,5 +2054,91 @@ object LlmQueries {
         element_at(frames, 2).as("frame1_sha"),
         element_at(frames, 3).as("frame2_sha"))
     },
+
+    // L49 — quality-weighted corpus subsampling WITHOUT replacement
+    // (PPSWOR), exact-integer form. The float-free reduction: a doc of
+    // integer weight w contributes w content-digest keys
+    // sha256(text ':' j), j=1..w, and per-stratum bottom-k over the
+    // EXPANDED population by min key is exactly probability-proportional-
+    // to-weight sampling without replacement (each of the Σw keys is
+    // equally likely to be the stratum minimum, so P(doc first) = w/Σw;
+    // delete-and-repeat gives the without-replacement chain). The usual
+    // Efraimidis–Spirakis u^(1/w) keys need pow/ln doubles whose last-ulp
+    // differs across engines — this form is pure string compares, so the
+    // oracle certifies membership AND rank order bit-for-bit. Scale: the
+    // explode is bounded (≤8×) and feeds a map-side partial min; the
+    // per-stratum cut is the two-phase WindowGroupLimit rank filter.
+    "q_weighted_sample" -> Q(
+      """WITH norm AS (
+        |  SELECT doc_id, lang, lower(trim(text)) AS q,
+        |    1 + least(n_chars // 100, 7) AS w
+        |  FROM documents),
+        |keys AS (
+        |  SELECT doc_id, lang,
+        |    min(sha256(q || ':' || CAST(j AS VARCHAR))) AS skey
+        |  FROM norm,
+        |  LATERAL (SELECT unnest(generate_series(1, w)) AS j) js
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY skey, doc_id) AS rk FROM keys)
+        |WHERE rk <= 20""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val keyed = d.select(d("doc_id"), d("lang"),
+          TextOps.normalized(d("text")).as("q"),
+          expr("cast(1 + least(n_chars div 100, 7) as int)").as("w"))
+        .select(col("doc_id"), col("lang"), col("q"),
+          explode(sequence(lit(1), col("w"))).as("j"))
+        .select(col("doc_id"), col("lang"),
+          sha2(concat_ws(":", col("q"), col("j")), 256).as("skey"))
+        .groupBy("doc_id", "lang").agg(min("skey").as("skey"))
+      val w = Window.partitionBy("lang").orderBy(col("skey"), col("doc_id"))
+      keyed.select(col("doc_id"), col("lang"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= 20)
+    },
+
+    // L50 — token-budget corpus selection: order docs by integer
+    // vocab-density (distinct tokens per million tokens), admit greedily
+    // until a global token budget is spent — the knapsack-by-density
+    // selection a training-data pipeline runs to fill a token target with
+    // the richest documents. The running total uses ops/PrefixSum (range
+    // partition + local cumsums + broadcast partition offsets), NOT a
+    // single-partition global window — the difference between a demo and
+    // a 100 TB plan. A doc is kept iff it STARTS inside the budget, so
+    // membership is decided by exact integer comparisons on a total
+    // order; the oracle replays the same order and cumsum.
+    "q_token_budget" -> Q(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(
+        |      string_split_regex(lower(trim(text)), '\s+')))
+        |      AS BIGINT) AS n_vocab
+        |  FROM documents WHERE length(trim(text)) >= 2),
+        |d AS (SELECT doc_id, n_tok,
+        |        (n_vocab * 1000000) // n_tok AS density_ppm FROM t)
+        |SELECT doc_id, n_tok, density_ppm,
+        |  CAST(tok_cum AS BIGINT) AS tok_cum FROM (
+        |  SELECT doc_id, n_tok, density_ppm,
+        |    sum(n_tok) OVER (ORDER BY density_ppm DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_cum
+        |  FROM d)
+        |WHERE tok_cum - n_tok < 10000""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val toks = TextOps.tokens(d("text"))
+      val t = d.filter(length(trim(d("text"))) >= 2)
+        .select(d("doc_id"),
+          size(toks).cast("long").as("n_tok"),
+          size(array_distinct(toks)).cast("long").as("n_vocab"))
+        .select(col("doc_id"), col("n_tok"),
+          expr("(n_vocab * 1000000) div n_tok").as("density_ppm"))
+      graft.ops.PrefixSum.runningSum(t,
+          Seq(col("density_ppm").desc, col("doc_id").asc),
+          col("n_tok"), "tok_cum")
+        .filter(col("tok_cum") - col("n_tok") < 10000)
+        .select("doc_id", "n_tok", "density_ppm", "tok_cum")
+    },
   )
 }

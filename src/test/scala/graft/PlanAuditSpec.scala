@@ -426,6 +426,33 @@ class PlanAuditSpec extends SparkSpec {
       s"expected a scan-side filter:\n$p")
   }
 
+  test("q_weighted_sample: partial min agg + two-phase bottom-k, no cartesian") {
+    // the PPSWOR sampler's expanded keys must combine map-side (partial
+    // min per doc before the shuffle) and the per-stratum rank cut must
+    // be the two-phase WindowGroupLimit — else a hot stratum's full
+    // key population crosses the wire at 100 TB
+    val p = plan("q_weighted_sample")
+    assert(p.contains("partial_min") || p.contains("Partial"),
+      s"expected map-side partial min:\n$p")
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"expected Partial+Final WindowGroupLimit:\n$p")
+    assert(!p.contains("Cartesian"), s"no cartesian allowed:\n$p")
+  }
+
+  test("q_token_budget: range-partitioned prefix sum, no single-partition data window") {
+    // the global running total must be the two-pass prefix sum: a RANGE
+    // exchange over the data (contiguous key ranges), never
+    // Exchange SinglePartition feeding the full corpus into one window
+    // task. The only SinglePartition in the plan may carry the tiny
+    // per-partition offset rows (one row per shuffle partition).
+    val p = plan("q_token_budget")
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning") ||
+      p.toLowerCase.contains("range"), s"expected a range exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"partition offsets must join back via broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
+
   test("q_edit_distance: every join equi — no nested-loop, no cartesian") {
     // the small-string path must be a length-band/string equi-join, not
     // the all-tiny-pairs BroadcastNestedLoopJoin it once was: on a web
