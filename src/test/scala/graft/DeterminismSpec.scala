@@ -28,7 +28,10 @@ class DeterminismSpec extends SparkSpec {
       "q_zonemap_zorder",
       // round 8: the expectations gate (multi-table union of counts)
       // and its row-level quarantine split
-      "q_constraints", "q_quarantine")
+      "q_constraints", "q_quarantine",
+      // round 9: PPSWOR min-key ranks and the distributed prefix sum —
+      // both hash-gated on exact rank/cumsum order
+      "q_weighted_sample", "q_token_budget")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"
