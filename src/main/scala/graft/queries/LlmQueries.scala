@@ -2140,5 +2140,69 @@ object LlmQueries {
         .filter(col("tok_cum") - col("n_tok") < 10000)
         .select("doc_id", "n_tok", "density_ppm", "tok_cum")
     },
+
+    // L51 — the end-to-end training-mix recipe, composed from the tier's
+    // primitives and hash-checked as ONE query: normalize+clean → exact
+    // dedup (keep lowest doc_id per content digest) → quality gate →
+    // density-ordered token-budget selection (ops/PrefixSum) → per-lang
+    // mix report. The point of the composition: every stage is the
+    // scale-shaped form (scan-side projections, ONE digest shuffle for
+    // dedup, distributed prefix sum for the budget, partial-agg'd
+    // rollup), and the oracle replays the entire chain — so the hash
+    // certifies stage BOUNDARIES too (what dedup feeds selection, what
+    // selection feeds the report), not just each operator alone.
+    "q_data_recipe" -> Q(
+      """WITH norm AS (
+        |  SELECT doc_id, lang, lower(trim(text)) AS q
+        |  FROM documents WHERE length(trim(text)) >= 2),
+        |dedup AS (
+        |  SELECT doc_id, lang, q FROM (
+        |    SELECT doc_id, lang, q, row_number() OVER (
+        |      PARTITION BY sha256(q) ORDER BY doc_id) AS rn
+        |    FROM norm) WHERE rn = 1),
+        |tok AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(q, '\s+')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(string_split_regex(q, '\s+')))
+        |      AS BIGINT) AS n_vocab
+        |  FROM dedup),
+        |qual AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    (n_vocab * 1000000) // n_tok AS density_ppm
+        |  FROM tok WHERE n_tok >= 3),
+        |sel AS (
+        |  SELECT lang, n_tok, density_ppm,
+        |    CAST(sum(n_tok) OVER (ORDER BY density_ppm DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS tok_cum
+        |  FROM qual)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(min(density_ppm) AS BIGINT) AS min_density_ppm
+        |FROM sel WHERE tok_cum - n_tok < 5000
+        |GROUP BY lang""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val norm = d.filter(length(trim(d("text"))) >= 2)
+        .select(d("doc_id"), d("lang"),
+          TextOps.normalized(d("text")).as("q"))
+      val wD = Window.partitionBy(sha2(col("q"), 256))
+        .orderBy(col("doc_id"))
+      val dedup = norm.withColumn("rn", row_number().over(wD))
+        .filter(col("rn") === 1).drop("rn")
+      val toks = split(col("q"), "\\s+")
+      val qual = dedup.select(col("doc_id"), col("lang"),
+          size(toks).cast("long").as("n_tok"),
+          size(array_distinct(toks)).cast("long").as("n_vocab"))
+        .filter(col("n_tok") >= 3)
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          expr("(n_vocab * 1000000) div n_tok").as("density_ppm"))
+      graft.ops.PrefixSum.runningSum(qual,
+          Seq(col("density_ppm").desc, col("doc_id").asc),
+          col("n_tok"), "tok_cum")
+        .filter(col("tok_cum") - col("n_tok") < 5000)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          min("density_ppm").as("min_density_ppm"))
+    },
   )
 }

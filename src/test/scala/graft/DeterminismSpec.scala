@@ -30,8 +30,9 @@ class DeterminismSpec extends SparkSpec {
       // and its row-level quarantine split
       "q_constraints", "q_quarantine",
       // round 9: PPSWOR min-key ranks and the distributed prefix sum —
-      // both hash-gated on exact rank/cumsum order
-      "q_weighted_sample", "q_token_budget")
+      // both hash-gated on exact rank/cumsum order — plus the composed
+      // recipe whose stage boundaries depend on both
+      "q_weighted_sample", "q_token_budget", "q_data_recipe")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

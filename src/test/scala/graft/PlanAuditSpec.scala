@@ -453,6 +453,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
   }
 
+  test("q_data_recipe: composed chain keeps every stage's scale shape") {
+    // clean+dedup+quality are scan-side projections around ONE digest
+    // window shuffle; the budget selection inherits the PrefixSum range
+    // exchange + broadcast offset join; the report is a partial-agg'd
+    // rollup. Composition must not introduce a cartesian or lose the
+    // range-partitioned prefix sum.
+    val p = plan("q_data_recipe")
+    assert(p.toLowerCase.contains("range"),
+      s"expected the PrefixSum range exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"partition offsets must join back via broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"final rollup must partial-agg:\n$p")
+  }
+
   test("q_edit_distance: every join equi — no nested-loop, no cartesian") {
     // the small-string path must be a length-band/string equi-join, not
     // the all-tiny-pairs BroadcastNestedLoopJoin it once was: on a web
