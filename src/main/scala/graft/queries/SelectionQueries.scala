@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.ops.llm._
+
+/** Data-selection & scoring tier (SURVEY.md §2.12 L52–L55): the stages a
+  * training-data pipeline runs between "corpus cleaned" and "corpus
+  * sampled" — curriculum ordering, model-based quality classification,
+  * DSIR-style importance resampling, and per-document novelty scoring.
+  *
+  * Everything is exact-integer / content-digest arithmetic so every query
+  * is fully hash-checked against the DuckDB oracle — the floating forms of
+  * these operators (fasttext scores, log-likelihood ratios) are
+  * deliberately discretized at the spec'd boundary and documented as such.
+  */
+object SelectionQueries {
+
+  val all: Map[String, Q] = Map(
+
+    // L52 — curriculum ordering: difficulty-ascending training order with
+    // round-robin interleave across sources (so no source clumps at any
+    // difficulty band). Difficulty proxy = avg token length in chars-per-
+    // thousand-tokens (integer). Per-source rank is a partitioned window;
+    // the global interleave position is computed by global
+    // sort+limit FIRST (TakeOrderedAndProject — every task forwards at
+    // most 60 rows) and only THEN numbered by a window over the ≤60
+    // survivors. The naive filter-over-global-row_number form compiles
+    // to a full single-partition Window sort of the corpus
+    // (InferWindowGroupLimit does not fire on unpartitioned windows) —
+    // the limit-then-number rewrite is semantically identical because
+    // row_number over a total order is dense.
+    "q_curriculum" -> Q(
+      """WITH t AS (
+        |  SELECT doc_id, source, lower(trim(text)) AS q FROM documents
+        |  WHERE length(trim(text)) >= 2),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    (length(q) * 1000) // len(string_split_regex(q, '\s+'))
+        |      AS difficulty_ppk
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, source, difficulty_ppk,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY difficulty_ppk, doc_id) AS rk
+        |  FROM b)
+        |SELECT CAST(pos AS INTEGER) AS pos, doc_id, source,
+        |  CAST(difficulty_ppk AS BIGINT) AS difficulty_ppk,
+        |  CAST(rk AS INTEGER) AS rk
+        |FROM (SELECT doc_id, source, difficulty_ppk, rk,
+        |        row_number() OVER (ORDER BY rk, source, doc_id) AS pos
+        |      FROM r)
+        |WHERE pos <= 60""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val base = d.filter(length(trim(d("text"))) >= 2)
+        .select(d("doc_id"), d("source"),
+          length(TextOps.normalized(d("text"))).cast("long").as("n_char"),
+          size(TextOps.tokens(d("text"))).cast("long").as("n_tok"))
+        .select(col("doc_id"), col("source"),
+          expr("(n_char * 1000) div n_tok").as("difficulty_ppk"))
+      val wS = Window.partitionBy("source")
+        .orderBy(col("difficulty_ppk"), col("doc_id"))
+      val wG = Window.orderBy(col("rk"), col("source"), col("doc_id"))
+      base.withColumn("rk", row_number().over(wS))
+        .orderBy(col("rk"), col("source"), col("doc_id")).limit(60)
+        .withColumn("pos", row_number().over(wG))
+        .select("pos", "doc_id", "source", "difficulty_ppk", "rk")
+    },
+
+    // L53 — model-based quality classification at scale: a linear
+    // classifier over hashed unigram features (the fasttext-style quality
+    // gate every pre-training pipeline runs). The trained float weights
+    // are stubbed at the documented boundary by a deterministic 4-valued
+    // hashed weight (first sha256 hex char → {-2,-1,+1,+2}); the
+    // Spark-side plumbing — scan-side tokenize, codegen'd per-token
+    // weight, map-side partial per-doc sum, tiny report agg — is the real
+    // operator shape a learned weight table would reuse unchanged (the
+    // weight expression becomes a broadcast dictionary join). keep/drop =
+    // sign of the per-doc score.
+    "q_quality_classifier" -> Q(
+      """WITH occ AS (
+        |  SELECT doc_id, source, lang,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, source, lang,
+        |    CASE WHEN substr(sha256(t), 1, 1) <= '3' THEN -2
+        |         WHEN substr(sha256(t), 1, 1) <= '7' THEN -1
+        |         WHEN substr(sha256(t), 1, 1) <= 'b' THEN 1
+        |         ELSE 2 END AS wt
+        |  FROM occ),
+        |ds AS (
+        |  SELECT doc_id, source, lang, sum(wt) AS score
+        |  FROM w GROUP BY 1, 2, 3)
+        |SELECT source, lang,
+        |  CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_keep,
+        |  CAST(sum(CASE WHEN score < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_drop,
+        |  CAST(sum(score) AS BIGINT) AS sum_score
+        |FROM ds GROUP BY source, lang""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val occ = d.select(d("doc_id"), d("source"), d("lang"),
+        explode(TextOps.tokens(d("text"))).as("t"))
+      val h = substring(sha2(col("t"), 256), 1, 1)
+      val wt = when(h <= "3", -2).when(h <= "7", -1)
+        .when(h <= "b", 1).otherwise(2)
+      occ.select(col("doc_id"), col("source"), col("lang"),
+          wt.cast("long").as("wt"))
+        .groupBy("doc_id", "source", "lang").agg(sum("wt").as("score"))
+        .groupBy("source", "lang").agg(
+          sum(when(col("score") >= 0, 1L).otherwise(0L)).as("n_keep"),
+          sum(when(col("score") < 0, 1L).otherwise(0L)).as("n_drop"),
+          sum("score").as("sum_score"))
+    },
+
+    // L54 — DSIR-style importance resampling (Xie et al. 2023,
+    // "Data Selection for Language Models via Importance Resampling"),
+    // exact-integer form. Hashed n-gram importance: tokens hash to 256
+    // buckets (first 2 sha256 hex chars); the target-domain indicator is
+    // the documented stub n_chars >= 400 (a real pipeline plugs in its
+    // curated-set membership here — the plumbing is identical). Each
+    // token occurrence votes 1 iff its bucket is over-represented in the
+    // target, decided by the EXACT integer cross-multiplication
+    // tc*rtot > rc*ttot (no float log-ratio); a doc's importance is its
+    // target-like token fraction in ppm. The resample is then true
+    // PPSWOR via the L49 min-of-digests reduction with weight
+    // 1 + ppm//125000 ∈ [1,9]. Scale shape: the two corpus-level count
+    // tables are 256 rows + 1 row, broadcast back onto the token stream
+    // (no token-key shuffle); per-doc sums partial-agg map-side; the
+    // per-lang cut is two-phase WindowGroupLimit.
+    "q_importance_resample" -> Q(
+      """WITH norm AS (
+        |  SELECT doc_id, lang, n_chars, lower(trim(text)) AS q
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, lang, n_chars >= 400 AS is_tgt,
+        |    unnest(string_split_regex(q, '\s+')) AS t
+        |  FROM norm),
+        |b AS (
+        |  SELECT doc_id, lang, is_tgt, substr(sha256(t), 1, 2) AS bk
+        |  FROM occ),
+        |bc AS (
+        |  SELECT bk, count(*) AS rc,
+        |    sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tc
+        |  FROM b GROUP BY 1),
+        |tot AS (
+        |  SELECT count(*) AS rtot,
+        |    sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS ttot
+        |  FROM b),
+        |score AS (
+        |  SELECT doc_id, lang,
+        |    sum(CASE WHEN tc * rtot > rc * ttot THEN 1 ELSE 0 END) AS s,
+        |    count(*) AS n
+        |  FROM b JOIN bc USING (bk) CROSS JOIN tot
+        |  GROUP BY 1, 2),
+        |wts AS (
+        |  SELECT sc.doc_id, sc.lang,
+        |    CAST(1 + ((s * 1000000) // n) // 125000 AS BIGINT) AS w, nm.q
+        |  FROM score sc JOIN norm nm ON nm.doc_id = sc.doc_id),
+        |keys AS (
+        |  SELECT doc_id, lang, w,
+        |    min(sha256(q || ':' || CAST(j AS VARCHAR))) AS skey
+        |  FROM wts,
+        |  LATERAL (SELECT unnest(generate_series(1, w)) AS j) js
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, lang, CAST(w AS INTEGER) AS w,
+        |  CAST(rk AS INTEGER) AS rk
+        |FROM (SELECT doc_id, lang, w, row_number() OVER (
+        |        PARTITION BY lang ORDER BY skey, doc_id) AS rk
+        |      FROM keys)
+        |WHERE rk <= 15""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val norm = d.select(d("doc_id"), d("lang"), d("n_chars"),
+        TextOps.normalized(d("text")).as("q"))
+      val b = norm.select(col("doc_id"), col("lang"),
+          (col("n_chars") >= 400).as("is_tgt"),
+          explode(split(col("q"), "\\s+")).as("t"))
+        .select(col("doc_id"), col("lang"), col("is_tgt"),
+          substring(sha2(col("t"), 256), 1, 2).as("bk"))
+      // Two-phase stat build, ONE stat scan: rollup(bk) yields the 256
+      // bucket rows AND the grand-total row (bk null) from the same
+      // aggregation — bk is substr(sha256), never naturally null, so
+      // the null row is unambiguously the total. The 257-row result is
+      // collected and re-injected as a literal broadcast table +
+      // literal totals (the classic two-job scalar-stats pattern):
+      // leaving bc/tot as lazy DataFrames re-plans the token
+      // explode+sha256 pass once per consumer (the pushed-down bk
+      // null-filters defeat both ReuseExchange and AQE stage reuse),
+      // i.e. three full passes instead of two.
+      val statsRows = b.rollup("bk").agg(
+        count(lit(1)).as("rc"),
+        coalesce(sum(when(col("is_tgt"), 1L).otherwise(0L)), lit(0L))
+          .as("tc")).collect()
+      import s.implicits._
+      val bc = statsRows.filter(!_.isNullAt(0))
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.toDF("bk", "rc", "tc")
+      val (rtot, ttot) = statsRows.find(_.isNullAt(0))
+        .map(r => (r.getLong(1), r.getLong(2))).getOrElse((0L, 0L))
+      val score = b.join(broadcast(bc), "bk")
+        .select(col("doc_id"), col("lang"),
+          when(col("tc") * lit(rtot) > col("rc") * lit(ttot), 1L)
+            .otherwise(0L).as("v"))
+        .groupBy("doc_id", "lang")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      val keys = score
+        .select(col("doc_id"), col("lang"),
+          expr("cast(1 + ((s * 1000000) div n) div 125000 as int)").as("w"))
+        .join(norm.select("doc_id", "q"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("w"),
+          explode(sequence(lit(1), col("w"))).as("j"), col("q"))
+        .select(col("doc_id"), col("lang"), col("w"),
+          sha2(concat_ws(":", col("q"), col("j")), 256).as("skey"))
+        .groupBy("doc_id", "lang", "w").agg(min("skey").as("skey"))
+      val wL = Window.partitionBy("lang").orderBy(col("skey"), col("doc_id"))
+      keys.select(col("doc_id"), col("lang"), col("w"),
+          row_number().over(wL).as("rk"))
+        .filter(col("rk") <= 15)
+    },
+
+    // L55 — per-document novelty scoring: what fraction of a doc's
+    // distinct 3-gram shingles does the corpus see FIRST in this doc
+    // (first = lowest doc_id)? The dedup-impact metric at document
+    // grain — exact duplicates of an earlier doc score 0, the earliest
+    // copy keeps its novelty, and boilerplate-heavy docs sit low. Plan:
+    // shingle-explode → first-seen agg (shuffle 1, partial min) → join
+    // back on shingle (shuffle 2) → per-doc partial-agg'd counts → the
+    // bottom-40 "most redundant" cut via global sort+limit
+    // (TakeOrderedAndProject: each task forwards ≤40 rows) with the rank
+    // numbered over the ≤40 survivors — same limit-then-number rewrite
+    // as q_curriculum. Shares the duckShingles CTE so the shingle unit
+    // stays byte-identical with the dedup family.
+    "q_novelty" -> Q(
+      s"""WITH ${LlmQueries.duckShingles},
+        |ex AS (SELECT doc_id, unnest(sh) AS g FROM base),
+        |fs AS (SELECT g, min(doc_id) AS fd FROM ex GROUP BY 1),
+        |per AS (
+        |  SELECT e.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_shingles,
+        |    CAST(sum(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new
+        |  FROM ex e JOIN fs f ON e.g = f.g GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, n_shingles, n_new,
+        |    (n_new * 1000000) // n_shingles AS novelty_ppm
+        |  FROM per)
+        |SELECT doc_id, n_shingles, n_new,
+        |  CAST(novelty_ppm AS BIGINT) AS novelty_ppm,
+        |  CAST(rk AS INTEGER) AS rk
+        |FROM (SELECT doc_id, n_shingles, n_new, novelty_ppm,
+        |        row_number() OVER (ORDER BY novelty_ppm, doc_id) AS rk
+        |      FROM sc)
+        |WHERE rk <= 40""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val ex = d.select(d("doc_id"),
+        explode(TextOps.shingleSet(d("text"), 3)).as("g"))
+      val fs = ex.groupBy("g").agg(min("doc_id").as("fd"))
+      val per = ex.join(fs, "g")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_new"))
+        .select(col("doc_id"), col("n_shingles"), col("n_new"),
+          expr("(n_new * 1000000) div n_shingles").as("novelty_ppm"))
+      val wG = Window.orderBy(col("novelty_ppm"), col("doc_id"))
+      per.orderBy(col("novelty_ppm"), col("doc_id")).limit(40)
+        .withColumn("rk", row_number().over(wG))
+    },
+  )
+}

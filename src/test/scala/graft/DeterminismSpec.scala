@@ -32,7 +32,11 @@ class DeterminismSpec extends SparkSpec {
       // round 9: PPSWOR min-key ranks and the distributed prefix sum —
       // both hash-gated on exact rank/cumsum order — plus the composed
       // recipe whose stage boundaries depend on both
-      "q_weighted_sample", "q_token_budget", "q_data_recipe")
+      "q_weighted_sample", "q_token_budget", "q_data_recipe",
+      // round 9, selection tier: global limit-then-number cuts, the
+      // stat-literal injection (importance), and min-key PPSWOR ranks
+      "q_curriculum", "q_quality_classifier", "q_importance_resample",
+      "q_novelty")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -578,4 +578,59 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"),
       s"message sums must combine map-side:\n$p")
   }
+
+  test("q_curriculum: global cut is TakeOrderedAndProject, never a corpus-wide single-partition window") {
+    // the interleave position is limit-then-number: global sort+limit
+    // (every task forwards ≤60 rows) with the row_number window running
+    // over the ≤60 survivors only — the filter-over-global-row_number
+    // form degenerates to a full single-partition Window sort
+    val p = plan("q_curriculum")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected global sort+limit:\n$p")
+    assert(p.indexOf("TakeOrderedAndProject") >
+      p.indexOf("Window [row_number()"),
+      s"the numbering window must sit ABOVE the limit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
+
+  test("q_quality_classifier: one scan, partial aggs at both levels, no join") {
+    // a linear classifier over hashed features is a pure scan-side map +
+    // two-level aggregation; any join or second scan means the weight
+    // lookup left the codegen path
+    val p = plan("q_quality_classifier")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"classifier must be single-scan:\n$p")
+    assert(p.contains("partial_sum"), s"per-doc sums must combine map-side:\n$p")
+    assert(!p.contains("Join"), s"hashed weights need no join:\n$p")
+  }
+
+  test("q_importance_resample: stat literals broadcast, one vote-pass explode, two-phase per-lang cut") {
+    // the 257-row rollup stats are collected and re-injected as a
+    // LocalTableScan broadcast + literal totals, so the MAIN job holds
+    // exactly one token explode (the vote pass — the bounded
+    // explode(sequence) key-gen is separate); the per-lang sample cut is
+    // Partial+Final WindowGroupLimit
+    val p = plan("q_importance_resample")
+    assert(p.contains("LocalTableScan"),
+      s"bucket stats must inject as a literal table:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"bucket stats must broadcast:\n$p")
+    assert(p.linesIterator.count(_.contains("explode(split")) == 1,
+      s"exactly one vote-pass token explode in the main job:\n$p")
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"expected Partial+Final WindowGroupLimit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
+
+  test("q_novelty: partial-min first-seen agg + global TakeOrdered cut") {
+    // first-seen(shingle) must combine map-side before its shuffle, and
+    // the bottom-40 redundancy cut is global sort+limit, not a
+    // single-partition window over every document
+    val p = plan("q_novelty")
+    assert(p.contains("partial_min"),
+      s"first-seen agg must combine map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected global sort+limit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the data-selection & scoring tier (L52–L55)
+  * on real corpus data — the structural invariants the DuckDB hash gate
+  * certifies only implicitly: dense interleave positions, per-group
+  * conservation of classified docs, PPSWOR weight bounds, and the
+  * duplicate⇒zero-novelty law.
+  */
+class SelectionSpec extends SparkSpec {
+
+  private def run(q: String) = SparkEntry.queries(q)(spark, sf0001)
+
+  test("q_curriculum: dense positions, round-robin interleave, difficulty-monotone per source") {
+    val rows = run("q_curriculum").collect()
+    assert(rows.nonEmpty)
+    val byPos = rows.sortBy(_.getAs[Int]("pos"))
+    assert(byPos.map(_.getAs[Int]("pos")).toSeq == (1 to rows.length),
+      "positions must be dense 1..N")
+    // the interleave order is (rk, source): rk never decreases globally,
+    // and within each source the ranks are dense and difficulty-sorted
+    val rks = byPos.map(_.getAs[Int]("rk")).toSeq
+    assert(rks.zip(rks.tail).forall { case (a, b) => a <= b },
+      "per-source rank must be non-decreasing along the global order")
+    byPos.groupBy(_.getAs[String]("source")).values.foreach { rs =>
+      assert(rs.sortBy(_.getAs[Int]("pos")).map(_.getAs[Int]("rk")).toSeq ==
+        (1 to rs.length), "each source's ranks must be dense in order")
+      val d = rs.sortBy(_.getAs[Int]("rk"))
+        .map(_.getAs[Long]("difficulty_ppk"))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b },
+        "difficulty must be non-decreasing within a source")
+    }
+  }
+
+  test("q_quality_classifier: keep+drop conserves the per-(source,lang) doc count") {
+    val res = run("q_quality_classifier").collect()
+    val expected = Tables.table(spark, sf0001, "documents")
+      .groupBy("source", "lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(res.map(r => (r.getAs[String]("source"), r.getAs[String]("lang")))
+      .toSet == expected.keySet, "every (source,lang) group must report")
+    res.foreach { r =>
+      val k = (r.getAs[String]("source"), r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_keep") + r.getAs[Long]("n_drop") == expected(k),
+        s"classified docs must conserve the group count at $k")
+    }
+  }
+
+  test("q_importance_resample: weight bounds, dense per-lang ranks, repeat-run stability") {
+    val a = run("q_importance_resample").collect()
+    assert(a.nonEmpty)
+    assert(a.forall { r =>
+      val w = r.getAs[Int]("w"); w >= 1 && w <= 9
+    }, "PPSWOR weights must stay in the documented [1,9] explode bound")
+    a.groupBy(_.getAs[String]("lang")).values.foreach { g =>
+      assert(g.length <= 15, "per-lang cut is 15")
+      assert(g.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to g.length),
+        "per-lang ranks must be dense")
+    }
+    // the stat-literal injection (driver-side collect of the rollup)
+    // must be deterministic: two full runs agree row-for-row
+    val b = run("q_importance_resample").collect()
+    assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq)
+  }
+
+  test("q_novelty: exact duplicates of an earlier doc score zero novelty") {
+    import spark.implicits._
+    val d = Tables.table(spark, sf0001, "documents")
+    val wD = Window.partitionBy(lower(trim(col("text"))))
+      .orderBy(col("doc_id"))
+    val dupIds = d.select(col("doc_id"),
+        row_number().over(wD).as("rn"))
+      .filter(col("rn") > 1).select("doc_id").as[Long].collect().toSet
+    val res = run("q_novelty").collect()
+    assert(res.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to res.length),
+      "ranks must be dense 1..N")
+    val byRk = res.sortBy(_.getAs[Int]("rk"))
+      .map(_.getAs[Long]("novelty_ppm"))
+    assert(byRk.zip(byRk.tail).forall { case (a, b) => a <= b },
+      "novelty must ascend with rank")
+    res.foreach { r =>
+      if (dupIds.contains(r.getAs[Long]("doc_id")))
+        assert(r.getAs[Long]("novelty_ppm") == 0L,
+          s"duplicate doc ${r.getAs[Long]("doc_id")} must score 0")
+    }
+    // the corpus ships exact twins: the most-redundant cut must surface
+    // zero-novelty docs at its head
+    if (dupIds.nonEmpty)
+      assert(byRk.head == 0L, "rank 1 must be a zero-novelty duplicate")
+  }
+}
