@@ -2204,5 +2204,89 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
           min("density_ppm").as("min_density_ppm"))
     },
+
+    // L56 — BPE merge training (the tokenizer-training kernel), 3
+    // iterations, oracle-exact: the merge loop runs on the aggregated
+    // word-count table (vocab-sized — the corpus is scanned ONCE), and a
+    // merge is a literal string replace over the double-spaced char-token
+    // representation, so left-to-right non-overlapping replace applies it
+    // exactly like a greedy BPE pass in BOTH engines (see ops/llm/Bpe).
+    // The oracle unrolls the three (pair-count → argmax → replace)
+    // iterations as CTEs; argmax tie-break is (count desc, pair asc).
+    "q_bpe_train" -> Q(
+      raw"""WITH $duckBpeBase,
+        |${bpeIterSql(1)},
+        |${bpeIterSql(2)},
+        |${bpeIterSql(3)}
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INTEGER) AS it, pr AS pair,
+        |    CAST(cnt AS BIGINT) AS cnt FROM b1
+        |  UNION ALL SELECT CAST(2 AS INTEGER), pr, CAST(cnt AS BIGINT)
+        |    FROM b2
+        |  UNION ALL SELECT CAST(3 AS INTEGER), pr, CAST(cnt AS BIGINT)
+        |    FROM b3)""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Bpe.train(table(s, dir, "documents"), "text", 3)
+        .toDF("it", "pair", "cnt")
+    },
+
+    // L56b — apply the learned merges back to the corpus: the
+    // tokenization-serving pass. A PURE lineage (no checkpoint): one
+    // corpus pass through the word aggregation, three chained literal
+    // replaces, token explode, top-20 by (count desc, token) via the
+    // limit-then-number cut. Certifies the trained merge table actually
+    // produces the merged vocabulary both engines agree on.
+    "q_bpe_apply" -> Q(
+      raw"""WITH $duckBpeBase,
+        |${bpeIterSql(1)},
+        |${bpeIterSql(2)},
+        |${bpeIterSql(3)},
+        |ap AS (SELECT unnest(string_split_regex(trim(s), '\s+')) AS token,
+        |         c FROM s3),
+        |tc AS (SELECT token, sum(c) AS cnt FROM ap GROUP BY 1)
+        |SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(rk AS INTEGER) AS rk
+        |FROM (SELECT token, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, token) AS rk
+        |      FROM tc)
+        |WHERE rk <= 20""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val merges = Bpe.train(docs, "text", 3).map(_._2)
+      val counts = Bpe.tokenCounts(Bpe.applyMerges(docs, "text", merges))
+      val wG = Window.orderBy(col("cnt").desc, col("token"))
+      counts.orderBy(col("cnt").desc, col("token")).limit(20)
+        .withColumn("rk", row_number().over(wG))
+    },
   )
+
+  // DuckDB-side BPE word state (mirrors Bpe.wordState): distinct words
+  // with occurrence counts, chars double-space-joined + '</w>' marker,
+  // double-space padded.
+  // def, not val: referenced from the `all` initializer above
+  private def duckBpeBase =
+    raw"""wc AS (
+      |  SELECT w, count(*) AS c FROM (
+      |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |    FROM documents) GROUP BY 1),
+      |s0 AS (
+      |  SELECT '  ' || regexp_replace(w, '(.)', '\1  ', 'g') || '</w>  '
+      |    AS s, c
+      |  FROM wc)""".stripMargin
+
+  // One unrolled BPE iteration (mirrors Bpe.pairCounts + the argmax +
+  // Bpe.mergeOne): pair counts over s{i-1}, 1-row argmax b{i}, merged
+  // state s{i}.
+  private def bpeIterSql(i: Int): String = {
+    val prev = s"s${i - 1}"
+    raw"""p$i AS (
+      |  SELECT t[j] || ' ' || t[j+1] AS pr, c FROM (
+      |    SELECT string_split_regex(trim(s), '\s+') AS t, c FROM $prev),
+      |  LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS j) g),
+      |pc$i AS (SELECT pr, sum(c) AS cnt FROM p$i GROUP BY 1),
+      |b$i AS (SELECT pr, cnt FROM pc$i ORDER BY cnt DESC, pr ASC LIMIT 1),
+      |s$i AS (SELECT replace(s,
+      |    ' ' || (SELECT string_split(pr, ' ')[1] FROM b$i) || '  ' ||
+      |      (SELECT string_split(pr, ' ')[2] FROM b$i) || ' ',
+      |    ' ' || (SELECT replace(pr, ' ', '') FROM b$i) || ' ') AS s, c
+      |  FROM $prev)""".stripMargin
+  }
 }

@@ -36,7 +36,11 @@ class DeterminismSpec extends SparkSpec {
       // round 9, selection tier: global limit-then-number cuts, the
       // stat-literal injection (importance), and min-key PPSWOR ranks
       "q_curriculum", "q_quality_classifier", "q_importance_resample",
-      "q_novelty")
+      "q_novelty",
+      // round 9, tokenizer trainer: driver-looped argmax + literal
+      // replaces — the merge table and merged vocab must not depend on
+      // partitioning
+      "q_bpe_train", "q_bpe_apply")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -622,6 +622,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
   }
 
+  test("q_bpe_apply: serving pass is one corpus scan, partial-agg'd, no join") {
+    // the tokenization-serving lineage (word agg → chained literal
+    // replaces → token counts → top-K) must stay a single corpus scan
+    // with map-side combines and the global cut as TakeOrderedAndProject;
+    // train()'s own jobs run at fn-invocation time and are separate
+    val p = plan("q_bpe_apply")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"serving pass must be single-scan:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"aggs must combine map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected global sort+limit:\n$p")
+    assert(!p.contains("Join"), s"merge application needs no join:\n$p")
+  }
+
   test("q_novelty: partial-min first-seen agg + global TakeOrdered cut") {
     // first-seen(shingle) must combine map-side before its shuffle, and
     // the bottom-40 redundancy cut is global sort+limit, not a
