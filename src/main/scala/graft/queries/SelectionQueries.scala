@@ -269,5 +269,45 @@ object SelectionQueries {
       per.orderBy(col("novelty_ppm"), col("doc_id")).limit(40)
         .withColumn("rk", row_number().over(wG))
     },
+
+    // L57 — token-balanced training-shard assignment under a
+    // deterministic global shuffle: the "materialize the dataloader
+    // shards" step. Order = (sha256(doc_id), doc_id) — a deterministic
+    // pseudo-random permutation both engines replay — and a doc lands in
+    // the shard its FIRST token falls into at a 50k-token stride:
+    // shard = exclusive-prefix-tokens // 50000. The running total is the
+    // distributed ops/PrefixSum (range partition + local cumsums +
+    // broadcast offsets), so shard boundaries come from exact integer
+    // arithmetic on a scale-shaped plan, not a single-partition window.
+    // Report: per-shard doc/token totals (shard skew is the thing this
+    // op exists to bound — each shard carries ≤ stride + max_doc_tokens).
+    "q_shard_tokens" -> Q(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS BIGINT) AS n_tok,
+        |    sha256(CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (ORDER BY skey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS tok_cum
+        |  FROM t)
+        |SELECT CAST((tok_cum - n_tok) // 50000 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val t = d.select(d("doc_id"),
+        size(TextOps.tokens(d("text"))).cast("long").as("n_tok"),
+        sha2(d("doc_id").cast("string"), 256).as("skey"))
+      graft.ops.PrefixSum.runningSum(t,
+          Seq(col("skey").asc, col("doc_id").asc), col("n_tok"), "tok_cum")
+        .select(expr("(tok_cum - n_tok) div 50000").as("shard"),
+          col("n_tok"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    },
   )
 }

@@ -40,7 +40,10 @@ class DeterminismSpec extends SparkSpec {
       // round 9, tokenizer trainer: driver-looped argmax + literal
       // replaces — the merge table and merged vocab must not depend on
       // partitioning
-      "q_bpe_train", "q_bpe_apply")
+      "q_bpe_train", "q_bpe_apply",
+      // round 9: shard boundaries from the distributed prefix sum over
+      // the sha-shuffle order
+      "q_shard_tokens")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -622,6 +622,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
   }
 
+  test("q_shard_tokens: range-partitioned prefix sum + partial-agg'd shard rollup") {
+    // shard assignment inherits the PrefixSum scale shape (range
+    // exchange over the shuffle order, broadcast offset join-back) and
+    // the report must combine map-side; no single-partition data window
+    val p = plan("q_shard_tokens")
+    assert(p.toLowerCase.contains("range"),
+      s"expected the PrefixSum range exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"partition offsets must join back via broadcast:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"shard rollup must partial-agg:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
+
   test("q_bpe_apply: serving pass is one corpus scan, partial-agg'd, no join") {
     // the tokenization-serving lineage (word agg → chained literal
     // replaces → token counts → top-K) must stay a single corpus scan

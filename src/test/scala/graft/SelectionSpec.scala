@@ -90,4 +90,25 @@ class SelectionSpec extends SparkSpec {
     if (dupIds.nonEmpty)
       assert(byRk.head == 0L, "rank 1 must be a zero-novelty duplicate")
   }
+
+  test("q_shard_tokens: dense shards, conserved totals, bounded skew") {
+    val res = run("q_shard_tokens").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"))).sortBy(_._1)
+    assert(res.nonEmpty)
+    assert(res.map(_._1).toSeq == (0L until res.length).toSeq,
+      "shard ids must be dense 0..N-1")
+    val d = Tables.table(spark, sf0001, "documents")
+    val perDoc = d.select(size(split(lower(trim(col("text"))), "\\s+"))
+      .cast("long").as("n")).collect().map(_.getLong(0))
+    assert(res.map(_._2).sum == perDoc.length,
+      "every doc lands in exactly one shard")
+    assert(res.map(_._3).sum == perDoc.sum,
+      "token mass is conserved across shards")
+    // a doc is assigned by its FIRST token, so a shard holds at most
+    // stride-1 tokens of starts plus one straddling doc
+    val bound = 50000L + perDoc.max
+    assert(res.forall(_._3 < bound),
+      s"per-shard tokens must stay under stride+max_doc ($bound)")
+  }
 }
