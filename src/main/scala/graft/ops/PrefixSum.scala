@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   * every deterministic window in this engine has) — asserted in
   * PrefixSumSpec by parity with the single-partition form and stability
   * under input repartitioning.
+  *
+  * Known, deliberate trade: the per-partition window clusters on the
+  * stamped partition id, and Catalyst cannot prove the range exchange
+  * already provides that clustering (spark_partition_id() is opaque to
+  * RangePartitioning), so the plan carries a second hash exchange on
+  * __pid. Both exchanges move only the compact per-row table the
+  * callers feed in (ids + a few longs, never document text), AQE reuses
+  * the range stage across the data/offsets branches, and the form stays
+  * fully declarative — versus an RDD mapPartitions cumsum that would
+  * save the pid exchange but sever codegen and the SQL plan.
   */
 object PrefixSum {
 
@@ -34,22 +44,42 @@ object PrefixSum {
     * `sort` columns must totally order the input (add a unique tie-break).
     */
   def runningSum(df: DataFrame, sort: Seq[Column], value: Column,
-                 out: String): DataFrame = {
+                 out: String): DataFrame =
+    runningSums(df, sort, Seq(value -> out))
+
+  /** Multi-column form: all running totals share ONE range exchange and
+    * one offset broadcast (n totals cost the same shuffles as one —
+    * calling [[runningSum]] n times would range-partition the data n
+    * times).
+    */
+  def runningSums(df: DataFrame, sort: Seq[Column],
+                  values: Seq[(Column, String)]): DataFrame = {
+    require(values.nonEmpty)
+    val idx = values.indices
     val ranged = df.repartitionByRange(sort: _*)
       .withColumn("__pid", spark_partition_id())
     val localW = Window.partitionBy("__pid").orderBy(sort: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("__val", value.cast("long"))
-      .withColumn("__local", sum(col("__val")).over(localW))
+    val local = idx.foldLeft(ranged) { (acc, i) =>
+      acc.withColumn(s"__val$i", values(i)._1.cast("long"))
+        .withColumn(s"__local$i", sum(col(s"__val$i")).over(localW))
+    }
     // one row per partition — window over ~shuffle.partitions rows, the
     // only place a single-partition window is the RIGHT tool
     val offW = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy("__pid").agg(sum("__val").as("__ptot"))
-      .withColumn("__off", coalesce(sum("__ptot").over(offW), lit(0L)))
-      .select(col("__pid"), col("__off"))
-    local.join(broadcast(offsets), "__pid")
-      .withColumn(out, col("__local") + col("__off"))
-      .drop("__pid", "__val", "__local")
+    val ptots = idx.map(i => sum(col(s"__val$i")).as(s"__ptot$i"))
+    val offsets = idx.foldLeft(
+        local.groupBy("__pid").agg(ptots.head, ptots.tail: _*)) { (acc, i) =>
+        acc.withColumn(s"__off$i",
+          coalesce(sum(col(s"__ptot$i")).over(offW), lit(0L)))
+      }
+      .select(col("__pid") +: idx.map(i => col(s"__off$i")): _*)
+    val out = idx.foldLeft(local.join(broadcast(offsets), "__pid")) {
+      (acc, i) => acc.withColumn(values(i)._2,
+        col(s"__local$i") + col(s"__off$i"))
+    }
+    out.drop("__pid" +:
+      idx.flatMap(i => Seq(s"__val$i", s"__local$i", s"__off$i")): _*)
   }
 }

@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables.table
 import graft.ops.llm._
 
-/** Data-selection & scoring tier (SURVEY.md §2.12 L52–L55): the stages a
-  * training-data pipeline runs between "corpus cleaned" and "corpus
-  * sampled" — curriculum ordering, model-based quality classification,
-  * DSIR-style importance resampling, and per-document novelty scoring.
+/** Data-selection & scoring tier (SURVEY.md §2.12 L52–L55, L57): the
+  * stages a training-data pipeline runs between "corpus cleaned" and
+  * "corpus sharded" — curriculum ordering, model-based quality
+  * classification, DSIR-style importance resampling, per-document
+  * novelty scoring, and token-balanced shard assignment.
   *
   * Everything is exact-integer / content-digest arithmetic so every query
   * is fully hash-checked against the DuckDB oracle — the floating forms of
@@ -308,6 +309,58 @@ object SelectionQueries {
           col("n_tok"))
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    },
+
+    // L58 — vocabulary growth curve (Heaps' law at corpus grain): how
+    // many distinct 3-gram shingles has the corpus accumulated after
+    // each 500-doc-id bucket, vs tokens read. The scale trick: cumulative
+    // DISTINCT needs no giant distinct state — every distinct shingle is
+    // counted exactly once at its first-seen doc (the q_novelty n_new),
+    // so the curve is just TWO running totals over doc order, and both
+    // share ONE range exchange via PrefixSum.runningSums. The growth
+    // curve is what tells you when a source is mined out (diminishing
+    // new-vocab per token) — the stop-crawling signal.
+    "q_vocab_growth" -> Q(
+      s"""WITH ${LlmQueries.duckShingles},
+        |ex AS (SELECT doc_id, unnest(sh) AS g FROM base),
+        |fs AS (SELECT g, min(doc_id) AS fd FROM ex GROUP BY 1),
+        |per AS (
+        |  SELECT e.doc_id,
+        |    sum(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END) AS n_new
+        |  FROM ex e JOIN fs f ON e.g = f.g GROUP BY 1),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT p.doc_id,
+        |    sum(t.n_tok) OVER w AS tok_cum,
+        |    sum(p.n_new) OVER w AS vocab_cum
+        |  FROM per p JOIN tok t ON p.doc_id = t.doc_id
+        |  WINDOW w AS (ORDER BY p.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CAST(doc_id // 500 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(tok_cum) AS BIGINT) AS toks_cum,
+        |  CAST(max(vocab_cum) AS BIGINT) AS vocab_cum
+        |FROM c GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val ex = d.select(d("doc_id"),
+        explode(TextOps.shingleSet(d("text"), 3)).as("g"))
+      val fs = ex.groupBy("g").agg(min("doc_id").as("fd"))
+      val per = ex.join(fs, "g").groupBy("doc_id")
+        .agg(sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_new"))
+      val tok = d.select(d("doc_id"),
+        size(TextOps.tokens(d("text"))).cast("long").as("n_tok"))
+      graft.ops.PrefixSum.runningSums(per.join(tok, "doc_id"),
+          Seq(col("doc_id").asc),
+          Seq(col("n_tok") -> "tok_cum", col("n_new") -> "vocab_cum"))
+        .select(expr("doc_id div 500").as("bucket"),
+          col("tok_cum"), col("vocab_cum"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_docs"),
+          max("tok_cum").as("toks_cum"), max("vocab_cum").as("vocab_cum"))
     },
   )
 }

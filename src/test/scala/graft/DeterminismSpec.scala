@@ -42,8 +42,8 @@ class DeterminismSpec extends SparkSpec {
       // partitioning
       "q_bpe_train", "q_bpe_apply",
       // round 9: shard boundaries from the distributed prefix sum over
-      // the sha-shuffle order
-      "q_shard_tokens")
+      // the sha-shuffle order; the growth curve's twin running totals
+      "q_shard_tokens", "q_vocab_growth")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -636,6 +636,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
   }
 
+  test("q_vocab_growth: both running totals share one range exchange") {
+    // the growth curve's two cumulative sums (tokens, new-vocab) must
+    // ride the SAME PrefixSum range partition of the per-doc table — a
+    // per-column runningSum chain would range-partition per column. The
+    // static pre-AQE plan shows the one range exchange twice (data path
+    // + offsets lineage, AQE-stage-reused at runtime), so the bound is 2.
+    val p = plan("q_vocab_growth")
+    assert(p.contains("rangepartitioning"),
+      s"expected the PrefixSum range exchange:\n$p")
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning")) <= 2,
+      s"running totals must share one range partition:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"partition offsets must join back via broadcast:\n$p")
+    assert(p.contains("partial_min"),
+      s"first-seen agg must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
+
   test("q_bpe_apply: serving pass is one corpus scan, partial-agg'd, no join") {
     // the tokenization-serving lineage (word agg → chained literal
     // replaces → token counts → top-K) must stay a single corpus scan

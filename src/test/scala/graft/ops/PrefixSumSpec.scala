@@ -47,4 +47,29 @@ class PrefixSumSpec extends SparkSpec {
     assert(PrefixSum.runningSum(empty, Seq(col("id").asc), col("v"), "cum")
       .count() == 0L)
   }
+
+  test("multi-column form: parity per column, one range exchange total") {
+    val df = fixture.withColumn("v2", col("id") % 11)
+    val sort = Seq(col("grp_key").desc, col("id").asc)
+    val multi = PrefixSum.runningSums(df, sort,
+      Seq(col("v") -> "c1", col("v2") -> "c2"))
+    val got = multi.select("id", "c1", "c2")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val w = Window.orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = df.withColumn("c1", sum("v").over(w))
+      .withColumn("c2", sum("v2").over(w))
+      .select("id", "c1", "c2")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == exp)
+    // n totals must share one range partition of the data — the static
+    // pre-AQE plan shows the range exchange once per consuming branch
+    // (data path + offsets lineage, deduped by AQE stage reuse at
+    // runtime), so the bound is 2 regardless of column count; the naive
+    // per-column runningSum chain would show 2 PER COLUMN
+    val p = multi.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning")) <= 2,
+      s"multi-column form must not range-partition per column:\n$p")
+  }
 }
