@@ -68,7 +68,7 @@ object Bpe {
   : Seq[(Int, String, Long)] = {
     import org.apache.spark.storage.StorageLevel
     var st = wordState(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
-    val pinned = scala.collection.mutable.ListBuffer(st)
+    var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, Long)]
     try {
       var it = 1
@@ -76,18 +76,26 @@ object Bpe {
       while (it <= k && continue) {
         val best = pairCounts(st)
           .orderBy(col("cnt").desc, col("pr").asc).limit(1).collect()
+        // that job materialized st's cache — its predecessor is dead
+        // weight now; at a realistic k (thousands of merges) retaining
+        // every intermediate state would hold O(k) vocab-table copies
+        prev.foreach(_.unpersist(blocking = true))
+        prev = None
         if (best.isEmpty) continue = false
         else {
           val pr = best(0).getString(0)
           merges += ((it, pr, best(0).getLong(1)))
           if (it < k) {
+            prev = Some(st)
             st = mergeOne(st, pr).persist(StorageLevel.MEMORY_AND_DISK)
-            pinned += st
           }
           it += 1
         }
       }
-    } finally pinned.foreach(_.unpersist(blocking = true))
+    } finally {
+      prev.foreach(_.unpersist(blocking = true))
+      st.unpersist(blocking = true)
+    }
     merges.toList
   }
 

@@ -2274,7 +2274,12 @@ object LlmQueries {
 
   // One unrolled BPE iteration (mirrors Bpe.pairCounts + the argmax +
   // Bpe.mergeOne): pair counts over s{i-1}, 1-row argmax b{i}, merged
-  // state s{i}.
+  // state s{i}. The coalesce guards mirror Spark's early loop exit when
+  // training converges in fewer than k merges: an empty b{i} would
+  // NULL-poison the concatenated pattern and wipe the word state — the
+  // fallback '   ' (three spaces) makes the replace an identity no-op
+  // (token boundaries are exactly two spaces, and pattern==replacement
+  // even if it ever matched).
   private def bpeIterSql(i: Int): String = {
     val prev = s"s${i - 1}"
     raw"""p$i AS (
@@ -2284,9 +2289,11 @@ object LlmQueries {
       |pc$i AS (SELECT pr, sum(c) AS cnt FROM p$i GROUP BY 1),
       |b$i AS (SELECT pr, cnt FROM pc$i ORDER BY cnt DESC, pr ASC LIMIT 1),
       |s$i AS (SELECT replace(s,
-      |    ' ' || (SELECT string_split(pr, ' ')[1] FROM b$i) || '  ' ||
-      |      (SELECT string_split(pr, ' ')[2] FROM b$i) || ' ',
-      |    ' ' || (SELECT replace(pr, ' ', '') FROM b$i) || ' ') AS s, c
+      |    coalesce(' ' || (SELECT string_split(pr, ' ')[1] FROM b$i) ||
+      |      '  ' || (SELECT string_split(pr, ' ')[2] FROM b$i) ||
+      |      ' ', '   '),
+      |    coalesce(' ' || (SELECT replace(pr, ' ', '') FROM b$i) ||
+      |      ' ', '   ')) AS s, c
       |  FROM $prev)""".stripMargin
   }
 }

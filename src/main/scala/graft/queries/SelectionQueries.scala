@@ -19,6 +19,23 @@ import graft.ops.llm._
   */
 object SelectionQueries {
 
+  /** Per-doc first-seen shingle counts — (doc_id, n_shingles, n_new)
+    * where n_new counts the doc's distinct 3-gram shingles whose corpus-
+    * wide first occurrence (minimum doc_id) is this doc. Shared by
+    * q_novelty and q_vocab_growth so the shingle unit and first-seen
+    * tie-break stay identical — the Spark-side twin of the shared
+    * duckShingles CTE.
+    */
+  private def firstSeenCounts(d: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    val ex = d.select(d("doc_id"),
+      explode(TextOps.shingleSet(d("text"), 3)).as("g"))
+    val fs = ex.groupBy("g").agg(min("doc_id").as("fd"))
+    ex.join(fs, "g").groupBy("doc_id").agg(
+      count(lit(1)).as("n_shingles"),
+      sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_new"))
+  }
+
   val all: Map[String, Q] = Map(
 
     // L52 — curriculum ordering: difficulty-ascending training order with
@@ -256,14 +273,7 @@ object SelectionQueries {
         |      FROM sc)
         |WHERE rk <= 40""".stripMargin) { (s, dir) =>
       val d = table(s, dir, "documents")
-      val ex = d.select(d("doc_id"),
-        explode(TextOps.shingleSet(d("text"), 3)).as("g"))
-      val fs = ex.groupBy("g").agg(min("doc_id").as("fd"))
-      val per = ex.join(fs, "g")
-        .groupBy("doc_id").agg(
-          count(lit(1)).as("n_shingles"),
-          sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_new"))
+      val per = firstSeenCounts(d)
         .select(col("doc_id"), col("n_shingles"), col("n_new"),
           expr("(n_new * 1000000) div n_shingles").as("novelty_ppm"))
       val wG = Window.orderBy(col("novelty_ppm"), col("doc_id"))
@@ -346,12 +356,7 @@ object SelectionQueries {
         |  CAST(max(vocab_cum) AS BIGINT) AS vocab_cum
         |FROM c GROUP BY 1""".stripMargin) { (s, dir) =>
       val d = table(s, dir, "documents")
-      val ex = d.select(d("doc_id"),
-        explode(TextOps.shingleSet(d("text"), 3)).as("g"))
-      val fs = ex.groupBy("g").agg(min("doc_id").as("fd"))
-      val per = ex.join(fs, "g").groupBy("doc_id")
-        .agg(sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_new"))
+      val per = firstSeenCounts(d).select("doc_id", "n_new")
       val tok = d.select(d("doc_id"),
         size(TextOps.tokens(d("text"))).cast("long").as("n_tok"))
       graft.ops.PrefixSum.runningSums(per.join(tok, "doc_id"),

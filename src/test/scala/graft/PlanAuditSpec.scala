@@ -587,8 +587,9 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q_curriculum")
     assert(p.contains("TakeOrderedAndProject"),
       s"expected global sort+limit:\n$p")
-    assert(p.indexOf("TakeOrderedAndProject") >
-      p.indexOf("Window [row_number()"),
+    val win = p.indexOf("Window [row_number()")
+    assert(win >= 0, s"expected a row_number window in the plan:\n$p")
+    assert(p.indexOf("TakeOrderedAndProject") > win,
       s"the numbering window must sit ABOVE the limit:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
   }
