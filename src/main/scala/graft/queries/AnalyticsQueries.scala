@@ -706,6 +706,22 @@ object AnalyticsQueries {
       graft.streaming.StreamingPipeline.windowedEventCountsBatch(s, dir)
     },
 
+    // §2.10 — a REAL Structured Streaming run in the gate (not a batch
+    // twin): documents re-read as a file-source stream, exact-dedup as a
+    // stateful complete-mode aggregation (RocksDB state) drained with
+    // AvailableNow into a memory sink, then hash-matched against the
+    // batch oracle — min/count are commutative over micro-batches, so
+    // streaming and batch must agree bit-for-bit.
+    "q_stream_dedup" -> Q(
+      """WITH d AS (
+        |  SELECT sha256(lower(trim(text))) AS digest, doc_id
+        |  FROM documents)
+        |SELECT digest, CAST(min(doc_id) AS BIGINT) AS keep_doc,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM d GROUP BY 1""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamingPipeline.streamDedupComplete(s, dir)
+    },
+
     // §2.11.5/S1 — the reference's ACTUAL operational loop as a declared
     // hash-checked entry (README.md:81-91: hourly log files, a cumulative
     // frequency state, one incremental merge per run): documents.text is

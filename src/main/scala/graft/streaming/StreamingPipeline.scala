@@ -384,4 +384,56 @@ object StreamingPipeline {
           .as("window_start"),
         col("event_type"), col("cnt"))
   }
+
+  /** A REAL streaming run inside the correctness gate: documents.parquet
+    * read back as a file-source STREAM, exact-dedup as a stateful
+    * streaming aggregation (min doc_id + copy count per content digest,
+    * RocksDB state), drained with Trigger.AvailableNow into a complete-
+    * mode memory sink. The final state is order-independent (min/count
+    * are commutative over micro-batches), so the result hash-matches the
+    * batch DuckDB oracle — the streaming/batch equivalence claim as a
+    * first-class gate entry, not just a spec. Each invocation gets a
+    * fresh checkpoint + sink name (a reused checkpoint would mark the
+    * files processed and drain nothing); the checkpoint is deleted once
+    * the query stops — results live in the memory sink.
+    */
+  def streamDedupComplete(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val name = "graft_stream_dedup_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
+    // the file stream source requires a DIRECTORY; stage the table as 8
+    // files and drain 2 per trigger so the final state is genuinely
+    // merged across multiple micro-batches (min/count commutativity is
+    // what the oracle match then certifies), not a single-batch pass
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    spark.read.parquet(path).repartition(8)
+      .write.mode("overwrite").parquet(srcDir.toString)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(srcDir.toString)
+      .select(sha2(lower(trim(col("text"))), 256).as("digest"),
+        col("doc_id"))
+      .groupBy("digest")
+      .agg(min("doc_id").as("keep_doc"), count(lit(1)).as("n_copies"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      Seq(ckpt, srcDir).foreach { root =>
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+            catch { case _: java.io.IOException => () })
+      }
+    }
+    spark.table(name)
+  }
 }

@@ -42,8 +42,9 @@ class DeterminismSpec extends SparkSpec {
       // partitioning
       "q_bpe_train", "q_bpe_apply",
       // round 9: shard boundaries from the distributed prefix sum over
-      // the sha-shuffle order; the growth curve's twin running totals
-      "q_shard_tokens", "q_vocab_growth")
+      // the sha-shuffle order; the growth curve's twin running totals;
+      // the real streaming run (state merged across micro-batches)
+      "q_shard_tokens", "q_vocab_growth", "q_stream_dedup")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

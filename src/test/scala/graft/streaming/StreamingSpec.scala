@@ -334,4 +334,22 @@ class StreamingSpec extends SparkSpec {
     def toMap2: Map[(String, String), Long] =
       rows.map { case (p, q, f) => (p, q) -> f }.toMap
   }
+
+  test("streamDedupComplete: multi-microbatch stateful dedup equals the batch form") {
+    // the gate entry (q_stream_dedup) drains the corpus 2 files per
+    // trigger, so the complete-mode state merges across ≥4 micro-batches
+    // — the final table must still equal the one-pass batch aggregation
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingPipeline.streamDedupComplete(spark, dir)
+      .as[(String, Long, Long)].collect().toSet
+    val d = graft.Tables.table(spark, dir, "documents")
+    val expected = d.select(
+        sha2(lower(trim(col("text"))), 256).as("digest"), col("doc_id"))
+      .groupBy("digest")
+      .agg(min("doc_id").as("keep_doc"), count(lit(1)).as("n_copies"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
