@@ -49,12 +49,7 @@ private[graft] object IncrFixture {
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(root)))
 
   private def deleteTree(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => try java.nio.file.Files.deleteIfExists(f)
-          catch { case _: java.io.IOException => () })
-    }
+    graft.util.Fs.deleteRecursively(p)
 
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

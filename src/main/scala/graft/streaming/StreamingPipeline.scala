@@ -398,52 +398,55 @@ object StreamingPipeline {
     * the query stops — results live in the memory sink.
     */
   def streamDedupComplete(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/documents.parquet"
-    val schema = spark.read.parquet(path).schema
+    val src = Tables.table(spark, sfDir, "documents")
     val name = "graft_stream_dedup_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
-    // the file stream source requires a DIRECTORY; stage the table as 8
-    // files and drain 2 per trigger so the final state is genuinely
-    // merged across multiple micro-batches (min/count commutativity is
-    // what the oracle match then certifies), not a single-batch pass
     val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
-    spark.read.parquet(path).repartition(8)
-      .write.mode("overwrite").parquet(srcDir.toString)
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "2")
-      .parquet(srcDir.toString)
-      .select(sha2(lower(trim(col("text"))), 256).as("digest"),
-        col("doc_id"))
-      .groupBy("digest")
-      .agg(min("doc_id").as("keep_doc"), count(lit(1)).as("n_copies"))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally {
-      q.stop()
-      import scala.jdk.CollectionConverters._
-      Seq(ckpt, srcDir).foreach { root =>
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(p => try java.nio.file.Files.deleteIfExists(p)
-            catch { case _: java.io.IOException => () })
-      }
+    var started: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+    // everything after the temp dirs exist sits inside ONE try/finally:
+    // a failed staging write, start(), or mid-drain stream error must
+    // still delete both dirs and drop the sink view, or bench retries
+    // leak a corpus-sized staging copy per attempt (the r7 temp audit)
+    try {
+      // the file stream source requires a DIRECTORY; stage the table as
+      // 8 files and drain 2 per trigger so the final state is genuinely
+      // merged across multiple micro-batches (min/count commutativity
+      // is what the oracle match then certifies), not a single-batch
+      // pass
+      src.repartition(8).write.mode("overwrite").parquet(srcDir.toString)
+      val q = spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(srcDir.toString)
+        .select(sha2(lower(trim(col("text"))), 256).as("digest"),
+          col("doc_id"))
+        .groupBy("digest")
+        .agg(min("doc_id").as("keep_doc"), count(lit(1)).as("n_copies"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      started = Some(q)
+      q.awaitTermination()
+      // materialize off the memory sink (its temp view is dropped in the
+      // finally) so repeat invocations — bench repeats, determinism
+      // probes — don't accumulate driver-resident sink tables in the
+      // catalog. The memory sink itself is gate plumbing: a production
+      // deployment of this op writes each micro-batch through
+      // foreachBatch to parquet instead.
+      val sink = spark.table(name)
+      val rows = sink.collect()
+      val sinkSchema = sink.schema
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), sinkSchema)
+    } finally {
+      started.foreach(q => try q.stop()
+        catch { case _: Exception => () })
+      try spark.catalog.dropTempView(name)
+      catch { case _: Exception => () }
+      Seq(ckpt, srcDir).foreach(graft.util.Fs.deleteRecursively)
     }
-    // materialize off the memory sink and drop its temp view so repeat
-    // invocations (bench repeats, determinism probes) don't accumulate
-    // driver-resident sink tables in the catalog. The memory sink itself
-    // is gate plumbing: a production deployment of this op writes each
-    // micro-batch through foreachBatch to parquet instead.
-    val sink = spark.table(name)
-    val rows = sink.collect()
-    val sinkSchema = sink.schema
-    spark.catalog.dropTempView(name)
-    spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), sinkSchema)
   }
 }

@@ -340,7 +340,7 @@ class StreamingSpec extends SparkSpec {
     // trigger, so the complete-mode state merges across ≥4 micro-batches
     // — the final table must still equal the one-pass batch aggregation
     import org.apache.spark.sql.functions._
-    val dir = "/root/testdata/sf0.001"
+    val dir = sf0001
     val got = StreamingPipeline.streamDedupComplete(spark, dir)
       .as[(String, Long, Long)].collect().toSet
     val d = graft.Tables.table(spark, dir, "documents")
