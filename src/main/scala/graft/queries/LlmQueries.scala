@@ -2205,6 +2205,88 @@ object LlmQueries {
           min("density_ppm").as("min_density_ppm"))
     },
 
+    // L59 — the FUZZY-dedup training-mix recipe: q_data_recipe with the
+    // exact-digest stage replaced by the real near-dup pipeline — exact-
+    // Jaccard pairs (shared PPJoin base) → connected components → keep
+    // each cluster's min-id representative (exact twins have Jaccard 1,
+    // so fuzzy subsumes exact dedup) → quality gate → density-ordered
+    // token-budget selection (PrefixSum) → per-lang mix report. The
+    // oracle replays the ENTIRE chain, recursive-CTE components
+    // included, so the hash certifies the fuzzy-dedup → selection
+    // boundary — which documents survived clustering and fed the budget
+    // — not just each stage alone.
+    "q_data_recipe_fuzzy" -> Q(
+      s"""WITH RECURSIVE $duckShingles,
+        |tok_sh AS (SELECT doc_id, unnest(sh) g FROM base),
+        |sizes AS (SELECT doc_id, len(sh) n_ FROM base),
+        |inter AS (
+        |  SELECT l.doc_id a, r.doc_id b, CAST(count(*) AS INTEGER) inter
+        |  FROM tok_sh l JOIN tok_sh r ON l.g = r.g AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i.a, i.b FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.a
+        |  JOIN sizes sb ON sb.doc_id = i.b
+        |  WHERE i.inter * 10 >= (sa.n_ + sb.n_ - i.inter) * 8),
+        |edges AS (
+        |  SELECT a src, b dst FROM pairs
+        |  UNION ALL SELECT b, a FROM pairs),
+        |cc AS (
+        |  SELECT DISTINCT src AS node, src AS rep FROM edges
+        |  UNION
+        |  SELECT e.dst, cc.rep FROM cc, edges e WHERE cc.node = e.src),
+        |reps AS (SELECT node AS doc_id, min(rep) AS rep FROM cc
+        |         GROUP BY node),
+        |surv AS (
+        |  SELECT d.doc_id, d.lang, lower(trim(d.text)) AS q
+        |  FROM documents d
+        |  LEFT JOIN reps r ON d.doc_id = r.doc_id
+        |  WHERE r.rep IS NULL OR r.rep = d.doc_id),
+        |tokc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(q, '\\s+')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(string_split_regex(q, '\\s+')))
+        |      AS BIGINT) AS n_vocab
+        |  FROM surv),
+        |qual AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    (n_vocab * 1000000) // n_tok AS density_ppm
+        |  FROM tokc WHERE n_tok >= 3),
+        |sel AS (
+        |  SELECT lang, n_tok, density_ppm,
+        |    CAST(sum(n_tok) OVER (ORDER BY density_ppm DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS tok_cum
+        |  FROM qual)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(min(density_ppm) AS BIGINT) AS min_density_ppm
+        |FROM sel WHERE tok_cum - n_tok < 5000
+        |GROUP BY lang""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val pairs = SharedBases.jaccardPairs(s, dir)
+      val reps = Dedup.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("rep"))
+      val surv = d.join(reps, Seq("doc_id"), "left")
+        .filter(col("rep").isNull || col("rep") === col("doc_id"))
+        .select(d("doc_id"), d("lang"),
+          TextOps.normalized(d("text")).as("q"))
+      val toks = split(col("q"), "\\s+")
+      val qual = surv.select(col("doc_id"), col("lang"),
+          size(toks).cast("long").as("n_tok"),
+          size(array_distinct(toks)).cast("long").as("n_vocab"))
+        .filter(col("n_tok") >= 3)
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          expr("(n_vocab * 1000000) div n_tok").as("density_ppm"))
+      graft.ops.PrefixSum.runningSum(qual,
+          Seq(col("density_ppm").desc, col("doc_id").asc),
+          col("n_tok"), "tok_cum")
+        .filter(col("tok_cum") - col("n_tok") < 5000)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          min("density_ppm").as("min_density_ppm"))
+    },
+
     // L56 — BPE merge training (the tokenizer-training kernel), 3
     // iterations, oracle-exact: the merge loop runs on the aggregated
     // word-count table (vocab-sized — the corpus is scanned ONCE), and a

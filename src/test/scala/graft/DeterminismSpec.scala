@@ -44,7 +44,10 @@ class DeterminismSpec extends SparkSpec {
       // round 9: shard boundaries from the distributed prefix sum over
       // the sha-shuffle order; the growth curve's twin running totals;
       // the real streaming run (state merged across micro-batches)
-      "q_shard_tokens", "q_vocab_growth", "q_stream_dedup")
+      "q_shard_tokens", "q_vocab_growth", "q_stream_dedup",
+      // round 9: the fuzzy-dedup recipe — cluster reps feeding the
+      // budget selection must not depend on partitioning
+      "q_data_recipe_fuzzy")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

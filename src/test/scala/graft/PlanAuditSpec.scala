@@ -637,6 +637,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
   }
 
+  test("q_data_recipe_fuzzy: selection tail keeps the PrefixSum shape, no cartesian") {
+    // the fuzzy recipe's visible plan (the CC rounds are severed by
+    // their per-round localCheckpoints, by design — same as textrank)
+    // covers survivors-join → quality → budget → rollup; it must keep
+    // the range-partitioned prefix sum + broadcast offsets and stay
+    // cartesian-free
+    val p = plan("q_data_recipe_fuzzy")
+    assert(p.toLowerCase.contains("range"),
+      s"expected the PrefixSum range exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"partition offsets must join back via broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"final rollup must partial-agg:\n$p")
+  }
+
   test("q_vocab_growth: both running totals share one range exchange") {
     // the growth curve's two cumulative sums (tokens, new-vocab) must
     // ride the SAME PrefixSum range partition of the per-doc table — a
