@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Day-one robustness: the declared document queries must execute (and
+  * return empty, not crash) against an EMPTY documents table — the state
+  * a fresh pipeline deployment starts from. This is a different failure
+  * surface from EmptyInputSpec's op-level checks: it exercises the full
+  * query fns end-to-end, including driver-side phases (the importance
+  * resample's stat collect, BPE's train loop) whose empty-input branches
+  * a non-empty corpus never reaches.
+  */
+class EmptyTablesSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val dir = TempDirs.create("graft-empty-sf")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val docQueries = Seq(
+    "q_curriculum", "q_quality_classifier", "q_importance_resample",
+    "q_novelty", "q_vocab_growth", "q_shard_tokens", "q_token_budget",
+    "q_weighted_sample", "q_bpe_train", "q_bpe_apply", "q_stream_dedup")
+
+  test("document queries return empty results on an empty corpus") {
+    docQueries.foreach { q =>
+      val n = try SparkEntry.queries(q)(spark, emptyDir).count()
+      catch {
+        case e: Exception =>
+          fail(s"$q crashed on the empty corpus: $e")
+      }
+      assert(n == 0L, s"$q must be empty on an empty corpus, got $n rows")
+    }
+  }
+}
