@@ -539,4 +539,73 @@ object Similarity {
       .select(col("qid"), col("id"), col("rnk"),
         round(col("score"), 4).as("score4"))
   }
+
+  /** DBSCAN density clustering over an embedding corpus, with the
+    * eps-neighborhood defined on the unit sphere: p and q are neighbors
+    * iff cosine(p, q) >= tau. The curation use is density stratification —
+    * dense semantic regions (core/border) vs isolated outliers (noise) —
+    * the same structure SemDeDup prunes, but with an explicit density
+    * model and a first-class outlier class instead of a flat cut.
+    *
+    *  - core:   |N(p)| >= minPts, where N(p) includes p itself;
+    *  - cluster: connected components of the core-core neighbor graph,
+    *    labeled by the component's MIN core id (singleton cores — core
+    *    points with no core neighbor — label themselves);
+    *  - border: non-core with at least one core neighbor. Classic DBSCAN
+    *    leaves a multi-cluster border's assignment scan-order-dependent;
+    *    here it is pinned deterministic: the MIN cluster label among its
+    *    core neighbors;
+    *  - noise:  everything else, cluster = -1.
+    *
+    * Scale shape: the dominant cost is neighbor-pair mining, delegated to
+    * `cosinePairs` (exact, grid-decomposed — no cartesian, no corpus
+    * broadcast; at 100 TB swap in the IVF/LSH candidate front-end for an
+    * approximate neighborhood, everything downstream is unchanged). The
+    * mined >= tau graph is far smaller than the corpus; degree counting is
+    * one partial-agg'd groupBy, clustering is `Dedup.connectedComponents`
+    * (min-label propagation + pointer jumping, O(log diameter) rounds),
+    * and role assembly is semi/anti joins against the core set.
+    *
+    * `vectors` = (id, vec). Output: (vec_id, role, cluster).
+    */
+  def dbscan(vectors: DataFrame, tau: Double, minPts: Int,
+             blocks: Int = 16): DataFrame = {
+    val v = vectors.toDF("id", "vec")
+    // pairs feed four consumers (degrees, core-core edges, border join);
+    // eager-checkpoint so the quadratic mining front-end runs ONCE
+    val pairs = cosinePairs(v, tau, blocks).select(col("a"), col("b"))
+      .localCheckpoint(true)
+    val nbr = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
+    val deg = nbr.groupBy("src").agg(count(lit(1)).as("d"))
+    // |N(p)| >= minPts with N including p: degree >= minPts - 1
+    val core = deg.filter(col("d") >= (minPts - 1).toLong)
+      .select(col("src").as("id"))
+    val coreEdges = pairs
+      .join(core.select(col("id").as("ca")), col("a") === col("ca"),
+        "left_semi")
+      .join(core.select(col("id").as("cb")), col("b") === col("cb"),
+        "left_semi")
+    val cc = Dedup.connectedComponents(coreEdges)
+    // singleton cores never appear in coreEdges — they label themselves
+    val coreLab = core.join(cc, core("id") === cc("node"), "left")
+      .select(core("id"), coalesce(cc("rep"), core("id")).as("cluster"))
+    val borderLab = nbr
+      .join(coreLab.select(col("id").as("cid"), col("cluster")),
+        col("dst") === col("cid"))
+      .join(core.select(col("id").as("cx")), col("src") === col("cx"),
+        "left_anti")
+      .groupBy(col("src").as("id"))
+      .agg(min(col("cluster")).as("cluster"))
+    val labeled = coreLab.select(col("id"), lit("core").as("role"),
+        col("cluster"))
+      .unionByName(borderLab.select(col("id"), lit("border").as("role"),
+        col("cluster")))
+    val noise = v.select(col("id"))
+      .join(labeled.select(col("id").as("lid")), col("id") === col("lid"),
+        "left_anti")
+      .select(col("id"), lit("noise").as("role"),
+        lit(-1L).as("cluster"))
+    labeled.unionByName(noise)
+      .select(col("id").as("vec_id"), col("role"), col("cluster"))
+  }
 }

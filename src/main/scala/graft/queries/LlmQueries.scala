@@ -1060,6 +1060,57 @@ object LlmQueries {
         tau = 0.4)
     },
 
+    // DBSCAN density clustering over the embedding corpus (neighbor =
+    // cosine >= τ on the unit sphere): core = |N(p)| >= minPts (N incl.
+    // p), clusters = CC over core-core edges labeled by min core id,
+    // border pinned deterministic (min cluster among core neighbors),
+    // noise = -1. The density-stratification view of the corpus SemDeDup
+    // flattens: dense regions AND outliers, as first-class roles. τ=0.35
+    // sits in a cosine-distribution gap at every SF (narrowest 5.9e-6 at
+    // sf0.1, ~1e10 double-ulps — no cross-engine threshold flip);
+    // minPts is an exact integer degree cut. The oracle replays the whole
+    // chain incl. recursive-CTE CC, so the hash certifies role assignment
+    // and cluster labels end-to-end.
+    "q_dbscan" -> Q(
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id a, b.vec_id b FROM e a JOIN e b
+        |    ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+        |nbr AS (SELECT a src, b dst FROM p UNION ALL SELECT b, a FROM p),
+        |deg AS (SELECT src, count(*) d FROM nbr GROUP BY 1),
+        |core AS (SELECT src AS id FROM deg WHERE d >= 3),
+        |cedges AS (
+        |  SELECT n.src, n.dst FROM nbr n
+        |  WHERE n.src IN (SELECT id FROM core)
+        |    AND n.dst IN (SELECT id FROM core)),
+        |cc AS (
+        |  SELECT id AS node, id AS rep FROM core
+        |  UNION
+        |  SELECT e2.dst, cc.rep FROM cc, cedges e2 WHERE cc.node = e2.src),
+        |corelab AS (SELECT node AS id, min(rep) AS cluster
+        |            FROM cc GROUP BY 1),
+        |borderlab AS (
+        |  SELECT n.src AS id, min(c.cluster) AS cluster
+        |  FROM nbr n JOIN corelab c ON n.dst = c.id
+        |  WHERE n.src NOT IN (SELECT id FROM corelab)
+        |  GROUP BY 1),
+        |labeled AS (
+        |  SELECT id, 'core' AS role, cluster FROM corelab
+        |  UNION ALL
+        |  SELECT id, 'border', cluster FROM borderlab)
+        |SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+        |  coalesce(l.role, 'noise') AS role,
+        |  CAST(coalesce(l.cluster, -1) AS BIGINT) AS cluster
+        |FROM e LEFT JOIN labeled l ON e.vec_id = l.id""".stripMargin) {
+      (s, dir) =>
+        val e = table(s, dir, "embeddings")
+        Similarity.dbscan(
+          e.select(e("vec_id"), e("embedding").cast("array<double>")),
+          tau = 0.35, minPts = 4)
+    },
+
     // Mixture/sampling weights per (lang, source) at temperature α = 0.5:
     // weight ∝ √n. √ of an exact integer is correctly rounded in IEEE-754
     // on both engines, so floor(√(n·1e6)) is a deterministic integer —

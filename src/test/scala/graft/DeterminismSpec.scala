@@ -47,7 +47,10 @@ class DeterminismSpec extends SparkSpec {
       "q_shard_tokens", "q_vocab_growth", "q_stream_dedup",
       // round 9: the fuzzy-dedup recipe — cluster reps feeding the
       // budget selection must not depend on partitioning
-      "q_data_recipe_fuzzy")
+      "q_data_recipe_fuzzy",
+      // round 9: density roles + CC cluster labels + pinned border
+      // assignment must not depend on partitioning
+      "q_dbscan")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"
