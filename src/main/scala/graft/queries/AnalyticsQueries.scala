@@ -722,6 +722,40 @@ object AnalyticsQueries {
       graft.streaming.StreamingPipeline.streamDedupComplete(s, dir)
     },
 
+    // §2.10 — a REAL streaming session-window run in the gate: events
+    // staged as 8 time-range slices, >= 4 micro-batches, native
+    // session_window state merged across batches (a session crossing a
+    // slice boundary merges in the state store), complete-mode drain.
+    // The oracle replays gap-sessionization with session_window's
+    // boundary rule — which IS the batch Sessionize rule: a pair exactly
+    // gap apart merges (window [t, t+gap] is end-inclusive for merging;
+    // StreamingSpec pins this). Keyed by session_start so the output is
+    // stable without a per-user running index.
+    "q_stream_sessionize" -> Q(
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) tsu FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, tsu,
+        |    CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |           IS NULL
+        |         OR tsu - lag(tsu) OVER (PARTITION BY user_id
+        |             ORDER BY tsu, event_id) > 43200000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, event_id, tsu,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS idx
+        |  FROM flagged)
+        |SELECT user_id,
+        |  CAST(min(tsu) AS BIGINT) AS session_start,
+        |  CAST(max(tsu) - min(tsu) AS BIGINT) AS dur,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(event_id) AS BIGINT) AS first_event,
+        |  CAST(max(event_id) AS BIGINT) AS last_event
+        |FROM sess GROUP BY user_id, idx""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamingPipeline.streamSessionizeComplete(s, dir)
+    },
+
     // §2.11.5/S1 — the reference's ACTUAL operational loop as a declared
     // hash-checked entry (README.md:81-91: hourly log files, a cumulative
     // frequency state, one incremental merge per run): documents.text is

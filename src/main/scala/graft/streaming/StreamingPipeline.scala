@@ -397,6 +397,76 @@ object StreamingPipeline {
     * files processed and drain nothing); the checkpoint is deleted once
     * the query stops — results live in the memory sink.
     */
+  /** A REAL streaming session-window run inside the correctness gate:
+    * events staged as 8 time-range files, re-read as a file-source
+    * STREAM (2 files per trigger, so >= 4 micro-batches arrive in time
+    * order), sessionized with Spark's native `session_window` as a
+    * stateful complete-mode aggregation. Sessions that span a file
+    * boundary MERGE across micro-batches inside the state store — the
+    * cross-batch session-merge semantics is exactly what the batch
+    * DuckDB oracle match then certifies, bit-for-bit.
+    *
+    * Boundary semantics: `session_window` merges a pair exactly gap
+    * apart (the [t, t+gap] window is end-inclusive for merging) — the
+    * SAME rule as `ops.Sessionize`'s diff > gap split, so the native and
+    * hand-rolled sessionizers agree everywhere (StreamingSpec pins the
+    * boundary case explicitly).
+    *
+    * Output (exact integer µs): (user_id, session_start, dur, n_events,
+    * first_event, last_event). dur = window end − start − gap = last
+    * event ts − first event ts, matching the batch form.
+    */
+  def streamSessionizeComplete(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val gapUs = 43_200_000_000L
+    val src = Tables.table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"))
+    val name = "graft_stream_sess_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    var started: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+    try {
+      // range-partition by ts: files arrive as consecutive time slices,
+      // so every session crossing a slice boundary must merge state
+      // across micro-batches
+      src.repartitionByRange(8, col("ts"))
+        .write.mode("overwrite").parquet(srcDir.toString)
+      val q = spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(srcDir.toString)
+        .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start"),
+          (unix_micros(col("session_window.end")) -
+            unix_micros(col("session_window.start")) - gapUs).as("dur"),
+          col("n_events"), col("first_event"), col("last_event"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      started = Some(q)
+      q.awaitTermination()
+      val sink = spark.table(name)
+      val rows = sink.collect()
+      val sinkSchema = sink.schema
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), sinkSchema)
+    } finally {
+      started.foreach(q => try q.stop()
+        catch { case _: Exception => () })
+      try spark.catalog.dropTempView(name)
+      catch { case _: Exception => () }
+      Seq(ckpt, srcDir).foreach(graft.util.Fs.deleteRecursively)
+    }
+  }
+
   def streamDedupComplete(spark: SparkSession, sfDir: String): DataFrame = {
     val src = Tables.table(spark, sfDir, "documents")
     val name = "graft_stream_dedup_" +

@@ -50,7 +50,10 @@ class DeterminismSpec extends SparkSpec {
       "q_data_recipe_fuzzy",
       // round 9: density roles + CC cluster labels + pinned border
       // assignment must not depend on partitioning
-      "q_dbscan")
+      "q_dbscan",
+      // round 9: session state merged across micro-batches must not
+      // depend on partitioning or file-slice boundaries
+      "q_stream_sessionize")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

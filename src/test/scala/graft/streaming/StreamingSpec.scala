@@ -352,4 +352,71 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("session_window boundary: a pair exactly gap apart MERGES, same rule as Sessionize") {
+    // pins the boundary rule the q_stream_sessionize oracle encodes:
+    // native session_window's [t, t+gap] window is end-inclusive for
+    // merging, so diff == gap stays ONE session — exactly ops.Sessionize's
+    // diff > gap split rule. The corpus has no exactly-gap pair at any
+    // SF, so the gate can't see this — this spec can.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    mem.addData(
+      (Timestamp.valueOf("2025-06-10 12:00:00"), 1L),
+      (Timestamp.valueOf("2025-06-10 12:30:00"), 1L)) // exactly the 30m gap
+    val out = StreamingPipeline.sessionizedEventCounts(
+      mem.toDF().toDF("ts", "user_id"), gap = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sessb")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val nSessions = spark.table("sessb").count()
+    spark.catalog.dropTempView("sessb")
+    assert(nSessions == 1L, "session_window must merge at diff == gap")
+    // the batch gap-sessionizer agrees (diff > gap splits)
+    val batch = graft.ops.Sessionize(
+      Seq((1L, 0L, 1L), (1L, 1_800_000_000L, 2L))
+        .toDF("user_id", "ts_us", "event_id"),
+      "user_id", "ts_us", "event_id", gap = 1_800_000_000L)
+    assert(batch.count() == 1L, "Sessionize must merge at diff == gap")
+    // one µs past the gap: both split
+    val mem2 = MemoryStream[(Timestamp, Long)]
+    mem2.addData(
+      (Timestamp.valueOf("2025-06-10 12:00:00"), 1L),
+      (Timestamp.valueOf("2025-06-10 12:30:00.000001"), 1L))
+    val q2 = StreamingPipeline.sessionizedEventCounts(
+        mem2.toDF().toDF("ts", "user_id"), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sessb2")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val nSessions2 = spark.table("sessb2").count()
+    spark.catalog.dropTempView("sessb2")
+    assert(nSessions2 == 2L, "session_window must split one µs past the gap")
+  }
+
+  test("streamSessionizeComplete: sessions merged across micro-batches equal the batch form") {
+    import org.apache.spark.sql.functions._
+    val dir = sf0001
+    val got = StreamingPipeline.streamSessionizeComplete(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // batch form with the same session_window rule (diff >= gap splits)
+    val e = graft.Tables.table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"))
+    val expected = e
+      .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        (unix_micros(col("session_window.end")) -
+          unix_micros(col("session_window.start")) -
+          lit(43_200_000_000L)).as("dur"),
+        col("n_events"), col("first_event"), col("last_event"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // multi-user, multi-session, and at least one multi-event session —
+    // the fixture genuinely exercises state merge
+    assert(got.map(_._1).size > 1 && got.exists(_._4 > 1L))
+  }
 }
