@@ -722,6 +722,22 @@ object AnalyticsQueries {
       graft.streaming.StreamingPipeline.streamDedupComplete(s, dir)
     },
 
+    // §2.10 — the reference's product loop (a continuously-maintained
+    // ranked leaderboard) as a REAL streaming run: word frequencies as
+    // complete-mode state across >= 4 micro-batches with the global
+    // top-K sort+limit INSIDE the streaming query; (cnt desc, word asc)
+    // tie-break makes the emitted set deterministic and hash-matchable.
+    "q_stream_topk" -> Q(
+      """SELECT word, cnt FROM (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS word
+        |    FROM documents) t
+        |  WHERE word <> '' GROUP BY word)
+        |ORDER BY cnt DESC, word LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamingPipeline.streamTopKWords(s, dir)
+    },
+
     // §2.10 — a REAL streaming session-window run in the gate: events
     // staged as 8 time-range slices, >= 4 micro-batches, native
     // session_window state merged across batches (a session crossing a

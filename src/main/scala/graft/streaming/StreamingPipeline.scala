@@ -397,6 +397,58 @@ object StreamingPipeline {
     * files processed and drain nothing); the checkpoint is deleted once
     * the query stops — results live in the memory sink.
     */
+  /** The reference's product loop — a continuously-maintained ranked
+    * leaderboard — as a REAL streaming run in the gate: the corpus
+    * streamed 2 files per trigger, word frequencies as a stateful
+    * complete-mode aggregation, and the global top-K cut applied INSIDE
+    * the streaming query (sort + limit after aggregation is legal in
+    * complete mode — each drain re-emits the current leaderboard, which
+    * is exactly the reference's "recompute the ranking each run"
+    * semantics without rescanning history). The (cnt desc, word asc)
+    * tie-break makes the emitted SET deterministic, so the final
+    * leaderboard hash-matches the batch oracle.
+    */
+  def streamTopKWords(spark: SparkSession, sfDir: String, k: Int = 20)
+      : DataFrame = {
+    val src = Tables.table(spark, sfDir, "documents")
+    val name = "graft_stream_topk_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    var started: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+    try {
+      src.repartition(8).write.mode("overwrite").parquet(srcDir.toString)
+      val q = spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(srcDir.toString)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(k)
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      started = Some(q)
+      q.awaitTermination()
+      val sink = spark.table(name)
+      val rows = sink.collect()
+      val sinkSchema = sink.schema
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), sinkSchema)
+    } finally {
+      started.foreach(q => try q.stop()
+        catch { case _: Exception => () })
+      try spark.catalog.dropTempView(name)
+      catch { case _: Exception => () }
+      Seq(ckpt, srcDir).foreach(graft.util.Fs.deleteRecursively)
+    }
+  }
+
   /** A REAL streaming session-window run inside the correctness gate:
     * events staged as 8 time-range files, re-read as a file-source
     * STREAM (2 files per trigger, so >= 4 micro-batches arrive in time

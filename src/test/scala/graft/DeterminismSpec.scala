@@ -53,7 +53,10 @@ class DeterminismSpec extends SparkSpec {
       "q_dbscan",
       // round 9: session state merged across micro-batches must not
       // depend on partitioning or file-slice boundaries
-      "q_stream_sessionize")
+      "q_stream_sessionize",
+      // round 9: the streaming leaderboard's top-K cut tie-break must
+      // not depend on partitioning or batch arrival order
+      "q_stream_topk")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -353,6 +353,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streamTopKWords: complete-mode leaderboard equals the batch top-K") {
+    import org.apache.spark.sql.functions._
+    val dir = sf0001
+    val got = StreamingPipeline.streamTopKWords(spark, dir, k = 20)
+      .as[(String, Long)].collect()
+    val d = graft.Tables.table(spark, dir, "documents")
+    val expected = d
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(20)
+      .as[(String, Long)].collect()
+    assert(got.toSet == expected.toSet)
+    assert(got.length == 20)
+  }
+
   test("session_window boundary: a pair exactly gap apart MERGES, same rule as Sessionize") {
     // pins the boundary rule the q_stream_sessionize oracle encodes:
     // native session_window's [t, t+gap] window is end-inclusive for
