@@ -2389,6 +2389,60 @@ object LlmQueries {
       counts.orderBy(col("cnt").desc, col("token")).limit(20)
         .withColumn("rk", row_number().over(wG))
     },
+
+    // L61 — WordPiece-style greedy longest-match serving (the MaxMatch
+    // kernel of BERT-family tokenizers), the vocabulary-driven
+    // counterpart to q_bpe_apply's merge replay. Vocabulary is
+    // deterministic corpus state: every corpus character + top-200
+    // substrings len 2..4 by occurrence-weighted frequency (tie: piece
+    // asc). Serving is the codegen'd PieceTokenize expression over the
+    // DISTINCT-word table (Heaps'-law sized), weighted back by word
+    // counts. The oracle rebuilds the vocab, precomputes each (word,
+    // pos)'s longest match NON-recursively, then walks the greedy
+    // segmentation as a linear recursive CTE (join-only recursive term),
+    // so the hash certifies every segmentation boundary via the piece
+    // frequency table.
+    "q_wordpiece_apply" -> Q(
+      raw"""WITH RECURSIVE
+        |w AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS word FROM documents) t
+        |  WHERE word <> '' GROUP BY 1),
+        |chars AS (
+        |  SELECT DISTINCT substr(word, i, 1) AS piece FROM w,
+        |  LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) g),
+        |subs AS (
+        |  SELECT substr(word, i, l) AS piece, sum(freq) AS wt
+        |  FROM w,
+        |  LATERAL (SELECT unnest(generate_series(2, 4)) AS l) ls,
+        |  LATERAL (SELECT unnest(generate_series(1, length(word) - l + 1))
+        |    AS i) g
+        |  GROUP BY 1),
+        |topp AS (SELECT piece FROM subs ORDER BY wt DESC, piece LIMIT 200),
+        |vocab AS (SELECT piece FROM chars UNION SELECT piece FROM topp),
+        |matches AS (
+        |  SELECT word, pos, max(length(piece)) AS bestlen FROM (
+        |    SELECT w.word, g.i AS pos, v.piece
+        |    FROM w,
+        |    LATERAL (SELECT unnest(generate_series(1, length(w.word)))
+        |      AS i) g, vocab v
+        |    WHERE substr(w.word, g.i, length(v.piece)) = v.piece)
+        |  GROUP BY 1, 2),
+        |rec AS (
+        |  SELECT word, CAST(1 AS BIGINT) AS pos,
+        |    CAST(NULL AS VARCHAR) AS piece
+        |  FROM w
+        |  UNION ALL
+        |  SELECT r.word, r.pos + m.bestlen,
+        |    substr(r.word, CAST(r.pos AS INTEGER), CAST(m.bestlen AS INTEGER))
+        |  FROM rec r JOIN matches m ON m.word = r.word AND m.pos = r.pos),
+        |toks AS (SELECT word, piece FROM rec WHERE piece IS NOT NULL)
+        |SELECT t.piece, CAST(sum(w.freq) AS BIGINT) AS occurrences
+        |FROM toks t JOIN w ON t.word = w.word GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        WordPiece.pieceFrequencies(table(s, dir, "documents"), "text")
+    },
   )
 
   // DuckDB-side BPE word state (mirrors Bpe.wordState): distinct words

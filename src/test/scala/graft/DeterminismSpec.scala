@@ -56,7 +56,10 @@ class DeterminismSpec extends SparkSpec {
       "q_stream_sessionize",
       // round 9: the streaming leaderboard's top-K cut tie-break must
       // not depend on partitioning or batch arrival order
-      "q_stream_topk")
+      "q_stream_topk",
+      // round 9: the vocab top-N cut and greedy segmentation must not
+      // depend on partitioning
+      "q_wordpiece_apply")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"
