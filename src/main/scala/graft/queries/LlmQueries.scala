@@ -1111,6 +1111,53 @@ object LlmQueries {
           tau = 0.35, minPts = 4)
     },
 
+    // L60b — the curation application of the density clustering: the
+    // pruned keep-set. Outliers (noise) all survive — they carry unique
+    // signal; each dense region collapses to ONE representative (its
+    // cluster label = the min core id). Border points ride with their
+    // cluster and are pruned with it. This is SemDeDup-style semantic
+    // pruning but density-aware: sparse regions are never thinned.
+    "q_dbscan_prune" -> Q(
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id a, b.vec_id b FROM e a JOIN e b
+        |    ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+        |nbr AS (SELECT a src, b dst FROM p UNION ALL SELECT b, a FROM p),
+        |deg AS (SELECT src, count(*) d FROM nbr GROUP BY 1),
+        |core AS (SELECT src AS id FROM deg WHERE d >= 3),
+        |cedges AS (
+        |  SELECT n.src, n.dst FROM nbr n
+        |  WHERE n.src IN (SELECT id FROM core)
+        |    AND n.dst IN (SELECT id FROM core)),
+        |cc AS (
+        |  SELECT id AS node, id AS rep FROM core
+        |  UNION
+        |  SELECT e2.dst, cc.rep FROM cc, cedges e2 WHERE cc.node = e2.src),
+        |corelab AS (SELECT node AS id, min(rep) AS cluster
+        |            FROM cc GROUP BY 1),
+        |labeled AS (
+        |  SELECT id FROM corelab
+        |  UNION
+        |  SELECT DISTINCT n.src FROM nbr n JOIN corelab c ON n.dst = c.id)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id, 'outlier' AS reason
+        |FROM e WHERE vec_id NOT IN (SELECT id FROM labeled)
+        |UNION ALL
+        |SELECT DISTINCT CAST(cluster AS BIGINT), 'cluster_rep'
+        |FROM corelab""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      val roles = Similarity.dbscan(
+        e.select(e("vec_id"), e("embedding").cast("array<double>")),
+        tau = 0.35, minPts = 4)
+      roles.filter(col("role") === "noise")
+        .select(col("vec_id"), lit("outlier").as("reason"))
+        .unionByName(
+          roles.filter(col("role") =!= "noise")
+            .select(col("cluster").as("vec_id")).distinct()
+            .select(col("vec_id"), lit("cluster_rep").as("reason")))
+    },
+
     // Mixture/sampling weights per (lang, source) at temperature α = 0.5:
     // weight ∝ √n. √ of an exact integer is correctly rounded in IEEE-754
     // on both engines, so floor(√(n·1e6)) is a deterministic integer —

@@ -367,5 +367,42 @@ object SelectionQueries {
         .groupBy("bucket").agg(count(lit(1)).as("n_docs"),
           max("tok_cum").as("toks_cum"), max("vocab_cum").as("vocab_cum"))
     },
+
+    // L62 — Pareto-skyline selection on the length-vs-lexical-diversity
+    // frontier: keep every doc no other doc beats on BOTH n_chars and
+    // type-token ratio (ppm, exact integer division). The oracle is the
+    // DEFINITION (NOT EXISTS dominance anti-join), the engine runs the
+    // per-x-max + strictly-preceding running-max frontier shape — the
+    // hash certifies the algorithm against the definition, duplicates
+    // and tie cases included.
+    "q_skyline" -> Q(
+      """WITH p AS (
+        |  SELECT doc_id, n_chars AS len,
+        |    (len(list_distinct(toks)) * 1000000) // len(toks) AS ttr_ppm
+        |  FROM (
+        |    SELECT doc_id, n_chars,
+        |      list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        x -> x <> '') AS toks
+        |    FROM documents)
+        |  WHERE len(toks) > 0)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(len AS BIGINT) AS len,
+        |  CAST(ttr_ppm AS BIGINT) AS ttr_ppm
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.len >= a.len AND b.ttr_ppm >= a.ttr_ppm
+        |    AND (b.len > a.len OR b.ttr_ppm > a.ttr_ppm))""".stripMargin) {
+      (s, dir) =>
+        val d = table(s, dir, "documents")
+        val toks = filter(TextOps.tokens(d("text")), t => t =!= "")
+        val p = d.select(d("doc_id"), d("n_chars").as("len"),
+            toks.as("toks"))
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"), col("len"),
+            expr("(size(array_distinct(toks)) * 1000000L) div size(toks)")
+              .as("ttr_ppm"))
+        graft.ops.Skyline(p)
+          .toDF("doc_id", "len", "ttr_ppm")
+    },
   )
 }

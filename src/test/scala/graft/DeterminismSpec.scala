@@ -59,7 +59,10 @@ class DeterminismSpec extends SparkSpec {
       "q_stream_topk",
       // round 9: the vocab top-N cut and greedy segmentation must not
       // depend on partitioning
-      "q_wordpiece_apply")
+      "q_wordpiece_apply",
+      // round 9: frontier membership and the pruned keep-set must not
+      // depend on partitioning
+      "q_skyline", "q_dbscan_prune")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"
