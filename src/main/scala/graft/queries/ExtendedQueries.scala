@@ -461,6 +461,70 @@ object ExtendedQueries {
         Seq("lang", "source", "n_chars"))
     },
 
+    // X47 — robust outlier fences per event_type (the data-quality
+    // complement to q_profile/q_drift: WHICH rows are anomalous, not
+    // just how the distribution moved). Quartiles are rank-SELECTED
+    // (ceil(n/4) / ceil(3n/4)-th values, never interpolated) over
+    // integer micro values (floor(value·1e6): one IEEE multiply + floor,
+    // bit-identical across engines — the q_quantize discipline), so
+    // fences lo = q1 − 3·IQR / hi = q3 + 3·IQR and every membership test
+    // are exact integer comparisons. Types with no outliers surface with
+    // n_outliers = 0 via the left join, not by vanishing.
+    "q_outliers" -> Q(
+      """WITH e AS (SELECT event_type,
+        |  CAST(floor(value * 1000000) AS BIGINT) vm, event_id FROM events),
+        |r AS (SELECT event_type, vm, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY vm, event_id) rnk,
+        |    count(*) OVER (PARTITION BY event_type) n
+        |  FROM e),
+        |q AS (SELECT event_type, max(n) AS n,
+        |    min(CASE WHEN rnk = (n + 3) // 4 THEN vm END) q1,
+        |    min(CASE WHEN rnk = (3 * n + 3) // 4 THEN vm END) q3
+        |  FROM r GROUP BY 1),
+        |f AS (SELECT event_type, n, q1, q3,
+        |    q1 - 3 * (q3 - q1) AS lo, q3 + 3 * (q3 - q1) AS hi FROM q),
+        |o AS (SELECT e.event_type, CAST(count(*) AS BIGINT) n_out,
+        |    min(e.event_id) fo, max(e.event_id) lst
+        |  FROM e JOIN f ON e.event_type = f.event_type
+        |  WHERE e.vm < f.lo OR e.vm > f.hi GROUP BY 1)
+        |SELECT f.event_type, CAST(f.n AS BIGINT) AS n,
+        |  CAST(f.q1 AS BIGINT) AS q1_micro, CAST(f.q3 AS BIGINT) AS q3_micro,
+        |  CAST(coalesce(o.n_out, 0) AS BIGINT) AS n_outliers,
+        |  CAST(o.fo AS BIGINT) AS first_out, CAST(o.lst AS BIGINT) AS last_out
+        |FROM f LEFT JOIN o ON f.event_type = o.event_type""".stripMargin) {
+      (s, dir) =>
+        val e = table(s, dir, "events")
+          .select(col("event_type"),
+            expr("CAST(floor(value * 1000000) AS BIGINT)").as("vm"),
+            col("event_id"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("vm"), col("event_id"))
+        val wc = Window.partitionBy("event_type")
+        val r = e.withColumn("rnk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wc))
+        val q = r.groupBy("event_type")
+          .agg(max("n").as("n"),
+            min(when(col("rnk") === expr("(n + 3) div 4"), col("vm")))
+              .as("q1_micro"),
+            min(when(col("rnk") === expr("(3 * n + 3) div 4"), col("vm")))
+              .as("q3_micro"))
+        val f = q
+          .withColumn("lo", expr("q1_micro - 3 * (q3_micro - q1_micro)"))
+          .withColumn("hi", expr("q3_micro + 3 * (q3_micro - q1_micro)"))
+        val o = e.join(broadcast(f.select("event_type", "lo", "hi")),
+            "event_type")
+          .filter(col("vm") < col("lo") || col("vm") > col("hi"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_outliers_raw"),
+            min("event_id").as("first_out"), max("event_id").as("last_out"))
+        f.join(o, Seq("event_type"), "left")
+          .select(col("event_type"), col("n"), col("q1_micro"),
+            col("q3_micro"),
+            coalesce(col("n_outliers_raw"), lit(0L)).as("n_outliers"),
+            col("first_out"), col("last_out"))
+    },
+
     // Pearson correlation from EXACT integer sums: n, Σx, Σy, Σxy, Σx²,
     // Σy² accumulate as BIGINTs (quantity ≤ 50, discount×100 ≤ 10 — no
     // overflow), and only the final closed-form formula touches floating

@@ -62,7 +62,10 @@ class DeterminismSpec extends SparkSpec {
       "q_wordpiece_apply",
       // round 9: frontier membership and the pruned keep-set must not
       // depend on partitioning
-      "q_skyline", "q_dbscan_prune")
+      "q_skyline", "q_dbscan_prune",
+      // round 9: rank-selected quartiles + fence membership must not
+      // depend on partitioning
+      "q_outliers")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"
