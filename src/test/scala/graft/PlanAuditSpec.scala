@@ -698,4 +698,38 @@ class PlanAuditSpec extends SparkSpec {
       s"expected global sort+limit:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
   }
+
+  test("q_skyline: frontier joins back as broadcast, never a dominance nested loop") {
+    // the whole point of the frontier shape: corpus rows meet only a
+    // broadcast of the (tiny) surviving frontier — a plan regression to
+    // the definitional pairwise dominance check would be O(n²)
+    val p = plan("q_skyline")
+    assert(p.contains("BroadcastHashJoin"),
+      s"frontier join-back must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no pairwise dominance scan allowed:\n$p")
+  }
+
+  test("q_outliers: fences broadcast back onto the corpus") {
+    // quartile selection pays one per-group sort window; the membership
+    // pass must then be a broadcast of the 5-row fence table, not a
+    // shuffle of the corpus against it
+    val p = plan("q_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"fence join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
+
+  test("q_wordpiece_apply: codegen serving expression, no join in the serving pass") {
+    // greedy segmentation must run as the vocab-carrying expression
+    // (graft_piece_tokenize) straight over the word table — a regression
+    // to a vocab JOIN would shuffle every (word, position) candidate
+    val p = plan("q_wordpiece_apply")
+    assert(p.contains("graft_piece_tokenize"),
+      s"expected the codegen serving expression:\n$p")
+    assert(!p.contains("Join"), s"serving needs no join:\n$p")
+    assert(p.contains("partial_sum"),
+      s"piece counts must combine map-side:\n$p")
+  }
 }
