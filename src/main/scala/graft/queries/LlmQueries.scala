@@ -1105,10 +1105,9 @@ object LlmQueries {
         |  CAST(coalesce(l.cluster, -1) AS BIGINT) AS cluster
         |FROM e LEFT JOIN labeled l ON e.vec_id = l.id""".stripMargin) {
       (s, dir) =>
-        val e = table(s, dir, "embeddings")
-        Similarity.dbscan(
-          e.select(e("vec_id"), e("embedding").cast("array<double>")),
-          tau = 0.35, minPts = 4)
+        // shared with q_dbscan_prune (SharedBases.dbscanRoles): both pay
+        // the same exact pair-mining front-end
+        SharedBases.dbscanRoles(s, dir)
     },
 
     // L60b — the curation application of the density clustering: the
@@ -1146,10 +1145,7 @@ object LlmQueries {
         |UNION ALL
         |SELECT DISTINCT CAST(cluster AS BIGINT), 'cluster_rep'
         |FROM corelab""".stripMargin) { (s, dir) =>
-      val e = table(s, dir, "embeddings")
-      val roles = Similarity.dbscan(
-        e.select(e("vec_id"), e("embedding").cast("array<double>")),
-        tau = 0.35, minPts = 4)
+      val roles = SharedBases.dbscanRoles(s, dir)
       roles.filter(col("role") === "noise")
         .select(col("vec_id"), lit("outlier").as("reason"))
         .unionByName(

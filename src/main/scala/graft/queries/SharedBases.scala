@@ -76,8 +76,9 @@ object SharedBases {
     * sub-granularity copy-back) is invisible — callers that rewrite
     * tables in place should touch a file or change a part name.
     */
-  private[graft] def fingerprint(s: SparkSession, dir: String): String = {
-    val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+  private[graft] def fingerprint(s: SparkSession, dir: String,
+      tableFile: String = "documents.parquet"): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$tableFile")
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     val parts =
       if (!fs.exists(path)) Seq("absent")
@@ -143,6 +144,27 @@ object SharedBases {
           (put(s, kp, pairs).df, put(s, ks, sigs).df)
       }
     }
+
+  /** DBSCAN role/cluster table over `embeddings` at the declared-family
+    * parameters (τ=0.35, minPts=4) — shared by q_dbscan and
+    * q_dbscan_prune, whose dominant cost is the SAME exact pair-mining
+    * front-end. Keyed on the embeddings fingerprint (not documents).
+    */
+  def dbscanRoles(s: SparkSession, dir: String): DataFrame = synchronized {
+    val fp = fingerprint(s, dir, "embeddings.parquet")
+    val k = s"dbscan:$dir@$fp"
+    cache.get(k) match {
+      case Some(e) if alive(s, e) => e.df
+      case _ =>
+        dropPrefix(s, s"dbscan:$dir@")
+        val e = Tables.table(s, dir, "embeddings")
+        val roles = graft.ops.llm.Similarity.dbscan(
+          e.select(e("vec_id"),
+            e("embedding").cast("array<double>")),
+          tau = 0.35, minPts = 4)
+        put(s, k, roles).df
+    }
+  }
 
   /** Cross-session persistence: write the MinHash index behind the
     * shared bases as bucketed metastore tables (`<prefix>_bands` on

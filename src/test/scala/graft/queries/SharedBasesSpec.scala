@@ -19,6 +19,22 @@ class SharedBasesSpec extends SparkSpec {
     assert(shared == standalone)
   }
 
+  test("shared dbscan roles equal the standalone clustering") {
+    val e = graft.Tables.table(spark, sf0001, "embeddings")
+    val standalone = graft.ops.llm.Similarity.dbscan(
+        e.select(e("vec_id"),
+          e("embedding").cast("array<double>")),
+        tau = 0.35, minPts = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val shared = SharedBases.dbscanRoles(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    assert(shared == standalone)
+    // second call is a cache hit (retained set does not grow)
+    val before = SharedBases.retainedRddIds.size()
+    SharedBases.dbscanRoles(spark, sf0001)
+    assert(SharedBases.retainedRddIds.size() == before)
+  }
+
   test("reuse hits the cache; external unpersist triggers a rebuild") {
     val first = SharedBases.minhashPairs(spark, sf0001)
     val retainedBefore = SharedBases.retainedRddIds.size()
