@@ -13,7 +13,7 @@ object SparkEntry {
   private def registry: Map[String, Q] =
     CoreQueries.all ++ AnalyticsQueries.all ++ LlmQueries.all ++
       ExtendedQueries.all ++ MiningQueries.all ++ TemporalQueries.all ++
-      LayoutQueries.all ++ SelectionQueries.all
+      LayoutQueries.all ++ SelectionQueries.all ++ MaintenanceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

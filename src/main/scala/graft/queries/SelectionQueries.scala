@@ -404,5 +404,91 @@ object SelectionQueries {
         graft.ops.Skyline(p)
           .toDF("doc_id", "len", "ttr_ppm")
     },
+
+    // L66 — CCNet-style perplexity bucketing: per-LANGUAGE terciles of
+    // unigram-LM surprisal density (the published head/middle/tail split
+    // used to stratify CommonCrawl before training). Density is exact
+    // integer (the q_surprisal micro-quantized sum div token count);
+    // boundaries are rank-SELECTED values at ceil(n/3) / ceil(2n/3)
+    // within each lang — never interpolated, so bucket membership is a
+    // pure integer compare and the whole assignment hash-checks. Scale
+    // shape: the ranking window partitions BY LANG (parallel across
+    // languages, never a single global sort) and the 2-row-per-lang
+    // boundary table broadcasts back.
+    "q_ppl_bucket" -> Q(
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)),
+        |    '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, lang, term, count(*) AS tf FROM tok
+        |       GROUP BY 1, 2, 3),
+        |f AS (SELECT term, CAST(sum(tf) AS BIGINT) AS freq FROM tf
+        |      GROUP BY 1),
+        |n AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM f),
+        |m AS (SELECT term,
+        |        CAST(round(-ln(freq / total) * 10000) AS BIGINT) AS micro
+        |      FROM f, n),
+        |per AS (
+        |  SELECT tf.doc_id, tf.lang,
+        |    CAST(sum(tf.tf * m.micro) AS BIGINT) AS sur,
+        |    CAST(sum(tf.tf) AS BIGINT) AS n_tok
+        |  FROM tf JOIN m ON tf.term = m.term GROUP BY 1, 2),
+        |dens AS (
+        |  SELECT doc_id, lang, CAST(sur // n_tok AS BIGINT) AS density
+        |  FROM per),
+        |ranked AS (
+        |  SELECT lang, density,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY density, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM dens),
+        |bounds AS (
+        |  SELECT lang,
+        |    max(CASE WHEN rn = (n + 2) // 3 THEN density END) AS b1,
+        |    max(CASE WHEN rn = (2 * n + 2) // 3 THEN density END) AS b2
+        |  FROM ranked GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.density,
+        |  CASE WHEN d.density <= b.b1 THEN 'head'
+        |       WHEN d.density <= b.b2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM dens d JOIN bounds b ON d.lang = b.lang""".stripMargin) {
+      (s, dir) =>
+        val d = table(s, dir, "documents")
+        val tok = d.select(d("doc_id"), d("lang"),
+          explode(TextOps.tokens(d("text"))).as("term"))
+        val tf = tok.groupBy("doc_id", "lang", "term")
+          .agg(count(lit(1)).as("tf"))
+        val f = tf.groupBy("term").agg(sum("tf").as("freq"))
+        val tot = f.agg(sum("freq").cast("double").as("total"))
+        val m = f.crossJoin(broadcast(tot))
+          .select(col("term"),
+            round(-log(col("freq") / col("total")) * 10000, 0)
+              .cast("long").as("micro"))
+        val per = tf.join(m, "term").groupBy("doc_id", "lang")
+          .agg(sum(col("tf") * col("micro")).cast("long").as("sur"),
+            sum("tf").cast("long").as("n_tok"))
+        // One row per doc, three skinny columns — materialized ONCE so the
+        // token-explode subtree doesn't re-run for both its consumers
+        // (the per-lang boundary ranking AND the final assignment join);
+        // Spark's lazy re-planning would otherwise duplicate it (same
+        // ReuseExchange limitation documented at q_importance_resample,
+        // same localCheckpoint discipline as semDedupPairs).
+        val dens = per.select(col("doc_id"), col("lang"),
+          expr("sur div n_tok").as("density")).localCheckpoint()
+        val w = Window.partitionBy("lang")
+          .orderBy(col("density").asc, col("doc_id").asc)
+        val ranked = dens
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+        val bounds = ranked.groupBy("lang").agg(
+          max(when(col("rn") === expr("(n + 2) div 3"), col("density")))
+            .as("b1"),
+          max(when(col("rn") === expr("(2 * n + 2) div 3"), col("density")))
+            .as("b2"))
+        dens.join(broadcast(bounds), "lang")
+          .select(col("doc_id"), col("lang"), col("density"),
+            when(col("density") <= col("b1"), "head")
+              .when(col("density") <= col("b2"), "middle")
+              .otherwise("tail").as("bucket"))
+    },
   )
 }

@@ -65,7 +65,13 @@ class DeterminismSpec extends SparkSpec {
       "q_skyline", "q_dbscan_prune",
       // round 9: rank-selected quartiles + fence membership must not
       // depend on partitioning
-      "q_outliers")
+      "q_outliers",
+      // round 9, maintenance tier: the latest-per-key tie-break is the
+      // MERGE semantics; the diff and audit must not depend on layout
+      "q_cdc_merge", "q_snapshot_diff", "q_kanon",
+      // round 9: rank-selected tercile boundaries + the checkpointed
+      // density table must not depend on partitioning
+      "q_ppl_bucket")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

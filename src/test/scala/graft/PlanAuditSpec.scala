@@ -732,4 +732,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"),
       s"piece counts must combine map-side:\n$p")
   }
+
+  test("q_cdc_merge: map-side latest-per-key cut, one full-outer merge, no cartesian") {
+    // MERGE at 100 TB: the CDC feed dedupes to one row per key with a
+    // Partial WindowGroupLimit BEFORE its shuffle (a hot key's change
+    // history collapses map-side), then ONE full-outer sort-merge join
+    // on the merge key applies it
+    val p = plan("q_cdc_merge")
+    assert(p.contains("FullOuter"), s"expected a full-outer merge:\n$p")
+    assert(p.contains("Partial") &&
+      p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"latest-per-key must cut Partial+Final:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no cartesian in the merge path:\n$p")
+  }
+
+  test("q_ppl_bucket: lang-partitioned ranking + broadcast boundary join-back") {
+    // the tercile ranking window partitions BY LANG (parallel across
+    // languages — never a global single-partition sort) and the 2-row-
+    // per-lang boundary table comes back as a broadcast; the heavy
+    // token-explode subtree sits behind ONE checkpointed density table,
+    // so the final plan holds no second explode
+    val p = plan("q_ppl_bucket")
+    assert(p.contains("BroadcastHashJoin"),
+      s"boundary join-back must broadcast:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"no global single-partition window allowed:\n$p")
+    assert(!p.contains("Generate explode"),
+      s"token explode must not re-run past the checkpoint:\n$p")
+    assert(p.contains("hashpartitioning(lang"),
+      s"ranking must partition by lang:\n$p")
+  }
 }

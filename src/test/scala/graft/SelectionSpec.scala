@@ -111,4 +111,32 @@ class SelectionSpec extends SparkSpec {
     assert(res.forall(_._3 < bound),
       s"per-shard tokens must stay under stride+max_doc ($bound)")
   }
+
+  test("q_ppl_bucket: per-lang partition into ordered head/middle/tail terciles") {
+    val rows = run("q_ppl_bucket").collect()
+    assert(rows.nonEmpty)
+    // every scored doc appears exactly once
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length, "one bucket per doc")
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val byBucket = rs.groupBy(_.getAs[String]("bucket"))
+        .view.mapValues(_.map(_.getAs[Long]("density"))).toMap
+      assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+      val head = byBucket.getOrElse("head", Array.empty[Long])
+      assert(head.nonEmpty, s"$lang: head tercile must be nonempty")
+      // buckets are value-separated: assignment compares density against
+      // the rank-selected boundaries, so nonempty buckets order STRICTLY
+      for {
+        m <- byBucket.get("middle")
+      } assert(head.max < m.min, s"$lang: head/middle overlap")
+      for {
+        m <- byBucket.get("middle"); t <- byBucket.get("tail")
+      } assert(m.max < t.min, s"$lang: middle/tail overlap")
+      // ties only ADD to head: at least ceil(n/3) docs sit at or below
+      // the first boundary value
+      val n = rs.length
+      assert(head.length >= (n + 2) / 3,
+        s"$lang: head must hold at least ceil(n/3) docs")
+    }
+  }
 }

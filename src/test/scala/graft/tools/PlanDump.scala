@@ -30,6 +30,9 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+    // optional trailing args: dump only these queries instead of the
+    // headline list (ad-hoc plan inspection for new operators)
+    val names = if (args.length > 2) args.drop(2).toSeq else headline
     val spark = GraftSession.local("graft-plan-dump", 8)
     spark.sparkContext.setLogLevel("WARN")
     val sb = new StringBuilder
@@ -37,7 +40,7 @@ object PlanDump {
     sb ++= "Regenerate: `sbt \"Test/runMain graft.tools.PlanDump\"`. " +
       "Shape assertions that gate CI live in PlanAuditSpec; this file " +
       "is the human-readable companion.\n"
-    headline.foreach { q =>
+    names.foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       sb ++= s"\n## $q\n\n```\n${plan.trim}\n```\n"
