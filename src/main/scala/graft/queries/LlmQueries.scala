@@ -2486,6 +2486,69 @@ object LlmQueries {
       (s, dir) =>
         WordPiece.pieceFrequencies(table(s, dir, "documents"), "text")
     },
+
+    // L67 — Unigram-LM Viterbi serving (the SentencePiece kernel), the
+    // third tokenizer family: minimal-total-cost segmentation against
+    // integer piece costs (quantized −ln unigram probability over the
+    // same deterministic chars+top-200 vocabulary as L61). The ENGINE
+    // runs the Viterbi DP (codegen ViterbiTokenize, costs ride in the
+    // expression); the ORACLE enumerates EVERY segmentation of every
+    // distinct word as a recursive CTE and takes the (cost, path)
+    // minimum — the hash certifies the DP optimal against the
+    // definition, tie cases included (path joined with chr(1), binary
+    // compare on both engines). Enumeration is oracle-side only and
+    // bounded by the distinct-word table.
+    "q_unigram_viterbi" -> Q(
+      raw"""WITH RECURSIVE
+        |w AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS word FROM documents) t
+        |  WHERE word <> '' GROUP BY 1),
+        |cand AS (
+        |  SELECT substr(word, i, l) AS piece, sum(freq) AS wt
+        |  FROM w,
+        |  LATERAL (SELECT unnest(generate_series(1, 4)) AS l) ls,
+        |  LATERAL (SELECT unnest(generate_series(1, length(word) - l + 1))
+        |    AS i) g
+        |  GROUP BY 1),
+        |keep AS (
+        |  SELECT piece, wt FROM cand WHERE length(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, wt FROM (SELECT piece, wt FROM cand
+        |    WHERE length(piece) >= 2 ORDER BY wt DESC, piece LIMIT 200)),
+        |tot AS (SELECT CAST(sum(wt) AS DOUBLE) AS total FROM keep),
+        |vocab AS (SELECT piece,
+        |  CAST(round(-ln(wt / total) * 10000) AS BIGINT) AS cost
+        |  FROM keep, tot),
+        |seg AS (
+        |  SELECT word, CAST(0 AS BIGINT) AS pos,
+        |    CAST('' AS VARCHAR) AS path, CAST(0 AS BIGINT) AS cost
+        |  FROM w
+        |  UNION ALL
+        |  SELECT s.word, s.pos + length(v.piece),
+        |    CASE WHEN s.path = '' THEN v.piece
+        |         ELSE s.path || chr(1) || v.piece END,
+        |    s.cost + v.cost
+        |  FROM seg s JOIN vocab v
+        |    ON s.pos < length(s.word)
+        |   AND substr(s.word, CAST(s.pos + 1 AS INTEGER),
+        |         length(v.piece)) = v.piece),
+        |best AS (
+        |  SELECT word, path FROM (
+        |    SELECT word, path,
+        |      row_number() OVER (PARTITION BY word
+        |        ORDER BY cost, path) AS rn
+        |    FROM seg WHERE pos = length(word))
+        |  WHERE rn = 1),
+        |toks AS (SELECT b.word, unnest(string_split(b.path, chr(1)))
+        |    AS piece
+        |  FROM best b)
+        |SELECT t.piece, CAST(sum(w.freq) AS BIGINT) AS occurrences
+        |FROM toks t JOIN w ON t.word = w.word GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        Unigram.pieceFrequencies(table(s, dir, "documents"), "text")
+    },
   )
 
   // DuckDB-side BPE word state (mirrors Bpe.wordState): distinct words

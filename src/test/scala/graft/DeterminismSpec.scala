@@ -71,7 +71,10 @@ class DeterminismSpec extends SparkSpec {
       "q_cdc_merge", "q_snapshot_diff", "q_kanon",
       // round 9: rank-selected tercile boundaries + the checkpointed
       // density table must not depend on partitioning
-      "q_ppl_bucket")
+      "q_ppl_bucket",
+      // round 9: the vocab cost table (top-200 cut + quantized -ln) and
+      // the Viterbi tie-break must not depend on partitioning
+      "q_unigram_viterbi")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

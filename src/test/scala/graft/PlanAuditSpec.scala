@@ -733,6 +733,19 @@ class PlanAuditSpec extends SparkSpec {
       s"piece counts must combine map-side:\n$p")
   }
 
+  test("q_unigram_viterbi: codegen Viterbi expression, no join in the serving pass") {
+    // same contract as the WordPiece serving audit: segmentation runs as
+    // the cost-carrying expression over the distinct-word table — a
+    // regression to a vocab JOIN would shuffle every (word, piece)
+    // candidate
+    val p = plan("q_unigram_viterbi")
+    assert(p.contains("graft_viterbi_tokenize"),
+      s"expected the codegen serving expression:\n$p")
+    assert(!p.contains("Join"), s"serving needs no join:\n$p")
+    assert(p.contains("partial_sum"),
+      s"piece counts must combine map-side:\n$p")
+  }
+
   test("q_cdc_merge: map-side latest-per-key cut, one full-outer merge, no cartesian") {
     // MERGE at 100 TB: the CDC feed dedupes to one row per key with a
     // Partial WindowGroupLimit BEFORE its shuffle (a hot key's change
