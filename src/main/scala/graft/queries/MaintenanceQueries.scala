@@ -85,12 +85,14 @@ object MaintenanceQueries {
 
   /** The merged snapshot: base FULL OUTER latest-change on the key;
     * deletes drop, updates/inserts take the change row, untouched keys
-    * keep the base row.
+    * keep the base row. `latest` must carry one row per key with
+    * (doc_id, op, lang, source, n_chars).
     */
-  private def cdcMerged(d: DataFrame): DataFrame = {
+  private[queries] def applyLatest(d: DataFrame,
+                                   latest: DataFrame): DataFrame = {
     val b = d.select(d("doc_id").as("b_id"), d("lang").as("b_lang"),
       d("source").as("b_source"), d("n_chars").as("b_nc"))
-    val l = latestChange(d).select(col("doc_id").as("l_id"), col("op"),
+    val l = latest.select(col("doc_id").as("l_id"), col("op"),
       col("lang").as("l_lang"), col("source").as("l_source"),
       col("n_chars").as("l_nc"))
     b.join(l, b("b_id") === l("l_id"), "full_outer")
@@ -103,6 +105,9 @@ object MaintenanceQueries {
         when(col("l_id").isNotNull, col("l_nc")).otherwise(col("b_nc"))
           .as("n_chars"))
   }
+
+  private def cdcMerged(d: DataFrame): DataFrame =
+    applyLatest(d, latestChange(d))
 
   val all: Map[String, Q] = Map(
 
@@ -200,6 +205,44 @@ object MaintenanceQueries {
             .as("n_risky_classes"),
           sum(when(col("cls_n") < 5, col("cls_n")).otherwise(0L))
             .as("n_risky_rows"))
+    },
+
+    // X12o — the CDC CONSUMER as a REAL streaming run (fourth streaming
+    // gate entry): the change feed arrives as a file-source stream
+    // (8 staged files, 2 per trigger → ≥4 micro-batches) and the
+    // latest-per-key state is a complete-mode max(struct(version,
+    // delete-rank, payload)) aggregation — max over a total order is
+    // commutative across micro-batches, which is exactly what the oracle
+    // match certifies: the streamed state, applied to the base, must be
+    // bit-identical to the batch q_cdc_merge snapshot. (version,
+    // delete-rank) is unique per key in the feed, so the payload fields
+    // never tie-break; the delete-rank encodes 'D' beats 'U' at equal
+    // version, the same rule as the batch window's (version DESC, op
+    // ASC). Oracle = q_cdc_merge's SQL verbatim.
+    "q_stream_cdc" -> Q(
+      s"""WITH $duckLatest
+         |SELECT COALESCE(l.doc_id, b.doc_id) AS doc_id,
+         |  CASE WHEN l.doc_id IS NOT NULL THEN l.lang ELSE b.lang END
+         |    AS lang,
+         |  CASE WHEN l.doc_id IS NOT NULL THEN l.source ELSE b.source END
+         |    AS source,
+         |  CASE WHEN l.doc_id IS NOT NULL THEN l.n_chars ELSE b.n_chars
+         |    END AS n_chars
+         |FROM documents b FULL OUTER JOIN latest l ON b.doc_id = l.doc_id
+         |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val state = graft.streaming.StreamingPipeline.drainComplete(
+        s, cdcChanges(d), "cdc") { st =>
+        st.groupBy("doc_id")
+          .agg(max(struct(col("version"),
+            when(col("op") === "D", 2).otherwise(1).as("drk"),
+            col("op"), col("lang"), col("source"), col("n_chars")))
+            .as("m"))
+      }
+      val latest = state.select(col("doc_id"), col("m.op").as("op"),
+        col("m.lang").as("lang"), col("m.source").as("source"),
+        col("m.n_chars").as("n_chars"))
+      applyLatest(d, latest)
     }
   )
 }

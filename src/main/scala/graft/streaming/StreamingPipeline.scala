@@ -571,4 +571,47 @@ object StreamingPipeline {
       Seq(ckpt, srcDir).foreach(graft.util.Fs.deleteRecursively)
     }
   }
+
+  /** Generic complete-mode stream drain for gate entries: stage `src` as
+    * 8 parquet files, re-read as a file-source STREAM (2 per trigger →
+    * ≥4 micro-batches), apply `build` (which must end in a complete-mode-
+    * legal aggregation), drain with AvailableNow into a memory sink and
+    * return the final state as a local DataFrame. Same lifecycle
+    * discipline as the hand-rolled entries above: fresh checkpoint +
+    * staging per invocation, one try/finally covering failed staging /
+    * start / drain, sink view dropped, no temp leaks.
+    */
+  def drainComplete(spark: SparkSession, src: DataFrame, prefix: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val name = s"graft_stream_${prefix}_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    var started: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+    try {
+      src.repartition(8).write.mode("overwrite").parquet(srcDir.toString)
+      val q = build(spark.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", "2")
+          .parquet(srcDir.toString))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      started = Some(q)
+      q.awaitTermination()
+      val sink = spark.table(name)
+      val rows = sink.collect()
+      val sinkSchema = sink.schema
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), sinkSchema)
+    } finally {
+      started.foreach(q => try q.stop()
+        catch { case _: Exception => () })
+      try spark.catalog.dropTempView(name)
+      catch { case _: Exception => () }
+      Seq(ckpt, srcDir).foreach(graft.util.Fs.deleteRecursively)
+    }
+  }
 }

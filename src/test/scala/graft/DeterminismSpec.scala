@@ -74,7 +74,10 @@ class DeterminismSpec extends SparkSpec {
       "q_ppl_bucket",
       // round 9: the vocab cost table (top-200 cut + quantized -ln) and
       // the Viterbi tie-break must not depend on partitioning
-      "q_unigram_viterbi")
+      "q_unigram_viterbi",
+      // round 9: CDC state merged across micro-batches must not depend
+      // on partitioning or file-slice boundaries
+      "q_stream_cdc")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

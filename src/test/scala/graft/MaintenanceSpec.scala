@@ -72,6 +72,20 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("q_stream_cdc: streamed latest-per-key state applies to the batch merge, row-identical") {
+    // the streaming form consumes the change feed across ≥4 micro-batches
+    // (8 staged files, 2 per trigger); its max(struct) state must land on
+    // exactly the rows the batch window picks — including the
+    // delete-beats-update tie the drk field encodes
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("source"), r.getAs[Long]("n_chars"))
+    val streamed = run("q_stream_cdc").collect().map(key).toSet
+    val batch = run("q_cdc_merge").collect().map(key).toSet
+    assert(streamed == batch, "streamed merge must equal the batch merge")
+    assert(streamed.nonEmpty)
+  }
+
   test("q_kanon: report matches a brute-force equivalence-class recount") {
     val docs = Tables.table(spark, sf0001, "documents")
       .select("lang", "source", "n_chars").collect()
