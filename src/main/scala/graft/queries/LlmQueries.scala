@@ -2549,6 +2549,140 @@ object LlmQueries {
       (s, dir) =>
         Unigram.pieceFrequencies(table(s, dir, "documents"), "text")
     },
+
+    // L68 — three-family tokenizer fertility report: pieces-per-word
+    // (occurrence-weighted, integer per-mille) under BPE merge replay,
+    // WordPiece MaxMatch, and Unigram Viterbi — the "which tokenizer is
+    // densest on THIS corpus" table that drives tokenizer selection.
+    // One query, one hash: the oracle replays all three serving chains
+    // (the unrolled 3-merge BPE CTEs, the greedy-walk recursive CTE, and
+    // the enumerate-all-segmentations CTE) against the same corpus. BPE
+    // piece counts include the `</w>` end-of-word marker token — the
+    // standard formulation its own word state uses; documented, and
+    // replayed identically by the oracle.
+    "q_tokenizer_compare" -> Q(
+      raw"""WITH RECURSIVE
+        |w AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS word FROM documents) t
+        |  WHERE word <> '' GROUP BY 1),
+        |chars AS (
+        |  SELECT DISTINCT substr(word, i, 1) AS piece FROM w,
+        |  LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) g),
+        |subs AS (
+        |  SELECT substr(word, i, l) AS piece, sum(freq) AS wt
+        |  FROM w,
+        |  LATERAL (SELECT unnest(generate_series(2, 4)) AS l) ls,
+        |  LATERAL (SELECT unnest(generate_series(1, length(word) - l + 1))
+        |    AS i) g
+        |  GROUP BY 1),
+        |topp AS (SELECT piece FROM subs ORDER BY wt DESC, piece LIMIT 200),
+        |vocab AS (SELECT piece FROM chars UNION SELECT piece FROM topp),
+        |matches AS (
+        |  SELECT word, pos, max(length(piece)) AS bestlen FROM (
+        |    SELECT w.word, g.i AS pos, v.piece
+        |    FROM w,
+        |    LATERAL (SELECT unnest(generate_series(1, length(w.word)))
+        |      AS i) g, vocab v
+        |    WHERE substr(w.word, g.i, length(v.piece)) = v.piece)
+        |  GROUP BY 1, 2),
+        |rec AS (
+        |  SELECT word, CAST(1 AS BIGINT) AS pos,
+        |    CAST(NULL AS VARCHAR) AS piece
+        |  FROM w
+        |  UNION ALL
+        |  SELECT r.word, r.pos + m.bestlen,
+        |    substr(r.word, CAST(r.pos AS INTEGER), CAST(m.bestlen AS INTEGER))
+        |  FROM rec r JOIN matches m ON m.word = r.word AND m.pos = r.pos),
+        |toks AS (SELECT word, piece FROM rec WHERE piece IS NOT NULL),
+        |ucand AS (
+        |  SELECT substr(word, i, l) AS piece, sum(freq) AS wt
+        |  FROM w,
+        |  LATERAL (SELECT unnest(generate_series(1, 4)) AS l) ls,
+        |  LATERAL (SELECT unnest(generate_series(1, length(word) - l + 1))
+        |    AS i) g
+        |  GROUP BY 1),
+        |ukeep AS (
+        |  SELECT piece, wt FROM ucand WHERE length(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, wt FROM (SELECT piece, wt FROM ucand
+        |    WHERE length(piece) >= 2 ORDER BY wt DESC, piece LIMIT 200)),
+        |utot AS (SELECT CAST(sum(wt) AS DOUBLE) AS total FROM ukeep),
+        |uvocab AS (SELECT piece,
+        |  CAST(round(-ln(wt / total) * 10000) AS BIGINT) AS cost
+        |  FROM ukeep, utot),
+        |seg AS (
+        |  SELECT word, CAST(0 AS BIGINT) AS pos,
+        |    CAST('' AS VARCHAR) AS path, CAST(0 AS BIGINT) AS cost
+        |  FROM w
+        |  UNION ALL
+        |  SELECT s.word, s.pos + length(v.piece),
+        |    CASE WHEN s.path = '' THEN v.piece
+        |         ELSE s.path || chr(1) || v.piece END,
+        |    s.cost + v.cost
+        |  FROM seg s JOIN uvocab v
+        |    ON s.pos < length(s.word)
+        |   AND substr(s.word, CAST(s.pos + 1 AS INTEGER),
+        |         length(v.piece)) = v.piece),
+        |best AS (
+        |  SELECT word, path FROM (
+        |    SELECT word, path,
+        |      row_number() OVER (PARTITION BY word
+        |        ORDER BY cost, path) AS rn
+        |    FROM seg WHERE pos = length(word))
+        |  WHERE rn = 1),
+        |utoks AS (SELECT b.word, unnest(string_split(b.path, chr(1)))
+        |    AS piece
+        |  FROM best b),
+        |$duckBpeBase,
+        |${bpeIterSql(1)},
+        |${bpeIterSql(2)},
+        |${bpeIterSql(3)},
+        |nw AS (SELECT CAST(sum(freq) AS BIGINT) AS nwords FROM w),
+        |f_wp AS (SELECT CAST(sum(w2.freq) AS BIGINT) AS np
+        |  FROM toks t JOIN w w2 ON t.word = w2.word),
+        |f_uni AS (SELECT CAST(sum(w2.freq) AS BIGINT) AS np
+        |  FROM utoks t JOIN w w2 ON t.word = w2.word),
+        |f_bpe AS (SELECT
+        |  CAST(sum(c * len(string_split_regex(trim(s), '\s+')))
+        |    AS BIGINT) AS np,
+        |  CAST(sum(c) AS BIGINT) AS nwords FROM s3)
+        |SELECT 'bpe' AS tokenizer, f_bpe.nwords AS n_words,
+        |  f_bpe.np AS n_pieces,
+        |  CAST(f_bpe.np * 1000 // f_bpe.nwords AS BIGINT) AS fertility_ppk
+        |FROM f_bpe
+        |UNION ALL
+        |SELECT 'unigram', nw.nwords, f_uni.np,
+        |  CAST(f_uni.np * 1000 // nw.nwords AS BIGINT)
+        |FROM f_uni, nw
+        |UNION ALL
+        |SELECT 'wordpiece', nw.nwords, f_wp.np,
+        |  CAST(f_wp.np * 1000 // nw.nwords AS BIGINT)
+        |FROM f_wp, nw""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val w = WordPiece.wordFreq(d, "text").localCheckpoint(true)
+      val vb = WordPiece.vocab(w)
+      val costs = Unigram.vocabCosts(w)
+      val unk =
+        if (costs.isEmpty) 10000L else costs.iterator.map(_._2).max + 10000L
+      def family(name: String, pieces: org.apache.spark.sql.Column,
+          src: org.apache.spark.sql.DataFrame, cnt: String) =
+        src.select((pieces.cast("long") * col(cnt)).as("np"), col(cnt))
+          .agg(sum(cnt).cast("long").as("n_words"),
+            sum("np").cast("long").as("n_pieces"))
+          .select(lit(name).as("tokenizer"), col("n_words"),
+            col("n_pieces"),
+            expr("n_pieces * 1000 div n_words").as("fertility_ppk"))
+      val merges = Bpe.train(d, "text", 3).map(_._2)
+      val st3 = Bpe.applyMerges(d, "text", merges)
+      family("bpe", size(split(trim(col("s")), "\\s+")), st3, "c")
+        .unionByName(family("unigram",
+          size(graft.functions.ViterbiTokenize(col("word"), costs, unk)),
+          w, "freq"))
+        .unionByName(family("wordpiece",
+          size(graft.functions.PieceTokenize(col("word"), vb)), w, "freq"))
+    },
   )
 
   // DuckDB-side BPE word state (mirrors Bpe.wordState): distinct words

@@ -77,7 +77,10 @@ class DeterminismSpec extends SparkSpec {
       "q_unigram_viterbi",
       // round 9: CDC state merged across micro-batches must not depend
       // on partitioning or file-slice boundaries
-      "q_stream_cdc")
+      "q_stream_cdc",
+      // round 9: three serving chains and their vocab/merge fits in one
+      // report — any family's nondeterminism moves the fertility table
+      "q_tokenizer_compare")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

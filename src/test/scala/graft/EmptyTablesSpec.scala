@@ -29,7 +29,11 @@ class EmptyTablesSpec extends SparkSpec {
   private val docQueries = Seq(
     "q_curriculum", "q_quality_classifier", "q_importance_resample",
     "q_novelty", "q_vocab_growth", "q_shard_tokens", "q_token_budget",
-    "q_weighted_sample", "q_bpe_train", "q_bpe_apply", "q_stream_dedup")
+    "q_weighted_sample", "q_bpe_train", "q_bpe_apply", "q_stream_dedup",
+    // round 9, maintenance + tokenizer tiers: CDC on an empty base is an
+    // empty merge; the streaming form must survive a zero-file source
+    "q_cdc_merge", "q_snapshot_diff", "q_kanon", "q_ppl_bucket",
+    "q_unigram_viterbi", "q_stream_cdc")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

@@ -186,6 +186,75 @@ object Stress {
           .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
           .count()
       }),
+      // L63 CDC/MERGE apply: latest-per-key window + one full-outer
+      // sort-merge join — both linear in rows; the factor must track
+      // replication (the shuffle), never grow superlinearly
+      "cdc_merge_apply" -> (d => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("version").desc, col("op").asc)
+        def slice(cond: org.apache.spark.sql.Column, op: String, ver: Int,
+            key: org.apache.spark.sql.Column) =
+          d.filter(cond).select(key.cast("long").as("doc_id"),
+            lit(op).as("op"), lit(ver).as("version"), col("lang"))
+        val ch = slice(col("doc_id") % 7 === 0, "U", 1, col("doc_id"))
+          .unionByName(slice(col("doc_id") % 14 === 0, "U", 2,
+            col("doc_id")))
+          .unionByName(slice(col("doc_id") % 13 === 0, "D", 2,
+            col("doc_id")))
+          .unionByName(slice(col("doc_id") % 11 === 0, "I", 1,
+            col("doc_id") + 1000000000L))
+        val latest = ch.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn", "version")
+        val b = d.select(col("doc_id").as("b_id"), col("lang").as("b_lang"))
+        val l = latest.select(col("doc_id").as("l_id"), col("op"),
+          col("lang").as("l_lang"))
+        b.join(l, b("b_id") === l("l_id"), "full_outer")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .count()
+      }),
+      // L67 Viterbi serving: replicas multiply word COUNTS ×N but the
+      // distinct-word table — where the vocab fit and every DP runs —
+      // is unchanged, so only the corpus word-count scan grows; direct
+      // evidence the tokenizer state is vocab-sized, not corpus-sized
+      // (the bpe_train_3 claim, serving-side)
+      "unigram_viterbi_serve" -> (d =>
+        graft.ops.llm.Unigram.pieceFrequencies(d, "text").count()),
+      // L66 tercile bucketing: surprisal density is token-explode +
+      // two aggs (linear); the per-LANG ranking windows absorb ×N rows
+      // each as parallel n log n sorts — never a global single partition
+      "ppl_bucket_terciles" -> (d => {
+        import graft.ops.llm.TextOps
+        val tok = d.select(col("doc_id"), col("lang"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+        val tf = tok.groupBy("doc_id", "lang", "term")
+          .agg(count(lit(1)).as("tf"))
+        val f = tf.groupBy("term").agg(sum("tf").as("freq"))
+        val tot = f.agg(sum("freq").cast("double").as("total"))
+        val m = f.crossJoin(broadcast(tot)).select(col("term"),
+          round(-log(col("freq") / col("total")) * 10000, 0)
+            .cast("long").as("micro"))
+        val dens = tf.join(m, "term").groupBy("doc_id", "lang")
+          .agg((sum(col("tf") * col("micro")) / sum("tf")).cast("long")
+            .as("density"))
+          .localCheckpoint()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+          .orderBy(col("density").asc, col("doc_id").asc)
+        val ranked = dens.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+        val bounds = ranked.groupBy("lang").agg(
+          max(when(col("rn") === expr("(n + 2) div 3"), col("density")))
+            .as("b1"),
+          max(when(col("rn") === expr("(2 * n + 2) div 3"),
+            col("density"))).as("b2"))
+        dens.join(broadcast(bounds), "lang")
+          .select(when(col("density") <= col("b1"), "head")
+            .when(col("density") <= col("b2"), "middle")
+            .otherwise("tail").as("bucket"))
+          .groupBy("bucket").count().count()
+      }),
       // iterative graph op: replicas multiply edge WEIGHTS ×N but the
       // node set (vocabulary) is unchanged, so the 5 Pregel rounds must
       // stay ~flat — only the one-shot edge-mining pass scales with rows
