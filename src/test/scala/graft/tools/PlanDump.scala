@@ -25,7 +25,20 @@ object PlanDump {
     "q_similarity_ivf_exact", "q_pq_search",
     // round 6
     "q_similarity_ann_exact", "q_pq_refine", "q_normalize_entities",
-    "q_entity_spans", "q_fuzzy_join")
+    "q_entity_spans", "q_fuzzy_join",
+    // rounds 7-8: capped kNN tier, bounded miners, layout ops
+    "q_knn_graph", "q_knn_graph_mixed", "q_containment_graph",
+    "q_edit_distance_graph", "q_pipeline_incremental",
+    "q_compaction_plan", "q_zonemap_zorder", "q_constraints",
+    // round 9: selection/tokenizer/maintenance tiers (streaming gate
+    // entries excluded — their result is a drained local table, the
+    // executed plan of which says nothing about the stream)
+    "q_weighted_sample", "q_token_budget", "q_data_recipe",
+    "q_curriculum", "q_importance_resample", "q_shard_tokens",
+    "q_vocab_growth", "q_bpe_apply", "q_wordpiece_apply",
+    "q_unigram_viterbi", "q_tokenizer_compare", "q_dbscan",
+    "q_skyline", "q_outliers", "q_cdc_merge", "q_snapshot_diff",
+    "q_kanon", "q_ppl_bucket")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
