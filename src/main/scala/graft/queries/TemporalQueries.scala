@@ -132,5 +132,92 @@ object TemporalQueries {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast("long"))
     },
+
+    // X48 — time-series gap interpolation (imputation): per-series daily
+    // averages on a full day spine, missing days LINEARLY interpolated
+    // between the nearest observed neighbors, boundary gaps extended
+    // flat from the nearest observation. Series = (event_type,
+    // user_id % 200) so realistic gaps exist at every SF. All integer:
+    // per-event floor(value·1e6), truncated day average, and the
+    // interpolation `pv + ((nv−pv)·(d−pd)) div (nd−pd)` — Spark `div`
+    // and DuckDB `//` both truncate toward zero, so the negative-delta
+    // case is bit-identical. Scale shape: prev/next neighbors come from
+    // two IGNORE-NULLS running windows per series (parallel across
+    // series, never a global sort); the day spine is a broadcast
+    // 1-row-agg sequence.
+    "q_interpolate" -> Q(
+      """WITH e AS (
+        |  SELECT event_type, user_id % 200 AS ub,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vm
+        |  FROM events),
+        |agg AS (SELECT event_type, ub, day,
+        |    CAST(sum(vm) // count(*) AS BIGINT) AS v
+        |  FROM e GROUP BY 1, 2, 3),
+        |bounds AS (SELECT min(day) mnd, max(day) mxd FROM e),
+        |days AS (SELECT unnest(generate_series(mnd, mxd)) AS day
+        |         FROM bounds),
+        |series AS (SELECT DISTINCT event_type, ub FROM e),
+        |spine AS (SELECT s.event_type, s.ub, d.day FROM series s, days d),
+        |j AS (SELECT sp.event_type, sp.ub, sp.day, a.v
+        |  FROM spine sp LEFT JOIN agg a
+        |    ON sp.event_type = a.event_type AND sp.ub = a.ub
+        |   AND sp.day = a.day),
+        |f AS (
+        |  SELECT event_type, ub, day, v,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wp AS pd,
+        |    first_value(v IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wn AS nd
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY event_type, ub ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY event_type, ub ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, CAST(ub AS BIGINT) AS ub,
+        |  CAST(day AS BIGINT) AS day,
+        |  CAST(CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |         THEN pv + ((nv - pv) * (day - pd)) // (nd - pd)
+        |       ELSE coalesce(pv, nv) END AS BIGINT) AS value_micro,
+        |  CASE WHEN v IS NOT NULL THEN 'observed'
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interpolated'
+        |       ELSE 'extended' END AS src
+        |FROM f""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val e = ev.select(ev("event_type"),
+        expr("user_id % 200").as("ub"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        floor(col("value") * 1000000).cast("long").as("vm"))
+      val agg = e.groupBy("event_type", "ub", "day")
+        .agg(expr("sum(vm) div count(*)").as("v"))
+      val bounds = e.agg(min("day").as("mnd"), max("day").as("mxd"))
+      val days = bounds
+        .select(explode(sequence(col("mnd"), col("mxd"))).as("day"))
+      val spine = e.select("event_type", "ub").distinct()
+        .crossJoin(broadcast(days))
+      val j = spine.join(agg, Seq("event_type", "ub", "day"), "left")
+      val w = Window.partitionBy("event_type", "ub").orderBy("day")
+      val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      j.withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+        .withColumn("pd", last(when(col("v").isNotNull, col("day")),
+          ignoreNulls = true).over(wp))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
+        .withColumn("nd", first(when(col("v").isNotNull, col("day")),
+          ignoreNulls = true).over(wn))
+        .select(col("event_type"), col("ub"), col("day"),
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              expr("pv + ((nv - pv) * (day - pd)) div (nd - pd)"))
+            .otherwise(coalesce(col("pv"), col("nv")))
+            .cast("long").as("value_micro"),
+          when(col("v").isNotNull, "observed")
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              "interpolated")
+            .otherwise("extended").as("src"))
+    },
   )
 }

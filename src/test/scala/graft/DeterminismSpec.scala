@@ -80,7 +80,10 @@ class DeterminismSpec extends SparkSpec {
       "q_stream_cdc",
       // round 9: three serving chains and their vocab/merge fits in one
       // report — any family's nondeterminism moves the fertility table
-      "q_tokenizer_compare")
+      "q_tokenizer_compare",
+      // round 9: IGNORE-NULLS neighbor windows + truncated-division
+      // interpolants must not depend on partitioning
+      "q_interpolate")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

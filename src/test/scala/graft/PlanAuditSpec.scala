@@ -332,6 +332,21 @@ class PlanAuditSpec extends SparkSpec {
       s"per-day agg must combine map-side:\n$p")
   }
 
+  test("q_interpolate: broadcast day spine, series-partitioned neighbor windows") {
+    // same contract as q_resample's spine plus the imputation windows:
+    // prev/next neighbors come from per-series running windows (parallel
+    // across series), never a global single-partition sort
+    val p = plan("q_interpolate")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"only the intentional series x broadcast-days spine:\n$p")
+    // the only single-partition exchange is the 1-row day-bounds agg
+    assert(p.linesIterator.count(_.contains("SinglePartition, ENSURE")) <= 1,
+      s"data must never funnel through one partition:\n$p")
+    assert(p.contains("windowspecdefinition(event_type"),
+      s"neighbor windows must partition by series:\n$p")
+  }
+
   test("q_bloom_join: bloom prunes the fact scan before the join") {
     val p = plan("q_bloom_join")
     assert(p.contains("might_contain"),
