@@ -219,5 +219,49 @@ object TemporalQueries {
               "interpolated")
             .otherwise("extended").as("src"))
     },
+
+    // X49 — user growth curve (the events-side twin of q_vocab_growth's
+    // Heaps' law): per-day new users (first-seen day), active users,
+    // events, and the cumulative user/event totals. Cumulative DISTINCT
+    // users without distinct state — every user is counted once at their
+    // first-seen day — and both running totals share ONE range exchange
+    // via ops/PrefixSum.runningSums (the distributed prefix sum, never a
+    // global single-partition data window).
+    "q_user_growth" -> Q(
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |fu AS (SELECT user_id, min(day) AS fd FROM e GROUP BY 1),
+        |news AS (SELECT fd AS day, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM fu GROUP BY 1),
+        |perday AS (SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |  FROM e GROUP BY 1),
+        |j AS (SELECT p.day, coalesce(n.n_new, 0) AS n_new, p.n_active,
+        |    p.n_events
+        |  FROM perday p LEFT JOIN news n ON p.day = n.day)
+        |SELECT CAST(day AS BIGINT) AS day, CAST(n_new AS BIGINT) AS n_new,
+        |  n_active, n_events,
+        |  CAST(sum(n_new) OVER w AS BIGINT) AS cum_users,
+        |  CAST(sum(n_events) OVER w AS BIGINT) AS cum_events
+        |FROM j WINDOW w AS (ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin) {
+      (s, dir) =>
+        val ev = table(s, dir, "events")
+        val e = ev.select(ev("user_id"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        val news = e.groupBy("user_id").agg(min("day").as("fd"))
+          .groupBy(col("fd").as("day")).agg(count(lit(1)).as("n_new"))
+        val perday = e.groupBy("day")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct("user_id").as("n_active"))
+        val j = perday.join(news, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n_new"), lit(0L)).as("n_new"),
+            col("n_active"), col("n_events"))
+        graft.ops.PrefixSum.runningSums(j, Seq(col("day").asc),
+            Seq(col("n_new") -> "cum_users",
+              col("n_events") -> "cum_events"))
+          .select("day", "n_new", "n_active", "n_events", "cum_users",
+            "cum_events")
+    },
   )
 }

@@ -83,7 +83,10 @@ class DeterminismSpec extends SparkSpec {
       "q_tokenizer_compare",
       // round 9: IGNORE-NULLS neighbor windows + truncated-division
       // interpolants must not depend on partitioning
-      "q_interpolate")
+      "q_interpolate",
+      // round 9: first-seen counting + the shared-range prefix sums
+      // must not depend on partitioning
+      "q_user_growth")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -1,8 +1,9 @@
 package graft
 
-/** Semantic laws of q_interpolate (X48) on real events data: full spine
-  * coverage, class partition, interpolated values bounded by their
-  * anchor observations, and extensions confined to series boundaries.
+/** Semantic laws of the events time-series queries (X48 interpolation,
+  * X49 user growth) on real data: full spine coverage, class partition,
+  * interpolated values bounded by their anchor observations, extensions
+  * confined to series boundaries, and growth-curve conservation.
   */
 class InterpolateSpec extends SparkSpec {
 
@@ -52,5 +53,26 @@ class InterpolateSpec extends SparkSpec {
           s"$k day ${r._3}: extension must carry the boundary value")
       }
     }
+  }
+
+  test("q_user_growth: conservation — new users sum to the distinct-user total") {
+    val g = SparkEntry.queries("q_user_growth")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_active"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("cum_users"), r.getAs[Long]("cum_events")))
+      .sortBy(_._1)
+    assert(g.nonEmpty)
+    val users = Tables.table(spark, sf0001, "events")
+      .select("user_id").distinct().count()
+    val events = Tables.table(spark, sf0001, "events").count()
+    assert(g.map(_._2).sum == users,
+      "every user is new exactly once")
+    assert(g.last._5 == users, "final cum_users is the distinct total")
+    assert(g.last._6 == events, "final cum_events is the event total")
+    // running totals are the prefix sums of the per-day columns
+    assert(g.map(_._2).scanLeft(0L)(_ + _).tail.toSeq == g.map(_._5).toSeq)
+    assert(g.map(_._4).scanLeft(0L)(_ + _).tail.toSeq == g.map(_._6).toSeq)
+    // a day's actives can't exceed the users seen so far
+    g.foreach { r => assert(r._3 <= r._5, s"day ${r._1}") }
   }
 }

@@ -668,6 +668,20 @@ class PlanAuditSpec extends SparkSpec {
       s"final rollup must partial-agg:\n$p")
   }
 
+  test("q_user_growth: both running totals share one range exchange") {
+    // the events-side growth curve inherits q_vocab_growth's contract:
+    // cumulative users + events ride ONE PrefixSum range partition of
+    // the per-day table (static plan shows it twice: data + offsets
+    // lineage), offsets broadcast back
+    val p = plan("q_user_growth")
+    assert(p.contains("rangepartitioning"),
+      s"expected the PrefixSum range exchange:\n$p")
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning")) <= 2,
+      s"running totals must share one range partition:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("q_vocab_growth: both running totals share one range exchange") {
     // the growth curve's two cumulative sums (tokens, new-vocab) must
     // ride the SAME PrefixSum range partition of the per-doc table — a
