@@ -114,7 +114,8 @@ object Sinks {
     // pin the input once: the bounds aggregate, repartitionByRange's
     // range-boundary sampling pass, and the final write all re-read it —
     // unpinned, an expensive upstream plan would execute three times
-    val pinned = df.localCheckpoint(false)
+    // eager checkpoint: lazy + multi-branch consumers can deadlock Spark (see ops/llm/Dedup.scala "EAGER CHECKPOINT DISCIPLINE")
+    val pinned = df.localCheckpoint(true)
     val st = pinned.agg(min(xCol).as("__mnx"), max(xCol).as("__mxx"),
       min(yCol).as("__mny"), max(yCol).as("__mxy"))
     pinned.crossJoin(broadcast(st))

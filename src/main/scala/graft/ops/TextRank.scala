@@ -59,10 +59,11 @@ object TextRank {
 
   /** Fixed-iteration rank loop over a degree-annotated edge list. */
   def run(ed: DataFrame, iters: Int): DataFrame = {
-    val pinned = ed.localCheckpoint(false)
+    // eager checkpoint: lazy + multi-branch consumers can deadlock Spark (see ops/llm/Dedup.scala "EAGER CHECKPOINT DISCIPLINE")
+    val pinned = ed.localCheckpoint(true)
     var ranks = init(pinned)
     for (_ <- 1 to iters)
-      ranks = round(pinned, ranks).localCheckpoint(false)
+      ranks = round(pinned, ranks).localCheckpoint(true)
     ranks
   }
 }

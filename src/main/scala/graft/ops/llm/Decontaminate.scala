@@ -54,7 +54,8 @@ object Decontaminate {
     // tokenize+shingle+distinct pipeline runs twice per query
     val probeShingles = shingled(probes, idCol, textCol, n)
       .select("g").distinct()
-      .localCheckpoint(false)
+      // eager checkpoint: lazy + multi-branch consumers can deadlock Spark (see ops/llm/Dedup.scala "EAGER CHECKPOINT DISCIPLINE")
+      .localCheckpoint(true)
     val bloom = probeShingles
       .agg(call_function("graft_bloom_agg", xxhash64(col("g")),
         lit(estItems), lit(numBits)).as("bf"))

@@ -60,12 +60,26 @@ object Dedup {
     // The repartition first: a small parquet input arrives as ~1 scan
     // partition, which would run the expensive shingle pass on one core —
     // shuffling the raw text is trivial by comparison.
+    //
+    // EAGER CHECKPOINT DISCIPLINE (repo-wide, r10): every localCheckpoint
+    // whose result feeds more than one plan branch uses eager=true. A
+    // *lazy* checkpoint handed to a multi-consumer plan can deadlock
+    // inside Spark itself: dag-scheduler-event-loop takes the checkpoint
+    // RDD's monitor (DAGScheduler.getCacheLocs) and then waits for the
+    // global RDDCheckpointData$ class lock, while an AQE
+    // broadcast-exchange thread — materializing the checkpoint as a side
+    // effect of its own job — holds RDDCheckpointData$ (RDD.doCheckpoint)
+    // and waits for that RDD's monitor (markCheckpointed). Lock-order
+    // inversion, permanent hang; jstack-confirmed in round 9 on
+    // editDistancePairs below. eager=true materializes the blocks under
+    // a single job BEFORE any fan-out, so no consumer ever races the
+    // checkpoint — same single scan, paid deterministically.
     val par = df.sparkSession.sparkContext.defaultParallelism
     val withSet = df.select(df(idCol).as("doc"), df(textCol).as("_t"))
       .repartition(par)
       .select(col("doc"), TextOps.shingleSet(col("_t"), n).as("shs"))
       .withColumn("n_", size(col("shs")))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     ppjoin(withSet, num, den)
   }
 
@@ -165,7 +179,7 @@ object Dedup {
       .repartition(par)
       .select(col("doc"), TextOps.shingleSet(col("_t"), n).as("shs"))
       .withColumn("n_", size(col("shs")))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val post = withSet.select(col("doc"), col("n_"),
       explode(col("shs")).as("g"))
     val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
@@ -238,7 +252,7 @@ object Dedup {
         array_join(array_sort(array_distinct(TextOps.tokens(col("_t")))),
           " ").as("skey"),
         TextOps.shingleSet(col("_t"), n).as("sh"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(substring(col("skey"), 1, prefixLen))
       .orderBy(col("skey"), col("doc"))
@@ -291,7 +305,7 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc") +: TextOps.shingleSet(col("_t"), n).as("sh")
         +: extraCols: _*)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val hashed = base.withColumn("hs", shingleHashes(col("sh")))
     val sigCols = (0 until 2 * bands).map(j =>
       minhashSig(col("hs"), j).as(s"sig$j"))
@@ -819,7 +833,7 @@ object Dedup {
         substring(lower(trim(df(textCol))), 1, prefixChars).as("s"))
       .repartition(par)
       .withColumn("len", length(col("s")))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // gram-survival bound: need >= q*maxDist+1 grams => len >= q*(maxDist+1)
     val smallCut = q * (maxDist + 1)
     val big = norm.filter(col("len") >= smallCut)
@@ -871,7 +885,7 @@ object Dedup {
     // live in the border set len < smallCut + maxDist; candidates over
     // DISTINCT strings via the length-band equi join, then back to docs.
     val border = norm.filter(col("len") < smallCut + maxDist)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val sd = border.select(col("s"), col("len")).distinct()
     val probe = sd.filter(col("len") < smallCut)
       .select(col("s").as("s1"), col("len").as("l1"),
@@ -934,7 +948,7 @@ object Dedup {
     * a map-combined rollup — pair-graph-sized, never corpus-sized.
     */
   def triangleCounts(pairs: DataFrame): DataFrame = {
-    val e = pairs.select(col("a"), col("b")).localCheckpoint(false)
+    val e = pairs.select(col("a"), col("b")).localCheckpoint(true)
     val paths = e.toDF("x", "y")
       .join(e.toDF("y2", "z"), col("y") === col("y2"))
       .select(col("x"), col("y"), col("z"))
@@ -1005,11 +1019,11 @@ object Dedup {
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
       .repartition(parts, col("src"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // init folds the first propagation round in: rep = min(node, neighbors)
     var labels = edges.groupBy(col("src").as("node"))
       .agg(least(first(col("src")), min(col("dst"))).as("rep"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // Convergence check: every node's rep is non-increasing (propagated
     // includes the old label via the union, pointer jump maps rep to
     // rep's rep <= rep), so sum(rep) strictly decreases until the
@@ -1042,7 +1056,7 @@ object Dedup {
       val propagated = labels.union(neigh)
         .repartition(parts, col("node"))
         .groupBy("node").agg(min("rep").as("rep"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       // pointer jumping: rep := rep's rep — doubles the propagation
       // distance per round, so convergence is O(log diameter) rounds
       // instead of O(diameter). Skipped in round 1: near-dup graphs are
@@ -1054,7 +1068,7 @@ object Dedup {
           .join(propagated.toDF("node2", "rep2"),
             propagated("rep") === col("node2"), "left")
           .select(col("node"), coalesce(col("rep2"), col("rep")).as("rep"))
-          .localCheckpoint(false))
+          .localCheckpoint(true))
       prevSum = curSum
       curSum = repSum(next)
       labels = next

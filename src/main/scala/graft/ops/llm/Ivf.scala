@@ -46,14 +46,15 @@ object Ivf {
                    iters: Int): DataFrame = {
     val v = vectors.toDF("id", "vec")
       .withColumn("nv", Similarity.l2norm(col("vec")))
-      .localCheckpoint(false)
+      // eager checkpoint: lazy + multi-branch consumers can deadlock Spark (see ops/llm/Dedup.scala "EAGER CHECKPOINT DISCIPLINE")
+      .localCheckpoint(true)
     var centroids = v
       .withColumn("_h", sha2(col("id").cast("string"), 256))
       .orderBy(col("_h")).limit(nClusters)
       .select(row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(col("_h")))
         .as("cid"), col("vec").as("cvec"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     (1 to iters).foreach { _ =>
       val assigned = assign(v, centroids)
       centroids = assigned
@@ -65,7 +66,7 @@ object Ivf {
         .agg(transform(
           sort_array(collect_list(struct(col("dim"), col("m")))),
           e => e.getField("m")).as("cvec"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
     }
     centroids
   }
@@ -80,7 +81,7 @@ object Ivf {
     val centroids = fitCentroids(vectors, nClusters, iters)
     val v = vectors.toDF("id", "vec")
       .withColumn("nv", Similarity.l2norm(col("vec")))
-    val cells = assign(v, centroids).localCheckpoint(false)
+    val cells = assign(v, centroids).localCheckpoint(true)
     val q = queries.toDF("qid", "qvec")
       .withColumn("nq", Similarity.l2norm(col("qvec")))
     val probes = q.join(broadcast(centroids))
@@ -129,7 +130,7 @@ object Ivf {
     val v = Similarity.int8Codes(vectors)
       .select(col("id"), col("codes").cast("array<double>").as("cv"),
         col("maxabs_micro").as("mxv"))
-      .localCheckpoint(false) // branches: seeds + assignment
+      .localCheckpoint(true) // branches: seeds + assignment
     val cents = v
       .withColumn("_h", sha2(col("id").cast("string"), 256))
       .orderBy(col("_h")).limit(nClusters)

@@ -40,7 +40,8 @@ object Pq {
     */
   def fitCodebooks(vectors: DataFrame, m: Int, k: Int,
                    iters: Int = 2): DataFrame = {
-    val subs = subTable(vectors, m).localCheckpoint(false)
+    // eager checkpoint: lazy + multi-branch consumers can deadlock Spark (see ops/llm/Dedup.scala "EAGER CHECKPOINT DISCIPLINE")
+    val subs = subTable(vectors, m).localCheckpoint(true)
     val seedW = Window.partitionBy(col("sub")).orderBy(col("_h"))
     var books = subs
       .withColumn("_h", sha2(concat(col("sub").cast("string"), lit(":"),
@@ -48,7 +49,7 @@ object Pq {
       .withColumn("_r", row_number().over(seedW))
       .filter(col("_r") <= k)
       .select(col("sub"), col("_r").as("code"), col("sv").as("cvec"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     (1 to iters).foreach { _ =>
       books = assignCodes(subs, books)
         .select(col("sub"), col("code"), posexplode(col("sv"))
@@ -60,7 +61,7 @@ object Pq {
         .agg(transform(
           sort_array(collect_list(struct(col("dim"), col("m")))),
           e => e.getField("m")).as("cvec"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
     }
     books
   }

@@ -64,7 +64,8 @@ object SimHash {
     val width = 60 / bands
     val mask = (1L << width) - 1
     val hashed = df.select(df(idCol).as("doc"), simhashSha(textCol).as("h"))
-      .localCheckpoint(false)
+      // eager checkpoint: lazy + multi-branch consumers can deadlock Spark (see ops/llm/Dedup.scala "EAGER CHECKPOINT DISCIPLINE")
+      .localCheckpoint(true)
     val bandKeys = array((0 until bands).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("h"), b * width).bitwiseAND(lit(mask)).as("bits"))): _*)
@@ -98,7 +99,7 @@ object SimHash {
     val width = 64 / bands
     val hashed = df.select(df(idCol).as("doc"),
         simhashBits(textCol).as("h"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val bandKeys = array((0 until bands).map(b =>
       struct(lit(b).as("band"),
         substring(col("h"), b * width + 1, width).as("bits"))): _*)

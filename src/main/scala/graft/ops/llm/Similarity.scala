@@ -167,7 +167,8 @@ object Similarity {
     require(maxCell >= 1, s"maxCell must be >= 1, got $maxCell")
     val v0 = vectors.toDF("id", "cell", "vec")
       .withColumn("nv", l2norm(col("vec")))
-      .localCheckpoint(false) // counts + both join sides: one source scan
+      // eager checkpoint: lazy + multi-branch consumers can deadlock Spark (see ops/llm/Dedup.scala "EAGER CHECKPOINT DISCIPLINE")
+      .localCheckpoint(true) // counts + both join sides: one source scan
     val v =
       if (maxCell == Int.MaxValue) v0.withColumn("r", lit(1))
       else v0.withColumn("r", row_number().over(
@@ -428,7 +429,7 @@ object Similarity {
     val v = int8Codes(vectors)
       .select(col("id"), col("codes").cast("array<double>").as("cv"),
         col("maxabs_micro").as("mxv"))
-      .localCheckpoint(false) // branches: bucket keys + both score sides
+      .localCheckpoint(true) // branches: bucket keys + both score sides
     val cand = knnExactCandidates(v, dim, planesPerTable, seed, maxBucket)
     val scored = cand
       .join(v.select(col("id").as("a"), col("cv").as("cva"),
