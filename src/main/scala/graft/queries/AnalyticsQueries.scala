@@ -722,6 +722,22 @@ object AnalyticsQueries {
       graft.streaming.StreamingPipeline.streamDedupComplete(s, dir)
     },
 
+    // X12p — the UPDATE-mode twin of q_stream_dedup: identical
+    // aggregation, but each micro-batch emits only the digests that
+    // changed and foreachBatch MERGEs them into a digest-prefix-
+    // partitioned parquet sink table (dynamic partition overwrite) —
+    // the shape that scales past driver memory, certified equivalent by
+    // hash-matching the BYTE-IDENTICAL batch oracle.
+    "q_stream_dedup_update" -> Q(
+      """WITH d AS (
+        |  SELECT sha256(lower(trim(text))) AS digest, doc_id
+        |  FROM documents)
+        |SELECT digest, CAST(min(doc_id) AS BIGINT) AS keep_doc,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM d GROUP BY 1""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamingPipeline.streamDedupUpdate(s, dir)
+    },
+
     // §2.10 — the reference's product loop (a continuously-maintained
     // ranked leaderboard) as a REAL streaming run: word frequencies as
     // complete-mode state across >= 4 micro-batches with the global

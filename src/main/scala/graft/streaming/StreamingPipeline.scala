@@ -614,4 +614,91 @@ object StreamingPipeline {
       Seq(ckpt, srcDir).foreach(graft.util.Fs.deleteRecursively)
     }
   }
+
+  /** X12p — the 100 TB shape of `q_stream_dedup`: the SAME exact-dedup
+    * aggregation run in UPDATE output mode, each micro-batch's changed
+    * digests MERGE-d into a digest-prefix-partitioned parquet sink table
+    * through foreachBatch, drained with AvailableNow. The final sink
+    * table hash-matches the identical batch oracle as the complete-mode
+    * twin, which certifies the two modes equivalent — but this shape
+    * scales: per trigger the query emits only the digests that CHANGED
+    * in that batch (update mode), and the merge rewrites only the sink
+    * partitions those digests live in (dynamic partition overwrite over
+    * a `pfx = substr(digest,1,1)` layout — 16 partitions here; a real
+    * deployment widens the prefix so a partition is a few GB). Nothing
+    * is ever driver-resident or re-emitted in full: complete mode
+    * re-sends the whole state every trigger and a memory sink bounds
+    * state by driver heap, which is why the complete-mode entries are
+    * gate plumbing and THIS is the production loop. It is also exactly
+    * the reference's CronJob semantics (state in an external table,
+    * each run merging only what arrived) done with exactly-once file
+    * accounting instead of a hardcoded hourly path.
+    *
+    * Merge mechanics per batch: the update rows (cumulative aggregate
+    * values for changed keys — min/count are emitted as full current
+    * state, so replace-by-key is the correct merge) are eagerly
+    * checkpointed, the touched prefixes are collected (≤16 strings),
+    * the sink is read PRUNED to those partitions, anti-joined on digest
+    * (drop stale versions), unioned with the updates, checkpointed
+    * (cuts lineage so the write does not read the path it overwrites),
+    * and written back with dynamic partition overwrite.
+    */
+  def streamDedupUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.table(spark, sfDir, "documents")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    val sinkRoot = java.nio.file.Files.createTempDirectory("graft-stream-sink")
+    val sinkPath = sinkRoot.resolve("state").toString
+    var started: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+    try {
+      src.repartition(8).write.mode("overwrite").parquet(srcDir.toString)
+      val q = spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(srcDir.toString)
+        .select(sha2(lower(trim(col("text"))), 256).as("digest"),
+          col("doc_id"))
+        .groupBy("digest")
+        .agg(min("doc_id").as("keep_doc"), count(lit(1)).as("n_copies"))
+        .writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          // eager checkpoint: the batch Dataset is only valid inside this
+          // callback, and it feeds two branches (touched-prefix collect +
+          // both merge sides) — see "EAGER CHECKPOINT DISCIPLINE"
+          val upd = batch
+            .withColumn("pfx", substring(col("digest"), 1, 1))
+            .localCheckpoint(true)
+          val touched =
+            upd.select("pfx").distinct().collect().map(_.getString(0)).toSeq
+          val existing =
+            if (new java.io.File(sinkPath).exists())
+              sp.read.parquet(sinkPath).filter(col("pfx").isin(touched: _*))
+            else sp.createDataFrame(
+              sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], upd.schema)
+          val merged = existing
+            .join(upd.select("digest"), Seq("digest"), "left_anti")
+            .unionByName(upd)
+            .localCheckpoint(true)
+          merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("pfx").parquet(sinkPath)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      started = Some(q)
+      q.awaitTermination()
+      // the sink table IS the result; copy it off the temp dir (deleted
+      // in the finally) as a local DataFrame, same as the other entries
+      val fin = spark.read.parquet(sinkPath)
+        .select("digest", "keep_doc", "n_copies")
+      val rows = fin.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), fin.schema)
+    } finally {
+      started.foreach(q => try q.stop()
+        catch { case _: Exception => () })
+      Seq(ckpt, srcDir, sinkRoot).foreach(graft.util.Fs.deleteRecursively)
+    }
+  }
 }

@@ -353,6 +353,25 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streamDedupUpdate: update-mode merge sink equals the complete-mode twin") {
+    // X12p — same aggregation as streamDedupComplete but in update mode
+    // with a foreachBatch partition-pruned MERGE into a parquet sink
+    // table: the final sink table must equal both the complete-mode
+    // result and the one-pass batch aggregation
+    import org.apache.spark.sql.functions._
+    val dir = sf0001
+    val got = StreamingPipeline.streamDedupUpdate(spark, dir)
+      .as[(String, Long, Long)].collect().toSet
+    val d = graft.Tables.table(spark, dir, "documents")
+    val expected = d.select(
+        sha2(lower(trim(col("text"))), 256).as("digest"), col("doc_id"))
+      .groupBy("digest")
+      .agg(min("doc_id").as("keep_doc"), count(lit(1)).as("n_copies"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("streamTopKWords: complete-mode leaderboard equals the batch top-K") {
     import org.apache.spark.sql.functions._
     val dir = sf0001
