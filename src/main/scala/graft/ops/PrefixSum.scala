@@ -37,6 +37,16 @@ import org.apache.spark.sql.functions._
   * the range stage across the data/offsets branches, and the form stays
   * fully declarative — versus an RDD mapPartitions cumsum that would
   * save the pid exchange but sever codegen and the SQL plan.
+  *
+  * Single-scan guarantee (pinned in PlanAuditSpec "prefix sum source is
+  * scanned once under AQE"): when the data and offsets branches prune to
+  * the SAME subtree, AQE's exchange reuse collapses the offsets branch
+  * onto a ReusedExchange of the range stage — one source scan total,
+  * verified on q_token_budget's FINAL adaptive plan. When a caller's
+  * input subtree prunes DIFFERENTLY per branch (e.g. q_user_growth,
+  * where countDistinct survives only in the data branch), reuse cannot
+  * engage — such callers eagerly checkpoint their (small, pre-aggregated)
+  * input before calling in, which removes every source re-scan outright.
   */
 object PrefixSum {
 

@@ -254,9 +254,17 @@ object TemporalQueries {
         val perday = e.groupBy("day")
           .agg(count(lit(1)).as("n_events"),
             countDistinct("user_id").as("n_active"))
+        // eager checkpoint the DAY-SIZED join result before PrefixSum:
+        // its offsets branch re-executes the input subtree, and column
+        // pruning narrows that copy (n_active's countDistinct drops out)
+        // so AQE exchange reuse cannot unify the two branches — unpinned,
+        // the offsets branch paid an extra (pruned) corpus scan. Pinned,
+        // everything downstream operates on ~365 rows/year and the final
+        // plan touches NO parquet at all (asserted in PlanAuditSpec).
         val j = perday.join(news, Seq("day"), "left")
           .select(col("day"), coalesce(col("n_new"), lit(0L)).as("n_new"),
             col("n_active"), col("n_events"))
+          .localCheckpoint(true)
         graft.ops.PrefixSum.runningSums(j, Seq(col("day").asc),
             Seq(col("n_new") -> "cum_users",
               col("n_events") -> "cum_events"))

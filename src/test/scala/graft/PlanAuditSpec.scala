@@ -10,6 +10,50 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, sf0001).queryExecution.executedPlan.toString
 
+  /** FINAL adaptive plan: execute the query, then take the re-optimized
+    * current plan (AQE exchange reuse and coalescing only exist there —
+    * the pre-execution string is the initial plan). The toString of an
+    * executed AdaptiveSparkPlan appends the initial plan after a marker;
+    * keep only the current section.
+    */
+  private def finalPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf0001)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("isFinalPlan=true"),
+      s"$q did not produce a final adaptive plan")
+    full.split("Initial Plan")(0)
+  }
+
+  test("prefix sum source is scanned once under AQE (q_token_budget)") {
+    // ops/PrefixSum's offsets branch re-references the ranged input; the
+    // scaladoc's single-scan claim rests on AQE collapsing that branch
+    // onto a ReusedExchange of the range stage. Pin it on the FINAL
+    // adaptive plan of the corpus-sized consumer: exactly one parquet
+    // scan, exactly one materialized range exchange, and the offsets
+    // branch on a ReusedExchange.
+    val p = finalPlan("q_token_budget")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
+    val ranges = p.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning") && !l.contains("Reused"))
+    assert(ranges == 1, s"expected 1 materialized range exchange:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("ReusedExchange") &&
+      l.contains("rangepartitioning")),
+      s"offsets branch not on a ReusedExchange of the range stage:\n$p")
+  }
+
+  test("q_user_growth final plan touches no parquet (day-sized checkpoint base)") {
+    // its PrefixSum input prunes differently per branch (countDistinct
+    // survives only in the data branch) so exchange reuse cannot engage;
+    // the query pins the day-sized join result with an eager checkpoint
+    // instead — the final plan must read ONLY checkpoint blocks, never
+    // re-scanning events for the offsets branch.
+    val p = finalPlan("q_user_growth")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 0, s"expected checkpoint-only final plan, got $scans scans:\n$p")
+  }
+
   test("q_topk: two-phase WindowGroupLimit (map-side top-k before shuffle)") {
     val p = plan("q_topk")
     // Partial mode = each map task keeps only k rows per group, so a hot
