@@ -572,9 +572,113 @@ object Similarity {
   def dbscan(vectors: DataFrame, tau: Double, minPts: Int,
              blocks: Int = 16): DataFrame = {
     val v = vectors.toDF("id", "vec")
+    dbscanFromPairs(v,
+      cosinePairs(v, tau, blocks).select(col("a"), col("b")), minPts)
+  }
+
+  /** ANN-front-end DBSCAN — the 100 TB form the [[dbscan]] scaladoc
+    * promises: candidate pairs from the capped multi-table LSH path
+    * ([[knnExactCandidates]] over int8 codes — Σ|bucket|·min(|bucket|,cap)
+    * join volume, never n², with `Dataset.observe` cap metrics), each
+    * candidate then EXACTLY cosine-scored against τ, feeding the same
+    * core/border/noise derivation as the exact form.
+    *
+    * Recall contract: precision is exact by construction (every emitted
+    * pair passed the true cosine ≥ τ test — the LSH stage only proposes),
+    * so ANN pairs ⊆ exact pairs always, and the clustering can only ever
+    * differ by MISSED neighbors. Per-pair miss probability after T
+    * tables of p hyperplanes is (1 − (1 − θ/π)^p)^T (θ = acos τ) —
+    * driven to organically-zero here by many coarse tables (the gate
+    * entry q_dbscan_ann hash-matches the EXACT oracle on the testdata;
+    * DbscanSpec asserts pair-set equality and documents divergence when
+    * tables are deliberately starved).
+    */
+  def dbscanAnn(vectors: DataFrame, tau: Double, minPts: Int,
+                planesPerTable: Seq[Int], seed: Long = 42L,
+                maxBucket: Int = 4096): DataFrame = {
+    val v = vectors.toDF("id", "vec")
+    val dim = v.select(size(col("vec"))).head().getInt(0)
+    val codes = int8Codes(v.select(col("id"), col("vec")))
+      .select(col("id"), col("codes").cast("array<double>").as("cv"))
+      .localCheckpoint(true)
+    val cand = annCandidatesMixed(codes, dim, planesPerTable, seed, maxBucket)
+      .filter(col("a") < col("b"))
+    val withVec = v.select(col("id"), col("vec"), l2norm(col("vec")).as("nv"))
+    val pairs = cand
+      .join(withVec.select(col("id").as("a"), col("vec").as("va"),
+        col("nv").as("na")), "a")
+      .join(withVec.select(col("id").as("b"), col("vec").as("vb"),
+        col("nv").as("nb")), "b")
+      .filter(cosine(col("va"), col("vb"), col("na"), col("nb")) >= tau)
+      .select(col("a"), col("b"))
+    dbscanFromPairs(v, pairs, minPts)
+  }
+
+  /** splitmix64 finalizer — plan-time literal generation only. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Candidate stage for [[dbscanAnn]]: same capped multi-table bucket
+    * join as [[knnExactCandidates]], but hyperplane components come from
+    * a splitmix64 avalanche of (seed, table, plane, dim) instead of that
+    * method's linear LCG. The LCG's per-component table-to-table step is
+    * `t·7919 mod 17` — a short cycle, so its tables are CORRELATED and
+    * recall plateaus as tables are added (measured: stuck at 97–99% pair
+    * recall regardless of T at τ=0.35). Avalanched components make
+    * tables independent, so the (1 − (1 − θ/π)^p)^T miss bound actually
+    * holds and recall → 1 with T. knnExactCandidates itself is frozen:
+    * its DuckDB oracles replay the LCG math bit-for-bit.
+    */
+  private def annCandidatesMixed(v: DataFrame, dim: Int,
+                                 planesPerTable: Seq[Int], seed: Long,
+                                 maxBucket: Int): DataFrame = {
+    require(planesPerTable.nonEmpty, "at least one table")
+    require(planesPerTable.forall(p => p >= 1 && p <= 62),
+      "plane counts must be in [1, 62] (bucket id must fit a long)")
+    def bucketOfInt(codes: Column, planes: Int, tbl: Int): Column =
+      (0 until planes).map { p =>
+        val row = (0 until dim).map { i =>
+          Math.floorMod(
+            mix64(seed ^ (tbl * 1000003L) ^ (p * 8191L) ^ i.toLong),
+            17L) - 8L
+        }
+        val d = dot(codes, array(row.map(x => lit(x.toDouble)): _*))
+        when(d >= 0d, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val keyed = v.select(col("id"),
+      explode(array(planesPerTable.zipWithIndex.map { case (np, t) =>
+        struct(lit(t).as("tbl"), bucketOfInt(col("cv"), np, t).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy("tbl2", "bucket2")
+      .orderBy(xxhash64(col("tbl2"), col("bucket2"), col("b")), col("b"))
+    keyed.toDF("a", "tbl", "bucket")
+      .join(keyed.toDF("b", "tbl2", "bucket2")
+          .withColumn("_br", row_number().over(bw))
+          .filter(col("_br") <= maxBucket)
+          .observe("graft_dbscan_ann_bucket_cap",
+            count(when(col("_br") === maxBucket, true))
+              .as("n_buckets_at_cap"))
+          .drop("_br"),
+        col("tbl") === col("tbl2") && col("bucket") === col("bucket2") &&
+          col("a") =!= col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Core/border/noise derivation shared by [[dbscan]] and [[dbscanAnn]]:
+    * `v` = (id, vec), `pairCand` = unordered neighbor pairs (a < b).
+    */
+  private def dbscanFromPairs(v: DataFrame, pairCand: DataFrame,
+                              minPts: Int): DataFrame = {
     // pairs feed four consumers (degrees, core-core edges, border join);
     // eager-checkpoint so the quadratic mining front-end runs ONCE
-    val pairs = cosinePairs(v, tau, blocks).select(col("a"), col("b"))
+    val pairs = pairCand.select(col("a"), col("b"))
       .localCheckpoint(true)
     val nbr = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
     val deg = nbr.groupBy("src").agg(count(lit(1)).as("d"))

@@ -1110,6 +1110,59 @@ object LlmQueries {
         SharedBases.dbscanRoles(s, dir)
     },
 
+    // L60c — the ANN-front-end DBSCAN the L60 scaladoc promises at
+    // 100 TB: candidate pairs from a capped multi-table hyperplane-LSH
+    // path (24 tables × 2 planes over int8 codes, independent
+    // splitmix-mixed hyperplanes), each candidate exactly cosine-scored
+    // against τ, feeding the SAME core/border/noise derivation. The
+    // oracle is q_dbscan's EXACT SQL verbatim: precision is exact by
+    // construction (LSH only proposes; the true-cosine filter disposes)
+    // and at this table count the per-pair miss bound (1−(1−θ/π)^p)^T
+    // ≈ 2e-5 is below one expected miss on the organic pair count, so
+    // the hash certifies full recall — swap-in proven, downstream
+    // unchanged. DbscanSpec pins the contract where parameters are
+    // deliberately starved: ANN can only DEMOTE (core set shrinks,
+    // noise grows), never invent neighbors.
+    "q_dbscan_ann" -> Q(
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id a, b.vec_id b FROM e a JOIN e b
+        |    ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+        |nbr AS (SELECT a src, b dst FROM p UNION ALL SELECT b, a FROM p),
+        |deg AS (SELECT src, count(*) d FROM nbr GROUP BY 1),
+        |core AS (SELECT src AS id FROM deg WHERE d >= 3),
+        |cedges AS (
+        |  SELECT n.src, n.dst FROM nbr n
+        |  WHERE n.src IN (SELECT id FROM core)
+        |    AND n.dst IN (SELECT id FROM core)),
+        |cc AS (
+        |  SELECT id AS node, id AS rep FROM core
+        |  UNION
+        |  SELECT e2.dst, cc.rep FROM cc, cedges e2 WHERE cc.node = e2.src),
+        |corelab AS (SELECT node AS id, min(rep) AS cluster
+        |            FROM cc GROUP BY 1),
+        |borderlab AS (
+        |  SELECT n.src AS id, min(c.cluster) AS cluster
+        |  FROM nbr n JOIN corelab c ON n.dst = c.id
+        |  WHERE n.src NOT IN (SELECT id FROM corelab)
+        |  GROUP BY 1),
+        |labeled AS (
+        |  SELECT id, 'core' AS role, cluster FROM corelab
+        |  UNION ALL
+        |  SELECT id, 'border', cluster FROM borderlab)
+        |SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+        |  coalesce(l.role, 'noise') AS role,
+        |  CAST(coalesce(l.cluster, -1) AS BIGINT) AS cluster
+        |FROM e LEFT JOIN labeled l ON e.vec_id = l.id""".stripMargin) {
+      (s, dir) =>
+        val e = table(s, dir, "embeddings")
+        graft.ops.llm.Similarity.dbscanAnn(
+          e.select(e("vec_id"), e("embedding").cast("array<double>")),
+          tau = 0.35, minPts = 4, planesPerTable = Seq.fill(24)(2))
+    },
+
     // L60b — the curation application of the density clustering: the
     // pruned keep-set. Outliers (noise) all survive — they carry unique
     // signal; each dense region collapses to ONE representative (its

@@ -89,4 +89,50 @@ class DbscanSpec extends SparkSpec {
       .select("cluster").distinct().as[Long].collect().toSet
     assert(borderClusters.subsetOf(coreClusters))
   }
+
+  test("ANN front-end reproduces the exact clustering on real embeddings") {
+    // the q_dbscan_ann contract: at 24 tables x 2 planes the per-pair
+    // miss bound is far below one expected miss on the organic pair
+    // count, so the LSH candidate front-end + exact cosine scoring must
+    // yield the IDENTICAL (vec_id, role, cluster) table — the swap-in
+    // the dbscan scaladoc promises, downstream untouched
+    val e = graft.Tables.table(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val exact = Similarity.dbscan(e, 0.35, minPts = 4)
+      .as[(Long, String, Long)].collect().toSet
+    val ann = Similarity.dbscanAnn(e, 0.35, minPts = 4,
+        planesPerTable = Seq.fill(24)(2))
+      .as[(Long, String, Long)].collect().toSet
+    assert(ann == exact,
+      s"ann/exact divergence: ${(ann diff exact) ++ (exact diff ann)}")
+  }
+
+  test("starved ANN tables only DEMOTE — the recall contract under divergence") {
+    // where the miss bound is NOT driven to zero (here: a single
+    // 6-plane table), the ANN form may miss true neighbor pairs but can
+    // never invent one (every candidate is exactly scored). Degrees are
+    // therefore pointwise <= the exact form's: the ANN core set is a
+    // subset of the exact core set, and every exact-noise point stays
+    // noise under ANN. This is the documented failure DIRECTION a
+    // production sweep reasons about when tuning tables against recall.
+    val e = graft.Tables.table(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val exact = Similarity.dbscan(e, 0.35, minPts = 4)
+    val starved = Similarity.dbscanAnn(e, 0.35, minPts = 4,
+      planesPerTable = Seq(6))
+    def roleSet(df: org.apache.spark.sql.DataFrame, role: String) =
+      df.filter(col("role") === role).select("vec_id").as[Long]
+        .collect().toSet
+    val exactCore = roleSet(exact, "core")
+    val annCore = roleSet(starved, "core")
+    assert(annCore.subsetOf(exactCore),
+      s"ANN promoted non-cores: ${annCore diff exactCore}")
+    val exactNoise = roleSet(exact, "noise")
+    val annNoise = roleSet(starved, "noise")
+    assert(exactNoise.subsetOf(annNoise),
+      s"ANN rescued exact-noise points: ${exactNoise diff annNoise}")
+    // and the starvation is real on this data — the sets genuinely differ
+    assert(annCore != exactCore,
+      "expected a single coarse table to miss pairs; widen the starvation")
+  }
 }
