@@ -72,6 +72,21 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.take(300))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // Rows-only bound certification (r9 advice #6): the 7 approximate
+    // queries' error/recall bounds, evaluated against the DUMPED rows —
+    // the artifact itself then certifies what the specs assert.
+    val dumpedOk = declared.filterNot(errors.contains).toSet
+    val bounds = BoundChecks.run(spark, sfDir, outDir, dumpedOk)
+    val boundsJson = bounds.toSeq.sortBy(_._1).map { case (k, b) =>
+      s"${q(k)}: {${q("metric")}: ${q(b.metric)}, " +
+        s"${q("value")}: ${if (b.value.isNaN) "null" else b.value.toString}, " +
+        s"${q("bound")}: ${if (b.bound.isNaN) "null" else b.bound.toString}, " +
+        s"${q("bound_ok")}: ${b.ok}}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/bounds.json"), boundsJson)
+    val nBad = bounds.count(!_._2.ok)
+    System.err.println(
+      s"[verify] bounds checked=${bounds.size} failed=$nBad")
     spark.stop()
   }
 }

@@ -65,6 +65,24 @@ def main():
         except Exception as e:
             print(f"ERROR {name}: {str(e)[:300]}")
             n_fail += 1
+    # rows-only bound certification (written by Verify's BoundChecks):
+    # the 7 approximate queries carry an error/recall bound against their
+    # exact twin instead of a hash — surface it next to the hash results
+    # so a sweep is only green when the bounds held too.
+    try:
+        bounds = json.load(open(f"{out}/bounds.json"))
+    except FileNotFoundError:
+        bounds = {}
+    for name, b in sorted(bounds.items()):
+        if only and name not in only:
+            continue
+        status = "PASS" if b.get("bound_ok") else "FAIL"
+        print(f"{status} {name} [bound] {b.get('metric')}="
+              f"{b.get('value')} vs {b.get('bound')}")
+        if b.get("bound_ok"):
+            n_pass += 1
+        else:
+            n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
