@@ -30,8 +30,12 @@ object MaintenanceQueries {
     *   - v2 updates: every doc_id % 14 == 0 re-sourced to `cdc_update_v2`
     *     (supersedes its own v1 row — last-writer-wins is load-bearing);
     *   - v2 deletes: every doc_id % 13 == 0;
-    *   - v1 inserts: every doc_id % 11 == 0 cloned to key doc_id + 10^7
-    *     (disjoint from all base keys) with source `cdc_insert`.
+    *   - v1 inserts: every doc_id % 11 == 0 cloned to key doc_id + 10^12
+    *     (disjoint from all base keys; MaintenanceSpec asserts
+    *     max(doc_id) stays far below the offset — a colliding key would
+    *     make the stream's max(struct) state and the batch window's
+    *     (version DESC, op ASC) tie-break diverge) with source
+    *     `cdc_insert`.
     * Keys divisible by both 13 and 14 carry a v2 update AND a v2 delete:
     * the tie-break is (version DESC, op ASC), so 'D' < 'U' means the
     * delete wins — pinned in MaintenanceSpec on a constructed table.
@@ -47,7 +51,7 @@ object MaintenanceQueries {
       .unionByName(slice(d("doc_id") % 13 === 0, "D", 2, d("source"),
         d("doc_id")))
       .unionByName(slice(d("doc_id") % 11 === 0, "I", 1, lit("cdc_insert"),
-        d("doc_id") + 10000000L))
+        d("doc_id") + 1000000000000L))
   }
 
   /** The DuckDB replay of [[cdcChanges]] + latest-per-key dedup, shared by
@@ -65,7 +69,7 @@ object MaintenanceQueries {
       |  SELECT doc_id, 'D', 2, lang, source, n_chars
       |  FROM documents WHERE doc_id % 13 = 0
       |  UNION ALL
-      |  SELECT doc_id + 10000000, 'I', 1, lang, 'cdc_insert', n_chars
+      |  SELECT doc_id + 1000000000000, 'I', 1, lang, 'cdc_insert', n_chars
       |  FROM documents WHERE doc_id % 11 = 0),
       |latest AS (
       |  SELECT doc_id, op, lang, source, n_chars FROM (

@@ -14,6 +14,18 @@ class MaintenanceSpec extends SparkSpec {
     Tables.table(spark, sf0001, "documents").select("doc_id")
       .collect().map(_.getLong(0)).toSet
 
+  test("CDC insert-key offset is disjoint from the base key space") {
+    // the synthetic insert feed clones doc_id % 11 == 0 to doc_id + 10^12;
+    // a collision would make q_stream_cdc's max(struct) state (op 'U' >
+    // 'I' in payload order) and q_cdc_merge's (version DESC, op ASC)
+    // window tie-break pick DIFFERENT rows — stream and batch would
+    // silently diverge. Pin the disjointness on the live testdata.
+    val mx = Tables.table(spark, sf0001, "documents")
+      .agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0)
+    assert(mx < 1000000000000L / 2,
+      s"max doc_id $mx too close to the CDC insert offset 10^12")
+  }
+
   test("q_cdc_merge: every MERGE outcome class lands on the right keys") {
     val base = Tables.table(spark, sf0001, "documents")
       .select("doc_id", "lang", "source", "n_chars").collect()
@@ -24,7 +36,7 @@ class MaintenanceSpec extends SparkSpec {
         r.getAs[String]("source"), r.getAs[Long]("n_chars"))).toMap
 
     val deleted = base.keySet.filter(_ % 13 == 0)
-    val inserted = base.keySet.filter(_ % 11 == 0).map(_ + 10000000L)
+    val inserted = base.keySet.filter(_ % 11 == 0).map(_ + 1000000000000L)
 
     // deletes remove — INCLUDING keys that also carry a same-version
     // update (doc_id % 182 == 0, e.g. 0/182/364): 'D' < 'U' under the
@@ -56,7 +68,7 @@ class MaintenanceSpec extends SparkSpec {
     def cls(c: String): Set[Long] =
       rows.filter(_.getAs[String]("change") == c)
         .map(_.getAs[Long]("doc_id")).toSet
-    assert(cls("added") == ids.filter(_ % 11 == 0).map(_ + 10000000L))
+    assert(cls("added") == ids.filter(_ % 11 == 0).map(_ + 1000000000000L))
     assert(cls("removed") == ids.filter(_ % 13 == 0))
     // %14 ⊂ %7, so "changed" = updated-and-not-deleted = %7 minus %13
     assert(cls("changed") == ids.filter(i => i % 7 == 0 && i % 13 != 0))

@@ -13,6 +13,32 @@ import graft.functions.ViterbiTokenize
 class ViterbiSpec extends SparkSpec {
   import spark.implicits._
 
+  test("corpus max word length stays inside the oracle's enumeration budget") {
+    // the q_unigram_viterbi / q_tokenizer_compare DuckDB oracles
+    // enumerate EVERY composition of each distinct word into pieces of
+    // length 1-4 — ~1.93^len rows per word, exponential in word length.
+    // Fine at the corpus's observed max (8 chars, ~40 rows/word); one
+    // regenerated long token (URL, hash, 40+ chars) would blow the
+    // oracle and the brute-force parity test up identically. Pin the
+    // budget here so a corpus regeneration fails THIS named test
+    // instead of hanging the sweep: 16 chars ~= 37k enumerated rows per
+    // word, still trivially cheap.
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")
+         if new java.io.File(dir).isDirectory) {
+      val d = graft.Tables.table(spark, dir, "documents")
+      val mx = d.select(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.array_max(
+            org.apache.spark.sql.functions.transform(
+              graft.ops.llm.TextOps.tokens(d("text")),
+              w => org.apache.spark.sql.functions.length(w)))))
+        .head().getInt(0)
+      assert(mx <= 16,
+        s"$dir: max word length $mx exceeds the Viterbi oracle's " +
+          "enumeration budget — cap the oracle's word set or rewrite it " +
+          "as a per-position DP CTE before re-running the sweep")
+    }
+  }
+
   private def tokenize(words: Seq[String], vocab: Seq[(String, Long)],
       unk: Long = 999999L): Map[String, Seq[String]] =
     words.toDF("w")
