@@ -601,8 +601,8 @@ object Similarity {
     val codes = int8Codes(v.select(col("id"), col("vec")))
       .select(col("id"), col("codes").cast("array<double>").as("cv"))
       .localCheckpoint(true)
-    val cand = annCandidatesMixed(codes, dim, planesPerTable, seed, maxBucket)
-      .filter(col("a") < col("b"))
+    val cand = annCandidatesMixed(codes, dim, planesPerTable, seed,
+      maxBucket, orderedPairs = true)
     val withVec = v.select(col("id"), col("vec"), l2norm(col("vec")).as("nv"))
     val pairs = cand
       .join(withVec.select(col("id").as("a"), col("vec").as("va"),
@@ -635,7 +635,8 @@ object Similarity {
     */
   private def annCandidatesMixed(v: DataFrame, dim: Int,
                                  planesPerTable: Seq[Int], seed: Long,
-                                 maxBucket: Int): DataFrame = {
+                                 maxBucket: Int,
+                                 orderedPairs: Boolean = false): DataFrame = {
     require(planesPerTable.nonEmpty, "at least one table")
     require(planesPerTable.forall(p => p >= 1 && p <= 62),
       "plane counts must be in [1, 62] (bucket id must fit a long)")
@@ -667,7 +668,12 @@ object Similarity {
               .as("n_buckets_at_cap"))
           .drop("_br"),
         col("tbl") === col("tbl2") && col("bucket") === col("bucket2") &&
-          col("a") =!= col("b"))
+          // unordered consumers (DBSCAN) take a < b INSIDE the join —
+          // with p=2 tables the buckets are big and each surviving
+          // unordered pair would otherwise reach the distinct twice,
+          // doubling the shuffle that dominates this stage
+          (if (orderedPairs) col("a") < col("b")
+           else col("a") =!= col("b")))
       .select("a", "b").distinct()
   }
 

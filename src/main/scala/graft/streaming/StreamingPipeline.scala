@@ -676,9 +676,15 @@ object StreamingPipeline {
               sp.read.parquet(sinkPath).filter(col("pfx").isin(touched: _*))
             else sp.createDataFrame(
               sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], upd.schema)
+          // repartition by pfx before the partitioned write: without it
+          // every shuffle partition holds rows of ~all prefixes and the
+          // write emits O(shuffle.partitions × prefixes) small files per
+          // batch — repartitioned, each touched partition gets ONE file
+          // (the compaction discipline a production MERGE sink keeps)
           val merged = existing
             .join(upd.select("digest"), Seq("digest"), "left_anti")
             .unionByName(upd)
+            .repartition(math.max(touched.size, 1), col("pfx"))
             .localCheckpoint(true)
           merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
