@@ -754,6 +754,23 @@ object AnalyticsQueries {
       graft.streaming.StreamingPipeline.streamTopKWords(s, dir)
     },
 
+    // X12q — the UPDATE-mode twin of q_stream_topk: word-frequency
+    // state merged per-batch into the partitioned sink table; the top-K
+    // cut is a READ over the state (the production leaderboard split —
+    // change-sized state maintenance, any reader cuts its own K), not a
+    // per-trigger re-sort of the whole state. Oracle byte-identical to
+    // q_stream_topk's.
+    "q_stream_topk_update" -> Q(
+      """SELECT word, cnt FROM (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS word
+        |    FROM documents) t
+        |  WHERE word <> '' GROUP BY word)
+        |ORDER BY cnt DESC, word LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamingPipeline.streamTopKUpdate(s, dir)
+    },
+
     // §2.10 — a REAL streaming session-window run in the gate: events
     // staged as 8 time-range slices, >= 4 micro-batches, native
     // session_window state merged across batches (a session crossing a

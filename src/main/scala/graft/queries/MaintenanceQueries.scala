@@ -247,6 +247,29 @@ object MaintenanceQueries {
         col("m.lang").as("lang"), col("m.source").as("source"),
         col("m.n_chars").as("n_chars"))
       applyLatest(d, latest)
+    },
+
+    // X12r — the UPDATE-mode twin of q_stream_cdc: the same
+    // latest-per-key max(struct) state, but each micro-batch's changed
+    // keys MERGE into the hash-prefix-partitioned sink table
+    // (drainUpdateMerge), and applying the state to the base snapshot
+    // is a READ-side join — the state-table-plus-view split a real CDC
+    // consumer serves from. Oracle = q_cdc_merge's SQL verbatim, the
+    // same certification as the complete-mode twin.
+    "q_stream_cdc_update" -> Q(
+      s"""WITH $duckLatest
+         |SELECT COALESCE(l.doc_id, b.doc_id) AS doc_id,
+         |  CASE WHEN l.doc_id IS NOT NULL THEN l.lang ELSE b.lang END
+         |    AS lang,
+         |  CASE WHEN l.doc_id IS NOT NULL THEN l.source ELSE b.source END
+         |    AS source,
+         |  CASE WHEN l.doc_id IS NOT NULL THEN l.n_chars ELSE b.n_chars
+         |    END AS n_chars
+         |FROM documents b FULL OUTER JOIN latest l ON b.doc_id = l.doc_id
+         |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      graft.streaming.StreamingPipeline.streamCdcUpdate(s, cdcChanges(d),
+        latest => applyLatest(d, latest))
     }
   )
 }

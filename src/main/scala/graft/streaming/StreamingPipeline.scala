@@ -624,8 +624,8 @@ object StreamingPipeline {
     * scales: per trigger the query emits only the digests that CHANGED
     * in that batch (update mode), and the merge rewrites only the sink
     * partitions those digests live in (dynamic partition overwrite over
-    * a `pfx = substr(digest,1,1)` layout — 16 partitions here; a real
-    * deployment widens the prefix so a partition is a few GB). Nothing
+    * a hash-prefix layout — 16 partitions here; a real deployment
+    * widens the modulus so a partition is a few GB). Nothing
     * is ever driver-resident or re-emitted in full: complete mode
     * re-sends the whole state every trigger and a memory sink bounds
     * state by driver heap, which is why the complete-mode entries are
@@ -645,6 +645,79 @@ object StreamingPipeline {
     */
   def streamDedupUpdate(spark: SparkSession, sfDir: String): DataFrame = {
     val src = Tables.table(spark, sfDir, "documents")
+    drainUpdateMerge(spark, src, "dedup_upd", "digest") { st =>
+      st.select(sha2(lower(trim(col("text"))), 256).as("digest"),
+          col("doc_id"))
+        .groupBy("digest")
+        .agg(min("doc_id").as("keep_doc"), count(lit(1)).as("n_copies"))
+    }
+  }
+
+  /** X12q — the update-mode twin of `q_stream_topk` (the reference's
+    * product leaderboard): word-frequency state in UPDATE mode merged
+    * per-batch into the sink table; the top-K cut is a READ over the
+    * state table (the production split — complete mode re-sorts and
+    * re-emits the whole leaderboard inside every trigger, this shape
+    * maintains change-sized state and lets any number of readers cut
+    * their own K). Hash-matched against q_stream_topk's byte-identical
+    * oracle.
+    */
+  def streamTopKUpdate(spark: SparkSession, sfDir: String, k: Int = 20)
+      : DataFrame = {
+    val src = Tables.table(spark, sfDir, "documents")
+    val state = drainUpdateMerge(spark, src, "topk_upd", "word") { st =>
+      st.select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+    }
+    state.orderBy(col("cnt").desc, col("word")).limit(k)
+  }
+
+  /** X12r — the update-mode twin of `q_stream_cdc`: the latest-per-key
+    * max(struct) state merged per-batch into the sink table by doc_id;
+    * applying the drained state to the base snapshot is a READ-side
+    * join (how a real CDC consumer serves queries: state table + view),
+    * hash-matched against the byte-identical q_cdc_merge oracle. The
+    * `changes` feed and the `apply` function come from the caller so
+    * this stays the maintenance tier's own semantics.
+    */
+  def streamCdcUpdate(spark: SparkSession, changes: DataFrame,
+                      apply: DataFrame => DataFrame): DataFrame = {
+    val state = drainUpdateMerge(spark, changes, "cdc_upd", "doc_id") { st =>
+      st.groupBy("doc_id")
+        .agg(max(struct(col("version"),
+          when(col("op") === "D", 2).otherwise(1).as("drk"),
+          col("op"), col("lang"), col("source"), col("n_chars")))
+          .as("m"))
+    }
+    apply(state.select(col("doc_id"), col("m.op").as("op"),
+      col("m.lang").as("lang"), col("m.source").as("source"),
+      col("m.n_chars").as("n_chars")))
+  }
+
+  /** Generic UPDATE-mode drain with a foreachBatch MERGE sink — the
+    * 100 TB counterpart of [[drainComplete]]: stage `src` as 8 parquet
+    * files, stream 2 per trigger (≥4 micro-batches), apply `build`
+    * (must end in an update-mode-legal aggregation keyed by `keyCol`,
+    * emitting the key's full current aggregate value on change — true
+    * of min/max/count/sum, so replace-by-key is the correct merge), and
+    * MERGE each batch's changed keys into a hash-prefix-partitioned
+    * parquet sink table: the sink is read PRUNED to the touched
+    * partitions, stale versions drop via anti-join on the key, and
+    * dynamic partition overwrite rewrites only those partitions — one
+    * file per touched partition per batch (state is repartitioned by
+    * prefix before the write; 16 prefixes here, a real deployment
+    * widens the modulus so a partition is a few GB). Nothing is ever
+    * driver-resident or re-emitted in full — this is the reference's
+    * CronJob-with-external-state loop with exactly-once file
+    * accounting. Returns the final sink table (prefix column dropped)
+    * as a local DataFrame; same full-path try/finally lifecycle as the
+    * complete-mode drains.
+    */
+  def drainUpdateMerge(spark: SparkSession, src: DataFrame, prefix: String,
+                       keyCol: String)(
+      build: DataFrame => DataFrame): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
     val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
     val sinkRoot = java.nio.file.Files.createTempDirectory("graft-stream-sink")
@@ -652,13 +725,9 @@ object StreamingPipeline {
     var started: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
     try {
       src.repartition(8).write.mode("overwrite").parquet(srcDir.toString)
-      val q = spark.readStream.schema(src.schema)
-        .option("maxFilesPerTrigger", "2")
-        .parquet(srcDir.toString)
-        .select(sha2(lower(trim(col("text"))), 256).as("digest"),
-          col("doc_id"))
-        .groupBy("digest")
-        .agg(min("doc_id").as("keep_doc"), count(lit(1)).as("n_copies"))
+      val q = build(spark.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", "2")
+          .parquet(srcDir.toString))
         .writeStream
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -667,13 +736,17 @@ object StreamingPipeline {
           // callback, and it feeds two branches (touched-prefix collect +
           // both merge sides) — see "EAGER CHECKPOINT DISCIPLINE"
           val upd = batch
-            .withColumn("pfx", substring(col("digest"), 1, 1))
+            .withColumn("pfx", pmod(xxhash64(col(keyCol)), lit(16L)))
             .localCheckpoint(true)
           val touched =
-            upd.select("pfx").distinct().collect().map(_.getString(0)).toSeq
+            upd.select("pfx").distinct().collect().map(_.getLong(0)).toSeq
           val existing =
             if (new java.io.File(sinkPath).exists())
               sp.read.parquet(sinkPath).filter(col("pfx").isin(touched: _*))
+                // partition-dir values read back as IntegerType; align
+                // order AND type with upd before the union
+                .withColumn("pfx", col("pfx").cast("long"))
+                .select(upd.columns.map(col): _*)
             else sp.createDataFrame(
               sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], upd.schema)
           // repartition by pfx before the partitioned write: without it
@@ -682,7 +755,7 @@ object StreamingPipeline {
           // batch — repartitioned, each touched partition gets ONE file
           // (the compaction discipline a production MERGE sink keeps)
           val merged = existing
-            .join(upd.select("digest"), Seq("digest"), "left_anti")
+            .join(upd.select(keyCol), Seq(keyCol), "left_anti")
             .unionByName(upd)
             .repartition(math.max(touched.size, 1), col("pfx"))
             .localCheckpoint(true)
@@ -697,8 +770,7 @@ object StreamingPipeline {
       q.awaitTermination()
       // the sink table IS the result; copy it off the temp dir (deleted
       // in the finally) as a local DataFrame, same as the other entries
-      val fin = spark.read.parquet(sinkPath)
-        .select("digest", "keep_doc", "n_copies")
+      val fin = spark.read.parquet(sinkPath).drop("pfx")
       val rows = fin.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), fin.schema)
     } finally {

@@ -372,6 +372,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streamTopKUpdate: update-mode merge leaderboard equals complete mode") {
+    // X12q — state maintained by per-batch merge, top-K cut at read
+    // time; must equal the complete-mode leaderboard exactly (ordered:
+    // the (cnt desc, word asc) tie-break pins the emitted sequence)
+    val dir = sf0001
+    val got = StreamingPipeline.streamTopKUpdate(spark, dir, k = 20)
+      .as[(String, Long)].collect().toSeq
+    val comp = StreamingPipeline.streamTopKWords(spark, dir, k = 20)
+      .as[(String, Long)].collect().toSeq
+    assert(got == comp)
+    assert(got.nonEmpty)
+  }
+
+  test("streamCdcUpdate: update-mode merged state applies identically to batch") {
+    // X12r — latest-per-key state via per-batch merge; applying it to
+    // the base must equal the batch MERGE row-for-row
+    import org.apache.spark.sql.functions._
+    val dir = sf0001
+    val d = graft.Tables.table(spark, dir, "documents")
+    val got = graft.queries.MaintenanceQueries.all("q_stream_cdc_update")
+      .fn(spark, dir).as[(Long, String, String, Long)].collect().toSet
+    val batch = graft.queries.MaintenanceQueries.all("q_cdc_merge")
+      .fn(spark, dir).as[(Long, String, String, Long)].collect().toSet
+    assert(got == batch,
+      s"stream/batch divergence: ${(got diff batch) ++ (batch diff got)}")
+    assert(d.count() > 0 && got.nonEmpty)
+  }
+
   test("streamTopKWords: complete-mode leaderboard equals the batch top-K") {
     import org.apache.spark.sql.functions._
     val dir = sf0001
