@@ -38,7 +38,11 @@ object PlanDump {
     "q_vocab_growth", "q_bpe_apply", "q_wordpiece_apply",
     "q_unigram_viterbi", "q_tokenizer_compare", "q_dbscan",
     "q_skyline", "q_outliers", "q_cdc_merge", "q_snapshot_diff",
-    "q_kanon", "q_ppl_bucket")
+    "q_kanon", "q_ppl_bucket",
+    // round 10: ANN-front-end DBSCAN + the PrefixSum consumers whose
+    // single-scan shape is now plan-audited (update-mode streaming
+    // entries excluded, same reason as the other streaming entries)
+    "q_dbscan_ann", "q_user_growth")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
