@@ -266,6 +266,25 @@ object Stress {
             substring_index(col("g"), " ", -1).as("y"))
         graft.ops.TextRank.run(graft.ops.TextRank.withDegree(
           graft.ops.TextRank.edges(pairs, minW = 3)), iters = 5).count()
+      }),
+      // X12p/X12q/X12r update-mode merge sink (drainUpdateMerge):
+      // replicas share text, so the merged STATE TABLE — the thing the
+      // production loop persists — must stay FLAT at Nx input (the row
+      // count printed IS the distinct-digest count); only the scan/hash
+      // work and the per-batch changed-key sets grow. Complete mode
+      // would re-emit the whole state per trigger; this op is the
+      // evidence the update-mode shape does not.
+      "stream_update_merge" -> (d => {
+        val sp = d.sparkSession
+        graft.streaming.StreamingPipeline.drainUpdateMerge(
+          sp, d.select(col("doc_id"), col("text")), "stress_upd",
+          "digest") { st =>
+          st.select(sha2(lower(trim(col("text"))), 256).as("digest"),
+              col("doc_id"))
+            .groupBy("digest")
+            .agg(min("doc_id").as("keep_doc"),
+              count(lit(1)).as("n_copies"))
+        }.count()
       }))
 
     // SPARK_GRAFT_STRESS_ONLY=a,b restricts the run — the isolation probe
