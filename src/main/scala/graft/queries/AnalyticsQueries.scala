@@ -706,6 +706,21 @@ object AnalyticsQueries {
       graft.streaming.StreamingPipeline.windowedEventCountsBatch(s, dir)
     },
 
+    // X12s — the watermark surface as a REAL streamed run with the
+    // production sink: time-sliced staging, watermarked tumbling-window
+    // counts in UPDATE mode, per-batch merge into the partitioned sink
+    // table. Windows the advancing watermark evicts from the state
+    // store keep their final value in the sink, so the drained table
+    // is complete and hash-matches q_stream_window's byte-identical
+    // batch oracle — bounded state AND a lossless result in one entry.
+    "q_stream_window_update" -> Q(
+      """SELECT strftime(to_timestamp(floor(epoch(ts) / 300) * 300),
+        |    '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamingPipeline.streamWindowUpdate(s, dir)
+    },
+
     // §2.10 — a REAL Structured Streaming run in the gate (not a batch
     // twin): documents re-read as a file-source stream, exact-dedup as a
     // stateful complete-mode aggregation (RocksDB state) drained with

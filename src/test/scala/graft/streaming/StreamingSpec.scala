@@ -400,6 +400,30 @@ class StreamingSpec extends SparkSpec {
     assert(d.count() > 0 && got.nonEmpty)
   }
 
+  test("streamWindowUpdate: evicted windows persist in the sink, result lossless") {
+    // X12s — watermarked tumbling windows in update mode over
+    // time-sliced files: the state store evicts windows as the
+    // watermark advances, but every evicted window's final value was
+    // already merged into the sink — the drained table must equal the
+    // batch aggregation exactly
+    import org.apache.spark.sql.functions._
+    val dir = sf0001
+    val got = StreamingPipeline.streamWindowUpdate(spark, dir)
+      .as[(String, String, Long)].collect().toSet
+    val ev = graft.Tables.table(spark, dir, "events")
+    val expected = ev.select(col("event_type"),
+        timestamp_micros(expr("ts div 1000")).as("ts"))
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("cnt"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == expected,
+      s"stream/batch divergence: ${(got diff expected) ++ (expected diff got)}")
+    assert(got.nonEmpty)
+  }
+
   test("streamTopKWords: complete-mode leaderboard equals the batch top-K") {
     import org.apache.spark.sql.functions._
     val dir = sf0001

@@ -278,7 +278,7 @@ object Stress {
         val sp = d.sparkSession
         graft.streaming.StreamingPipeline.drainUpdateMerge(
           sp, d.select(col("doc_id"), col("text")), "stress_upd",
-          "digest") { st =>
+          Seq("digest")) { st =>
           st.select(sha2(lower(trim(col("text"))), 256).as("digest"),
               col("doc_id"))
             .groupBy("digest")
