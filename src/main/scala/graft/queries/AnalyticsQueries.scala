@@ -820,6 +820,39 @@ object AnalyticsQueries {
       graft.streaming.StreamingPipeline.streamSessionizeComplete(s, dir)
     },
 
+    // X12t — the session-window surface with the production sink
+    // (completes the twin set across all five streaming surfaces).
+    // Session windows support only append/complete output, so this is
+    // APPEND mode: each session emitted exactly once when the
+    // watermark finalizes it, the sink merge a pure keyed append, and
+    // a watermark-heartbeat sentinel flushes the tail (see
+    // streamSessionizeAppend's scaladoc). Oracle byte-identical to
+    // q_stream_sessionize's.
+    "q_stream_sessionize_append" -> Q(
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) tsu FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, tsu,
+        |    CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |           IS NULL
+        |         OR tsu - lag(tsu) OVER (PARTITION BY user_id
+        |             ORDER BY tsu, event_id) > 43200000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, event_id, tsu,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS idx
+        |  FROM flagged)
+        |SELECT user_id,
+        |  CAST(min(tsu) AS BIGINT) AS session_start,
+        |  CAST(max(tsu) - min(tsu) AS BIGINT) AS dur,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(event_id) AS BIGINT) AS first_event,
+        |  CAST(max(event_id) AS BIGINT) AS last_event
+        |FROM sess GROUP BY user_id, idx""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamingPipeline.streamSessionizeAppend(s, dir)
+    },
+
     // §2.11.5/S1 — the reference's ACTUAL operational loop as a declared
     // hash-checked entry (README.md:81-91: hourly log files, a cumulative
     // frequency state, one incremental merge per run): documents.text is

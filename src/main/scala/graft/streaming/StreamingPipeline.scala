@@ -693,6 +693,52 @@ object StreamingPipeline {
     }
   }
 
+  /** X12t — the session-window surface with the production sink,
+    * completing the twin set across all five streaming gate surfaces.
+    * Session-window aggregation does not support update output
+    * (STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION — only
+    * append/complete), so the scalable shape here is APPEND mode: a
+    * session is emitted EXACTLY ONCE, when the advancing watermark
+    * finalizes it (no earlier merge can change it), and the sink merge
+    * degenerates to a pure keyed append. The tail problem — sessions
+    * still open when the stream drains never finalize, so append mode
+    * alone under-reports — is solved the way production pipelines do:
+    * a watermark-heartbeat SENTINEL event (user_id −1, ts = global max
+    * + gap + delay + margin) staged as the final slice pushes the
+    * watermark past every real session's horizon, flushing them all;
+    * the sentinel's own session is filtered from the result. The
+    * drained table hash-matches q_stream_sessionize's byte-identical
+    * oracle — proof the once-per-session append emission loses nothing
+    * once the watermark is driven home.
+    */
+  def streamSessionizeAppend(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val gapUs = 43_200_000_000L
+    val ev = Tables.table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"))
+    val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    // heartbeat: 12h gap + 1h watermark delay + 1h margin past the max
+    val sentinel = spark.range(1).select(lit(-1L).as("user_id"),
+      lit(-1L).as("event_id"),
+      timestamp_micros(lit(maxTs + gapUs + 7_200_000_000L)).as("ts"))
+    val src = ev.unionByName(sentinel)
+    drainUpdateMerge(spark, src, "sess_app",
+      Seq("user_id", "session_start"), stageInTimeOrder = Some("ts"),
+      outputMode = "append") { st =>
+      st.withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start"),
+          (unix_micros(col("session_window.end")) -
+            unix_micros(col("session_window.start")) - gapUs).as("dur"),
+          col("n_events"), col("first_event"), col("last_event"))
+    }.filter(col("user_id") >= 0)
+  }
+
   def streamTopKUpdate(spark: SparkSession, sfDir: String, k: Int = 20)
       : DataFrame = {
     val src = Tables.table(spark, sfDir, "documents")
@@ -748,7 +794,8 @@ object StreamingPipeline {
     */
   def drainUpdateMerge(spark: SparkSession, src: DataFrame, prefix: String,
                        keyCols: Seq[String],
-                       stageInTimeOrder: Option[String] = None)(
+                       stageInTimeOrder: Option[String] = None,
+                       outputMode: String = "update")(
       build: DataFrame => DataFrame): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
     val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
@@ -782,7 +829,7 @@ object StreamingPipeline {
           .option("maxFilesPerTrigger", "2")
           .parquet(srcDir.toString))
         .writeStream
-        .outputMode("update")
+        .outputMode(outputMode)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val sp = batch.sparkSession
           // eager checkpoint: the batch Dataset is only valid inside this
@@ -792,6 +839,10 @@ object StreamingPipeline {
             .withColumn("pfx",
               pmod(xxhash64(keyCols.map(col): _*), lit(16L)))
             .localCheckpoint(true)
+          // append-mode batches can legitimately emit nothing (no key
+          // finalized this trigger) — writing the empty frame would leave
+          // a part-less parquet dir the next batch cannot re-read
+          if (!upd.isEmpty) {
           val touched =
             upd.select("pfx").distinct().collect().map(_.getLong(0)).toSeq
           val existing =
@@ -816,6 +867,7 @@ object StreamingPipeline {
           merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("pfx").parquet(sinkPath)
+          }
         }
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())

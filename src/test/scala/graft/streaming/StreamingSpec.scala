@@ -424,6 +424,21 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streamSessionizeAppend: finalized-session append equals complete mode") {
+    // X12t — append mode emits each session exactly once when the
+    // watermark finalizes it; the heartbeat sentinel flushes the tail,
+    // so the drained sink (sentinel filtered) must equal the
+    // complete-mode result row-for-row
+    val dir = sf0001
+    val got = StreamingPipeline.streamSessionizeAppend(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val comp = StreamingPipeline.streamSessionizeComplete(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == comp,
+      s"append/complete divergence: ${(got diff comp) ++ (comp diff got)}")
+    assert(got.nonEmpty)
+  }
+
   test("streamTopKWords: complete-mode leaderboard equals the batch top-K") {
     import org.apache.spark.sql.functions._
     val dir = sf0001
