@@ -66,8 +66,10 @@ object Bench {
     // forensics. This is a fixed-work single-thread spin loop (~100 ms
     // nominal on an idle host) timed at every phase boundary and
     // published per-phase — a sweep now self-reports its ambient skew
-    // factor (canary/first-canary ratio), so a judge can read "the host
-    // was 2× loaded during phase X" straight off the artifact.
+    // factor (slowest canary over fastest, see canarySkew below), so a
+    // judge can read "the host was 2× loaded at some point during the
+    // sweep" straight off the artifact and use the per-phase map to
+    // localize WHEN.
     val canaries = scala.collection.mutable.LinkedHashMap[String, Double]()
     def canary(phase: String): Unit = {
       var x = 0x9e3779b97f4a7c15L

@@ -602,7 +602,8 @@ object Similarity {
       .select(col("id"), col("codes").cast("array<double>").as("cv"))
       .localCheckpoint(true)
     val cand = annCandidatesMixed(codes, dim, planesPerTable, seed,
-      maxBucket, orderedPairs = true)
+      maxBucket)
+      .filter(col("a") < col("b"))
     val withVec = v.select(col("id"), col("vec"), l2norm(col("vec")).as("nv"))
     val pairs = cand
       .join(withVec.select(col("id").as("a"), col("vec").as("va"),
@@ -635,8 +636,7 @@ object Similarity {
     */
   private def annCandidatesMixed(v: DataFrame, dim: Int,
                                  planesPerTable: Seq[Int], seed: Long,
-                                 maxBucket: Int,
-                                 orderedPairs: Boolean = false): DataFrame = {
+                                 maxBucket: Int): DataFrame = {
     require(planesPerTable.nonEmpty, "at least one table")
     require(planesPerTable.forall(p => p >= 1 && p <= 62),
       "plane counts must be in [1, 62] (bucket id must fit a long)")
@@ -668,12 +668,13 @@ object Similarity {
               .as("n_buckets_at_cap"))
           .drop("_br"),
         col("tbl") === col("tbl2") && col("bucket") === col("bucket2") &&
-          // unordered consumers (DBSCAN) take a < b INSIDE the join —
-          // with p=2 tables the buckets are big and each surviving
-          // unordered pair would otherwise reach the distinct twice,
-          // doubling the shuffle that dominates this stage
-          (if (orderedPairs) col("a") < col("b")
-           else col("a") =!= col("b")))
+          // two-sided on purpose (a =!= b, both directions emitted): the
+          // maxBucket cap evicts only the CAPPED side, so a pair whose
+          // larger id is evicted can still surface through its other
+          // direction — an a<b restriction inside the join would make
+          // the cap one-sided and silently halve recall once a bucket
+          // exceeds the cap (measured perf-neutral at gate scale)
+          col("a") =!= col("b"))
       .select("a", "b").distinct()
   }
 

@@ -717,7 +717,15 @@ object StreamingPipeline {
     val ev = Tables.table(spark, sfDir, "events")
       .select(col("user_id"), col("event_id"),
         timestamp_micros(expr("ts div 1000")).as("ts"))
-    val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    // null on an empty events table — no sessions exist; return the
+    // empty result instead of NPE-ing while building the sentinel
+    val maxTsRow = ev.agg(max(unix_micros(col("ts")))).head()
+    if (maxTsRow.isNullAt(0))
+      return spark.range(0).select(col("id").as("user_id"),
+        col("id").as("session_start"), col("id").as("dur"),
+        col("id").as("n_events"), col("id").as("first_event"),
+        col("id").as("last_event"))
+    val maxTs = maxTsRow.getLong(0)
     // heartbeat: 12h gap + 1h watermark delay + 1h margin past the max
     val sentinel = spark.range(1).select(lit(-1L).as("user_id"),
       lit(-1L).as("event_id"),
@@ -797,9 +805,12 @@ object StreamingPipeline {
                        stageInTimeOrder: Option[String] = None,
                        outputMode: String = "update")(
       build: DataFrame => DataFrame): DataFrame = {
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
-    val sinkRoot = java.nio.file.Files.createTempDirectory("graft-stream-sink")
+    val ckpt =
+      java.nio.file.Files.createTempDirectory(s"graft-stream-$prefix-ckpt")
+    val srcDir =
+      java.nio.file.Files.createTempDirectory(s"graft-stream-$prefix-src")
+    val sinkRoot =
+      java.nio.file.Files.createTempDirectory(s"graft-stream-$prefix-sink")
     val sinkPath = sinkRoot.resolve("state").toString
     var started: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
     try {
@@ -825,10 +836,10 @@ object StreamingPipeline {
         case None =>
           src.repartition(8).write.mode("overwrite").parquet(srcDir.toString)
       }
-      val q = build(spark.readStream.schema(src.schema)
-          .option("maxFilesPerTrigger", "2")
-          .parquet(srcDir.toString))
-        .writeStream
+      val built = build(spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(srcDir.toString))
+      val q = built.writeStream
         .outputMode(outputMode)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val sp = batch.sparkSession
@@ -875,10 +886,19 @@ object StreamingPipeline {
       started = Some(q)
       q.awaitTermination()
       // the sink table IS the result; copy it off the temp dir (deleted
-      // in the finally) as a local DataFrame, same as the other entries
-      val fin = spark.read.parquet(sinkPath).drop("pfx")
-      val rows = fin.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), fin.schema)
+      // in the finally) as a local DataFrame, same as the other entries.
+      // If NO batch ever wrote (empty source, or an append-mode run that
+      // finalized no key), the sink path does not exist — return an
+      // empty frame with the aggregation's schema instead of crashing.
+      if (!new java.io.File(sinkPath).exists())
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          built.schema)
+      else {
+        val fin = spark.read.parquet(sinkPath).drop("pfx")
+        val rows = fin.collect()
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), fin.schema)
+      }
     } finally {
       started.foreach(q => try q.stop()
         catch { case _: Exception => () })

@@ -32,7 +32,7 @@ import scala.concurrent.duration._
 class CheckpointRaceSpec extends SparkSpec {
   import spark.implicits._
 
-  test("no lazy localCheckpoint(false) call sites in main source") {
+  test("no lazy localCheckpoint(eager=false) call sites in main source") {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala")
     assume(java.nio.file.Files.isDirectory(root), "run from repo root")
@@ -40,7 +40,9 @@ class CheckpointRaceSpec extends SparkSpec {
       .filter(_.toString.endsWith(".scala"))
       .flatMap { p =>
         val src = new String(java.nio.file.Files.readAllBytes(p))
-        if (src.contains("localCheckpoint(false)")) Some(p.toString) else None
+        val lazyCp =
+          """localCheckpoint\(\s*(eager\s*=\s*)?false\s*\)""".r
+        if (lazyCp.findFirstIn(src).isDefined) Some(p.toString) else None
       }.toList
     assert(offenders.isEmpty,
       s"lazy localCheckpoint(eager=false) reintroduced (deadlock risk): $offenders")

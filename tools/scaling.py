@@ -103,10 +103,10 @@ def main():
         t01 = e.get("sf0.01", {}).get("t")
         t1 = e.get("sf0.1", {}).get("t")
         row = {"n_queries": e.get("sf0.1", e.get("sf0.01", {})).get("n", 0),
-               "t_sf0.001": round(t001, 3) if t001 else None,
-               "t_sf0.01": round(t01, 3) if t01 else None,
-               "t_sf0.1": round(t1, 3) if t1 else None}
-        if t01 and t1:
+               "t_sf0.001": round(t001, 3) if t001 is not None else None,
+               "t_sf0.01": round(t01, 3) if t01 is not None else None,
+               "t_sf0.1": round(t1, 3) if t1 is not None else None}
+        if t01 is not None and t1 is not None and t01 > 0:
             ratio = t1 / t01
             size = SIZE_RATIO_HI.get(fam, DEFAULT_RATIO_HI)
             row["ratio_01_to_1"] = round(ratio, 2)
