@@ -676,12 +676,15 @@ object StreamingPipeline {
     * slice k's max), so eviction never loses data here; a production
     * feed tunes the delay to its real disorder bound.
     */
-  def streamWindowUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamWindowUpdate(spark: SparkSession, sfDir: String,
+      onFinish: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
     val src = Tables.table(spark, sfDir, "events")
       .select(col("event_type"),
         timestamp_micros(expr("ts div 1000")).as("ts"))
     drainUpdateMerge(spark, src, "window_upd",
-      Seq("window_start", "event_type"), stageInTimeOrder = Some("ts")) {
+      Seq("window_start", "event_type"), stageInTimeOrder = Some("ts"),
+      onFinish = onFinish) {
       st =>
         st.withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
@@ -803,7 +806,9 @@ object StreamingPipeline {
   def drainUpdateMerge(spark: SparkSession, src: DataFrame, prefix: String,
                        keyCols: Seq[String],
                        stageInTimeOrder: Option[String] = None,
-                       outputMode: String = "update")(
+                       outputMode: String = "update",
+                       onFinish: org.apache.spark.sql.streaming.StreamingQuery
+                         => Unit = _ => ())(
       build: DataFrame => DataFrame): DataFrame = {
     val ckpt =
       java.nio.file.Files.createTempDirectory(s"graft-stream-$prefix-ckpt")
@@ -885,6 +890,7 @@ object StreamingPipeline {
         .start()
       started = Some(q)
       q.awaitTermination()
+      onFinish(q)
       // the sink table IS the result; copy it off the temp dir (deleted
       // in the finally) as a local DataFrame, same as the other entries.
       // If NO batch ever wrote (empty source, or an append-mode run that

@@ -439,6 +439,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streamWindowUpdate: watermark eviction keeps state bounded below output") {
+    // the bounded-state half of the X12s claim, from the query's own
+    // progress metrics: the state store must hold strictly fewer rows
+    // than the total windows emitted (evicted windows live only in the
+    // sink), or eviction never engaged and state grows with the run
+    var maxState = -1L
+    val got = StreamingPipeline.streamWindowUpdate(spark, sf0001,
+      onFinish = q => {
+        maxState = q.recentProgress.flatMap(_.stateOperators)
+          .map(_.numRowsTotal).foldLeft(0L)(math.max)
+      }).count()
+    assert(maxState > 0, "no state metrics captured")
+    assert(maxState < got,
+      s"state never evicted: peak state rows $maxState >= $got output rows")
+  }
+
   test("streamTopKWords: complete-mode leaderboard equals the batch top-K") {
     import org.apache.spark.sql.functions._
     val dir = sf0001
