@@ -2343,6 +2343,13 @@ object LlmQueries {
         .filter(col("n_tok") >= 3)
         .select(col("doc_id"), col("lang"), col("n_tok"),
           expr("(n_vocab * 1000000) div n_tok").as("density_ppm"))
+        // eager checkpoint the skinny selection table before PrefixSum:
+        // lang survives only the data branch, so column pruning makes
+        // the offsets branch a DIFFERENT subtree and AQE exchange reuse
+        // cannot collapse it — unpinned, the offsets branch re-ran the
+        // whole upstream dedup chain including a second corpus scan
+        // (PlanAuditSpec asserts the final plan reads no parquet)
+        .localCheckpoint(true)
       graft.ops.PrefixSum.runningSum(qual,
           Seq(col("density_ppm").desc, col("doc_id").asc),
           col("n_tok"), "tok_cum")
@@ -2425,6 +2432,13 @@ object LlmQueries {
         .filter(col("n_tok") >= 3)
         .select(col("doc_id"), col("lang"), col("n_tok"),
           expr("(n_vocab * 1000000) div n_tok").as("density_ppm"))
+        // eager checkpoint the skinny selection table before PrefixSum:
+        // lang survives only the data branch, so column pruning makes
+        // the offsets branch a DIFFERENT subtree and AQE exchange reuse
+        // cannot collapse it — unpinned, the offsets branch re-ran the
+        // whole upstream dedup chain including a second corpus scan
+        // (PlanAuditSpec asserts the final plan reads no parquet)
+        .localCheckpoint(true)
       graft.ops.PrefixSum.runningSum(qual,
           Seq(col("density_ppm").desc, col("doc_id").asc),
           col("n_tok"), "tok_cum")

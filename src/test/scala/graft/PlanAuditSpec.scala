@@ -43,6 +43,32 @@ class PlanAuditSpec extends SparkSpec {
       s"offsets branch not on a ReusedExchange of the range stage:\n$p")
   }
 
+  test("prefix sum source is scanned once under AQE (q_shard_tokens)") {
+    // second corpus-sized PrefixSum consumer with identical-subtree
+    // branches — same single-scan contract as q_token_budget
+    val p = finalPlan("q_shard_tokens")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("ReusedExchange") &&
+      l.contains("rangepartitioning")),
+      s"offsets branch not on a ReusedExchange of the range stage:\n$p")
+  }
+
+  test("recipe final plans touch no parquet (checkpointed selection base)") {
+    // the composed recipes pass a skinny selection table through
+    // PrefixSum; lang is pruned out of the offsets branch so reuse
+    // cannot engage, and unpinned the offsets branch re-ran the entire
+    // upstream dedup chain INCLUDING a second corpus scan. The eager
+    // checkpoint pins the chain to exactly one execution — the final
+    // plan must read only checkpoint blocks.
+    for (q <- Seq("q_data_recipe", "q_data_recipe_fuzzy")) {
+      val p = finalPlan(q)
+      val scans = p.linesIterator.count(_.contains("Scan parquet"))
+      assert(scans == 0,
+        s"$q: expected checkpoint-only final plan, got $scans scans:\n$p")
+    }
+  }
+
   test("q_user_growth final plan touches no parquet (day-sized checkpoint base)") {
     // its PrefixSum input prunes differently per branch (countDistinct
     // survives only in the data branch) so exchange reuse cannot engage;
