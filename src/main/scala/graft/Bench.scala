@@ -144,6 +144,11 @@ object Bench {
       timedBase(s"fixture_$f") {
         graft.queries.FormatFixture.path(spark, sfDir, f); () }
     }
+    // streaming staged sources (r10): the ten streaming entries share
+    // four memoized staged layouts — the entries time the STREAM, the
+    // corpus staging writes bill here.
+    timedBase("fixture_stream") {
+      graft.queries.StreamStaging.prebuild(spark, sfDir) }
     val baseBuild = (System.nanoTime() - tBase) / 1e9
     canary("post_base_build")
 

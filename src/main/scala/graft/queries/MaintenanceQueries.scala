@@ -40,6 +40,13 @@ object MaintenanceQueries {
     * the tie-break is (version DESC, op ASC), so 'D' < 'U' means the
     * delete wins — pinned in MaintenanceSpec on a constructed table.
     */
+  /** The deterministic change feed over sfDir's documents — exposed for
+    * StreamStaging so the CDC stream entries share one staged copy.
+    */
+  private[queries] def cdcChangesFor(s: SparkSession,
+                                     sfDir: String): DataFrame =
+    cdcChanges(table(s, sfDir, "documents"))
+
   private def cdcChanges(d: DataFrame): DataFrame = {
     def slice(cond: Column, op: String, ver: Int, src: Column,
               key: Column): DataFrame =
@@ -236,7 +243,7 @@ object MaintenanceQueries {
          |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin) { (s, dir) =>
       val d = table(s, dir, "documents")
       val state = graft.streaming.StreamingPipeline.drainComplete(
-        s, cdcChanges(d), "cdc") { st =>
+        s, StreamStaging.dir(s, dir, "cdc8"), "cdc") { st =>
         st.groupBy("doc_id")
           .agg(max(struct(col("version"),
             when(col("op") === "D", 2).otherwise(1).as("drk"),
@@ -268,7 +275,7 @@ object MaintenanceQueries {
          |FROM documents b FULL OUTER JOIN latest l ON b.doc_id = l.doc_id
          |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin) { (s, dir) =>
       val d = table(s, dir, "documents")
-      graft.streaming.StreamingPipeline.streamCdcUpdate(s, cdcChanges(d),
+      graft.streaming.StreamingPipeline.streamCdcUpdate(s, dir,
         latest => applyLatest(d, latest))
     }
   )
