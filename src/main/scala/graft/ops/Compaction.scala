@@ -104,9 +104,26 @@ object Compaction {
     * Singleton bins are already at target and are NOT read or copied —
     * the caller keeps them where they are (move/retain is a metadata
     * decision, not a data job). One Spark job, one shuffle of only the
-    * small-file bytes; the path→bin map rides the task closure (manifest
-    * scale, see class doc).
+    * small-file bytes; the path→bin map rides a broadcast hashed
+    * relation joined on `input_file_name()` (manifest scale, see class
+    * doc — never a plan literal).
     */
+  /** Read the multi-file-bin paths and tag each row with its owning bin.
+    * The path→bin map rides a BROADCAST relation, not a plan literal: at
+    * the class doc's design point (~800k files / 100 TB) a `typedlit`
+    * map would embed every path in the expression tree — plan
+    * serialization and codegen blow up, and every task closure carries
+    * the whole map. A broadcast hash join on `input_file_name()` ships
+    * it once per executor as a hashed relation and keeps the plan O(1)
+    * in manifest size (CompactionSpec pins this on a 5k-file dir).
+    */
+  private[ops] def taggedData(spark: SparkSession, paths: Seq[String],
+                              binFrame: DataFrame): DataFrame =
+    spark.read.parquet(paths: _*)
+      .withColumn("__path", normalizeCol(input_file_name()))
+      .join(broadcast(binFrame), "__path")
+      .drop("__path")
+
   def compact(spark: SparkSession, srcDir: String, destDir: String,
               targetBytes: Long): CompactResult = {
     val planned = plan(listFiles(spark, srcDir), targetBytes)
@@ -120,9 +137,10 @@ object Compaction {
     val paths = binOf.keys.toSeq.sorted
     val bins = binOf.values.toSet
     val binIdx = bins.toSeq.sorted.zipWithIndex.toMap
-    val lookup = typedlit(binOf.map { case (p, b) => p -> binIdx(b) })
-    val data = spark.read.parquet(paths: _*)
-      .withColumn("__bin", lookup(normalizeCol(input_file_name())))
+    val binFrame = spark.createDataFrame(
+        binOf.toSeq.map { case (p, b) => (p, binIdx(b)) })
+      .toDF("__path", "__bin")
+    val data = taggedData(spark, paths, binFrame)
     // repartition co-locates each whole bin on one task (hash collisions
     // may put TWO bins on a task); partitionBy then splits a task's
     // output per bin — so every bin lands as exactly ONE ~targetBytes

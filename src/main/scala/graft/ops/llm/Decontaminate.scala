@@ -18,11 +18,12 @@ import org.apache.spark.sql.functions._
   *    `graft_might_contain`), then ONLY the candidate rows — true hits
   *    plus the filter's false positives — reach the exact semi-join, so
   *    the join input shrinks by orders of magnitude while the result
-  *    stays exact. The filter is built by a 1-row aggregate (the
-  *    collected scalar is the bloom's bytes — `numBits/8`; size it to
-  *    stay plan-shippable, e.g. 8 bits/item ≈ 2% FP at 12 MB per 100 M
-  *    probe shingles) and shipped as a literal, mirroring how Spark's
-  *    runtime row-group filtering ships its subquery blooms.
+  *    stays exact. The filter is built by a 1-row aggregate and handed
+  *    to `might_contain` as a SCALAR SUBQUERY — the exact channel
+  *    Spark's runtime row-group filtering uses — so the bitmap reaches
+  *    codegen as a reference object, never an O(numBits) plan literal
+  *    (size it freely: 8 bits/item ≈ 2% FP at 12 MB per 100 M probe
+  *    shingles never touches the plan string).
   */
 object Decontaminate {
 
@@ -56,21 +57,18 @@ object Decontaminate {
       .select("g").distinct()
       // eager checkpoint: lazy + multi-branch consumers can deadlock Spark (see ops/llm/Dedup.scala "EAGER CHECKPOINT DISCIPLINE")
       .localCheckpoint(true)
-    val bloom = probeShingles
-      .agg(call_function("graft_bloom_agg", xxhash64(col("g")),
-        lit(estItems), lit(numBits)).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
-    // empty probe set → the aggregate returns null (no bloom to build);
-    // the exact join over zero probe shingles is the correct (empty)
-    // answer and avoids an untyped null literal in might_contain
-    if (bloom == null) viaJoin(train, probes, idCol, textCol, n)
-    else {
-      val candidates = shingled(train, idCol, textCol, n)
-        .filter(call_function("graft_might_contain",
-          lit(bloom), xxhash64(col("g"))))
-      candidates
-        .join(broadcast(probeShingles), "g")
-        .select("doc_id").distinct()
-    }
+    // empty probe set → the aggregate yields a null bloom and
+    // might_contain(null, ·) is null, so the prefilter drops every
+    // corpus shingle — the correct (empty) answer, no driver-side
+    // branch needed
+    val bloom = org.apache.spark.sql.graft.Bridge.scalarSubquery(
+      probeShingles.agg(call_function("graft_bloom_agg",
+        xxhash64(col("g")), lit(estItems), lit(numBits)).as("bf")))
+    val candidates = shingled(train, idCol, textCol, n)
+      .filter(call_function("graft_might_contain",
+        bloom, xxhash64(col("g"))))
+    candidates
+      .join(broadcast(probeShingles), "g")
+      .select("doc_id").distinct()
   }
 }

@@ -689,18 +689,28 @@ object Similarity {
       .localCheckpoint(true)
     val nbr = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
     val deg = nbr.groupBy("src").agg(count(lit(1)).as("d"))
-    // |N(p)| >= minPts with N including p: degree >= minPts - 1
+    // |N(p)| >= minPts with N including p: degree >= minPts - 1.
+    // core feeds FOUR consumers (both coreEdges semi-joins, coreLab,
+    // borderLab's anti-join) — eager-checkpoint per the EAGER
+    // CHECKPOINT DISCIPLINE (ops/llm/Dedup.scala) so the degree
+    // aggregation over the pair fan-out runs ONCE, not once per
+    // consumer (the r10 plan executed it six times).
     val core = deg.filter(col("d") >= (minPts - 1).toLong)
       .select(col("src").as("id"))
+      .localCheckpoint(true)
     val coreEdges = pairs
       .join(core.select(col("id").as("ca")), col("a") === col("ca"),
         "left_semi")
       .join(core.select(col("id").as("cb")), col("b") === col("cb"),
         "left_semi")
     val cc = Dedup.connectedComponents(coreEdges)
-    // singleton cores never appear in coreEdges — they label themselves
+    // singleton cores never appear in coreEdges — they label themselves.
+    // coreLab feeds the core-row output, borderLab's cluster lookup and
+    // (transitively) the noise anti-join — checkpoint so the CC-label
+    // join runs once (r10 plan: four executions).
     val coreLab = core.join(cc, core("id") === cc("node"), "left")
       .select(core("id"), coalesce(cc("rep"), core("id")).as("cluster"))
+      .localCheckpoint(true)
     val borderLab = nbr
       .join(coreLab.select(col("id").as("cid"), col("cluster")),
         col("dst") === col("cid"))

@@ -33,8 +33,12 @@ object ExtendedQueries {
     // the fact scan BEFORE the shuffle join, so non-matching fact rows
     // never cross the wire; bloom false positives are harmless — the
     // exact join still decides membership, which is why the result stays
-    // hash-identical to the plain join. The bloom is a fixed-size binary
-    // collected once (like a broadcast var), never the key set itself.
+    // hash-identical to the plain join. The bloom rides a SCALAR
+    // SUBQUERY (Spark's own runtime-filter channel): built once in its
+    // own stage, handed to codegen as a reference object — never a
+    // plan literal and never the key set itself. An empty dim yields a
+    // null bloom; might_contain(null, ·) is null, so the prefilter
+    // drops every row — exactly what the exact join would conclude.
     "q_bloom_join" -> Q(
       """SELECT p.p_brand,
         |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
@@ -47,14 +51,11 @@ object ExtendedQueries {
       val li = table(s, dir, "lineitem")
       val dim = part.filter(col("p_size") === 1)
         .select(col("p_partkey"), col("p_brand"))
-      val bloom = dim
-        .agg(call_function("graft_bloom_agg", xxhash64(col("p_partkey")),
-          lit(100000L), lit(800000L)).as("bf"))
-        .head().getAs[Array[Byte]]("bf")
-      val pruned =
-        if (bloom == null) li.limit(0)
-        else li.filter(call_function("graft_might_contain",
-          lit(bloom), xxhash64(col("l_partkey"))))
+      val bloom = org.apache.spark.sql.graft.Bridge.scalarSubquery(
+        dim.agg(call_function("graft_bloom_agg", xxhash64(col("p_partkey")),
+          lit(100000L), lit(800000L)).as("bf")))
+      val pruned = li.filter(call_function("graft_might_contain",
+        bloom, xxhash64(col("l_partkey"))))
       pruned.join(dim, pruned("l_partkey") === dim("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(sum(cents(col("l_extendedprice"))).as("revenue_cents"),

@@ -64,15 +64,33 @@ private[graft] object StreamStaging {
     }
   }
 
+  /** The parquet table each layout derives from — the fingerprint must
+    * track THAT table, not documents unconditionally: a mid-session
+    * events rewrite that leaves documents untouched would otherwise
+    * serve stale events8range/events8sentinel stages silently.
+    */
+  private def sourceTable(kind: String): String = kind match {
+    case "events8range" | "events8sentinel" => "events.parquet"
+    case _                                  => "documents.parquet"
+  }
+
   /** The staged directory for `kind` over `sfDir`, building on first use
     * per testdata fingerprint (a regenerated corpus re-stages).
     */
   def dir(s: SparkSession, sfDir: String, kind: String): String =
     synchronized {
-      val key = s"$kind:$sfDir@${SharedBases.fingerprint(s, sfDir)}"
+      val key = s"$kind:$sfDir@" +
+        SharedBases.fingerprint(s, sfDir, sourceTable(kind))
       cache.getOrElseUpdate(key, {
+        // evict stale generations of this (kind, sfDir) — remove both
+        // the cache entry AND its staged directory (repeated corpus
+        // regenerations would otherwise accumulate corpus-sized copies
+        // under tmpdir until the JVM shutdown hook runs)
         cache.keys.filter(_.startsWith(s"$kind:$sfDir@")).toSeq
-          .foreach(cache.remove)
+          .foreach { stale =>
+            cache.remove(stale)
+            graft.util.Fs.deleteRecursively(root.resolve(md5(stale)))
+          }
         registerCleanup
         val dest = root.resolve(md5(key)).toString
         kind match {

@@ -611,10 +611,12 @@ object StreamingPipeline {
     * degenerates to a pure keyed append. The tail problem — sessions
     * still open when the stream drains never finalize, so append mode
     * alone under-reports — is solved the way production pipelines do:
-    * a watermark-heartbeat SENTINEL event (user_id −1, ts = global max
-    * + gap + delay + margin) staged as the final slice pushes the
-    * watermark past every real session's horizon, flushing them all;
-    * the sentinel's own session is filtered from the result. The
+    * a watermark-heartbeat SENTINEL event (event_type `__sentinel__`,
+    * ts = global max + gap + delay + margin) staged as the final slice
+    * pushes the watermark past every real session's horizon, flushing
+    * them all; the sentinel is dropped on its marker AFTER the
+    * watermark node (so it still drives the watermark) and never forms
+    * a session of its own. The
     * drained table hash-matches q_stream_sessionize's byte-identical
     * oracle — proof the once-per-session append emission loses nothing
     * once the watermark is driven home.
@@ -628,7 +630,18 @@ object StreamingPipeline {
       graft.queries.StreamStaging.dir(spark, sfDir, "events8sentinel"),
       "sess_app", Seq("user_id", "session_start"),
       outputMode = "append") { st =>
+      // The sentinel is keyed on its event_type MARKER, not a magic
+      // user_id: dropped AFTER the watermark node it still advances the
+      // watermark but never forms a session, so a corpus with
+      // legitimately negative user_ids loses nothing. The predicate
+      // must REFERENCE the event-time column: PushPredicateThroughNonJoin
+      // pushes any filter not referencing the watermark attribute below
+      // EventTimeWatermark, and a pushed-down sentinel drop would stop
+      // the heartbeat from ever reaching the watermark (measured: 111
+      // of 3292 sessions unflushed). `ts IS NULL` is vacuously false —
+      // it exists purely to pin the filter above the watermark.
       st.withWatermark("ts", "1 hour")
+        .filter(col("event_type") =!= "__sentinel__" || col("ts").isNull)
         .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
         .agg(count(lit(1)).as("n_events"),
           min(col("event_id")).as("first_event"),
@@ -638,7 +651,7 @@ object StreamingPipeline {
           (unix_micros(col("session_window.end")) -
             unix_micros(col("session_window.start")) - gapUs).as("dur"),
           col("n_events"), col("first_event"), col("last_event"))
-    }.filter(col("user_id") >= 0)
+    }
   }
 
   def streamTopKUpdate(spark: SparkSession, sfDir: String, k: Int = 20)

@@ -14,4 +14,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a 1-row/1-column DataFrame as a scalar subquery Column — the
+    * channel Spark's own InjectRuntimeFilter uses to hand a bloom to
+    * `might_contain`. The subquery executes ONCE as its own stage and
+    * its value reaches codegen as a reference object; a driver-side
+    * `collect` + `lit(bytes)` instead embeds the whole bitmap in the
+    * expression tree (an O(bloom-size) plan literal — 800 KB plan
+    * strings at gate scale, unbounded at 100 TB bloom sizings).
+    */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        df.queryExecution.analyzed))
 }

@@ -33,6 +33,40 @@ class JdbcSpec extends SparkSpec {
     assert(Sources.jdbc(spark, url, "freq_roundtrip", props).count() == 1)
   }
 
+  test("MySQL-DDL-shaped round-trip pins the INT narrowing cast (§2.6)") {
+    // The reference's MySQL tables declare `frequency INT` and
+    // `prefix VARCHAR(60)`; Spark's sum() yields LongType, so the
+    // reference implicitly narrows on JDBC write. Here the narrowing is
+    // EXPLICIT (cast to int before the sink) and the DDL shape is
+    // imposed via createTableColumnTypes — write with the MySQL column
+    // types, read back, and the values plus the narrowed catalog types
+    // must survive unchanged (no H2/MySQL engine ships in this sandbox;
+    // Derby enforces the same VARCHAR(60)/INTEGER DDL semantics).
+    val agg = Seq(("ab", "abc", 2147483000L), ("cd", "cde", 1L))
+      .toDF("prefix", "query", "frequency")
+      .selectExpr("prefix", "query", "cast(frequency as int) as frequency")
+    agg.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("createTableColumnTypes",
+        "prefix VARCHAR(60), query VARCHAR(255), frequency INT")
+      .jdbc(url, "freq_mysql_ddl", props)
+    val back = Sources.jdbc(spark, url, "freq_mysql_ddl", props)
+    // catalog type round-trips as INTEGER, not BIGINT
+    assert(back.schema("frequency").dataType ==
+      org.apache.spark.sql.types.IntegerType,
+      s"INT column must read back as IntegerType: ${back.schema}")
+    assert(back.as[(String, String, Int)].collect().toSet ==
+      Set(("ab", "abc", 2147483000), ("cd", "cde", 1)))
+    // VARCHAR(60) is enforced by the engine: a 61-char prefix must be
+    // rejected, proving the DDL shape actually took effect
+    val tooLong = Seq(("x" * 61, "q", 1)).toDF("prefix", "query", "frequency")
+    val e = intercept[Exception] {
+      tooLong.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .jdbc(url, "freq_mysql_ddl", props)
+    }
+    assert(e.toString.toLowerCase.contains("truncation") ||
+      e.getCause != null, s"expected a VARCHAR(60) overflow: $e")
+  }
+
   test("partitioned jdbc scan reads the full table in parallel") {
     val df = (1L to 100L).map(i => (i, s"q$i")).toDF("id", "query")
     Sinks.jdbc(df, url, "freq_part", props)

@@ -88,6 +88,40 @@ class CompactionSpec extends SparkSpec {
       "compacted content must equal the source rows exactly")
   }
 
+  test("compact: 5k-file manifest never lands in the plan as literals") {
+    val src = TempDirs.create("graft-compact-5k")
+    // 5000 single-row files — the small-file pathology at spec scale
+    spark.range(0, 5000, 1, 5000).write.mode("overwrite").parquet(src)
+    val manifest = Compaction.listFiles(spark, src)
+    val nFiles = manifest.count()
+    assert(nFiles == 5000L, s"expected 5000 data files, got $nFiles")
+
+    val planned = Compaction.plan(manifest,
+      manifest.agg(sum("bytes")).as[Long].head() / 10) // ~10 bins
+    val binFrame = planned
+      .select(col("path").as("__path"),
+        dense_rank().over(org.apache.spark.sql.expressions.Window
+          .orderBy("bin")).cast("int").as("__bin"))
+    val paths = planned.select("path").as[String].collect().toSeq
+    val tagged = Compaction.taggedData(spark, paths,
+      binFrame.as[(String, Int)].map(identity).toDF("__path", "__bin"))
+
+    // With the broadcast join, file paths live ONLY in the scan's file
+    // index (elided in the plan string) — a typedlit map would print all
+    // 5000 paths into the expression tree (~400 KB). Bound the whole
+    // optimized plan and count path echoes directly.
+    val planStr = tagged.queryExecution.optimizedPlan.toString
+    assert(planStr.length < 50000,
+      s"plan string must be O(1) in manifest size, got ${planStr.length}")
+    assert("part-".r.findAllIn(planStr).size < 50,
+      "per-file path literals must not appear in the plan")
+
+    // and the join itself is a broadcast, not a shuffle
+    val phys = tagged.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"path->bin tagging must broadcast; got:\n$phys")
+  }
+
   test("compact: all-singleton layout is a metadata no-op (nothing read)") {
     val src = TempDirs.create("graft-compact-noop")
     spark.read.parquet(s"$sf0001/documents.parquet")
