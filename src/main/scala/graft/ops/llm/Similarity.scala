@@ -634,7 +634,7 @@ object Similarity {
     * holds and recall → 1 with T. knnExactCandidates itself is frozen:
     * its DuckDB oracles replay the LCG math bit-for-bit.
     */
-  private def annCandidatesMixed(v: DataFrame, dim: Int,
+  private[graft] def annCandidatesMixed(v: DataFrame, dim: Int,
                                  planesPerTable: Seq[Int], seed: Long,
                                  maxBucket: Int): DataFrame = {
     require(planesPerTable.nonEmpty, "at least one table")
@@ -650,38 +650,85 @@ object Similarity {
         val d = dot(codes, array(row.map(x => lit(x.toDouble)): _*))
         when(d >= 0d, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
-    val keyed = v.select(col("id"),
-      explode(array(planesPerTable.zipWithIndex.map { case (np, t) =>
-        struct(lit(t).as("tbl"), bucketOfInt(col("cv"), np, t).as("bucket"))
-      }: _*)).as("tb"))
-      .select(col("id"), col("tb.tbl").as("tbl"),
+    val nTables = planesPerTable.size
+    val offsets = planesPerTable.scanLeft(0)(_ + _)
+    require(offsets.last <= 62,
+      s"sum of plane counts must fit one packed long, got ${offsets.last}")
+    // ONE packed long carries every table's bucket id (disjoint bit
+    // ranges, Σplanes ≤ 62 bits) — each join side ships it so duplicate
+    // suppression is a per-row bit predicate, not a post-join distinct:
+    // at exact-recall parameterizations (many coarse tables, the
+    // q_dbscan_ann setting) nearly every qualifying pair co-buckets in
+    // MOST tables, so the old two-sided join emitted ~T× duplicated
+    // candidates and the dedup HashAggregate over them was the single
+    // most expensive stage of the whole query (measured at sf0.1:
+    // 24.1 M joined rows → 4.9 s distinct of a 12.9 s total). Packing
+    // matters: an array<long> fingerprint re-materializes ~200 B per
+    // joined row and measured 4× WORSE than the distinct it replaced.
+    val bvp = planesPerTable.zipWithIndex.map { case (np, t) =>
+      bucketOfInt(col("cv"), np, t) * lit(1L << offsets(t))
+    }.reduce(_ + _)
+    def bucketAt(t: Int): Column =
+      shiftright(col("bvp"), offsets(t))
+        .bitwiseAND(lit((1L << planesPerTable(t)) - 1L))
+    val keyed = v.select(col("id"), bvp.as("bvp"))
+      .select(col("id"), col("bvp"),
+        explode(array((0 until nTables).map { t =>
+          struct(lit(t).as("tbl"), bucketAt(t).as("bucket"))
+        }: _*)).as("tb"))
+      .select(col("id"), col("bvp"), col("tb.tbl").as("tbl"),
         col("tb.bucket").as("bucket"))
     val bw = org.apache.spark.sql.expressions.Window
-      .partitionBy("tbl2", "bucket2")
-      .orderBy(xxhash64(col("tbl2"), col("bucket2"), col("b")), col("b"))
-    keyed.toDF("a", "tbl", "bucket")
-      .join(keyed.toDF("b", "tbl2", "bucket2")
-          .withColumn("_br", row_number().over(bw))
-          .filter(col("_br") <= maxBucket)
-          .observe("graft_dbscan_ann_bucket_cap",
-            count(when(col("_br") === maxBucket, true))
-              .as("n_buckets_at_cap"))
-          .drop("_br"),
+      .partitionBy("tbl", "bucket")
+      .orderBy(xxhash64(col("tbl"), col("bucket"), col("id")), col("id"))
+    // cap survivors + per-id survival BITMASK (bit t set = this id is
+    // under the cap in its table-t bucket); the mask lets the emission
+    // rule below reproduce the capped join's semantics exactly
+    val capped = keyed
+      .withColumn("_br", row_number().over(bw))
+      .filter(col("_br") <= maxBucket)
+      .observe("graft_dbscan_ann_bucket_cap",
+        count(when(col("_br") === maxBucket, true))
+          .as("n_buckets_at_cap"))
+      .withColumn("sv",
+        sum(expr("shiftleft(CAST(1 AS BIGINT), tbl)"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("id")))
+      .drop("_br")
+    val aSide = keyed.select(col("id").as("a"), col("bvp").as("bvpa"),
+      col("tbl"), col("bucket"))
+    val bSide = capped.select(col("id").as("b"), col("bvp").as("bvpb"),
+      col("sv"), col("tbl").as("tbl2"), col("bucket").as("bucket2"))
+    // first-surviving-table emission: a pair direction is emitted ONLY
+    // from the first table where the sides co-bucket AND the b side
+    // survives that bucket's cap — every direction appears exactly once
+    // (the old `.distinct()` set, bit-for-bit, eviction or not), with no
+    // dedup shuffle. Still two-sided (a =!= b, both directions emitted):
+    // the cap evicts only the capped side, so a pair whose larger id is
+    // evicted can still surface through its other direction — an a<b
+    // restriction inside the join would make the cap one-sided and
+    // silently halve recall once a bucket exceeds the cap.
+    def dupAt(t: Int): Column = {
+      val tableMask = ((1L << planesPerTable(t)) - 1L) << offsets(t)
+      (col("bvpa").bitwiseXOR(col("bvpb"))
+        .bitwiseAND(lit(tableMask)) === lit(0L)) &&
+        (col("sv").bitwiseAND(lit(1L << t)) =!= lit(0L))
+    }
+    val firstTable =
+      if (nTables == 1) lit(true)
+      else (0 until nTables - 1)
+        .map(tp => (col("tbl") <= tp) || !dupAt(tp))
+        .reduce(_ && _)
+    aSide
+      .join(bSide,
         col("tbl") === col("tbl2") && col("bucket") === col("bucket2") &&
-          // two-sided on purpose (a =!= b, both directions emitted): the
-          // maxBucket cap evicts only the CAPPED side, so a pair whose
-          // larger id is evicted can still surface through its other
-          // direction — an a<b restriction inside the join would make
-          // the cap one-sided and silently halve recall once a bucket
-          // exceeds the cap (measured perf-neutral at gate scale)
-          col("a") =!= col("b"))
-      .select("a", "b").distinct()
+          col("a") =!= col("b") && firstTable)
+      .select("a", "b")
   }
 
   /** Core/border/noise derivation shared by [[dbscan]] and [[dbscanAnn]]:
     * `v` = (id, vec), `pairCand` = unordered neighbor pairs (a < b).
     */
-  private def dbscanFromPairs(v: DataFrame, pairCand: DataFrame,
+  private[graft] def dbscanFromPairs(v: DataFrame, pairCand: DataFrame,
                               minPts: Int): DataFrame = {
     // pairs feed four consumers (degrees, core-core edges, border join);
     // eager-checkpoint so the quadratic mining front-end runs ONCE

@@ -753,6 +753,58 @@ object AnalyticsQueries {
       graft.streaming.StreamingPipeline.streamDedupUpdate(s, dir)
     },
 
+    // X12h — transformWithState (Spark 4's arbitrary-state v2 API) as a
+    // REAL gate drain (was spec-only through r10): a typed-ValueState
+    // cumulative per-user counter in UPDATE mode, each batch's touched
+    // users merged into the sink table; the final table is the exact
+    // per-user total and hash-matches the trivial batch oracle.
+    "q_stream_tws" -> Q(
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS total_events
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamingPipeline.streamUserCountsTws(s, dir)
+    },
+
+    // X12e — the stream-stream interval join as a REAL gate drain (was
+    // spec-only through r10): clicks joined to same-user views within
+    // the hour before them, two watermarked branches of ONE staged
+    // file-source stream, horizon-bounded join state, append-mode
+    // production merge sink. The oracle is the plain batch interval
+    // join in exact integer µs — every pair must emit exactly once.
+    "q_stream_interval_join" -> Q(
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) tsu, event_type
+        |  FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, tsu AS ct FROM e
+        |  WHERE event_type = 'click'),
+        |v AS (SELECT user_id, event_id AS view_id, tsu AS vt FROM e
+        |  WHERE event_type = 'view')
+        |SELECT c.user_id, CAST(click_id AS BIGINT) AS click_id,
+        |  CAST(view_id AS BIGINT) AS view_id
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND vt <= ct AND vt >= ct - 3600000000""".stripMargin) {
+      (s, dir) =>
+        graft.streaming.StreamingPipeline.streamIntervalJoin(s, dir)
+    },
+
+    // X12j — the left-outer form: every click emits, null view_id when
+    // no view exists in the horizon (the unattributed-conversion row an
+    // inner join drops). Outer rows may only emit once the watermark
+    // proves finality, so this runs over the sentinel staging — the
+    // heartbeat drives BOTH branches' watermarks past the tail.
+    "q_stream_interval_join_outer" -> Q(
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) tsu, event_type
+        |  FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, tsu AS ct FROM e
+        |  WHERE event_type = 'click'),
+        |v AS (SELECT user_id, event_id AS view_id, tsu AS vt FROM e
+        |  WHERE event_type = 'view')
+        |SELECT c.user_id, CAST(click_id AS BIGINT) AS click_id,
+        |  CAST(view_id AS BIGINT) AS view_id
+        |FROM c LEFT JOIN v ON c.user_id = v.user_id
+        |  AND vt <= ct AND vt >= ct - 3600000000""".stripMargin) {
+      (s, dir) =>
+        graft.streaming.StreamingPipeline.streamIntervalJoinOuter(s, dir)
+    },
+
     // §2.10 — the reference's product loop (a continuously-maintained
     // ranked leaderboard) as a REAL streaming run: word frequencies as
     // complete-mode state across >= 4 micro-batches with the global

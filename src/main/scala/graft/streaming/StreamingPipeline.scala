@@ -155,6 +155,26 @@ object StreamingPipeline {
       .toDF("user_id", "total_events")
   }
 
+  /** X12h as a REAL gate drain: the transformWithState cumulative
+    * per-user counter run over the staged event slices in UPDATE mode
+    * through the production merge sink. Each micro-batch emits the
+    * cumulative count for the users it touched; replace-by-key in the
+    * sink leaves exactly the final per-user totals, which hash-match
+    * the trivial batch oracle (`count(*) per user`) — certifying the
+    * arbitrary-state v2 path end-to-end (typed ValueState handle,
+    * RocksDB-backed, exactly-once across ≥4 triggers), not just in a
+    * MemoryStream spec.
+    */
+  def streamUserCountsTws(spark: SparkSession, sfDir: String): DataFrame =
+    drainUpdateMerge(spark,
+      graft.queries.StreamStaging.dir(spark, sfDir, "events8range"),
+      "tws", Seq("user_id")) { st =>
+      import spark.implicits._
+      statefulUserCountsTws(
+        st.select(col("user_id"), col("event_type"))
+          .as[(Long, String)])
+    }
+
   /** Stream-stream interval join: each click joined to the same user's
     * views within `horizon` BEFORE the click. Both sides carry watermarks;
     * the time-bound join condition lets Spark expire buffered state for
@@ -487,7 +507,8 @@ object StreamingPipeline {
     * re-drains the whole stream; one try/finally covers failed start /
     * drain, sink view dropped, no temp leaks.
     */
-  def drainComplete(spark: SparkSession, stagedDir: String, prefix: String)(
+  def drainComplete(spark: SparkSession, stagedDir: String, prefix: String,
+                    statePartitions: Int = defaultStatePartitions)(
       build: DataFrame => DataFrame): DataFrame = {
     val name = s"graft_stream_${prefix}_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
@@ -495,6 +516,7 @@ object StreamingPipeline {
       java.nio.file.Files.createTempDirectory(s"graft-stream-$prefix-ckpt")
     val srcSchema = spark.read.parquet(stagedDir).schema
     var started: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+    val restoreSp = pushStatePartitions(spark, statePartitions)
     try {
       val q = build(spark.readStream.schema(srcSchema)
           .option("maxFilesPerTrigger", "2")
@@ -513,12 +535,37 @@ object StreamingPipeline {
       val sinkSchema = sink.schema
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), sinkSchema)
     } finally {
+      restoreSp()
       started.foreach(q => try q.stop()
         catch { case _: Exception => () })
       try spark.catalog.dropTempView(name)
       catch { case _: Exception => () }
       graft.util.Fs.deleteRecursively(ckpt)
     }
+  }
+
+  /** State-store partition sizing for the gate/bench drains. The
+    * stateful-operator partition count is read from
+    * `spark.sql.shuffle.partitions` at the query's FIRST batch and
+    * frozen into its checkpoint; every trigger then pays per-instance
+    * constants (RocksDB open/load/commit + changelog upload) times this
+    * count, independent of data. At the drains' key cardinalities
+    * (10³–10⁵ keys) the session default (= local cores) is pure
+    * overhead: measured at sf0.1, 32→8 instances cut
+    * q_stream_window_update 8.9→5.2 s and q_stream_dedup_update
+    * 8.4→4.2 s with identical results. A production deployment sizes
+    * this to keys/executors — pass a larger `statePartitions`; the
+    * choice is per-run here because every drain starts a fresh
+    * checkpoint.
+    */
+  val defaultStatePartitions = 8
+
+  /** Set shuffle partitions for a drain, returning the restore thunk. */
+  private def pushStatePartitions(spark: SparkSession, n: Int): () => Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    () => spark.conf.set(key, old)
   }
 
   /** X12p — the 100 TB shape of `q_stream_dedup`: the SAME exact-dedup
@@ -654,6 +701,70 @@ object StreamingPipeline {
     }
   }
 
+  /** X12e/X12j as REAL gate drains: the stream-stream interval join
+    * (each click joined to the same user's views ≤ 1 h before it) run
+    * over the time-sliced staged events as a genuine two-branch
+    * self-join of one file-source stream, drained through the
+    * production merge sink in APPEND mode. Inner matches emit exactly
+    * once, when the second side arrives; the merge therefore
+    * degenerates to a keyed append (pair keys are unique by
+    * construction). Correctness against the byte-identical batch
+    * oracle rests on the staging discipline: slices are range-
+    * partitioned on ts with PINNED mtimes, so the 10-minute watermark
+    * delay always exceeds cross-slice disorder and the horizon-bounded
+    * state (views evicted once `watermark − horizon` passes them —
+    * the condition that makes stream-stream joins runnable at scale)
+    * never evicts a row a future click could still claim.
+    *
+    * Sentinel discipline for the OUTER form: a click's null-extended
+    * row may only emit once the watermark proves no matching view can
+    * arrive, so clicks inside the final watermark delay would stay
+    * unflushed at drain end — the same tail problem as append-mode
+    * sessionization, solved the same way: the events8sentinel layout's
+    * heartbeat row rides BOTH branches through their watermark nodes
+    * (the default multipleWatermarkPolicy is min — a heartbeat on one
+    * branch only would be ignored) and is dropped after them with the
+    * ts-referencing predicate that pins the drop above the watermark.
+    */
+  def streamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame =
+    intervalJoinDrain(spark,
+      graft.queries.StreamStaging.dir(spark, sfDir, "events8range"),
+      "ssj", "inner")
+
+  /** See [[streamIntervalJoin]] — the left-outer (unattributed-click)
+    * form, over the sentinel staging so the tail flushes.
+    */
+  def streamIntervalJoinOuter(spark: SparkSession, sfDir: String)
+      : DataFrame =
+    intervalJoinDrain(spark,
+      graft.queries.StreamStaging.dir(spark, sfDir, "events8sentinel"),
+      "ssjo", "left_outer")
+
+  private def intervalJoinDrain(spark: SparkSession, stagedDir: String,
+                                prefix: String, joinType: String)
+      : DataFrame =
+    drainUpdateMerge(spark, stagedDir, prefix,
+      Seq("click_id", "view_id"), outputMode = "append") { st =>
+      // each branch keeps the heartbeat THROUGH its watermark node and
+      // drops it just after (see streamSessionizeAppend for why the
+      // predicate must reference ts)
+      def side(t: String, user: String, ts: String, id: String) =
+        st.filter(col("event_type").isin(t, "__sentinel__"))
+          .withWatermark("ts", "10 minutes")
+          .filter(col("event_type") =!= "__sentinel__" || col("ts").isNull)
+          .select(col("user_id").as(user), col("ts").as(ts),
+            col("event_id").as(id))
+      val c = side("click", "c_user", "c_ts", "click_id")
+      val v = side("view", "v_user", "v_ts", "view_id")
+      c.join(v,
+          col("c_user") === col("v_user") &&
+            col("v_ts") <= col("c_ts") &&
+            col("v_ts") >= col("c_ts") - expr("INTERVAL 1 hour"),
+          joinType)
+        .select(col("c_user").as("user_id"), col("click_id"),
+          col("view_id"))
+    }
+
   def streamTopKUpdate(spark: SparkSession, sfDir: String, k: Int = 20)
       : DataFrame = {
     val state = drainUpdateMerge(spark,
@@ -732,7 +843,8 @@ object StreamingPipeline {
                        keyCols: Seq[String],
                        outputMode: String = "update",
                        onFinish: org.apache.spark.sql.streaming.StreamingQuery
-                         => Unit = _ => ())(
+                         => Unit = _ => (),
+                       statePartitions: Int = defaultStatePartitions)(
       build: DataFrame => DataFrame): DataFrame = {
     val ckpt =
       java.nio.file.Files.createTempDirectory(s"graft-stream-$prefix-ckpt")
@@ -741,6 +853,7 @@ object StreamingPipeline {
     val sinkPath = sinkRoot.resolve("state").toString
     val srcSchema = spark.read.parquet(stagedDir).schema
     var started: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+    val restoreSp = pushStatePartitions(spark, statePartitions)
     try {
       // the staged dir is the memoized StreamStaging fixture (or the
       // overload's per-call temp dir): time-ordered kinds carry PINNED
@@ -813,6 +926,7 @@ object StreamingPipeline {
         spark.createDataFrame(java.util.Arrays.asList(rows: _*), fin.schema)
       }
     } finally {
+      restoreSp()
       started.foreach(q => try q.stop()
         catch { case _: Exception => () })
       Seq(ckpt, sinkRoot).foreach(graft.util.Fs.deleteRecursively)

@@ -20,9 +20,8 @@ base = {
     "single_run_total_ref": round(
         sum(queries.values()) + src.get("shared_base_build", 0.0), 6),
     "single_run_note": (
-        "sum of 3-run per-query medians + shared_base_build; produced on "
-        "the round-9 regenerated testdata"),
-    "produced_round": 9,
+        "sum of 3-run per-query medians + shared_base_build"),
+    "produced_round": int(sys.argv[3]) if len(sys.argv) > 3 else None,
     "sf": src.get("sf", "/root/testdata/sf0.1"),
     "repeat": 3,
     "shared_base_build": src.get("shared_base_build"),
