@@ -753,6 +753,26 @@ object AnalyticsQueries {
       graft.streaming.StreamingPipeline.streamDedupUpdate(s, dir)
     },
 
+    // X12u — stream-static enrichment join (the dimension-tagging shape
+    // every production event pipeline runs before aggregating): staged
+    // event stream joined per micro-batch to a static broadcast
+    // customer→nation dimension, counts per (nation, event_type).
+    // Stateless join — no watermark, no state store — which is why this
+    // shape scales where stream-stream joins need horizons; the batch
+    // oracle replays the identical join, certifying the inner-join
+    // drop-set of customer-less user_ids too.
+    "q_stream_enrich" -> Q(
+      """SELECT n_name, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(event_id) AS BIGINT) AS first_event_id,
+        |  CAST(max(event_id) AS BIGINT) AS last_event_id
+        |FROM events
+        |JOIN customer ON user_id = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamingPipeline.streamEnrich(s, dir)
+    },
+
     // X12h — transformWithState (Spark 4's arbitrary-state v2 API) as a
     // REAL gate drain (was spec-only through r10): a typed-ValueState
     // cumulative per-user counter in UPDATE mode, each batch's touched

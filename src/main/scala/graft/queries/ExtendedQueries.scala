@@ -571,6 +571,66 @@ object ExtendedQueries {
           .cast("long").as("corr_micro"))
     },
 
+    // X50 — grouped simple linear regression by exact-integer normal
+    // equations (the regr_slope/regr_intercept family, which Spark and
+    // DuckDB both ship ONLY as double-accumulating aggregates whose sum
+    // order differs between engines): the per-supplier volume-discount
+    // curve, discount (basis points) regressed on quantity. The five
+    // sufficient statistics (n, Σx, Σy, Σxy, Σx²) are exact BIGINT sums
+    // — one partial-aggregating shuffle on the group key, the same
+    // plan shape as any hash agg — and slope/intercept are derived per
+    // GROUP from those five numbers with the q_corr_exact double-
+    // promotion pattern (operands < 2^53, promotion order mirrored on
+    // both engines → bit-identical IEEE results). Degenerate groups
+    // (n < 2 or zero x-variance) are filtered by the same exact test on
+    // both sides. Scale: output is group-count-sized; the 100 TB path
+    // upgrades the moment sums to DECIMAL(38,0), nothing else changes.
+    "q_regression" -> Q(
+      """WITH p AS (
+        |  SELECT l_suppkey,
+        |    CAST(round(l_quantity) AS BIGINT) AS x,
+        |    CAST(round(l_discount * 10000) AS BIGINT) AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_suppkey,
+        |    CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+        |    CAST(sum(x * y) AS BIGINT) sxy,
+        |    CAST(sum(x * x) AS BIGINT) sxx
+        |  FROM p GROUP BY 1)
+        |SELECT l_suppkey, n,
+        |  CAST(round(1000000 * (CAST(n AS DOUBLE) * sxy
+        |      - CAST(sx AS DOUBLE) * sy) /
+        |    (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+        |    AS BIGINT) AS slope_ppm,
+        |  CAST(round(1000000 * (CAST(sy AS DOUBLE) * sxx
+        |      - CAST(sx AS DOUBLE) * sxy) /
+        |    (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+        |    AS BIGINT) AS intercept_ppm
+        |FROM s
+        |WHERE n >= 2
+        |  AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx != 0
+        |""".stripMargin) { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      val x = round(li("l_quantity")).cast("long")
+      val y = round(li("l_discount") * 10000).cast("long")
+      val sums = li.groupBy(li("l_suppkey"))
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double")
+      val denom = nD * col("sxx") - sxD * col("sx")
+      sums
+        .filter(col("n") >= 2 && denom =!= 0d)
+        .select(col("l_suppkey"), col("n"),
+          round(lit(1000000) * (nD * col("sxy") - sxD * col("sy")) / denom)
+            .cast("long").as("slope_ppm"),
+          round(lit(1000000) *
+            (col("sy").cast("double") * col("sxx") - sxD * col("sxy")) /
+            denom)
+            .cast("long").as("intercept_ppm"))
+    },
+
     // first_value / last_value / nth_value over an explicit running frame
     // (rows between unbounded preceding and current row).
     "q_first_last" -> Q(

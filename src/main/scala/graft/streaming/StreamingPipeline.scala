@@ -496,6 +496,37 @@ object StreamingPipeline {
           .agg(min("doc_id").as("keep_doc"), count(lit(1)).as("n_copies"))
     }
 
+  /** X12u — stream-STATIC enrichment join, the most common production
+    * streaming shape of all (every event pipeline tags its stream with
+    * dimension attributes before aggregating): each micro-batch of the
+    * staged event stream is joined to a static customer→nation
+    * dimension and the enriched stream aggregated per (nation,
+    * event_type) in complete mode. The static side is loaded ONCE per
+    * query (Spark re-plans it into every micro-batch as a broadcast —
+    * no state store involvement: stream-static joins are stateless,
+    * which is exactly why this shape scales where stream-stream joins
+    * need watermarks). The inner join drops events whose user_id has no
+    * customer row — the batch oracle applies the same join, so the
+    * drop-set is certified, not assumed.
+    */
+  def streamEnrich(spark: SparkSession, sfDir: String): DataFrame =
+    drainComplete(spark,
+      graft.queries.StreamStaging.dir(spark, sfDir, "events8range"),
+      "enrich") { st =>
+      val c = graft.Tables.table(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val n = graft.Tables.table(spark, sfDir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val dim = broadcast(
+        c.join(n, c("c_nationkey") === n("n_nationkey"))
+          .select(col("c_custkey"), col("n_name")))
+      st.join(dim, col("user_id") === col("c_custkey"))
+        .groupBy("n_name", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          min("event_id").as("first_event_id"),
+          max("event_id").as("last_event_id"))
+    }
+
   /** Generic complete-mode stream drain for gate entries: re-read the
     * MEMOIZED staged source dir (`queries.StreamStaging` — 8 parquet
     * files; the staging write is fixture I/O billed to the bench's

@@ -86,7 +86,10 @@ class DeterminismSpec extends SparkSpec {
       "q_interpolate",
       // round 9: first-seen counting + the shared-range prefix sums
       // must not depend on partitioning
-      "q_user_growth")
+      "q_user_growth",
+      // round 11: the NB argmin's (score, class) tie-break and the
+      // regression's exact moment sums must not depend on partitioning
+      "q_nb_classify", "q_regression")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

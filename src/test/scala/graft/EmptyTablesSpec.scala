@@ -14,15 +14,35 @@ class EmptyTablesSpec extends SparkSpec {
 
   private lazy val emptyDir: String = {
     val dir = TempDirs.create("graft-empty-sf")
-    val schema = StructType(Seq(
+    def write(name: String, schema: StructType): Unit =
+      spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schema)
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    write("documents", StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
       StructField("lang", StringType),
       StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      StructField("n_chars", LongType))))
+    // fact/dim tables for the round-11 entries (regression, enrichment):
+    // only the columns the queries touch — the scan schema is pruned
+    // anyway, and the point is the empty-input branch, not the layout
+    write("lineitem", StructType(Seq(
+      StructField("l_suppkey", LongType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_discount", DoubleType))))
+    write("events", StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType))))
+    write("customer", StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_nationkey", LongType))))
+    write("nation", StructType(Seq(
+      StructField("n_nationkey", LongType),
+      StructField("n_name", StringType))))
     dir
   }
 
@@ -33,7 +53,10 @@ class EmptyTablesSpec extends SparkSpec {
     // round 9, maintenance + tokenizer tiers: CDC on an empty base is an
     // empty merge; the streaming form must survive a zero-file source
     "q_cdc_merge", "q_snapshot_diff", "q_kanon", "q_ppl_bucket",
-    "q_unigram_viterbi", "q_stream_cdc")
+    "q_unigram_viterbi", "q_stream_cdc",
+    // round 11: NB train/serve on an empty corpus fits/serves nothing;
+    // regression and the enrichment drain survive empty fact tables
+    "q_nb_train", "q_nb_classify", "q_regression", "q_stream_enrich")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

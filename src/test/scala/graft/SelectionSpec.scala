@@ -139,4 +139,67 @@ class SelectionSpec extends SparkSpec {
         s"$lang: head must hold at least ceil(n/3) docs")
     }
   }
+
+  test("q_nb_train: smoothed log-likelihoods positive, monotone in count within a class") {
+    val rows = run("q_nb_train").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).values.foreach { rs =>
+      assert(rs.forall(_.getAs[Long]("micro4") > 0),
+        "-ln of a smoothed probability < 1 must be positive")
+      // a more frequent term can never be MORE surprising than a rarer
+      // one in the same class (the likelihood is monotone in the count)
+      val sorted = rs.sortBy(r =>
+        (r.getAs[Long]("c"), -r.getAs[Long]("micro4")))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("micro4") >= b.getAs[Long]("micro4"),
+            "micro4 must be non-increasing as the count grows")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q_nb_classify: one row per doc; full argmin parity with a plain-Scala NB") {
+    // independent re-derivation of the whole train→serve loop in plain
+    // Scala (no Catalyst, no SQL) — certifies the Spark pipeline against
+    // a third implementation beyond the DuckDB oracle
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.map { case (id, lang, t) =>
+      (id, lang, t.trim.toLowerCase.split("\\s+", -1).toSeq)
+    }
+    val cnt = toks.flatMap { case (_, l, ts) => ts.map(l -> _) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val tot = cnt.groupBy(_._1._1)
+      .map { case (l, m) => l -> m.values.sum }
+    val v = toks.flatMap(_._3).distinct.size.toLong
+    def micro(l: String, t: String): Long = cnt.get((l, t)) match {
+      case Some(c) =>
+        math.round(-math.log((c + 1).toDouble / (tot(l) + v)) * 10000)
+      case None => math.round(math.log((tot(l) + v).toDouble) * 10000)
+    }
+    val dl = docs.groupBy(_._2).map { case (l, d) => l -> d.size.toLong }
+    val nd = docs.length.toLong
+    def prior(l: String): Long =
+      math.round(-math.log(dl(l).toDouble / nd) * 10000)
+    val langs = dl.keys.toSeq.sorted
+    val expected = toks.map { case (id, trueL, ts) =>
+      val best = langs
+        .map(l => (prior(l) + ts.map(micro(l, _)).sum, l)).min
+      id -> ((trueL, best._2, best._1))
+    }.toMap
+    val got = run("q_nb_classify").collect()
+    assert(got.length == docs.length, "every doc classified exactly once")
+    assert(got.map(_.getAs[Long]("doc_id")).distinct.length == got.length)
+    got.foreach { r =>
+      val (tl, pl, sc) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[String]("true_lang") == tl)
+      assert(r.getAs[String]("pred_lang") == pl,
+        s"doc ${r.getAs[Long]("doc_id")}: argmin mismatch")
+      assert(r.getAs[Long]("score_micro4") == sc,
+        s"doc ${r.getAs[Long]("doc_id")}: score mismatch")
+      assert(r.getAs[Long]("correct") == (if (pl == tl) 1L else 0L))
+    }
+  }
 }

@@ -471,6 +471,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.length == 20)
   }
 
+  test("streamEnrich: stream-static enrichment equals the batch join") {
+    import org.apache.spark.sql.functions._
+    val dir = sf0001
+    val got = StreamingPipeline.streamEnrich(spark, dir)
+      .as[(String, String, Long, Long, Long)].collect()
+    val ev = graft.Tables.table(spark, dir, "events")
+    val c = graft.Tables.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = graft.Tables.table(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val expected = ev
+      .join(c, ev("user_id") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("first_event_id"),
+        max("event_id").as("last_event_id"))
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.toSet == expected.toSet)
+  }
+
   test("session_window boundary: a pair exactly gap apart MERGES, same rule as Sessionize") {
     // pins the boundary rule the q_stream_sessionize oracle encodes:
     // native session_window's [t, t+gap] window is end-inclusive for

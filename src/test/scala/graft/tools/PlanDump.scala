@@ -42,7 +42,10 @@ object PlanDump {
     // round 10: ANN-front-end DBSCAN + the PrefixSum consumers whose
     // single-scan shape is now plan-audited (update-mode streaming
     // entries excluded, same reason as the other streaming entries)
-    "q_dbscan_ann", "q_user_growth")
+    "q_dbscan_ann", "q_user_growth",
+    // round 11: the five-moment regression agg and the broadcast-model
+    // NB serving pass (streaming entries stay excluded as above)
+    "q_regression", "q_nb_classify")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
