@@ -563,6 +563,55 @@ object Dedup {
         col("cont_ppm"))
   }
 
+  /** L71 — reciprocal-rank fusion of the [[knnGraph]] (Jaccard) and
+    * [[containmentGraph]] (asymmetric-excerpt) rankers, rank-only
+    * (Cormack et al. 2009): per source, contribution
+    * round(1e6/(rrfK+rank)); fused score = order-free integer sum over
+    * a full-outer edge join; top-`kOut` fused edges per doc by
+    * (rrf desc, nbr asc). Both rankers ride ONE candidate pass — the
+    * shingle/minhash front-end, the capped bucket join, and the
+    * intersect scoring run once and the scored frame is eagerly
+    * checkpointed before fanning out to the two rank windows (EAGER
+    * CHECKPOINT DISCIPLINE above; also keeps the bucket-cap observe
+    * metric single-instanced). Output (doc_id, nbr_id, rnk, rrf_micro).
+    */
+  def rrfFusionGraph(df: DataFrame, idCol: String, textCol: String,
+                     kJac: Int, kCont: Int, kOut: Int, rrfK: Int = 60,
+                     n: Int = 3, bands: Int = 4,
+                     maxBucket: Int = 4096): DataFrame = {
+    val (base, _, banded) = minhashBands(df, idCol, textCol, n, bands, Nil)
+    val cand = knnCandidates(banded, maxBucket)
+    val interC = size(array_intersect(col("sh_a"), col("sh_b")))
+    val scored = cand
+      .join(base.select(col("doc").as("a"), col("sh").as("sh_a")), "a")
+      .join(base.select(col("doc").as("b"), col("sh").as("sh_b")), "b")
+      .select(col("a"), col("b"), interC.as("inter"),
+        (size(col("sh_a")) + size(col("sh_b")) - interC).as("uni"),
+        size(col("sh_a")).as("na"))
+      .withColumn("jac_ppm",
+        expr("(CAST(inter AS BIGINT) * 1000000) div uni"))
+      .withColumn("cont_ppm",
+        expr("(CAST(inter AS BIGINT) * 1000000) div na"))
+      .localCheckpoint(true)
+    def contrib(r: Column): Column =
+      round(lit(1000000) / (lit(rrfK) + r)).cast("long")
+    val jac = graft.ops.TopK(scored, Seq("a"), scored("jac_ppm"),
+        Seq(scored("b")), kJac)
+      .select(col("a").as("doc_id"), col("b").as("nbr_id"),
+        contrib(col("rnk")).as("c1"))
+    val con = graft.ops.TopK(scored, Seq("a"), scored("cont_ppm"),
+        Seq(scored("b")), kCont)
+      .select(col("a").as("doc_id"), col("b").as("nbr_id"),
+        contrib(col("rnk")).as("c2"))
+    val fused = jac.join(con, Seq("doc_id", "nbr_id"), "full_outer")
+      .select(col("doc_id"), col("nbr_id"),
+        (coalesce(col("c1"), lit(0L)) + coalesce(col("c2"), lit(0L)))
+          .as("rrf_micro"))
+    graft.ops.TopK(fused, Seq("doc_id"), fused("rrf_micro"),
+        Seq(fused("nbr_id")), kOut)
+      .select(col("doc_id"), col("nbr_id"), col("rnk"), col("rrf_micro"))
+  }
+
   /** Edit-distance k-NN graph — the bounded-COMPUTE edit-distance miner
     * (the [[containmentGraph]] treatment applied to Ed-Join's problem):
     * capped LSH-bucket candidates ([[knnCandidates]], the `knnGraph`

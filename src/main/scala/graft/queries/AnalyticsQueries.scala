@@ -581,6 +581,76 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_users"))
     },
 
+    // X51 — experiment (A/B) analysis: deterministic 50/50 assignment by
+    // user-id parity (a real deployment hashes the unit id the same
+    // way), click-conversion rates per arm, and the 2×2 chi-square
+    // independence statistic per day. The four cell counts are exact
+    // integer sums in ONE partial-agg shuffle on the day key (the X50
+    // sufficient-statistics pattern); the chi-square closed form
+    // N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is computed in exact DECIMAL(38)
+    // integers (BIGINT would overflow at ~10⁴ events/cell) and only the
+    // final ratio touches doubles — mirrored promotion on both engines,
+    // micro-quantized. Degenerate margins filtered by the same exact
+    // test. Scale: output is day-count-sized; nothing grows with events.
+    "q_ab_test" -> Q(
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    user_id % 2 = 1 AS treat, event_type = 'click' AS click
+        |  FROM events),
+        |s AS (SELECT day,
+        |    CAST(sum(CASE WHEN treat AND click THEN 1 ELSE 0 END)
+        |      AS BIGINT) a,
+        |    CAST(sum(CASE WHEN treat AND NOT click THEN 1 ELSE 0 END)
+        |      AS BIGINT) b,
+        |    CAST(sum(CASE WHEN NOT treat AND click THEN 1 ELSE 0 END)
+        |      AS BIGINT) c,
+        |    CAST(sum(CASE WHEN NOT treat AND NOT click THEN 1 ELSE 0 END)
+        |      AS BIGINT) d
+        |  FROM e GROUP BY 1)
+        |SELECT day, a + b AS n_treat, c + d AS n_ctrl,
+        |  CAST(round(1000000 * a / (a + b)) AS BIGINT) AS p_treat_ppm,
+        |  CAST(round(1000000 * c / (c + d)) AS BIGINT) AS p_ctrl_ppm,
+        |  CAST(round(1000000 * CAST(CAST(a + b + c + d AS HUGEINT)
+        |      * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+        |      * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+        |      AS DOUBLE)
+        |    / CAST(CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)
+        |      AS DOUBLE)) AS BIGINT) AS chi2_micro
+        |FROM s
+        |WHERE a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0
+        |""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val day = expr("(ts div 1000) div 86400000000")
+      val treat = col("user_id") % 2 === 1
+      val click = col("event_type") === "click"
+      def cell(p: org.apache.spark.sql.Column) =
+        sum(when(p, 1L).otherwise(0L))
+      val cells = ev.select(day.as("day"), treat.as("treat"),
+          click.as("click"))
+        .groupBy("day")
+        .agg(cell(col("treat") && col("click")).as("a"),
+          cell(col("treat") && !col("click")).as("b"),
+          cell(!col("treat") && col("click")).as("c"),
+          cell(!col("treat") && !col("click")).as("d"))
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val adbc = col("a").cast(dec) * col("d") - col("b").cast(dec) * col("c")
+      val num = (col("a") + col("b") + col("c") + col("d")).cast(dec) *
+        adbc * adbc
+      val den = (col("a") + col("b")).cast(dec) * (col("c") + col("d")) *
+        (col("a") + col("c")) * (col("b") + col("d"))
+      cells
+        .filter(col("a") + col("b") > 0 && col("c") + col("d") > 0 &&
+          col("a") + col("c") > 0 && col("b") + col("d") > 0)
+        .select(col("day"),
+          (col("a") + col("b")).as("n_treat"),
+          (col("c") + col("d")).as("n_ctrl"),
+          round(lit(1000000) * col("a") / (col("a") + col("b")))
+            .cast("long").as("p_treat_ppm"),
+          round(lit(1000000) * col("c") / (col("c") + col("d")))
+            .cast("long").as("p_ctrl_ppm"),
+          round(lit(1000000) * num.cast("double") / den.cast("double"))
+            .cast("long").as("chi2_micro"))
+    },
+
     // Dual-rule sessionization: 12h gap AND a 24h max-duration cap (the
     // GA4-style pair) — 426 of 3292 gap sessions at sf0.01 exceed the cap
     // and split. Whole computation rides the one per-key exchange.

@@ -1393,6 +1393,67 @@ object LlmQueries {
         .select(col("node").as("doc_id"), col("rep"))
     },
 
+    // L71 — reciprocal-rank fusion of two retrieval rankers (the
+    // standard hybrid-search ensemble, Cormack et al. 2009): the
+    // Jaccard k-NN graph (symmetric near-dup view) fused with the
+    // containment k-NN graph (asymmetric excerpt view) — different
+    // similarity measures surface different neighbors, RRF combines
+    // them rank-only (no score calibration needed, the whole point).
+    // Per source, contribution = round(1e6/(60+rank)) — an integer, so
+    // the fused score is an order-free integer sum; full-outer join on
+    // the edge key keeps single-source neighbors; top-3 fused edges per
+    // doc by (rrf desc, nbr asc). Shape: both rankers ride the SAME
+    // capped LSH candidate machinery (one shingle/minhash front-end at
+    // execution via SharedBases-style reuse of the op), and the fusion
+    // itself is edge-count-sized — never corpus-sized.
+    "q_rrf_fusion" -> Q(
+      s"""WITH $duckShingles,
+        |$duckMinhashBands,
+        |knn_cand AS (
+        |  SELECT DISTINCT l.doc_id a, r.doc_id b
+        |  FROM mh_banded l JOIN mh_banded r
+        |    ON l.band = r.band AND l.bkey = r.bkey
+        |    AND l.doc_id <> r.doc_id),
+        |scored AS (
+        |  SELECT c.a, c.b,
+        |    CAST(len(list_intersect(ba.sh, bb.sh)) AS INTEGER) inter,
+        |    CAST(len(ba.sh) + len(bb.sh)
+        |      - len(list_intersect(ba.sh, bb.sh)) AS INTEGER) uni,
+        |    CAST(len(ba.sh) AS INTEGER) na
+        |  FROM knn_cand c
+        |  JOIN base ba ON ba.doc_id = c.a
+        |  JOIN base bb ON bb.doc_id = c.b),
+        |jacr AS (
+        |  SELECT a, b, rnk FROM (
+        |    SELECT a, b, row_number() OVER (PARTITION BY a
+        |      ORDER BY (CAST(inter AS BIGINT) * 1000000) // uni DESC,
+        |        b) rnk
+        |    FROM scored)
+        |  WHERE rnk <= 5),
+        |conr AS (
+        |  SELECT a, b, rnk FROM (
+        |    SELECT a, b, row_number() OVER (PARTITION BY a
+        |      ORDER BY (CAST(inter AS BIGINT) * 1000000) // na DESC,
+        |        b) rnk
+        |    FROM scored)
+        |  WHERE rnk <= 3),
+        |fused AS (
+        |  SELECT coalesce(j.a, c.a) doc_id, coalesce(j.b, c.b) nbr_id,
+        |    coalesce(CAST(round(1000000 / (60 + j.rnk)) AS BIGINT), 0)
+        |      + coalesce(CAST(round(1000000 / (60 + c.rnk)) AS BIGINT), 0)
+        |      AS rrf_micro
+        |  FROM jacr j FULL JOIN conr c ON j.a = c.a AND j.b = c.b)
+        |SELECT doc_id, nbr_id, CAST(rnk AS INTEGER) AS rnk, rrf_micro
+        |FROM (
+        |  SELECT doc_id, nbr_id, rrf_micro,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY rrf_micro DESC, nbr_id) rnk
+        |  FROM fused)
+        |WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      Dedup.rrfFusionGraph(table(s, dir, "documents"), "doc_id", "text",
+        kJac = 5, kCont = 3, kOut = 3)
+    },
+
     // Held-out cross-entropy scoring: a unigram LM from the src0 slice
     // scores every src1 document (integer-micro per-term costs, explicit
     // OOV cost ln(total+1) from the same broadcast total) — the

@@ -283,6 +283,101 @@ object SelectionQueries {
             .as("correct"))
     },
 
+    // L70 — information-gain feature ranking (the NB/fasttext
+    // companion: which terms are worth a classifier's vocabulary slot):
+    // per term, IG(lang; present) over DOC-level presence. Every
+    // entropy is a sum of per-class contributions that are ln-quantized
+    // to integer 1e-6 units BEFORE summing — integer sums are
+    // order-free, so the classic float-entropy nondeterminism (adding
+    // K doubles in shuffle order) is engineered out, same discipline as
+    // q_surprisal. The conditional entropy is the exact-rational
+    // doc-count weighting of the present/absent sides with one final
+    // mirrored double division. Shape: presence is a distinct over the
+    // token stream (one shuffle), everything after is vocab-sized;
+    // class/total tables broadcast.
+    "q_info_gain" -> Q(
+      """WITH pres AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |npl AS (SELECT term, lang, CAST(count(*) AS BIGINT) npl
+        |        FROM pres GROUP BY 1, 2),
+        |np AS (SELECT term, CAST(sum(npl) AS BIGINT) np
+        |       FROM npl GROUP BY 1),
+        |dl AS (SELECT lang, CAST(count(*) AS BIGINT) dl
+        |       FROM documents GROUP BY 1),
+        |dd AS (SELECT CAST(count(*) AS BIGINT) d FROM documents),
+        |h0 AS (
+        |  SELECT CAST(sum(CAST(round(
+        |      -(dl / CAST(d AS DOUBLE)) * ln(dl / CAST(d AS DOUBLE))
+        |        * 1000000) AS BIGINT)) AS BIGINT) h0
+        |  FROM dl, dd),
+        |hp AS (
+        |  SELECT npl.term, CAST(sum(CAST(round(
+        |      -(npl / CAST(np.np AS DOUBLE))
+        |        * ln(npl / CAST(np.np AS DOUBLE)) * 1000000)
+        |      AS BIGINT)) AS BIGINT) hp
+        |  FROM npl JOIN np ON npl.term = np.term GROUP BY 1),
+        |ha AS (
+        |  SELECT t.term, CAST(sum(
+        |      CASE WHEN dl.dl - coalesce(npl.npl, 0) > 0
+        |             AND d.d - np.np > 0
+        |        THEN CAST(round(
+        |          -((dl.dl - coalesce(npl.npl, 0))
+        |              / CAST(d.d - np.np AS DOUBLE))
+        |            * ln((dl.dl - coalesce(npl.npl, 0))
+        |              / CAST(d.d - np.np AS DOUBLE)) * 1000000) AS BIGINT)
+        |        ELSE 0 END) AS BIGINT) ha
+        |  FROM (SELECT DISTINCT term FROM npl) t
+        |  CROSS JOIN dl
+        |  LEFT JOIN npl ON npl.term = t.term AND npl.lang = dl.lang
+        |  JOIN np ON np.term = t.term, dd d
+        |  GROUP BY 1)
+        |SELECT np.term, np.np AS n_docs,
+        |  CAST(h0.h0 - CAST(round(
+        |    (np.np * hp.hp + (d.d - np.np) * ha.ha)
+        |      / CAST(d.d AS DOUBLE)) AS BIGINT) AS BIGINT) AS ig_micro
+        |FROM np
+        |JOIN hp ON hp.term = np.term
+        |JOIN ha ON ha.term = np.term, h0, dd d""".stripMargin) {
+      (s, dir) =>
+      val d0 = table(s, dir, "documents")
+      // quantize each class's -p·ln(p) to integer BEFORE summing —
+      // entropy as an order-free integer sum (operand order mirrors the
+      // oracle: ((-x)·ln(x))·1e6, x = n/total-as-double)
+      def plogp(n: org.apache.spark.sql.Column,
+                tot: org.apache.spark.sql.Column) = {
+        val x = n / tot.cast("double")
+        round(-x * log(x) * 1000000, 0).cast("long")
+      }
+      val pres = d0.select(d0("doc_id"), d0("lang"),
+        explode(TextOps.tokens(d0("text"))).as("term")).distinct()
+      val npl = pres.groupBy("term", "lang").agg(count(lit(1)).as("npl"))
+      val np = npl.groupBy("term").agg(sum("npl").as("np"))
+      val dl = d0.groupBy("lang").agg(count(lit(1)).as("dl"))
+      val dd = d0.agg(count(lit(1)).as("d"))
+      val h0 = dl.crossJoin(broadcast(dd))
+        .agg(sum(plogp(col("dl"), col("d"))).as("h0"))
+      val hp = npl.join(np, "term").groupBy("term")
+        .agg(sum(plogp(col("npl"), col("np"))).as("hp"))
+      val na = col("dl") - coalesce(col("npl"), lit(0L))
+      val ha = npl.select("term").distinct()
+        .crossJoin(broadcast(dl))
+        .join(npl, Seq("term", "lang"), "left")
+        .join(broadcast(np), "term")
+        .crossJoin(broadcast(dd))
+        .select(col("term"),
+          when(na > 0 && col("d") - col("np") > 0,
+            plogp(na, col("d") - col("np"))).otherwise(0L).as("ca"))
+        .groupBy("term").agg(sum("ca").as("ha"))
+      np.join(hp, "term").join(ha, "term")
+        .crossJoin(broadcast(h0)).crossJoin(broadcast(dd))
+        .select(col("term"), col("np").as("n_docs"),
+          (col("h0") - round(
+            (col("np") * col("hp") + (col("d") - col("np")) * col("ha"))
+              / col("d").cast("double"), 0).cast("long")).as("ig_micro"))
+    },
+
     // L54 — DSIR-style importance resampling (Xie et al. 2023,
     // "Data Selection for Language Models via Importance Resampling"),
     // exact-integer form. Hashed n-gram importance: tokens hash to 256

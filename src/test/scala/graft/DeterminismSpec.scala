@@ -89,7 +89,10 @@ class DeterminismSpec extends SparkSpec {
       "q_user_growth",
       // round 11: the NB argmin's (score, class) tie-break and the
       // regression's exact moment sums must not depend on partitioning
-      "q_nb_classify", "q_regression")
+      "q_nb_classify", "q_regression",
+      // round 11: the fused top-k's (rrf, nbr) tie-break rides TWO rank
+      // windows; the entropy/chi-square integer sums must be order-free
+      "q_rrf_fusion", "q_info_gain", "q_ab_test")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

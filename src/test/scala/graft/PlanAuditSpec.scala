@@ -877,6 +877,39 @@ class PlanAuditSpec extends SparkSpec {
       s"ranking must partition by lang:\n$p")
   }
 
+  test("q_regression: single-scan five-moment agg, partial both levels, no join") {
+    // the sufficient-statistics pattern: everything reduces in ONE
+    // partial-agg'd shuffle on the group key; a join or second scan
+    // means the moments left the aggregation path
+    val p = plan("q_regression")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"regression must be single-scan:\n$p")
+    assert(p.contains("partial_sum"),
+      s"moments must combine map-side:\n$p")
+    assert(!p.contains("Join"), s"normal equations need no join:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"exactly one shuffle (the group key):\n$p")
+  }
+
+  test("q_ab_test: single-scan 2x2 cells, partial both levels, no join") {
+    val p = plan("q_ab_test")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"cells must come from one scan:\n$p")
+    assert(p.contains("partial_sum"), s"cells must combine map-side:\n$p")
+    assert(!p.contains("Join"), s"chi-square needs no join:\n$p")
+  }
+
+  test("q_nb_classify: model/floor/prior reach the token stream as broadcasts") {
+    // the serving pass must never shuffle the corpus against the model:
+    // every model-side join is a broadcast, and the only sort-merge
+    // machinery allowed is none at all
+    val p = plan("q_nb_classify")
+    assert(!p.contains("SortMergeJoin"),
+      s"model joins must broadcast, not sort-merge:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast model join:\n$p")
+  }
+
   test("global guard: no declared query's plan is O(data) in literals") {
     // One cheap sweep over the ENTIRE registry (r10 verdict #6): a
     // typedlit-style literal blow-up anywhere — a path map, a collected

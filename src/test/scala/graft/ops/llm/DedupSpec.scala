@@ -342,6 +342,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("rrfFusionGraph: parity with fusing the two standalone rankers") {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.table(spark, sf0001, "documents")
+    val got = Dedup.rrfFusionGraph(d, "doc_id", "text",
+        kJac = 5, kCont = 3, kOut = 3)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    // compositional path: run each ranker through its OWN candidate
+    // pass and fuse by hand — must agree with the shared-pass form
+    // (the caps are not binding at this scale, so both candidate sets
+    // coincide)
+    def contrib(r: Int): Long = math.round(1000000d / (60 + r))
+    val jac = Dedup.knnGraph(d, "doc_id", "text", k = 5)
+      .select("doc_id", "nbr_id", "rnk").as[(Long, Long, Int)].collect()
+      .map(e => (e._1, e._2) -> contrib(e._3)).toMap
+    val con = Dedup.containmentGraph(d, "doc_id", "text", k = 3)
+      .select("a", "b", "rnk").as[(Long, Long, Int)].collect()
+      .map(e => (e._1, e._2) -> contrib(e._3)).toMap
+    val fused = (jac.keySet ++ con.keySet).toSeq
+      .map(k => (k._1, k._2,
+        jac.getOrElse(k, 0L) + con.getOrElse(k, 0L)))
+    val expected = fused.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (-e._3, e._2)).zipWithIndex.take(3)
+        .map { case ((a, b, s), i) => (a, b, i + 1, s) }
+    }.toSet
+    assert(got.nonEmpty)
+    assert(got == expected)
+  }
+
   test("fast xxhash signatures: equal shingle sets get equal sigs") {
     val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zeta eta theta iota")).toDF("doc_id", "text")

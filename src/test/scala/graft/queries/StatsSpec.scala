@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec, Tables}
+
+/** Round-11 statistics tier: plain-Scala parity (a third implementation
+  * beyond the DuckDB oracle) for the experiment-analysis chi-square
+  * (q_ab_test) and the information-gain feature ranking (q_info_gain).
+  * Both queries' whole contract is exact integer statistics + one
+  * mirrored double step, so parity here is bit-for-bit.
+  */
+class StatsSpec extends SparkSpec {
+
+  private def r0(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  test("q_ab_test: cells, rates, and chi-square match a plain-Scala 2x2") {
+    val ev = Tables.table(spark, sf0001, "events")
+      .selectExpr("(ts div 1000) div 86400000000 AS day",
+        "user_id % 2 = 1 AS treat", "event_type = 'click' AS click")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    val expected = ev.groupBy(_._1).flatMap { case (day, es) =>
+      val a = es.count(e => e._2 && e._3).toLong
+      val b = es.count(e => e._2 && !e._3).toLong
+      val c = es.count(e => !e._2 && e._3).toLong
+      val d = es.count(e => !e._2 && !e._3).toLong
+      if (a + b > 0 && c + d > 0 && a + c > 0 && b + d > 0) {
+        val adbc = BigInt(a) * d - BigInt(b) * c
+        val num = BigInt(a + b + c + d) * adbc * adbc
+        val den = BigInt(a + b) * (c + d) * (a + c) * (b + d)
+        Some(day -> ((a + b, c + d,
+          r0(1000000d * a / (a + b)),
+          r0(1000000d * c / (c + d)),
+          r0(1000000 * num.toDouble / den.toDouble))))
+      } else None
+    }
+    val got = SparkEntry.queries("q_ab_test")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val day = r.getAs[Long]("day")
+      val (nt, nc, pt, pc, chi2) = expected(day)
+      assert(r.getAs[Long]("n_treat") == nt)
+      assert(r.getAs[Long]("n_ctrl") == nc)
+      assert(r.getAs[Long]("p_treat_ppm") == pt, s"day $day treat rate")
+      assert(r.getAs[Long]("p_ctrl_ppm") == pc, s"day $day ctrl rate")
+      assert(r.getAs[Long]("chi2_micro") == chi2, s"day $day chi2")
+    }
+  }
+
+  test("q_info_gain: full parity with a plain-Scala entropy computation") {
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val langs = docs.map(_._2).distinct.sorted
+    val dl = docs.groupBy(_._2).map { case (l, d) => l -> d.length.toLong }
+    val dTot = docs.length.toLong
+    // doc-level presence
+    val pres = docs.flatMap { case (id, lang, t) =>
+      t.trim.toLowerCase.split("\\s+", -1).distinct.map(w => (w, lang, id))
+    }
+    val npl = pres.groupBy(p => (p._1, p._2))
+      .map { case (k, v) => k -> v.length.toLong }
+    val np = pres.groupBy(_._1).map { case (w, v) => w -> v.length.toLong }
+    def plogp(n: Long, tot: Long): Long = {
+      val x = n.toDouble / tot
+      r0(-x * math.log(x) * 1000000)
+    }
+    val h0 = langs.map(l => plogp(dl(l), dTot)).sum
+    val expected = np.map { case (w, nP) =>
+      val hp = langs.map(l =>
+        npl.get((w, l)).map(plogp(_, nP)).getOrElse(0L)).sum
+      val nA = dTot - nP
+      val ha = langs.map { l =>
+        val na = dl(l) - npl.getOrElse((w, l), 0L)
+        if (na > 0 && nA > 0) plogp(na, nA) else 0L
+      }.sum
+      w -> ((nP, h0 - r0((nP * hp + nA * ha).toDouble / dTot)))
+    }
+    val got = SparkEntry.queries("q_info_gain")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val w = r.getAs[String]("term")
+      val (nP, ig) = expected(w)
+      assert(r.getAs[Long]("n_docs") == nP, s"term $w n_docs")
+      assert(r.getAs[Long]("ig_micro") == ig, s"term $w info gain")
+      // quantized IG stays in the meaningful band: bounded above by the
+      // prior entropy (allow 1-unit quantization slack either side)
+      assert(r.getAs[Long]("ig_micro") <= h0 + 1)
+    }
+  }
+}
