@@ -757,25 +757,39 @@ object StreamingPipeline {
     * branch only would be ignored) and is dropped after them with the
     * ts-referencing predicate that pins the drop above the watermark.
     */
-  def streamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame =
+  def streamIntervalJoin(spark: SparkSession, sfDir: String,
+                         statePartitions: Int = joinStatePartitions)
+      : DataFrame =
     intervalJoinDrain(spark,
       graft.queries.StreamStaging.dir(spark, sfDir, "events8range"),
-      "ssj", "inner")
+      "ssj", "inner", statePartitions)
+
+  /** Stream-stream joins run FOUR state stores per partition per side
+    * pair (keyToNumValues + keyWithIndex, left and right), so their
+    * per-trigger instance constant is ~4× a stateful agg's at equal
+    * partition count — the measured sp curve at sf0.1 (SsjProbe:
+    * 16→12.2 s, 8→8.4 s, 4→6.9 s, 2→6.4 s) is the [[defaultStatePartitions]]
+    * story amplified. 4 fits these drains' key cardinality; production
+    * sizes the parameter to keys/executors like every other drain.
+    */
+  val joinStatePartitions = 4
 
   /** See [[streamIntervalJoin]] — the left-outer (unattributed-click)
     * form, over the sentinel staging so the tail flushes.
     */
-  def streamIntervalJoinOuter(spark: SparkSession, sfDir: String)
-      : DataFrame =
+  def streamIntervalJoinOuter(spark: SparkSession, sfDir: String,
+                              statePartitions: Int =
+                                joinStatePartitions): DataFrame =
     intervalJoinDrain(spark,
       graft.queries.StreamStaging.dir(spark, sfDir, "events8sentinel"),
-      "ssjo", "left_outer")
+      "ssjo", "left_outer", statePartitions)
 
   private def intervalJoinDrain(spark: SparkSession, stagedDir: String,
-                                prefix: String, joinType: String)
-      : DataFrame =
+                                prefix: String, joinType: String,
+                                statePartitions: Int): DataFrame =
     drainUpdateMerge(spark, stagedDir, prefix,
-      Seq("click_id", "view_id"), outputMode = "append") { st =>
+      Seq("click_id", "view_id"), outputMode = "append",
+      statePartitions = statePartitions) { st =>
       // each branch keeps the heartbeat THROUGH its watermark node and
       // drops it just after (see streamSessionizeAppend for why the
       // predicate must reference ts)
