@@ -26,6 +26,62 @@ object TemporalQueries {
 
   val all: Map[String, Q] = Map(
 
+    // X52 — trailing-window z-score anomaly detection (the metrics-ops
+    // operator: "is today's count out of band vs the last week?"). The
+    // daily counts are one partial-agg shuffle; the trailing stats ride
+    // ONE window pass per series with exact BIGINT sums (n, Σ, Σx²) over
+    // ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING — the current day is
+    // excluded so an anomaly can't mask itself. The z-score is the
+    // integer-moment identity z = (n·x − S)/√(n·Σx² − S²): numerator and
+    // radicand are exact integers, sqrt is IEEE-correctly-rounded on
+    // both engines, one mirrored double division, micro-quantized.
+    // Degenerate windows (n < 3 or zero variance) filtered by the same
+    // exact test. Scale: everything after the count agg is
+    // series×days-sized.
+    "q_anomaly" -> Q(
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, cnt,
+        |    CAST(count(cnt) OVER tw AS BIGINT) n,
+        |    CAST(coalesce(sum(cnt) OVER tw, 0) AS BIGINT) s,
+        |    CAST(coalesce(sum(cnt * cnt) OVER tw, 0) AS BIGINT) sxx
+        |  FROM e WINDOW tw AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, day, cnt,
+        |    CAST(round(1000000 * (n * cnt - s)
+        |      / sqrt(CAST(n * sxx - s * s AS DOUBLE))) AS BIGINT) z_micro
+        |  FROM w WHERE n >= 3 AND n * sxx - s * s > 0)
+        |SELECT event_type, day, cnt, z_micro,
+        |  CAST(CASE WHEN abs(z_micro) > 3000000 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_anomaly
+        |FROM z""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val counts = ev
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      val tw = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      val stats = counts
+        .withColumn("n", count("cnt").over(tw))
+        .withColumn("s", coalesce(sum("cnt").over(tw), lit(0L)))
+        .withColumn("sxx",
+          coalesce(sum(col("cnt") * col("cnt")).over(tw), lit(0L)))
+      val rad = col("n") * col("sxx") - col("s") * col("s")
+      stats
+        .filter(col("n") >= 3 && rad > 0)
+        .withColumn("z_micro",
+          round(lit(1000000) * (col("n") * col("cnt") - col("s"))
+            / sqrt(rad.cast("double"))).cast("long"))
+        .select(col("event_type"), col("day"), col("cnt"), col("z_micro"),
+          when(abs(col("z_micro")) > 3000000, 1L).otherwise(0L)
+            .as("is_anomaly"))
+    },
+
     // SCD type 2: collapse each user's event stream into versioned
     // [valid_from, valid_to) attribute intervals — consecutive runs of
     // the same event_type become one dimension row, closed by the next

@@ -92,7 +92,9 @@ class DeterminismSpec extends SparkSpec {
       "q_nb_classify", "q_regression",
       // round 11: the fused top-k's (rrf, nbr) tie-break rides TWO rank
       // windows; the entropy/chi-square integer sums must be order-free
-      "q_rrf_fusion", "q_info_gain", "q_ab_test")
+      "q_rrf_fusion", "q_info_gain", "q_ab_test",
+      // round 11: the trailing-frame moments ride a per-series sort
+      "q_anomaly")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -47,6 +47,39 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_anomaly: trailing z-scores match a plain-Scala sliding window") {
+    val ev = Tables.table(spark, sf0001, "events")
+      .selectExpr("event_type", "(ts div 1000) div 86400000000 AS day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val counts = ev.groupBy(identity).map { case ((t, d), v) =>
+      (t, d, v.length.toLong) }
+    val expected = counts.groupBy(_._1).flatMap { case (_, rows) =>
+      val sorted = rows.toSeq.sortBy(_._2)
+      sorted.indices.flatMap { i =>
+        val win = sorted.slice(math.max(0, i - 7), i).map(_._3)
+        val n = win.length.toLong
+        val s = win.sum
+        val sxx = win.map(c => c * c).sum
+        val rad = n * sxx - s * s
+        if (n >= 3 && rad > 0) {
+          val (t, d, cnt) = sorted(i)
+          val z = r0(1000000 * (n * cnt - s) / math.sqrt(rad.toDouble))
+          Some((t, d) -> ((cnt, z, if (math.abs(z) > 3000000) 1L else 0L)))
+        } else None
+      }
+    }
+    val got = SparkEntry.queries("q_anomaly")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[Long]("day"))
+      val (cnt, z, flag) = expected(k)
+      assert(r.getAs[Long]("cnt") == cnt, s"$k count")
+      assert(r.getAs[Long]("z_micro") == z, s"$k z-score")
+      assert(r.getAs[Long]("is_anomaly") == flag, s"$k flag")
+    }
+  }
+
   test("q_info_gain: full parity with a plain-Scala entropy computation") {
     val docs = Tables.table(spark, sf0001, "documents")
       .select("doc_id", "lang", "text").collect()
