@@ -43,9 +43,12 @@ object PlanDump {
     // single-scan shape is now plan-audited (update-mode streaming
     // entries excluded, same reason as the other streaming entries)
     "q_dbscan_ann", "q_user_growth",
-    // round 11: the five-moment regression agg and the broadcast-model
-    // NB serving pass (streaming entries stay excluded as above)
-    "q_regression", "q_nb_classify")
+    // round 11: the five-moment regression agg, the broadcast-model
+    // NB serving pass, the 2x2 cells agg, the quantized-entropy
+    // ranking, the shared-candidate RRF fusion, and the trailing-frame
+    // anomaly window (streaming entries stay excluded as above)
+    "q_regression", "q_nb_classify", "q_ab_test", "q_info_gain",
+    "q_rrf_fusion", "q_anomaly")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")

@@ -32,10 +32,12 @@ RULES = [
                    r"dedup_keep|keep_best|minhash_calib|dedup_impact|"
                    r"cluster_sizes|sorted_neighborhood|containment|"
                    r"edit_distance|simhash|triangles|knn_graph|"
-                   r"knn_clusters|source_overlap)"),
+                   r"knn_clusters|source_overlap|rrf_fusion)"),
     ("dedup_exact", r"^q_(dedup_exact|dedup_delta|para_dedup|"
                     r"substring_dup|boilerplate)"),
     ("decontaminate", r"^q_contamination"),
+    ("stats_ml", r"^q_(regression|nb_train|nb_classify|ab_test|"
+                 r"info_gain)"),
     ("tokenizers", r"^q_(bpe_train|bpe_apply|wordpiece_apply|"
                    r"unigram_viterbi|tokenizer_compare)"),
     ("selection", r"^q_(curriculum|quality_classifier|importance_resample|"
@@ -52,7 +54,8 @@ RULES = [
     ("maintenance", r"^q_(cdc_merge|snapshot_diff|kanon|compaction_plan|"
                     r"zonemap|zorder|constraints|quarantine)"),
     ("temporal", r"^q_(sessionize|funnel|retention|transitions|interpolate|"
-                 r"resample|user_growth|scd2|asof|range_join|date_math)"),
+                 r"resample|user_growth|scd2|asof|range_join|date_math|"
+                 r"anomaly)"),
     ("windows", r"^q_(window_frame|ntile_window|range_frame|first_last|"
                 r"topk|wordcount)"),
     ("joins", r"^q_(join_|cross_join|bloom_join|fuzzy_join)"),
