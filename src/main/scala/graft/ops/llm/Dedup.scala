@@ -526,6 +526,82 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /** Sparse TF-IDF cosine k-NN graph — the classic sparse-retrieval
+    * ranker (lexical term vectors, idf-weighted) served as a bounded
+    * ANN graph: [[knnCandidates]]' capped LSH-bucket front-end proposes
+    * partners, then each candidate pair is scored EXACTLY by the cosine
+    * of the two docs' integer TF-IDF term vectors. This is the hybrid-
+    * retrieval production shape — candidate generation by cheap
+    * signatures, exact re-scoring by a different (weighted) measure —
+    * and the lexical complement of `Similarity.knnGraphExactInt`'s
+    * dense-embedding graph: the two feed q_rrf_fusion-style ensembles.
+    *
+    * Exactness discipline: weights are integer tf × ln-quantized idf
+    * (round(1e4·ln(N/df)) — the q_nb_train ln discipline, both engines
+    * round the same IEEE double); dot products and squared norms are
+    * then exact BIGINT sums (order-independent under any shuffle);
+    * only the final cosine touches doubles — sqrt of an exact integer,
+    * one mirrored division, micro-quantized. Terms with df = N carry
+    * idf 0 and are dropped BEFORE the pair join: they contribute
+    * nothing to any dot product but would multiply the join width by
+    * the stopword postings (the sparse-retrieval stopword cut, made
+    * exact by the quantizer). Overflow bound: |wt| ≤ tf·ln(N)·1e4, so
+    * BIGINT dot products hold to ~10⁶-token docs at web-corpus N;
+    * beyond that, rescale the idf quantum.
+    *
+    * Scale shape: the candidate join is the capped bucket equi-join
+    * (never corpus×corpus); the pair scoring joins explode each pair
+    * only by its OWN terms (pair×terms-of-a rows, equi-matched to b's
+    * postings); norms ride one partial-agg'd doc-key shuffle; the
+    * top-k cut is the two-phase WindowGroupLimit.
+    * Output: (doc_id, nbr_id, rnk, cos_micro).
+    */
+  def tfidfKnnGraph(df: DataFrame, idCol: String, textCol: String, k: Int,
+                    n: Int = 3, bands: Int = 4,
+                    maxBucket: Int = 4096): DataFrame = {
+    val (_, _, banded) = minhashBands(df, idCol, textCol, n, bands, Nil)
+    val cand = knnCandidates(banded, maxBucket)
+    val tok = df.select(df(idCol).as("doc"),
+      explode(TextOps.tokens(df(textCol))).as("term"))
+    val tf = tok.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy("term").agg(countDistinct("doc").as("df"))
+    // corpus size folded in as a 1-row broadcast aggregate (the
+    // q_scalar_subquery shape) — no driver-side count action
+    val n1 = df.agg(count(lit(1)).as("n_docs"))
+    // the weight table feeds FOUR plan branches (both sides of the pair
+    // join and both norm lookups) — without a checkpoint the tf/df/N
+    // subtree re-scans and re-shuffles the corpus four times (EAGER
+    // CHECKPOINT DISCIPLINE above; the q_dbscan_ann lesson)
+    val wts = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n1))
+      .select(col("doc"), col("term"),
+        (col("tf") * round(lit(10000) *
+            log(col("n_docs").cast("double") / col("df").cast("double")))
+          .cast("long")).as("wt"))
+      .filter(col("wt") =!= 0)
+      .localCheckpoint(true)
+    val norms = wts.groupBy("doc")
+      .agg(sum(col("wt") * col("wt")).as("n2"))
+      .localCheckpoint(true)
+    val dots = cand
+      .join(wts.select(col("doc").as("a"), col("term"),
+        col("wt").as("wa")), "a")
+      .join(wts.select(col("doc").as("b"), col("term"),
+        col("wt").as("wb")), Seq("b", "term"))
+      .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("dot"))
+    val scored = dots
+      .join(norms.select(col("doc").as("a"), col("n2").as("na2")), "a")
+      .join(norms.select(col("doc").as("b"), col("n2").as("nb2")), "b")
+      .select(col("a").as("doc_id"), col("b").as("nbr_id"),
+        round(lit(1000000) * col("dot").cast("double") /
+            (sqrt(col("na2").cast("double")) *
+             sqrt(col("nb2").cast("double"))))
+          .cast("long").as("cos_micro"))
+    graft.ops.TopK(scored, Seq("doc_id"), scored("cos_micro"),
+        Seq(scored("nbr_id")), k)
+      .select(col("doc_id"), col("nbr_id"), col("rnk"), col("cos_micro"))
+  }
+
   /** Containment k-NN graph — the BOUNDED-COMPUTE containment miner
     * (r7 verdict #3): [[knnGraph]]'s capped LSH-bucket candidate
     * machinery reused verbatim, but scored with asymmetric containment

@@ -1345,6 +1345,68 @@ object LlmQueries {
       Dedup.knnGraph(table(s, dir, "documents"), "doc_id", "text", k = 5)
     },
 
+    // L73 — sparse TF-IDF cosine k-NN graph: the lexical sparse-
+    // retrieval ranker (idf-weighted term vectors) served through the
+    // SAME capped LSH candidate front-end as q_knn_graph, then every
+    // candidate pair scored EXACTLY by integer-TF-IDF cosine — the
+    // hybrid-retrieval production shape (cheap signatures propose,
+    // weighted exact measure ranks) and the lexical complement of the
+    // dense-embedding graph q_knn_graph_embed; the two are what a
+    // q_rrf_fusion-style ensemble fuses. Weights tf·round(1e4·ln(N/df))
+    // are exact BIGINT after the ln quantization (q_nb_train
+    // discipline); dots and norms are order-independent integer sums;
+    // one mirrored double division per pair, micro-quantized. df = N
+    // stopwords carry idf 0 and are cut BEFORE the pair join.
+    "q_tfidf_knn" -> Q(
+      s"""WITH $duckShingles,
+        |$duckMinhashBands,
+        |knn_cand AS (
+        |  SELECT DISTINCT l.doc_id a, r.doc_id b
+        |  FROM mh_banded l JOIN mh_banded r
+        |    ON l.band = r.band AND l.bkey = r.bkey
+        |    AND l.doc_id <> r.doc_id),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\\s+')) term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf
+        |       FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) df
+        |        FROM tok GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) n_docs FROM documents),
+        |wts AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * CAST(round(10000 * ln(CAST(n_docs AS DOUBLE)
+        |      / CAST(df AS DOUBLE))) AS BIGINT) wt
+        |  FROM tf JOIN dfq ON tf.term = dfq.term, nd),
+        |w2 AS (SELECT * FROM wts WHERE wt <> 0),
+        |norms AS (SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) n2
+        |          FROM w2 GROUP BY 1),
+        |dots AS (
+        |  SELECT c.a, c.b, CAST(sum(wa.wt * wb.wt) AS BIGINT) dot
+        |  FROM knn_cand c
+        |  JOIN w2 wa ON wa.doc_id = c.a
+        |  JOIN w2 wb ON wb.doc_id = c.b AND wb.term = wa.term
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.a doc_id, d.b nbr_id,
+        |    CAST(round(1000000 * CAST(d.dot AS DOUBLE)
+        |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))))
+        |      AS BIGINT) cos_micro
+        |  FROM dots d
+        |  JOIN norms na ON na.doc_id = d.a
+        |  JOIN norms nb ON nb.doc_id = d.b),
+        |rr AS (
+        |  SELECT doc_id, nbr_id, cos_micro,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY cos_micro DESC, nbr_id) rnk
+        |  FROM scored)
+        |SELECT doc_id, nbr_id, CAST(rnk AS INTEGER) AS rnk, cos_micro
+        |FROM rr WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      Dedup.tfidfKnnGraph(table(s, dir, "documents"),
+        "doc_id", "text", k = 5)
+    },
+
     // Mutual-kNN clustering: keep only RECIPROCATED kNN edges (the
     // standard denoising step — a hub doc that many point AT but that
     // points elsewhere itself does not glue clusters), then connected

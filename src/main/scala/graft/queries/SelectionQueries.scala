@@ -134,6 +134,93 @@ object SelectionQueries {
           sum("score").as("sum_score"))
     },
 
+    // L72 — exact ROC AUC (Mann–Whitney rank-sum) model evaluation at
+    // corpus scale: how well does the hashed quality score (the
+    // q_quality_classifier scorer, reused verbatim) separate English
+    // from non-English docs, per source? The classic evaluation loop —
+    // score a corpus with a cheap model, measure ranking power against
+    // labels — as ONE declarative query. AUC is computed by the
+    // tie-corrected rank-sum identity, exact in integers: group docs by
+    // (group, score) → per-block (n_tot, n_pos); a running sum over the
+    // score-ordered blocks gives each block's rank offset; twice the
+    // positives' rank-sum is Σ n_pos·(2·cum_below + n_tot + 1) (the
+    // tied block's average rank is cum_below + (n_tot+1)/2, doubled to
+    // stay integral); AUC = (num2 − n₊(n₊+1)) / (2·n₊·n₋), one mirrored
+    // double division, micro-quantized. Degenerate single-class groups
+    // filtered by the same exact test. Scale: the token pass partial-
+    // aggs on doc_id; the window rides distinct (source, score) blocks
+    // — score-range-sized, not corpus-sized — with one range exchange
+    // per the PrefixSum discipline; num2 stays under 2^53 up to ~10^8
+    // docs per group (beyond that, promote num2 to DECIMAL(38) per the
+    // q_ab_test pattern).
+    "q_auc" -> Q(
+      """WITH occ AS (
+        |  SELECT doc_id, source, lang,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, source, lang,
+        |    CASE WHEN substr(sha256(t), 1, 1) <= '3' THEN -2
+        |         WHEN substr(sha256(t), 1, 1) <= '7' THEN -1
+        |         WHEN substr(sha256(t), 1, 1) <= 'b' THEN 1
+        |         ELSE 2 END AS wt
+        |  FROM occ),
+        |ds AS (
+        |  SELECT doc_id, source,
+        |    CAST(max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pos,
+        |    CAST(sum(wt) AS BIGINT) AS score
+        |  FROM w GROUP BY 1, 2),
+        |g AS (
+        |  SELECT source, score, CAST(count(*) AS BIGINT) n_tot,
+        |    CAST(sum(pos) AS BIGINT) n_pos
+        |  FROM ds GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, score, n_tot, n_pos,
+        |    CAST(coalesce(sum(n_tot) OVER (PARTITION BY source
+        |      ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) cum
+        |  FROM g),
+        |a AS (
+        |  SELECT source, CAST(sum(n_pos) AS BIGINT) np,
+        |    CAST(sum(n_tot - n_pos) AS BIGINT) nn,
+        |    CAST(sum(n_pos * (2 * cum + n_tot + 1)) AS BIGINT) num2
+        |  FROM r GROUP BY 1)
+        |SELECT source, np AS n_pos, nn AS n_neg,
+        |  CAST(round(1000000 * CAST(num2 - np * (np + 1) AS DOUBLE)
+        |    / CAST(2 * np * nn AS DOUBLE)) AS BIGINT) AS auc_micro
+        |FROM a WHERE np > 0 AND nn > 0""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val occ = d.select(d("doc_id"), d("source"), d("lang"),
+        explode(TextOps.tokens(d("text"))).as("t"))
+      val h = substring(sha2(col("t"), 256), 1, 1)
+      val wt = when(h <= "3", -2).when(h <= "7", -1)
+        .when(h <= "b", 1).otherwise(2)
+      val ds = occ.select(col("doc_id"), col("source"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos0"),
+          wt.cast("long").as("wt"))
+        .groupBy("doc_id", "source")
+        .agg(max("pos0").as("pos"), sum("wt").as("score"))
+      val g = ds.groupBy("source", "score")
+        .agg(count(lit(1)).as("n_tot"), sum("pos").as("n_pos"))
+      val win = Window.partitionBy("source").orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = g.withColumn("cum",
+        coalesce(sum("n_tot").over(win), lit(0L)))
+      r.groupBy("source").agg(
+          sum("n_pos").as("np"),
+          sum(col("n_tot") - col("n_pos")).as("nn"),
+          sum(col("n_pos") * (lit(2) * col("cum") + col("n_tot") + 1))
+            .as("num2"))
+        .filter(col("np") > 0 && col("nn") > 0)
+        .select(col("source"), col("np").as("n_pos"), col("nn").as("n_neg"),
+          round(lit(1000000) *
+              (col("num2") - col("np") * (col("np") + 1)).cast("double") /
+              (lit(2) * col("np") * col("nn")).cast("double"))
+            .cast("long").as("auc_micro"))
+    },
+
     // L69 — multinomial Naive Bayes TRAINING, distributed: the standard
     // supervised lang-ID / topic-gate model (fasttext's ancestor) fit
     // on the corpus's own labels. Training IS aggregation — per

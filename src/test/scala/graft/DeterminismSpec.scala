@@ -94,7 +94,11 @@ class DeterminismSpec extends SparkSpec {
       // windows; the entropy/chi-square integer sums must be order-free
       "q_rrf_fusion", "q_info_gain", "q_ab_test",
       // round 11: the trailing-frame moments ride a per-series sort
-      "q_anomaly")
+      "q_anomaly",
+      // round 11: the AUC rank-sum's score-ordered running window and
+      // the sparse reranker's (cos, nbr) top-k tie-break must not
+      // depend on partitioning
+      "q_auc", "q_tfidf_knn")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

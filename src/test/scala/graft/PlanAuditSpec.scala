@@ -910,6 +910,40 @@ class PlanAuditSpec extends SparkSpec {
       s"expected broadcast model join:\n$p")
   }
 
+  test("q_auc: single corpus scan; rank window rides the source partitioning") {
+    // the rank-sum AUC: one token scan, per-doc score partial-agg'd
+    // map-side, and the running-rank window partitioned by the group
+    // key — never a global single-partition sort
+    val p = plan("q_auc")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"AUC must be single-scan:\n$p")
+    assert(p.contains("partial_sum"),
+      s"doc scores must combine map-side:\n$p")
+    assert(p.contains("hashpartitioning(source"),
+      s"rank window must partition by source:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"no global single-partition window allowed:\n$p")
+  }
+
+  test("q_tfidf_knn: checkpointed weights, broadcast lookups, two-phase top-k") {
+    // the sparse reranker: the tf/df/N weight subtree feeds four plan
+    // branches and is eager-checkpointed (the q_dbscan_ann lesson), so
+    // the final plan must contain NO corpus FileScan at all — the
+    // corpus is read exactly once, before the fan-out; every weight /
+    // norm lookup broadcasts; the top-k cut is Partial+Final
+    val p = plan("q_tfidf_knn")
+    assert(!p.contains("FileScan"),
+      s"weight table must be checkpointed before fan-out:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight/norm lookups must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no sort-merge machinery expected:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"expected Partial+Final WindowGroupLimit:\n$p")
+  }
+
   test("global guard: no declared query's plan is O(data) in literals") {
     // One cheap sweep over the ENTIRE registry (r10 verdict #6): a
     // typedlit-style literal blow-up anywhere — a path map, a collected

@@ -370,6 +370,49 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("tfidfKnnGraph: scores and top-k match a plain-Scala reranker") {
+    val d = graft.Tables.table(spark, sf0001, "documents")
+    val got = Dedup.tfidfKnnGraph(d, "doc_id", "text", k = 5)
+      .select("doc_id", "nbr_id", "rnk", "cos_micro")
+      .as[(Long, Long, Int, Long)].collect()
+    assert(got.nonEmpty)
+    def r0(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // plain-Scala integer tf-idf vectors over the whole corpus
+    val toks = d.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+", -1).toSeq }.toMap
+    val n = toks.size.toLong
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (w, v) => w -> v.size.toLong }
+    val wts: Map[Long, Map[String, Long]] = toks.map { case (id, ts) =>
+      id -> ts.groupBy(identity).map { case (w, v) =>
+          w -> v.size.toLong * r0(10000d * math.log(n.toDouble / dfm(w))) }
+        .filter(_._2 != 0L)
+    }
+    def cos(a: Long, b: Long): Long = {
+      val (wa, wb) = (wts(a), wts(b))
+      val dot = wa.keysIterator.filter(wb.contains)
+        .map(k => wa(k) * wb(k)).sum
+      r0(1000000d * dot.toDouble /
+        (math.sqrt(wa.values.map(v => v * v).sum.toDouble) *
+          math.sqrt(wb.values.map(v => v * v).sum.toDouble)))
+    }
+    // the full candidate set is knnGraph's output at an unreachable k
+    // (same front-end, same caps); expected = each doc's partners
+    // re-ranked by the plain-Scala cosine, top 5
+    val cand = Dedup.knnGraph(d, "doc_id", "text", k = 1000000)
+      .select("doc_id", "nbr_id").as[(Long, Long)].collect()
+    val expected = cand.groupBy(_._1).toSeq.flatMap { case (a, es) =>
+      if (wts(a).isEmpty) Seq.empty[(Long, Long, Int, Long)]
+      else es.map(_._2).distinct.filter(b => wts(b).nonEmpty).sorted.toSeq
+        .map(b => (b, cos(a, b)))
+        .sortBy(e => (-e._2, e._1)).take(5).zipWithIndex
+        .map { case ((b, c), i) => (a, b, i + 1, c) }
+    }.toSet
+    assert(got.toSet == expected)
+  }
+
   test("fast xxhash signatures: equal shingle sets get equal sigs") {
     val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zeta eta theta iota")).toDF("doc_id", "text")

@@ -122,4 +122,47 @@ class StatsSpec extends SparkSpec {
       assert(r.getAs[Long]("ig_micro") <= h0 + 1)
     }
   }
+
+  test("q_auc: rank-sum AUC matches brute-force pairwise comparison") {
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select("doc_id", "source", "lang", "text").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def wt(t: String): Long = {
+      val hex = "%02x".format(md.digest(t.getBytes("UTF-8")).head).charAt(0)
+      if (hex <= '3') -2L else if (hex <= '7') -1L
+      else if (hex <= 'b') 1L else 2L
+    }
+    val ds = docs.map { case (src, lang, text) =>
+      (src, lang == "en",
+        text.trim.toLowerCase.split("\\s+", -1).map(wt).sum)
+    }
+    // brute-force pairwise AUC per source in half-units: every
+    // (positive, negative) pair contributes 2 for a win, 1 for a tie —
+    // the tie-corrected Mann-Whitney definition the rank-sum identity
+    // in the query must reproduce exactly
+    val expected = ds.groupBy(_._1).flatMap { case (src, es) =>
+      val pos = es.filter(_._2).map(_._3)
+      val neg = es.filterNot(_._2).map(_._3)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        val half = (for (p <- pos; q <- neg) yield
+          if (p > q) 2L else if (p == q) 1L else 0L).sum
+        Some(src -> ((pos.length.toLong, neg.length.toLong,
+          r0(1000000d * half /
+            (2.0 * pos.length * neg.length)))))
+      } else None
+    }
+    val got = SparkEntry.queries("q_auc")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (np, nn, auc) = expected(src)
+      assert(r.getAs[Long]("n_pos") == np, s"source $src n_pos")
+      assert(r.getAs[Long]("n_neg") == nn, s"source $src n_neg")
+      assert(r.getAs[Long]("auc_micro") == auc, s"source $src auc")
+      assert(r.getAs[Long]("auc_micro") >= 0L &&
+        r.getAs[Long]("auc_micro") <= 1000000L)
+    }
+  }
 }

@@ -48,7 +48,10 @@ object PlanDump {
     // ranking, the shared-candidate RRF fusion, and the trailing-frame
     // anomaly window (streaming entries stay excluded as above)
     "q_regression", "q_nb_classify", "q_ab_test", "q_info_gain",
-    "q_rrf_fusion", "q_anomaly")
+    "q_rrf_fusion", "q_anomaly",
+    // round 11: the rank-sum AUC window and the checkpointed sparse
+    // tf-idf reranker
+    "q_auc", "q_tfidf_knn")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
