@@ -437,6 +437,87 @@ object ExtendedQueries {
         .select("bucket", "n_a", "n_b", "ppm_a", "ppm_b", "l1_ppm")
     },
 
+    // X55 — exact two-sample Kolmogorov–Smirnov drift test per lang
+    // (q_drift's statistically-principled companion: the binned L1
+    // profile says HOW the histogram moved; KS gives the
+    // distribution-free sup-CDF-gap statistic a drift monitor alerts
+    // on). D·n_a·n_b = max over the merged value support of
+    // |cum_a·n_b − cum_b·n_a| — exact integers end to end: per-(lang,
+    // value) side counts in ONE partial-agg shuffle, cumulative counts
+    // + side totals ride ONE lang-partitioned window exchange, and the
+    // cross-products are DECIMAL(38) (BIGINT overflows at ~3e9 docs per
+    // side — the X51 discipline). ks_ppm is the single mirrored double
+    // division; ks_at (the min value attaining the sup) is recovered by
+    // an exact join-back against the broadcast 5-row max table, so the
+    // argmax needs no ordered-row assumptions. Scale: everything past
+    // the per-value rollup is value-support-sized, never doc-sized.
+    "q_ks_test" -> Q(
+      """WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) v, source
+        |           FROM documents WHERE source IN ('src0', 'src1')),
+        |c AS (SELECT lang, v,
+        |    CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) ca,
+        |    CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT) cb
+        |  FROM d GROUP BY 1, 2),
+        |cum AS (SELECT lang, v,
+        |    sum(ca) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_a,
+        |    sum(cb) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_b,
+        |    sum(ca) OVER (PARTITION BY lang) ta,
+        |    sum(cb) OVER (PARTITION BY lang) tb
+        |  FROM c),
+        |dn AS (SELECT lang, v, ta, tb,
+        |    abs(CAST(cum_a AS HUGEINT) * tb
+        |      - CAST(cum_b AS HUGEINT) * ta) dnum
+        |  FROM cum),
+        |mx AS (SELECT lang, CAST(max(ta) AS BIGINT) n_a,
+        |    CAST(max(tb) AS BIGINT) n_b, max(dnum) dmax
+        |  FROM dn GROUP BY 1
+        |  HAVING max(ta) > 0 AND max(tb) > 0)
+        |SELECT mx.lang, n_a, n_b,
+        |  CAST(round(1000000 * CAST(dmax AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS BIGINT)
+        |    AS ks_ppm,
+        |  CAST(min(dn.v) AS BIGINT) AS ks_at
+        |FROM mx JOIN dn ON dn.lang = mx.lang AND dn.dnum = mx.dmax
+        |GROUP BY 1, 2, 3, 4""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+      val c = d.groupBy(col("lang"), col("n_chars").cast("long").as("v"))
+        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("source") === "src1", 1L).otherwise(0L)).as("cb"))
+      val wCum = Window.partitionBy("lang").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("lang")
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      // feeds the per-lang max aggregate AND the argmax join-back — the
+      // eager checkpoint keeps the window exchange single-run (EAGER
+      // CHECKPOINT DISCIPLINE, ops/llm/Dedup.scala)
+      val dn = c
+        .withColumn("cum_a", sum("ca").over(wCum))
+        .withColumn("cum_b", sum("cb").over(wCum))
+        .withColumn("ta", sum("ca").over(wAll))
+        .withColumn("tb", sum("cb").over(wAll))
+        .select(col("lang"), col("v"), col("ta"), col("tb"),
+          abs(col("cum_a").cast(dec) * col("tb")
+            - col("cum_b").cast(dec) * col("ta")).as("dnum"))
+        .localCheckpoint(true)
+      val mx = dn.groupBy("lang")
+        .agg(max("ta").as("n_a"), max("tb").as("n_b"),
+          max("dnum").as("dmax"))
+        .filter(col("n_a") > 0 && col("n_b") > 0)
+      broadcast(mx)
+        .join(dn.select(col("lang"), col("dnum"), col("v")),
+          Seq("lang")).filter(col("dnum") === col("dmax"))
+        .groupBy(col("lang"), col("n_a"), col("n_b"), col("dmax"))
+        .agg(min("v").as("ks_at"))
+        .select(col("lang"), col("n_a"), col("n_b"),
+          round(lit(1000000) * col("dmax").cast("double")
+            / (col("n_a").cast("double") * col("n_b").cast("double")))
+            .cast("long").as("ks_ppm"),
+          col("ks_at"))
+    },
+
     // Generic column profiler: per-column null count, exact distinct
     // count, min/max-as-string — ONE scan, one 1-row aggregate (distinct
     // aggs via Expand, still map-side combined), unpivoted with stack.

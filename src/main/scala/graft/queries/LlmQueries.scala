@@ -1407,6 +1407,130 @@ object LlmQueries {
         "doc_id", "text", k = 5)
     },
 
+    // L75 — NDCG@5 ranking evaluation (the IR-eval kernel, and q_auc's
+    // companion for RANKED output): how well does the sparse TF-IDF
+    // cosine ranker (q_tfidf_knn, recomputed verbatim) order its
+    // retrieved set against graded exact-Jaccard relevance? Gains are
+    // rel/ln(rank+1) — the ln-discounted DCG variant (log base is a
+    // constant factor; the NDCG ratio is what matters) — quantized to
+    // integers PER TERM so the per-doc sums are order-free; the ideal
+    // ordering re-ranks the SAME retrieved set by relevance (local
+    // NDCG, the standard choice when ground truth is the candidate
+    // pool) with a deterministic (rel desc, nbr) tie-break; the final
+    // ratio is one mirrored double division, ppm-quantized. Scale:
+    // everything past the (shared-shape) candidate scoring is
+    // k-bounded per doc.
+    "q_ndcg" -> Q(
+      s"""WITH $duckShingles,
+        |$duckMinhashBands,
+        |knn_cand AS (
+        |  SELECT DISTINCT l.doc_id a, r.doc_id b
+        |  FROM mh_banded l JOIN mh_banded r
+        |    ON l.band = r.band AND l.bkey = r.bkey
+        |    AND l.doc_id <> r.doc_id),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\\s+')) term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf
+        |       FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) df
+        |        FROM tok GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) n_docs FROM documents),
+        |wts AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * CAST(round(10000 * ln(CAST(n_docs AS DOUBLE)
+        |      / CAST(df AS DOUBLE))) AS BIGINT) wt
+        |  FROM tf JOIN dfq ON tf.term = dfq.term, nd),
+        |w2 AS (SELECT * FROM wts WHERE wt <> 0),
+        |norms AS (SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) n2
+        |          FROM w2 GROUP BY 1),
+        |dots AS (
+        |  SELECT c.a, c.b, CAST(sum(wa.wt * wb.wt) AS BIGINT) dot
+        |  FROM knn_cand c
+        |  JOIN w2 wa ON wa.doc_id = c.a
+        |  JOIN w2 wb ON wb.doc_id = c.b AND wb.term = wa.term
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.a doc_id, d.b nbr_id,
+        |    CAST(round(1000000 * CAST(d.dot AS DOUBLE)
+        |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))))
+        |      AS BIGINT) cos_micro
+        |  FROM dots d
+        |  JOIN norms na ON na.doc_id = d.a
+        |  JOIN norms nb ON nb.doc_id = d.b),
+        |knn AS (
+        |  SELECT doc_id, nbr_id, rnk FROM (
+        |    SELECT doc_id, nbr_id,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY cos_micro DESC, nbr_id) rnk
+        |    FROM scored) WHERE rnk <= 5),
+        |relg AS (
+        |  SELECT k.doc_id, k.nbr_id, k.rnk,
+        |    (CAST(len(list_intersect(ba.sh, bb.sh)) AS BIGINT) * 1000000)
+        |      // CAST(len(ba.sh) + len(bb.sh)
+        |        - len(list_intersect(ba.sh, bb.sh)) AS BIGINT) AS rel
+        |  FROM knn k
+        |  JOIN base ba ON ba.doc_id = k.doc_id
+        |  JOIN base bb ON bb.doc_id = k.nbr_id),
+        |ideal AS (
+        |  SELECT doc_id, rnk, rel,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY rel DESC, nbr_id) irnk
+        |  FROM relg),
+        |gains AS (
+        |  SELECT doc_id,
+        |    CAST(round(CAST(rel AS DOUBLE)
+        |      / ln(CAST(rnk + 1 AS DOUBLE))) AS BIGINT) gain,
+        |    CAST(round(CAST(rel AS DOUBLE)
+        |      / ln(CAST(irnk + 1 AS DOUBLE))) AS BIGINT) igain
+        |  FROM ideal),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) n_nbrs,
+        |    CAST(sum(gain) AS BIGINT) dcg_micro,
+        |    CAST(sum(igain) AS BIGINT) idcg_micro
+        |  FROM gains GROUP BY 1)
+        |SELECT doc_id, n_nbrs, dcg_micro, idcg_micro,
+        |  CAST(round(1000000 * CAST(dcg_micro AS DOUBLE)
+        |    / CAST(idcg_micro AS DOUBLE)) AS BIGINT) AS ndcg_ppm
+        |FROM agg WHERE idcg_micro > 0""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val g = Dedup.tfidfKnnGraph(d, "doc_id", "text", k = 5)
+      val sets = d.select(d("doc_id").as("sid"),
+          TextOps.shingleSet(d("text"), 3).as("sh"))
+        // joined on BOTH sides of every edge — checkpoint keeps the
+        // shingle pass single-scan (EAGER CHECKPOINT DISCIPLINE)
+        .localCheckpoint(true)
+      val interC = size(array_intersect(col("sh_a"), col("sh_b")))
+      val relg = g
+        .join(sets.select(col("sid").as("doc_id"), col("sh").as("sh_a")),
+          "doc_id")
+        .join(sets.select(col("sid").as("nbr_id"), col("sh").as("sh_b")),
+          "nbr_id")
+        .withColumn("inter", interC)
+        .withColumn("rel", expr(
+          "(CAST(inter AS BIGINT) * 1000000) div " +
+            "CAST(size(sh_a) + size(sh_b) - inter AS BIGINT)"))
+      val wIdeal = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("rel").desc, col("nbr_id"))
+      relg
+        .withColumn("irnk", row_number().over(wIdeal))
+        .withColumn("gain",
+          round(col("rel").cast("double") /
+            log((col("rnk") + 1).cast("double"))).cast("long"))
+        .withColumn("igain",
+          round(col("rel").cast("double") /
+            log((col("irnk") + 1).cast("double"))).cast("long"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_nbrs"),
+          sum("gain").as("dcg_micro"),
+          sum("igain").as("idcg_micro"))
+        .filter(col("idcg_micro") > 0)
+        .withColumn("ndcg_ppm",
+          round(lit(1000000) * col("dcg_micro").cast("double") /
+            col("idcg_micro").cast("double")).cast("long"))
+    },
+
     // Mutual-kNN clustering: keep only RECIPROCATED kNN edges (the
     // standard denoising step — a hub doc that many point AT but that
     // points elsewhere itself does not glue clusters), then connected

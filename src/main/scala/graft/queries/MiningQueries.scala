@@ -169,6 +169,109 @@ object MiningQueries {
         .orderBy(col("pmi_micro").desc, col("x"), col("y")).limit(100)
     },
 
+    // X54 — association-rule mining over user event baskets (the
+    // market-basket support/confidence/lift kernel — the recommender /
+    // behavioral-segmentation companion to q_pmi's text collocations).
+    // Basket = the distinct event types a user ever fired. Spark-first
+    // shape: ONE user-key shuffle builds the sorted basket array; pairs
+    // are generated MAP-SIDE by codegen'd array higher-order functions
+    // (fan-out bounded by the event-type vocabulary, C(|V|,2) per user
+    // — never a user-key self-join, which would shuffle the (user,
+    // item) table twice and explode skewed users quadratically in the
+    // join); item counts ride the same basket table. support/confidence
+    // are exact integer ppm divisions; lift is the one mirrored double
+    // division (n_both·1e6 holds in BIGINT to ~9e12 baskets; beyond:
+    // DECIMAL(38) per the X51 pattern). Output is item-pair-sized.
+    "q_assoc_rules" -> Q(
+      """WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+        |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) nu FROM ue),
+        |it AS (SELECT event_type, CAST(count(*) AS BIGINT) c FROM ue
+        |       GROUP BY 1),
+        |pr AS (SELECT l.event_type a, r.event_type b,
+        |    CAST(count(*) AS BIGINT) n_both
+        |  FROM ue l JOIN ue r ON l.user_id = r.user_id
+        |    AND l.event_type < r.event_type
+        |  GROUP BY 1, 2)
+        |SELECT a, b, n_both, ia.c AS n_a, ib.c AS n_b,
+        |  (n_both * 1000000) // nu AS support_ppm,
+        |  (n_both * 1000000) // ia.c AS conf_ppm,
+        |  CAST(round(1000000 * (CAST(nu AS DOUBLE)
+        |      * CAST(n_both AS DOUBLE))
+        |    / (CAST(ia.c AS DOUBLE) * CAST(ib.c AS DOUBLE))) AS BIGINT)
+        |    AS lift_ppm
+        |FROM pr JOIN it ia ON ia.event_type = pr.a
+        |        JOIN it ib ON ib.event_type = pr.b, nu
+        |WHERE n_both >= 5""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+      // feeds the pair explode, the item counts, AND the basket total —
+      // eager checkpoint keeps the user exchange single-run (EAGER
+      // CHECKPOINT DISCIPLINE, ops/llm/Dedup.scala)
+      val baskets = e.select(col("user_id"), col("event_type")).distinct()
+        .groupBy("user_id")
+        .agg(sort_array(collect_set(col("event_type"))).as("items"))
+        .localCheckpoint(true)
+      val pairs = baskets.select(explode(expr(
+          "flatten(transform(items, (x, i) -> transform(" +
+            "slice(items, i + 2, size(items)), " +
+            "y -> struct(x AS a, y AS b))))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val pr = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_both"))
+      val it = baskets.select(explode(col("items")).as("event_type"))
+        .groupBy("event_type").agg(count(lit(1)).as("c"))
+      val nu = baskets.agg(count(lit(1)).as("nu"))
+      // item vocabulary is a small enum (unlike q_pmi's open text
+      // vocabulary) — the broadcast hints are safe by construction
+      pr.filter(col("n_both") >= 5)
+        .join(broadcast(it.select(col("event_type").as("a"),
+          col("c").as("n_a"))), "a")
+        .join(broadcast(it.select(col("event_type").as("b"),
+          col("c").as("n_b"))), "b")
+        .crossJoin(broadcast(nu))
+        .select(col("a"), col("b"), col("n_both"), col("n_a"), col("n_b"),
+          expr("(n_both * 1000000) div nu").as("support_ppm"),
+          expr("(n_both * 1000000) div n_a").as("conf_ppm"),
+          round(lit(1000000)
+              * (col("nu").cast("double") * col("n_both").cast("double"))
+            / (col("n_a").cast("double") * col("n_b").cast("double")))
+            .cast("long").as("lift_ppm"))
+    },
+
+    // L76 — term-frequency spectrum + Simple Good–Turing adjusted
+    // counts (the count-of-counts profile: Zipf-tail diagnostics and
+    // the unseen-mass estimate behind every smoothed LM the pipeline
+    // scores with — q_surprisal/q_ngram_lm's calibration companion).
+    // r* = (r+1)·N_{r+1}/N_r in exact integer micro units ((r+1)·
+    // N_{r+1}·1e6 ≤ 1e6·(T+N₁) holds in BIGINT to ~9e12 corpus tokens;
+    // beyond: DECIMAL(38) per the X51 pattern); absent N_{r+1}
+    // coalesces to 0 (the raw-count fallback band, reported as-is).
+    // Scale: token explode → term-key shuffle → the spectrum rollup is
+    // distinct-frequency-sized (≈ O(√T) rows by Zipf) and the GT shift
+    // is a broadcast self-join on r+1.
+    "q_freq_spectrum" -> Q(
+      s"""WITH $duckTok,
+        |tf AS (SELECT term, CAST(count(*) AS BIGINT) r FROM tok
+        |       GROUP BY 1),
+        |spec AS (SELECT r, CAST(count(*) AS BIGINT) n_terms FROM tf
+        |         GROUP BY 1)
+        |SELECT s.r, s.n_terms,
+        |  coalesce((1000000 * (s.r + 1) * nx.n_terms) // s.n_terms, 0)
+        |    AS gt_rstar_micro
+        |FROM spec s LEFT JOIN spec nx ON nx.r = s.r + 1""".stripMargin) {
+      (s, dir) =>
+      // feeds both sides of the GT shift join — eager checkpoint keeps
+      // the token scan + two shuffles single-run (EAGER CHECKPOINT
+      // DISCIPLINE, ops/llm/Dedup.scala)
+      val spec = tok(s, dir).groupBy("term").agg(count(lit(1)).as("r"))
+        .groupBy("r").agg(count(lit(1)).as("n_terms"))
+        .localCheckpoint(true)
+      val nxt = spec.select((col("r") - 1).as("r"),
+        col("n_terms").as("n_next"))
+      spec.join(broadcast(nxt), Seq("r"), "left")
+        .select(col("r"), col("n_terms"),
+          coalesce(expr("(1000000 * (r + 1) * n_next) div n_terms"),
+            lit(0L)).as("gt_rstar_micro"))
+    },
+
     // Inverted-index construction: ordered posting lists for the 200
     // highest-df terms (df desc, term asc — total order). The postings
     // JSON uses the q_topk_collect trick (sorted array → to_json) so the

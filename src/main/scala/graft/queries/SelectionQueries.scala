@@ -221,6 +221,71 @@ object SelectionQueries {
             .cast("long").as("auc_micro"))
     },
 
+    // L74 — calibration / reliability diagram (the q_auc companion):
+    // does a higher score actually mean a higher positive rate? Docs
+    // bin into 10 equi-width score bins over the OBSERVED range (min/
+    // max folded in as a 1-row broadcast aggregate — the
+    // q_scalar_subquery shape, no driver action); per bin: count,
+    // positives, empirical rate (one mirrored ppm division) and the
+    // exact integer score mass. Binning is pure integer arithmetic —
+    // ((score−mn)·10) div (mx−mn+1) — so bin edges are identical on
+    // both engines (numerator never negative: score ≥ mn). Scale:
+    // after the per-doc score agg everything is bin-count-sized.
+    "q_calibration" -> Q(
+      """WITH occ AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN substr(sha256(t), 1, 1) <= '3' THEN -2
+        |         WHEN substr(sha256(t), 1, 1) <= '7' THEN -1
+        |         WHEN substr(sha256(t), 1, 1) <= 'b' THEN 1
+        |         ELSE 2 END AS wt
+        |  FROM occ),
+        |ds AS (
+        |  SELECT doc_id,
+        |    CAST(max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pos,
+        |    CAST(sum(wt) AS BIGINT) AS score
+        |  FROM w GROUP BY 1),
+        |st AS (SELECT min(score) mn, max(score) mx FROM ds),
+        |b AS (SELECT ((score - mn) * 10) // (mx - mn + 1) AS bin,
+        |             pos, score
+        |      FROM ds, st)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(round(1000000 * CAST(sum(pos) AS DOUBLE) / count(*))
+        |    AS BIGINT) AS pos_rate_ppm,
+        |  CAST(sum(score) AS BIGINT) AS sum_score
+        |FROM b GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val occ = d.select(d("doc_id"), d("lang"),
+        explode(TextOps.tokens(d("text"))).as("t"))
+      val h = substring(sha2(col("t"), 256), 1, 1)
+      val wt = when(h <= "3", -2).when(h <= "7", -1)
+        .when(h <= "b", 1).otherwise(2)
+      val ds = occ.select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos0"),
+          wt.cast("long").as("wt"))
+        .groupBy("doc_id")
+        .agg(max("pos0").as("pos"), sum("wt").as("score"))
+        // feeds BOTH the min/max aggregate and the binning pass — the
+        // eager checkpoint keeps the token explode single-scan (EAGER
+        // CHECKPOINT DISCIPLINE, ops/llm/Dedup.scala)
+        .localCheckpoint(true)
+      val st = ds.agg(min("score").as("mn"), max("score").as("mx"))
+      ds.crossJoin(broadcast(st))
+        .select(expr("((score - mn) * 10) div (mx - mn + 1)").as("bin"),
+          col("pos"), col("score"))
+        .groupBy("bin").agg(
+          count(lit(1)).as("n"),
+          sum("pos").as("n_pos"),
+          round(lit(1000000) * sum("pos").cast("double") / count(lit(1)))
+            .cast("long").as("pos_rate_ppm"),
+          sum("score").as("sum_score"))
+    },
+
     // L69 — multinomial Naive Bayes TRAINING, distributed: the standard
     // supervised lang-ID / topic-gate model (fasttext's ancestor) fit
     // on the corpus's own labels. Training IS aggregation — per

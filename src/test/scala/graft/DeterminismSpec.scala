@@ -98,7 +98,10 @@ class DeterminismSpec extends SparkSpec {
       // round 11: the AUC rank-sum's score-ordered running window and
       // the sparse reranker's (cos, nbr) top-k tie-break must not
       // depend on partitioning
-      "q_auc", "q_tfidf_knn")
+      "q_auc", "q_tfidf_knn",
+      // round 11: observed-range binning and the double-window NDCG
+      // (system rank + ideal rank) must not depend on partitioning
+      "q_calibration", "q_ndcg")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -944,6 +944,34 @@ class PlanAuditSpec extends SparkSpec {
       s"expected Partial+Final WindowGroupLimit:\n$p")
   }
 
+  test("q_calibration: checkpointed doc scores; 1-row range stats broadcast") {
+    // the per-doc score table feeds the min/max aggregate AND the
+    // binning pass — checkpointed, so the final plan has no corpus
+    // FileScan; the observed-range stats reach the binning as a 1-row
+    // broadcast (the q_scalar_subquery shape), never a shuffle join
+    val p = plan("q_calibration")
+    assert(!p.contains("FileScan"),
+      s"doc scores must be checkpointed before fan-out:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"range stats must broadcast:\n$p")
+    assert(p.contains("partial_"),
+      s"bin counts must combine map-side:\n$p")
+    assert(p.contains("hashpartitioning(bin"),
+      s"final rollup must shuffle on the bin key:\n$p")
+  }
+
+  test("q_ndcg: checkpointed bases; no sort-merge; graph top-k two-phase") {
+    val p = plan("q_ndcg")
+    assert(!p.contains("FileScan"),
+      s"weight/shingle bases must be checkpointed before fan-out:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"all lookups must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"the inner reranker's Partial+Final top-k must survive:\n$p")
+  }
+
   test("global guard: no declared query's plan is O(data) in literals") {
     // One cheap sweep over the ENTIRE registry (r10 verdict #6): a
     // typedlit-style literal blow-up anywhere — a path map, a collected

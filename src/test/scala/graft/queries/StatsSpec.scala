@@ -165,4 +165,89 @@ class StatsSpec extends SparkSpec {
         r.getAs[Long]("auc_micro") <= 1000000L)
     }
   }
+
+  test("q_calibration: bins, rates, and score mass match plain Scala") {
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def wt(t: String): Long = {
+      val hex = "%02x".format(md.digest(t.getBytes("UTF-8")).head).charAt(0)
+      if (hex <= '3') -2L else if (hex <= '7') -1L
+      else if (hex <= 'b') 1L else 2L
+    }
+    val ds = docs.map { case (lang, text) =>
+      (lang == "en", text.trim.toLowerCase.split("\\s+", -1).map(wt).sum)
+    }
+    val mn = ds.map(_._2).min
+    val mx = ds.map(_._2).max
+    val expected = ds.groupBy { case (_, s) => (s - mn) * 10 / (mx - mn + 1) }
+      .map { case (bin, es) =>
+        val n = es.length.toLong
+        val np = es.count(_._1).toLong
+        bin -> ((n, np, r0(1000000d * np / n), es.map(_._2).sum))
+      }
+    val got = SparkEntry.queries("q_calibration")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    // conservation: every doc lands in exactly one bin
+    assert(got.map(_.getAs[Long]("n")).sum == docs.length.toLong)
+    got.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= 0L && bin <= 9L)
+      val (n, np, rate, mass) = expected(bin)
+      assert(r.getAs[Long]("n") == n, s"bin $bin n")
+      assert(r.getAs[Long]("n_pos") == np, s"bin $bin n_pos")
+      assert(r.getAs[Long]("pos_rate_ppm") == rate, s"bin $bin rate")
+      assert(r.getAs[Long]("sum_score") == mass, s"bin $bin score mass")
+    }
+  }
+
+  test("q_ndcg: gains and ratios match a plain-Scala ranking evaluation") {
+    // system ranking from q_tfidf_knn (its own parity is pinned in
+    // DedupSpec); relevance, discounts, ideal re-ranking, and the
+    // final ratio recomputed in plain Scala
+    val knn = SparkEntry.queries("q_tfidf_knn")(spark, sf0001)
+      .select("doc_id", "nbr_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val texts = Tables.table(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def shingles(t: String): Set[String] = {
+      val toks = t.trim.toLowerCase.split("\\s+", -1)
+      val c = math.max(toks.length - 2, 1)
+      (0 until c).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val sh = texts.map { case (id, t) => id -> shingles(t) }
+    def rel(a: Long, b: Long): Long = {
+      val (sa, sb) = (sh(a), sh(b))
+      val inter = sa.intersect(sb).size.toLong
+      inter * 1000000L / (sa.size + sb.size - inter)
+    }
+    val expected = knn.groupBy(_._1).toSeq.flatMap { case (doc, es) =>
+      val rels = es.toSeq.map { case (_, nbr, rnk) =>
+        (nbr, rnk, rel(doc, nbr)) }
+      val ideal = rels.sortBy(e => (-e._3, e._1)).zipWithIndex
+        .map { case ((nbr, _, _), i) => nbr -> (i + 1) }.toMap
+      val dcg = rels.map { case (_, rnk, r) =>
+        r0(r.toDouble / math.log(rnk + 1d)) }.sum
+      val idcg = rels.map { case (nbr, _, r) =>
+        r0(r.toDouble / math.log(ideal(nbr) + 1d)) }.sum
+      if (idcg > 0)
+        Some(doc -> ((es.length.toLong, dcg, idcg,
+          r0(1000000d * dcg / idcg))))
+      else None
+    }.toMap
+    val got = SparkEntry.queries("q_ndcg")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val doc = r.getAs[Long]("doc_id")
+      val (n, dcg, idcg, ndcg) = expected(doc)
+      assert(r.getAs[Long]("n_nbrs") == n, s"doc $doc n_nbrs")
+      assert(r.getAs[Long]("dcg_micro") == dcg, s"doc $doc dcg")
+      assert(r.getAs[Long]("idcg_micro") == idcg, s"doc $doc idcg")
+      assert(r.getAs[Long]("ndcg_ppm") == ndcg, s"doc $doc ndcg")
+    }
+  }
 }

@@ -49,9 +49,10 @@ object PlanDump {
     // anomaly window (streaming entries stay excluded as above)
     "q_regression", "q_nb_classify", "q_ab_test", "q_info_gain",
     "q_rrf_fusion", "q_anomaly",
-    // round 11: the rank-sum AUC window and the checkpointed sparse
-    // tf-idf reranker
-    "q_auc", "q_tfidf_knn")
+    // round 11: the rank-sum AUC window, the checkpointed sparse
+    // tf-idf reranker, the observed-range calibration bins, and the
+    // double-window NDCG evaluation
+    "q_auc", "q_tfidf_knn", "q_calibration", "q_ndcg")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
