@@ -101,7 +101,10 @@ class DeterminismSpec extends SparkSpec {
       "q_auc", "q_tfidf_knn",
       // round 11: observed-range binning and the double-window NDCG
       // (system rank + ideal rank) must not depend on partitioning
-      "q_calibration", "q_ndcg")
+      "q_calibration", "q_ndcg",
+      // round 11: the KS argmax join-back, the basket pair explode, and
+      // the spectrum's GT shift join must not depend on partitioning
+      "q_ks_test", "q_assoc_rules", "q_freq_spectrum")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -58,7 +58,9 @@ class EmptyTablesSpec extends SparkSpec {
     // regression and the enrichment drain survive empty fact tables
     "q_nb_train", "q_nb_classify", "q_regression", "q_stream_enrich",
     "q_ab_test", "q_info_gain", "q_rrf_fusion", "q_anomaly",
-    "q_auc", "q_tfidf_knn", "q_calibration", "q_ndcg")
+    "q_auc", "q_tfidf_knn", "q_calibration", "q_ndcg",
+    // round 11: drift/basket/spectrum rollups over empty fact tables
+    "q_ks_test", "q_assoc_rules", "q_freq_spectrum")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

@@ -972,6 +972,59 @@ class PlanAuditSpec extends SparkSpec {
       s"the inner reranker's Partial+Final top-k must survive:\n$p")
   }
 
+  test("q_ks_test: checkpointed CDF table; argmax via broadcast join-back") {
+    // the cumulative-gap table feeds the per-lang max AND the argmax
+    // join-back — checkpointed (no FileScan in the final plan); the
+    // 5-row max table broadcasts back against it (never a shuffle
+    // join), and both aggregates combine map-side
+    val p = plan("q_ks_test")
+    assert(!p.contains("FileScan"),
+      s"CDF table must be checkpointed before fan-out:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"argmax join-back must broadcast the per-lang max table:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join expected at lang-count cardinality:\n$p")
+    assert(p.contains("partial_max"),
+      s"sup-gap max must combine map-side:\n$p")
+  }
+
+  test("q_assoc_rules: pairs generated map-side below the pair-key shuffle") {
+    // the basket self-join trap: pairs must come from the codegen'd
+    // array transform over the checkpointed basket table (Generate
+    // BELOW the (a,b) exchange, so the per-user fan-out combines
+    // map-side), never from a user-key self-join of the (user, item)
+    // table; item counts and the basket total broadcast
+    val p = plan("q_assoc_rules")
+    assert(!p.contains("FileScan"),
+      s"baskets must be checkpointed before fan-out:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join means the user-key self-join came back:\n$p")
+    val lines = p.linesIterator.toVector
+    val gen = lines.indexWhere(l =>
+      l.contains("Generate explode(flatten(transform"))
+    val ex = lines.indexWhere(_.contains("Exchange hashpartitioning(a#"))
+    assert(gen >= 0, s"expected the map-side pair generator:\n$p")
+    assert(ex >= 0 && ex < gen,
+      s"pair generator must sit BELOW the pair-key exchange:\n$p")
+    assert(p.contains("partial_count"),
+      s"pair counts must combine map-side:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 3,
+      s"item counts and basket total must broadcast:\n$p")
+  }
+
+  test("q_freq_spectrum: GT shift is a broadcast self-join on the spectrum") {
+    // past the term-key shuffle everything is distinct-frequency-sized:
+    // the r+1 shift joins the checkpointed spectrum against itself via
+    // broadcast — no FileScan, no shuffle join in the final plan
+    val p = plan("q_freq_spectrum")
+    assert(!p.contains("FileScan"),
+      s"spectrum must be checkpointed before the shift join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the r+1 shift must broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"nothing may shuffle after the checkpointed spectrum:\n$p")
+  }
+
   test("global guard: no declared query's plan is O(data) in literals") {
     // One cheap sweep over the ENTIRE registry (r10 verdict #6): a
     // typedlit-style literal blow-up anywhere — a path map, a collected

@@ -250,4 +250,103 @@ class StatsSpec extends SparkSpec {
       assert(r.getAs[Long]("ndcg_ppm") == ndcg, s"doc $doc ndcg")
     }
   }
+
+  test("q_ks_test: sup-CDF-gap statistic matches plain Scala exactly") {
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select("lang", "n_chars", "source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .filter(d => d._3 == "src0" || d._3 == "src1")
+    val expected = docs.groupBy(_._1).flatMap { case (lang, ds) =>
+      val byV = ds.groupBy(_._2).map { case (v, es) =>
+        (v, es.count(_._3 == "src0").toLong,
+          es.count(_._3 == "src1").toLong)
+      }.toSeq.sortBy(_._1)
+      val ta = byV.map(_._2).sum
+      val tb = byV.map(_._3).sum
+      if (ta > 0 && tb > 0) {
+        // exact cumulative cross-products over the merged value support
+        val gaps = byV.scanLeft((0L, 0L, 0L, BigInt(0))) {
+          case ((_, ca, cb, _), (v, a, b)) =>
+            (v, ca + a, cb + b,
+              (BigInt(ca + a) * tb - BigInt(cb + b) * ta).abs)
+        }.tail
+        val dmax = gaps.map(_._4).max
+        Some(lang -> ((ta, tb,
+          r0(1000000d * dmax.toDouble / (ta.toDouble * tb.toDouble)),
+          gaps.filter(_._4 == dmax).map(_._1).min)))
+      } else None
+    }
+    val got = SparkEntry.queries("q_ks_test")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val (na, nb, ks, at) = expected(lang)
+      assert(r.getAs[Long]("n_a") == na, s"lang $lang n_a")
+      assert(r.getAs[Long]("n_b") == nb, s"lang $lang n_b")
+      assert(r.getAs[Long]("ks_ppm") == ks, s"lang $lang ks")
+      assert(r.getAs[Long]("ks_at") == at, s"lang $lang argmax value")
+      assert(r.getAs[Long]("ks_ppm") >= 0L &&
+        r.getAs[Long]("ks_ppm") <= 1000000L)
+    }
+  }
+
+  test("q_assoc_rules: support/confidence/lift match plain-Scala baskets") {
+    val ue = Tables.table(spark, sf0001, "events")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).distinct
+    val nu = ue.map(_._1).distinct.length.toLong
+    val it = ue.groupBy(_._2).map { case (t, v) => t -> v.length.toLong }
+    val expected = ue.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val items = es.map(_._2).distinct.sorted
+      for (i <- items.indices; j <- (i + 1) until items.length)
+        yield (items(i), items(j))
+    }.groupBy(identity).collect {
+      case ((a, b), v) if v.length >= 5 =>
+        val nb = v.length.toLong
+        (a, b) -> ((nb, it(a), it(b), nb * 1000000L / nu,
+          nb * 1000000L / it(a),
+          r0(1000000d * (nu.toDouble * nb.toDouble)
+            / (it(a).toDouble * it(b).toDouble))))
+    }
+    val got = SparkEntry.queries("q_assoc_rules")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val k = (r.getAs[String]("a"), r.getAs[String]("b"))
+      val (nb, na, nbb, sup, conf, lift) = expected(k)
+      assert(r.getAs[Long]("n_both") == nb, s"$k n_both")
+      assert(r.getAs[Long]("n_a") == na, s"$k n_a")
+      assert(r.getAs[Long]("n_b") == nbb, s"$k n_b")
+      assert(r.getAs[Long]("support_ppm") == sup, s"$k support")
+      assert(r.getAs[Long]("conf_ppm") == conf, s"$k confidence")
+      assert(r.getAs[Long]("lift_ppm") == lift, s"$k lift")
+      // antecedent ordering is canonical and self-pairs are impossible
+      assert(k._1 < k._2, s"$k pair order")
+    }
+  }
+
+  test("q_freq_spectrum: spectrum and Good-Turing shift match plain Scala") {
+    val texts = Tables.table(spark, sf0001, "documents")
+      .select("text").collect().map(_.getString(0))
+    val tf = texts.flatMap(_.trim.toLowerCase.split("\\s+", -1))
+      .groupBy(identity).map { case (_, v) => v.length.toLong }
+    val spec = tf.groupBy(identity)
+      .map { case (r, v) => r -> v.size.toLong }
+    val expected = spec.map { case (r, n) =>
+      r -> ((n, spec.get(r + 1)
+        .map(nx => 1000000L * (r + 1) * nx / n).getOrElse(0L)))
+    }
+    val got = SparkEntry.queries("q_freq_spectrum")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    // conservation: the spectrum partitions the vocabulary
+    assert(got.map(_.getAs[Long]("n_terms")).sum == tf.size.toLong)
+    got.foreach { r =>
+      val (n, gt) = expected(r.getAs[Long]("r"))
+      assert(r.getAs[Long]("n_terms") == n, s"r=${r.getAs[Long]("r")}")
+      assert(r.getAs[Long]("gt_rstar_micro") == gt,
+        s"r=${r.getAs[Long]("r")} Good-Turing estimate")
+    }
+  }
 }

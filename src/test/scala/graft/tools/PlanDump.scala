@@ -52,7 +52,10 @@ object PlanDump {
     // round 11: the rank-sum AUC window, the checkpointed sparse
     // tf-idf reranker, the observed-range calibration bins, and the
     // double-window NDCG evaluation
-    "q_auc", "q_tfidf_knn", "q_calibration", "q_ndcg")
+    "q_auc", "q_tfidf_knn", "q_calibration", "q_ndcg",
+    // round 11: the KS sup-gap window + argmax join-back, the map-side
+    // basket pair explode, and the spectrum GT shift join
+    "q_ks_test", "q_assoc_rules", "q_freq_spectrum")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
