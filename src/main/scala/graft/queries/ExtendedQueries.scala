@@ -518,6 +518,59 @@ object ExtendedQueries {
           col("ks_at"))
     },
 
+    // X57 — Benford first-digit audit (the fraud/data-quality screen:
+    // does a magnitude-spanning money column follow log-uniform digit
+    // frequencies?). Prices are fixed to exact integer cents FIRST
+    // (round on identical double bits is engine-identical; the repo's
+    // money discipline), the leading digit is taken from the decimal
+    // string of that integer (pure integer→string, engine-identical —
+    // no float log10-of-value whose ulp could flip a digit), and the
+    // digit rollup is ONE scan with map-side partials into a 9-row
+    // table. Expected ppm = round(1e6·log10(1+1/d)) on the digit
+    // CONSTANT (deterministic inputs, mirrored double); observed ppm is
+    // an exact integer division against the 1-row broadcast total; the
+    // deviation is their integer difference. Scale: output is 9 rows
+    // regardless of input size.
+    "q_benford" -> Q(
+      """WITH c AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) cents
+        |  FROM orders WHERE o_totalprice > 0),
+        |dg AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        |    AS digit
+        |  FROM c WHERE cents > 0),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) n FROM dg
+        |      GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) tot FROM g)
+        |SELECT digit, n,
+        |  (n * 1000000) // tot AS obs_ppm,
+        |  CAST(round(1000000 * log10(1.0 + 1.0 / digit)) AS BIGINT)
+        |    AS exp_ppm,
+        |  (n * 1000000) // tot
+        |    - CAST(round(1000000 * log10(1.0 + 1.0 / digit)) AS BIGINT)
+        |    AS dev_ppm
+        |FROM g, t""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+      val g = o.filter(col("o_totalprice") > 0)
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .filter(col("cents") > 0)
+        .select(substring(col("cents").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        // feeds the total aggregate AND the per-digit output — the
+        // eager checkpoint keeps the orders scan single-run (EAGER
+        // CHECKPOINT DISCIPLINE, ops/llm/Dedup.scala)
+        .localCheckpoint(true)
+      val t = g.agg(sum("n").as("tot"))
+      val expPpm = round(lit(1000000)
+        * log10(lit(1.0) + lit(1.0) / col("digit"))).cast("long")
+      g.crossJoin(broadcast(t))
+        .select(col("digit"), col("n"),
+          expr("(n * 1000000) div tot").as("obs_ppm"),
+          expPpm.as("exp_ppm"),
+          (expr("(n * 1000000) div tot") - expPpm).as("dev_ppm"))
+    },
+
     // Generic column profiler: per-column null count, exact distinct
     // count, min/max-as-string — ONE scan, one 1-row aggregate (distinct
     // aggs via Expand, still map-side combined), unpivoted with stack.

@@ -286,6 +286,85 @@ object SelectionQueries {
           sum("score").as("sum_score"))
     },
 
+    // L77 — Cohen's kappa inter-rater agreement per source (the q_auc/
+    // q_calibration companion: chance-corrected AGREEMENT between two
+    // labelers — here the hash-feature quality gate (score ≥ 0) vs the
+    // lang=en label, the standard "cheap model vs ground truth" audit
+    // before trusting a classifier as a corpus filter). The 2×2
+    // confusion cells are four exact integer sums in ONE partial-agg
+    // shuffle on the source key (the X51 sufficient-statistics
+    // pattern); kappa's closed form (N·(a+d) − Σ marginal products) /
+    // (N² − Σ marginal products) stays in exact BIGINT to ~3e9
+    // docs/source (beyond: DECIMAL(38) per the X51 pattern) with one
+    // mirrored double division, micro-quantized; the degenerate
+    // denominator (both raters constant) is filtered by the same exact
+    // test on both engines. Scale: output is source-count-sized.
+    "q_kappa" -> Q(
+      """WITH occ AS (
+        |  SELECT doc_id, source, lang,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, source, lang,
+        |    CASE WHEN substr(sha256(t), 1, 1) <= '3' THEN -2
+        |         WHEN substr(sha256(t), 1, 1) <= '7' THEN -1
+        |         WHEN substr(sha256(t), 1, 1) <= 'b' THEN 1
+        |         ELSE 2 END AS wt
+        |  FROM occ),
+        |ds AS (
+        |  SELECT doc_id, source,
+        |    CAST(max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pos,
+        |    CASE WHEN sum(wt) >= 0 THEN 1 ELSE 0 END AS acc
+        |  FROM w GROUP BY 1, 2),
+        |cf AS (
+        |  SELECT source,
+        |    CAST(sum(acc * pos) AS BIGINT) a,
+        |    CAST(sum(acc * (1 - pos)) AS BIGINT) b,
+        |    CAST(sum((1 - acc) * pos) AS BIGINT) c,
+        |    CAST(sum((1 - acc) * (1 - pos)) AS BIGINT) d
+        |  FROM ds GROUP BY 1),
+        |k AS (
+        |  SELECT source, a + b + c + d AS n, a + d AS agree,
+        |    (a + b) * (a + c) + (c + d) * (b + d) AS pe_num
+        |  FROM cf)
+        |SELECT source, n, agree AS n_agree,
+        |  (agree * 1000000) // n AS po_ppm,
+        |  CAST(round(1000000 * CAST(n * agree - pe_num AS DOUBLE)
+        |    / CAST(n * n - pe_num AS DOUBLE)) AS BIGINT) AS kappa_micro
+        |FROM k WHERE n * n - pe_num > 0""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val occ = d.select(d("doc_id"), d("source"), d("lang"),
+        explode(TextOps.tokens(d("text"))).as("t"))
+      val h = substring(sha2(col("t"), 256), 1, 1)
+      val wt = when(h <= "3", -2).when(h <= "7", -1)
+        .when(h <= "b", 1).otherwise(2)
+      val ds = occ.select(col("doc_id"), col("source"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos0"),
+          wt.cast("long").as("wt"))
+        .groupBy("doc_id", "source")
+        .agg(max("pos0").as("pos"),
+          when(sum("wt") >= 0, 1L).otherwise(0L).as("acc"))
+      val cf = ds.groupBy("source").agg(
+        sum(col("acc") * col("pos")).as("a"),
+        sum(col("acc") * (lit(1) - col("pos"))).as("b"),
+        sum((lit(1) - col("acc")) * col("pos")).as("c"),
+        sum((lit(1) - col("acc")) * (lit(1) - col("pos"))).as("d"))
+      val n = col("a") + col("b") + col("c") + col("d")
+      val agree = col("a") + col("d")
+      val peNum = (col("a") + col("b")) * (col("a") + col("c")) +
+        (col("c") + col("d")) * (col("b") + col("d"))
+      cf.select(col("source"), n.as("n"), agree.as("agree"),
+          peNum.as("pe_num"))
+        .filter(col("n") * col("n") - col("pe_num") > 0)
+        .select(col("source"), col("n"), col("agree").as("n_agree"),
+          expr("(agree * 1000000) div n").as("po_ppm"),
+          round(lit(1000000)
+              * (col("n") * col("agree") - col("pe_num")).cast("double")
+              / (col("n") * col("n") - col("pe_num")).cast("double"))
+            .cast("long").as("kappa_micro"))
+    },
+
     // L69 — multinomial Naive Bayes TRAINING, distributed: the standard
     // supervised lang-ID / topic-gate model (fasttext's ancestor) fit
     // on the corpus's own labels. Training IS aggregation — per

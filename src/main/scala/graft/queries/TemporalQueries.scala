@@ -82,6 +82,106 @@ object TemporalQueries {
             .as("is_anomaly"))
     },
 
+    // X56 — Kaplan–Meier time-to-conversion survival analysis (the
+    // censoring-aware funnel companion: "how long until a session
+    // converts, counting sessions that never did?"). Subject = a
+    // (user, day) session; duration = hours from the session's first
+    // event to its first purchase (event) or to its last event
+    // (right-censored). The classic KM table per event time t: n_risk
+    // (duration ≥ t — censored-at-t subjects still at risk, the
+    // standard tie convention), d_t events, c_t censorings. Exactness:
+    // the product-limit estimator is computed in LOG space — each
+    // step's ln(n/(n−d)) is quantized to integer micro units (the
+    // q_surprisal discipline), the cumulative hazard is an integer
+    // running sum, and only the final exp is a mirrored double. The
+    // absorbing step n_risk = d_t (ln diverges) pins S to 0 from there
+    // on by the same exact integer test on both engines. Scale: after
+    // the ONE (user, day) session shuffle everything is
+    // duration-support-sized (≤ hours-per-day distinct values), so the
+    // two unpartitioned windows run over a provably tiny table — the
+    // honest plan, not a scaling hazard.
+    "q_survival" -> Q(
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+        |    epoch_us(ts) // 3600000000 AS h, event_type
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, d, min(h) f, max(h) l,
+        |    min(CASE WHEN event_type = 'purchase' THEN h END) p
+        |  FROM e GROUP BY 1, 2),
+        |s AS (
+        |  SELECT CASE WHEN p IS NOT NULL THEN p - f ELSE l - f END t,
+        |    CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END ev
+        |  FROM u),
+        |g AS (SELECT t, CAST(count(*) AS BIGINT) n_tot,
+        |    CAST(sum(ev) AS BIGINT) d_t
+        |  FROM s GROUP BY 1),
+        |r AS (
+        |  SELECT t, d_t, n_tot - d_t AS c_t,
+        |    CAST(sum(n_tot) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) n_risk
+        |  FROM g),
+        |z AS (
+        |  SELECT t, d_t, c_t, n_risk,
+        |    CASE WHEN d_t > 0 AND n_risk > d_t
+        |      THEN CAST(round(1000000 * ln(CAST(n_risk AS DOUBLE)
+        |        / CAST(n_risk - d_t AS DOUBLE))) AS BIGINT)
+        |      ELSE 0 END hz,
+        |    CASE WHEN d_t > 0 AND n_risk = d_t THEN 1 ELSE 0 END dead
+        |  FROM r),
+        |c AS (
+        |  SELECT t, d_t, c_t, n_risk,
+        |    CAST(sum(hz) OVER tw AS BIGINT) h_micro,
+        |    max(dead) OVER tw deadc
+        |  FROM z WINDOW tw AS (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT t, n_risk, d_t AS n_event, c_t AS n_censored, h_micro,
+        |  CASE WHEN deadc > 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(round(1000000
+        |      * exp(-CAST(h_micro AS DOUBLE) / 1000000)) AS BIGINT)
+        |  END AS s_ppm
+        |FROM c WHERE d_t > 0""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("d"),
+          expr("(ts div 1000) div 3600000000").as("h"),
+          col("event_type"))
+      val u = e.groupBy("user_id", "d").agg(
+        min("h").as("f"), max("h").as("l"),
+        min(when(col("event_type") === "purchase", col("h"))).as("p"))
+      val g = u
+        .select(
+          when(col("p").isNotNull, col("p") - col("f"))
+            .otherwise(col("l") - col("f")).as("t"),
+          when(col("p").isNotNull, 1L).otherwise(0L).as("ev"))
+        .groupBy("t")
+        .agg(count(lit(1)).as("n_tot"), sum("ev").as("d_t"))
+      val wRisk = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wCum = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("c_t", col("n_tot") - col("d_t"))
+        .withColumn("n_risk", sum("n_tot").over(wRisk))
+        .withColumn("hz",
+          when(col("d_t") > 0 && col("n_risk") > col("d_t"),
+            round(lit(1000000) * log(col("n_risk").cast("double")
+              / (col("n_risk") - col("d_t")).cast("double"))).cast("long"))
+            .otherwise(0L))
+        .withColumn("dead",
+          when(col("d_t") > 0 && col("n_risk") === col("d_t"), 1)
+            .otherwise(0))
+        .withColumn("h_micro", sum("hz").over(wCum))
+        .withColumn("deadc", max("dead").over(wCum))
+        .filter(col("d_t") > 0)
+        .select(col("t"), col("n_risk"), col("d_t").as("n_event"),
+          col("c_t").as("n_censored"), col("h_micro"),
+          when(col("deadc") > 0, 0L)
+            .otherwise(round(lit(1000000)
+              * exp(-col("h_micro").cast("double") / 1000000))
+              .cast("long")).as("s_ppm"))
+    },
+
     // SCD type 2: collapse each user's event stream into versioned
     // [valid_from, valid_to) attribute intervals — consecutive runs of
     // the same event_type become one dimension row, closed by the next

@@ -104,7 +104,10 @@ class DeterminismSpec extends SparkSpec {
       "q_calibration", "q_ndcg",
       // round 11: the KS argmax join-back, the basket pair explode, and
       // the spectrum's GT shift join must not depend on partitioning
-      "q_ks_test", "q_assoc_rules", "q_freq_spectrum")
+      "q_ks_test", "q_assoc_rules", "q_freq_spectrum",
+      // round 11: the KM cumulative hazard rides ordered windows; the
+      // kappa cells and digit rollup must be order-free integer sums
+      "q_survival", "q_kappa", "q_benford")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

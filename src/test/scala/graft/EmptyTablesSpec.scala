@@ -43,6 +43,9 @@ class EmptyTablesSpec extends SparkSpec {
     write("nation", StructType(Seq(
       StructField("n_nationkey", LongType),
       StructField("n_name", StringType))))
+    write("orders", StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType))))
     dir
   }
 
@@ -60,7 +63,9 @@ class EmptyTablesSpec extends SparkSpec {
     "q_ab_test", "q_info_gain", "q_rrf_fusion", "q_anomaly",
     "q_auc", "q_tfidf_knn", "q_calibration", "q_ndcg",
     // round 11: drift/basket/spectrum rollups over empty fact tables
-    "q_ks_test", "q_assoc_rules", "q_freq_spectrum")
+    "q_ks_test", "q_assoc_rules", "q_freq_spectrum",
+    // round 11: agreement/survival/digit audits over empty inputs
+    "q_kappa", "q_survival", "q_benford")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

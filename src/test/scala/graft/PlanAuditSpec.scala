@@ -1012,6 +1012,49 @@ class PlanAuditSpec extends SparkSpec {
       s"item counts and basket total must broadcast:\n$p")
   }
 
+  test("q_kappa: single scan, confusion cells combine map-side, no joins") {
+    // the agreement audit is pure sufficient-statistics: one token
+    // scan, the per-doc gate/label agg and the per-source 2x2 cells
+    // both partial-agg'd map-side, kappa derived per row — no join
+    // machinery anywhere
+    val p = plan("q_kappa")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"kappa must be single-scan:\n$p")
+    assert(p.contains("partial_sum"),
+      s"confusion cells must combine map-side:\n$p")
+    assert(!p.contains("Join"), s"no join machinery expected:\n$p")
+    assert(p.contains("hashpartitioning(source"),
+      s"final cells must shuffle on the source key:\n$p")
+  }
+
+  test("q_survival: one events scan; windows only past the tiny t-rollup") {
+    // the KM table: one (user, day) session shuffle with map-side
+    // partials, then a duration-key rollup; the two unpartitioned
+    // windows (reverse risk cumsum + hazard cumsum) are allowed ONLY
+    // because they run past the duration-support-sized aggregate —
+    // exactly one SinglePartition exchange, below the window pair
+    val p = plan("q_survival")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"survival must scan events once:\n$p")
+    assert(p.contains("partial_min"),
+      s"session bounds must combine map-side:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"sessions must shuffle on the subject key:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) == 1,
+      s"exactly one single-partition exchange (the support-sized KM " +
+        s"table) is allowed:\n$p")
+  }
+
+  test("q_benford: checkpointed digit table; 1-row total broadcast") {
+    val p = plan("q_benford")
+    assert(!p.contains("FileScan"),
+      s"digit rollup must be checkpointed before the total fan-out:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row total must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"no keyed join machinery expected over 9 rows:\n$p")
+  }
+
   test("q_freq_spectrum: GT shift is a broadcast self-join on the spectrum") {
     // past the term-key shuffle everything is distinct-frequency-sized:
     // the r+1 shift joins the checkpointed spectrum against itself via

@@ -349,4 +349,123 @@ class StatsSpec extends SparkSpec {
         s"r=${r.getAs[Long]("r")} Good-Turing estimate")
     }
   }
+
+  test("q_kappa: confusion cells and kappa match a plain-Scala 2x2") {
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select("source", "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def wt(t: String): Long = {
+      val hex = "%02x".format(md.digest(t.getBytes("UTF-8")).head).charAt(0)
+      if (hex <= '3') -2L else if (hex <= '7') -1L
+      else if (hex <= 'b') 1L else 2L
+    }
+    val expected = docs.map { case (src, lang, text) =>
+      (src, lang == "en",
+        text.trim.toLowerCase.split("\\s+", -1).map(wt).sum >= 0)
+    }.groupBy(_._1).flatMap { case (src, es) =>
+      val a = es.count(e => e._3 && e._2).toLong
+      val b = es.count(e => e._3 && !e._2).toLong
+      val c = es.count(e => !e._3 && e._2).toLong
+      val d = es.count(e => !e._3 && !e._2).toLong
+      val n = a + b + c + d
+      val pe = (a + b) * (a + c) + (c + d) * (b + d)
+      if (n * n - pe > 0)
+        Some(src -> ((n, a + d, (a + d) * 1000000L / n,
+          r0(1000000d * (n * (a + d) - pe) / (n * n - pe)))))
+      else None
+    }
+    val got = SparkEntry.queries("q_kappa")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (n, agree, po, kappa) = expected(src)
+      assert(r.getAs[Long]("n") == n, s"source $src n")
+      assert(r.getAs[Long]("n_agree") == agree, s"source $src agree")
+      assert(r.getAs[Long]("po_ppm") == po, s"source $src po")
+      assert(r.getAs[Long]("kappa_micro") == kappa, s"source $src kappa")
+      // kappa is bounded: [-1, 1] in micro units
+      assert(math.abs(r.getAs[Long]("kappa_micro")) <= 1000000L)
+    }
+  }
+
+  test("q_survival: KM table matches a plain-Scala product-limit estimator") {
+    val ev = Tables.table(spark, sf0001, "events")
+      .selectExpr("user_id", "(ts div 1000) div 86400000000 AS d",
+        "(ts div 1000) div 3600000000 AS h", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val subjects = ev.groupBy(e => (e._1, e._2)).values.map { es =>
+      val f = es.map(_._3).min
+      val l = es.map(_._3).max
+      val p = es.filter(_._4 == "purchase").map(_._3)
+        .reduceOption(_ min _)
+      p match {
+        case Some(ph) => (ph - f, true)
+        case None => (l - f, false)
+      }
+    }.toSeq
+    val byT = subjects.groupBy(_._1).map { case (t, ss) =>
+      (t, ss.size.toLong, ss.count(_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    var h = 0L
+    var dead = false
+    val expected = byT.flatMap { case (t, nTot, dT) =>
+      val nRisk = byT.filter(_._1 >= t).map(_._2).sum
+      if (dT > 0 && nRisk > dT)
+        h += r0(1000000 * math.log(nRisk.toDouble / (nRisk - dT)))
+      if (dT > 0 && nRisk == dT) dead = true
+      if (dT > 0)
+        Some(t -> ((nRisk, dT, nTot - dT, h,
+          if (dead) 0L else r0(1000000 * math.exp(-h / 1000000.0)))))
+      else None
+    }.toMap
+    val got = SparkEntry.queries("q_survival")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val t = r.getAs[Long]("t")
+      val (nr, ne, nc, hm, sp) = expected(t)
+      assert(r.getAs[Long]("n_risk") == nr, s"t=$t n_risk")
+      assert(r.getAs[Long]("n_event") == ne, s"t=$t n_event")
+      assert(r.getAs[Long]("n_censored") == nc, s"t=$t n_censored")
+      assert(r.getAs[Long]("h_micro") == hm, s"t=$t hazard")
+      assert(r.getAs[Long]("s_ppm") == sp, s"t=$t survival")
+    }
+    // survival is monotone non-increasing in t
+    val byTime = got.sortBy(_.getAs[Long]("t"))
+      .map(_.getAs[Long]("s_ppm")).toSeq
+    byTime.zip(byTime.drop(1)).foreach { case (a, b) =>
+      assert(a >= b, "survival must not increase")
+    }
+  }
+
+  test("q_benford: digit counts and deviations match plain Scala") {
+    val prices = Tables.table(spark, sf0001, "orders")
+      .select("o_totalprice").collect().map(_.getDouble(0))
+      .filter(_ > 0)
+    val digits = prices.map(p => r0(p * 100)).filter(_ > 0)
+      .map(_.toString.head.asDigit.toLong)
+    val tot = digits.length.toLong
+    val expected = digits.groupBy(identity).map { case (d, v) =>
+      val n = v.length.toLong
+      val ep = r0(1000000 * math.log10(1.0 + 1.0 / d))
+      d -> ((n, n * 1000000L / tot, ep, n * 1000000L / tot - ep))
+    }
+    val got = SparkEntry.queries("q_benford")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    // conservation: every priced order contributes exactly one digit
+    assert(got.map(_.getAs[Long]("n")).sum == tot)
+    got.foreach { r =>
+      val d = r.getAs[Long]("digit")
+      val (n, op, ep, dev) = expected(d)
+      assert(d >= 1L && d <= 9L)
+      assert(r.getAs[Long]("n") == n, s"digit $d n")
+      assert(r.getAs[Long]("obs_ppm") == op, s"digit $d observed")
+      assert(r.getAs[Long]("exp_ppm") == ep, s"digit $d expected")
+      assert(r.getAs[Long]("dev_ppm") == dev, s"digit $d deviation")
+    }
+  }
 }

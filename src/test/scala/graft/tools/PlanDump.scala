@@ -55,7 +55,10 @@ object PlanDump {
     "q_auc", "q_tfidf_knn", "q_calibration", "q_ndcg",
     // round 11: the KS sup-gap window + argmax join-back, the map-side
     // basket pair explode, and the spectrum GT shift join
-    "q_ks_test", "q_assoc_rules", "q_freq_spectrum")
+    "q_ks_test", "q_assoc_rules", "q_freq_spectrum",
+    // round 11: the sufficient-statistics kappa, the support-sized KM
+    // window pair, and the checkpointed Benford digit rollup
+    "q_kappa", "q_survival", "q_benford")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
