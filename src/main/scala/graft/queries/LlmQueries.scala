@@ -1407,6 +1407,272 @@ object LlmQueries {
         "doc_id", "text", k = 5)
     },
 
+    // L78 — PageRank document authority over the kNN similarity graph
+    // (the graph-centrality corpus ranking: which documents sit at the
+    // center of their similarity neighborhood — the principled
+    // "keep the canonical copy" signal, and the corpus-level
+    // counterpart of the per-doc TextRank L36). Fixed 5 power
+    // iterations in EXACT INTEGER micro units — contrib(u) =
+    // rank(u) div outdeg(u), rank'(v) = 150000 + (850000·Σcontrib)
+    // div 1e6 — so the fixed point is bit-identical on both engines
+    // (no float mass redistribution; 850000·Σranks holds in BIGINT to
+    // ~1e13 total node mass, beyond: DECIMAL(38) per the X51 pattern).
+    // Spark-first shape: the edge set (the q_knn_graph operator reused
+    // verbatim) is eagerly checkpointed ONCE and each iteration is one
+    // edge⋈rank join + target-key partial agg + node left-join, the
+    // rank table checkpointed per round (the connectedComponents /
+    // Bpe.train driver-loop precedent — plans stay flat, nothing
+    // re-derives the graph). Dangling mass (capped nodes with no
+    // surviving out-edges) follows the standard drop convention.
+    "q_pagerank" -> Q(
+      s"""WITH $duckShingles,
+        |$duckMinhashBands,
+        |knn_cand AS (
+        |  SELECT DISTINCT l.doc_id a, r.doc_id b
+        |  FROM mh_banded l JOIN mh_banded r
+        |    ON l.band = r.band AND l.bkey = r.bkey
+        |    AND l.doc_id <> r.doc_id),
+        |scored AS (
+        |  SELECT c.a doc_id, c.b nbr_id,
+        |    (CAST(len(list_intersect(ba.sh, bb.sh)) AS BIGINT) * 1000000)
+        |      // CAST(len(ba.sh) + len(bb.sh)
+        |        - len(list_intersect(ba.sh, bb.sh)) AS BIGINT) jac_ppm
+        |  FROM knn_cand c
+        |  JOIN base ba ON ba.doc_id = c.a
+        |  JOIN base bb ON bb.doc_id = c.b),
+        |rr AS (
+        |  SELECT doc_id, nbr_id,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY jac_ppm DESC, nbr_id) rnk
+        |  FROM scored),
+        |edges AS (SELECT doc_id src, nbr_id dst FROM rr WHERE rnk <= 5),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) deg FROM edges
+        |        GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges
+        |          UNION SELECT DISTINCT dst FROM edges),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) pr FROM nodes),
+        |c1 AS (SELECT e.dst id, CAST(sum(r.pr // d.deg) AS BIGINT) m
+        |  FROM edges e JOIN deg d ON d.src = e.src
+        |  JOIN r0 r ON r.id = e.src GROUP BY 1),
+        |r1 AS (SELECT n.id,
+        |    150000 + (850000 * coalesce(c.m, 0)) // 1000000 AS pr
+        |  FROM nodes n LEFT JOIN c1 c ON c.id = n.id),
+        |c2 AS (SELECT e.dst id, CAST(sum(r.pr // d.deg) AS BIGINT) m
+        |  FROM edges e JOIN deg d ON d.src = e.src
+        |  JOIN r1 r ON r.id = e.src GROUP BY 1),
+        |r2 AS (SELECT n.id,
+        |    150000 + (850000 * coalesce(c.m, 0)) // 1000000 AS pr
+        |  FROM nodes n LEFT JOIN c2 c ON c.id = n.id),
+        |c3 AS (SELECT e.dst id, CAST(sum(r.pr // d.deg) AS BIGINT) m
+        |  FROM edges e JOIN deg d ON d.src = e.src
+        |  JOIN r2 r ON r.id = e.src GROUP BY 1),
+        |r3 AS (SELECT n.id,
+        |    150000 + (850000 * coalesce(c.m, 0)) // 1000000 AS pr
+        |  FROM nodes n LEFT JOIN c3 c ON c.id = n.id),
+        |c4 AS (SELECT e.dst id, CAST(sum(r.pr // d.deg) AS BIGINT) m
+        |  FROM edges e JOIN deg d ON d.src = e.src
+        |  JOIN r3 r ON r.id = e.src GROUP BY 1),
+        |r4 AS (SELECT n.id,
+        |    150000 + (850000 * coalesce(c.m, 0)) // 1000000 AS pr
+        |  FROM nodes n LEFT JOIN c4 c ON c.id = n.id),
+        |c5 AS (SELECT e.dst id, CAST(sum(r.pr // d.deg) AS BIGINT) m
+        |  FROM edges e JOIN deg d ON d.src = e.src
+        |  JOIN r4 r ON r.id = e.src GROUP BY 1),
+        |r5 AS (SELECT n.id,
+        |    150000 + (850000 * coalesce(c.m, 0)) // 1000000 AS pr
+        |  FROM nodes n LEFT JOIN c5 c ON c.id = n.id)
+        |SELECT r5.id AS doc_id, r5.pr AS pr_micro,
+        |  CAST(coalesce(deg.deg, 0) AS BIGINT) AS n_out
+        |FROM r5 LEFT JOIN deg ON deg.src = r5.id""".stripMargin) {
+      (s, dir) =>
+      val g = Dedup.knnGraph(table(s, dir, "documents"),
+          "doc_id", "text", k = 5)
+        .select(col("doc_id").as("src"), col("nbr_id").as("dst"))
+        // the edge set feeds deg, nodes, and five join rounds — ONE
+        // graph build (EAGER CHECKPOINT DISCIPLINE, ops/llm/Dedup.scala)
+        .localCheckpoint(true)
+      val deg = g.groupBy("src").agg(count(lit(1)).as("deg"))
+      val edges = g.join(deg, "src").localCheckpoint(true)
+      val nodes = g.select(col("src").as("id"))
+        .union(g.select(col("dst").as("id")))
+        .distinct().localCheckpoint(true)
+      var ranks = nodes.select(col("id"), lit(1000000L).as("pr"))
+      for (_ <- 1 to 5) {
+        val contrib = edges
+          .join(ranks, edges("src") === ranks("id"))
+          .select(col("dst").as("id"), expr("pr div deg").as("m"))
+          .groupBy("id").agg(sum("m").as("m"))
+        ranks = nodes.join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (lit(150000L) +
+              expr("(850000 * coalesce(m, 0)) div 1000000")).as("pr"))
+          .localCheckpoint(true)
+      }
+      ranks
+        .join(deg.select(col("src").as("id"), col("deg")), Seq("id"),
+          "left")
+        .select(col("id").as("doc_id"), col("pr").as("pr_micro"),
+          coalesce(col("deg"), lit(0L)).as("n_out"))
+    },
+
+    // L79 — Gini concentration of token mass across documents per
+    // source (the corpus-balance audit: is a source's token budget
+    // spread evenly or dominated by a few giant documents? — the
+    // companion diagnostic to q_mix_weights' BETWEEN-source balance).
+    // The rank form G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx) over
+    // ascending-sorted doc sizes is exact integer in numerator and
+    // denominator (x equal ⇒ any within-tie order gives the same Σi·x,
+    // so the (x, doc_id) sort is deterministic AND tie-robust); one
+    // mirrored double division, ppm-quantized. ONE scan, ONE window
+    // pass partitioned by source, source-sized output. n·Σx holds in
+    // BIGINT to ~9e18 doc·tokens (beyond: DECIMAL(38), X51 pattern).
+    "q_gini" -> Q(
+      """WITH x AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS BIGINT) x
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, x,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY x, doc_id) AS BIGINT) i
+        |  FROM x),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) n_docs,
+        |    CAST(sum(x) AS BIGINT) total_tokens,
+        |    CAST(sum(i * x) AS BIGINT) six
+        |  FROM r GROUP BY 1)
+        |SELECT source, n_docs, total_tokens,
+        |  CAST(round(1000000
+        |    * CAST(2 * six - (n_docs + 1) * total_tokens AS DOUBLE)
+        |    / CAST(n_docs * total_tokens AS DOUBLE)) AS BIGINT)
+        |    AS gini_ppm
+        |FROM g WHERE total_tokens > 0""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val x = d.select(d("source"), d("doc_id"),
+        size(TextOps.tokens(d("text"))).cast("long").as("x"))
+      val w = Window.partitionBy("source").orderBy("x", "doc_id")
+      x.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("x").as("total_tokens"),
+          sum(col("i") * col("x")).as("six"))
+        .filter(col("total_tokens") > 0)
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          round(lit(1000000)
+            * (lit(2) * col("six")
+              - (col("n_docs") + 1) * col("total_tokens")).cast("double")
+            / (col("n_docs") * col("total_tokens")).cast("double"))
+            .cast("long").as("gini_ppm"))
+    },
+
+    // L80 — pairwise Jensen–Shannon divergence between source unigram
+    // distributions over the top-500 vocabulary (the mixture
+    // diagnostic: WHICH sources are near-duplicates of each other at
+    // the distribution level — q_source_overlap finds shared documents,
+    // this finds shared *language*). The fixed top-V feature set (total
+    // order: global count desc, term asc — a TakeOrderedAndProject
+    // limit, never a full vocab sort) makes the operator scale-safe:
+    // the dense source×V grid and the V-keyed pair join are
+    // sources²×V-sized regardless of corpus size. Each KL term
+    // p·ln(2p/(p+q)) is evaluated on exact integer cross-products
+    // (2·ca·tb / (ca·tb+cb·ta) — no float intermediate distributions),
+    // nano-quantized PER TERM so the pair sums are order-free integer
+    // sums. Output is 2·JS in nano units — the final halving is NOT
+    // applied because trunc-vs-floor division diverges on the (rare)
+    // quantization-negative sums; the doubled value is exact on both
+    // engines. Degenerate sources (no top-V mass) filtered by the same
+    // exact test.
+    "q_js_div" -> Q(
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) term
+        |  FROM documents),
+        |stc AS (SELECT source, term, CAST(count(*) AS BIGINT) c
+        |        FROM tok GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, sum(c) tc FROM stc GROUP BY 1
+        |    ORDER BY tc DESC, term LIMIT 500)),
+        |stv AS (SELECT s.source, s.term, s.c FROM stc s
+        |        JOIN vocab v ON v.term = s.term),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) t FROM stv
+        |        GROUP BY 1),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |grid AS (
+        |  SELECT sr.source, v.term, CAST(coalesce(s.c, 0) AS BIGINT) c,
+        |    t.t
+        |  FROM srcs sr CROSS JOIN vocab v
+        |  LEFT JOIN stv s ON s.source = sr.source AND s.term = v.term
+        |  JOIN tot t ON t.source = sr.source),
+        |pp AS (
+        |  SELECT a.source sa, b.source sb, a.c ca, a.t ta, b.c cb, b.t tb
+        |  FROM grid a JOIN grid b
+        |    ON a.term = b.term AND a.source < b.source
+        |  WHERE a.t > 0 AND b.t > 0),
+        |contrib AS (
+        |  SELECT sa, sb,
+        |    CASE WHEN ca > 0 THEN CAST(round(1000000000
+        |      * (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+        |      * ln(CAST(2 * ca * tb AS DOUBLE)
+        |        / CAST(ca * tb + cb * ta AS DOUBLE))) AS BIGINT)
+        |      ELSE 0 END ja,
+        |    CASE WHEN cb > 0 THEN CAST(round(1000000000
+        |      * (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+        |      * ln(CAST(2 * cb * ta AS DOUBLE)
+        |        / CAST(ca * tb + cb * ta AS DOUBLE))) AS BIGINT)
+        |      ELSE 0 END jb
+        |  FROM pp)
+        |SELECT sa AS src_a, sb AS src_b,
+        |  CAST(sum(ja) + sum(jb) AS BIGINT) AS js2_nano
+        |FROM contrib GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val stc = d.select(d("source"),
+          explode(TextOps.tokens(d("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("c"))
+        // feeds the vocab cut, the grid, and the totals — ONE token
+        // shuffle (EAGER CHECKPOINT DISCIPLINE, ops/llm/Dedup.scala)
+        .localCheckpoint(true)
+      val vocab = stc.groupBy("term").agg(sum("c").as("tc"))
+        .orderBy(col("tc").desc, col("term")).limit(500)
+        .select("term")
+      val stv = stc.join(broadcast(vocab), "term")
+      val tot = stv.groupBy("source").agg(sum("c").as("t"))
+      val grid = d.select(d("source")).distinct()
+        .crossJoin(broadcast(vocab))
+        .join(stv, Seq("source", "term"), "left")
+        .join(broadcast(tot), "source")
+        .select(col("source"), col("term"),
+          coalesce(col("c"), lit(0L)).as("c"), col("t"))
+        // both sides of the pair join — ONE grid build
+        .localCheckpoint(true)
+      val a = grid.select(col("term"), col("source").as("sa"),
+        col("c").as("ca"), col("t").as("ta"))
+      val b = grid.select(col("term"), col("source").as("sb"),
+        col("c").as("cb"), col("t").as("tb"))
+      val ja = when(col("ca") > 0,
+        round(lit(1000000000L)
+          * (col("ca").cast("double") / col("ta").cast("double"))
+          * log((lit(2) * col("ca") * col("tb")).cast("double")
+            / (col("ca") * col("tb") + col("cb") * col("ta"))
+              .cast("double"))).cast("long")).otherwise(0L)
+      val jb = when(col("cb") > 0,
+        round(lit(1000000000L)
+          * (col("cb").cast("double") / col("tb").cast("double"))
+          * log((lit(2) * col("cb") * col("ta")).cast("double")
+            / (col("ca") * col("tb") + col("cb") * col("ta"))
+              .cast("double"))).cast("long")).otherwise(0L)
+      // the grid is bounded at sources×V by construction — the pair
+      // join broadcasts one side instead of exchanging both
+      a.join(broadcast(b), Seq("term"))
+        .filter(col("sa") < col("sb") && col("ta") > 0 && col("tb") > 0)
+        .select(col("sa"), col("sb"), ja.as("ja"), jb.as("jb"))
+        .groupBy("sa", "sb")
+        .agg((sum("ja") + sum("jb")).as("js2_nano"))
+        .select(col("sa").as("src_a"), col("sb").as("src_b"),
+          col("js2_nano"))
+    },
+
     // L75 — NDCG@5 ranking evaluation (the IR-eval kernel, and q_auc's
     // companion for RANKED output): how well does the sparse TF-IDF
     // cosine ranker (q_tfidf_knn, recomputed verbatim) order its

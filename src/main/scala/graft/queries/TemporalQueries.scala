@@ -182,6 +182,59 @@ object TemporalQueries {
               .cast("long")).as("s_ppm"))
     },
 
+    // X58 — day-of-week seasonality profile (the calendar-effect
+    // companion to q_anomaly: "is Monday structurally 2× Thursday?" —
+    // the index a seasonally-adjusted alert threshold divides by).
+    // Daily counts are one partial-agg shuffle; dow = epoch-day mod 7
+    // (a pure integer index — the label mapping is presentation);
+    // per-series totals ride ONE event_type-partitioned window over
+    // the (type × dow)-sized rollup; the seasonal index
+    // (dow mean / overall mean) is the one mirrored double step,
+    // ppm-quantized — the exact integer cross-product form s·nd /
+    // (n_days·s_all) overflows BIGINT at ~1e13 daily events, so the
+    // doubles carry it (beyond: DECIMAL(38) per the X51 pattern).
+    "q_seasonality" -> Q(
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) cnt
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type, day % 7 AS dow, cnt FROM e),
+        |g AS (
+        |  SELECT event_type, dow, CAST(count(*) AS BIGINT) n_days,
+        |    CAST(sum(cnt) AS BIGINT) sum_cnt
+        |  FROM d GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, dow, n_days, sum_cnt,
+        |    CAST(sum(n_days) OVER (PARTITION BY event_type) AS BIGINT) nd,
+        |    CAST(sum(sum_cnt) OVER (PARTITION BY event_type) AS BIGINT)
+        |      s_all
+        |  FROM g)
+        |SELECT event_type, dow, n_days, sum_cnt,
+        |  CAST(round(1000000
+        |    * (CAST(sum_cnt AS DOUBLE) * CAST(nd AS DOUBLE))
+        |    / (CAST(n_days AS DOUBLE) * CAST(s_all AS DOUBLE)))
+        |    AS BIGINT) AS idx_ppm
+        |FROM w WHERE s_all > 0""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      val g = e.select(col("event_type"), (col("day") % 7).as("dow"),
+          col("cnt"))
+        .groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n_days"), sum("cnt").as("sum_cnt"))
+      val w = Window.partitionBy("event_type")
+      g.withColumn("nd", sum("n_days").over(w))
+        .withColumn("s_all", sum("sum_cnt").over(w))
+        .filter(col("s_all") > 0)
+        .select(col("event_type"), col("dow"), col("n_days"),
+          col("sum_cnt"),
+          round(lit(1000000)
+            * (col("sum_cnt").cast("double") * col("nd").cast("double"))
+            / (col("n_days").cast("double") * col("s_all").cast("double")))
+            .cast("long").as("idx_ppm"))
+    },
+
     // SCD type 2: collapse each user's event stream into versioned
     // [valid_from, valid_to) attribute intervals — consecutive runs of
     // the same event_type become one dimension row, closed by the next

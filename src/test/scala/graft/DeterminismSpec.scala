@@ -107,7 +107,10 @@ class DeterminismSpec extends SparkSpec {
       "q_ks_test", "q_assoc_rules", "q_freq_spectrum",
       // round 11: the KM cumulative hazard rides ordered windows; the
       // kappa cells and digit rollup must be order-free integer sums
-      "q_survival", "q_kappa", "q_benford")
+      "q_survival", "q_kappa", "q_benford",
+      // round 11: the iterative integer rank fixed point, the per-source
+      // rank window, the top-V vocab cut, and the dow index windows
+      "q_pagerank", "q_gini", "q_js_div", "q_seasonality")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -65,7 +65,9 @@ class EmptyTablesSpec extends SparkSpec {
     // round 11: drift/basket/spectrum rollups over empty fact tables
     "q_ks_test", "q_assoc_rules", "q_freq_spectrum",
     // round 11: agreement/survival/digit audits over empty inputs
-    "q_kappa", "q_survival", "q_benford")
+    "q_kappa", "q_survival", "q_benford",
+    // round 11: graph rank / concentration / divergence / seasonality
+    "q_pagerank", "q_gini", "q_js_div", "q_seasonality")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

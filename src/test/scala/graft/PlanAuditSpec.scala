@@ -1055,6 +1055,61 @@ class PlanAuditSpec extends SparkSpec {
       s"no keyed join machinery expected over 9 rows:\n$p")
   }
 
+  test("q_pagerank: checkpointed graph; iteration plans never rebuild it") {
+    // the power iteration checkpoints the rank table per round, so the
+    // FINAL plan must contain no FileScan (the graph was built once,
+    // before the loop) and no re-derivation of the candidate pipeline;
+    // the closing rank⋈outdegree join is node×node-sized — a shuffle
+    // join is the correct 100 TB shape there (node tables don't
+    // broadcast), but nothing may go cartesian
+    val p = plan("q_pagerank")
+    assert(!p.contains("FileScan"),
+      s"the graph must be checkpointed before the iterations:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+    assert(!p.contains("Generate"),
+      s"no shingle/band machinery may survive into the final plan:\n$p")
+    assert(p.contains("partial_count"),
+      s"outdegree must combine map-side:\n$p")
+  }
+
+  test("q_gini: single scan, one source-partitioned window, no joins") {
+    val p = plan("q_gini")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"gini must be single-scan:\n$p")
+    assert(p.linesIterator.count(_.contains("Window")) == 1,
+      s"exactly one rank window expected:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the rank window must partition by source:\n$p")
+    assert(!p.contains("Join"), s"no join machinery expected:\n$p")
+  }
+
+  test("q_js_div: checkpointed grid; the pair join broadcasts") {
+    // the dense source×V grid is bounded by construction, so the
+    // V-keyed pair join must broadcast one side — never exchange both
+    // branches of a 10k-row table; the grid itself is checkpointed
+    // (no FileScan, no token explode in the final plan)
+    val p = plan("q_js_div")
+    assert(!p.contains("FileScan"),
+      s"grid must be checkpointed before the pair fan-out:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the pair join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join over the bounded grid:\n$p")
+    assert(p.contains("partial_sum"),
+      s"pair divergences must combine map-side:\n$p")
+  }
+
+  test("q_seasonality: single scan; windows partition by the series key") {
+    val p = plan("q_seasonality")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"seasonality must be single-scan:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the totals window must partition by event_type:\n$p")
+    assert(p.contains("partial_count"),
+      s"daily counts must combine map-side:\n$p")
+  }
+
   test("q_freq_spectrum: GT shift is a broadcast self-join on the spectrum") {
     // past the term-key shuffle everything is distinct-frequency-sized:
     // the r+1 shift joins the checkpointed spectrum against itself via

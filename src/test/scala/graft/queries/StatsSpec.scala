@@ -468,4 +468,130 @@ class StatsSpec extends SparkSpec {
       assert(r.getAs[Long]("dev_ppm") == dev, s"digit $d deviation")
     }
   }
+
+  test("q_pagerank: integer power iteration matches plain Scala") {
+    // the edge set from q_knn_graph (its own parity is pinned in
+    // DedupSpec); the 5-round integer recurrence replayed in Scala
+    val edges = SparkEntry.queries("q_knn_graph")(spark, sf0001)
+      .select("doc_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.length.toLong }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var pr = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => pr(e._1) / deg(e._1)).sum
+      }
+      pr = nodes.map(n =>
+        n -> (150000L + 850000L * in.getOrElse(n, 0L) / 1000000L)).toMap
+    }
+    val got = SparkEntry.queries("q_pagerank")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == nodes.length)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("pr_micro") == pr(id), s"doc $id rank")
+      assert(r.getAs[Long]("n_out") == deg.getOrElse(id, 0L),
+        s"doc $id outdegree")
+    }
+  }
+
+  test("q_gini: concentration index matches plain Scala") {
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).trim.toLowerCase.split("\\s+", -1).length.toLong))
+    val expected = docs.groupBy(_._1).flatMap { case (src, ds) =>
+      val xs = ds.sortBy(d => (d._3, d._2)).map(_._3)
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      if (sx > 0)
+        Some(src -> ((n, sx,
+          r0(1000000d * (2 * six - (n + 1) * sx) / (n * sx)))))
+      else None
+    }
+    val got = SparkEntry.queries("q_gini")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (n, sx, gini) = expected(src)
+      assert(r.getAs[Long]("n_docs") == n, s"source $src n")
+      assert(r.getAs[Long]("total_tokens") == sx, s"source $src tokens")
+      assert(r.getAs[Long]("gini_ppm") == gini, s"source $src gini")
+      // Gini over non-negative sizes is bounded to [0, 1)
+      assert(gini >= 0L && gini < 1000000L)
+    }
+  }
+
+  test("q_js_div: pairwise divergences match plain Scala; JS laws hold") {
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val stc = docs.flatMap { case (src, t) =>
+      t.trim.toLowerCase.split("\\s+", -1).map(w => (src, w))
+    }.groupBy(identity).map { case ((s, w), v) => (s, w, v.length.toLong) }
+    val vocab = stc.groupBy(_._2).map { case (w, v) => (w, v.map(_._3).sum) }
+      .toSeq.sortBy { case (w, c) => (-c, w) }.take(500).map(_._1).toSet
+    val stv = stc.filter(e => vocab(e._2))
+      .map(e => (e._1, e._2) -> e._3).toMap
+    val tot = stv.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val srcs = docs.map(_._1).distinct.sorted
+    def j(c1: Long, t1: Long, c2: Long, t2: Long): Long =
+      if (c1 > 0) r0(1e9 * (c1.toDouble / t1.toDouble) *
+        math.log((2 * c1 * t2).toDouble / (c1 * t2 + c2 * t1).toDouble))
+      else 0L
+    val expected = (for {
+      sa <- srcs; sb <- srcs
+      if sa < sb && tot.getOrElse(sa, 0L) > 0 && tot.getOrElse(sb, 0L) > 0
+    } yield {
+      val (ta, tb) = (tot(sa), tot(sb))
+      val s = vocab.toSeq.map { w =>
+        val ca = stv.getOrElse((sa, w), 0L)
+        val cb = stv.getOrElse((sb, w), 0L)
+        j(ca, ta, cb, tb) + j(cb, tb, ca, ta)
+      }.sum
+      (sa, sb) -> s
+    }).toMap
+    val got = SparkEntry.queries("q_js_div")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val k = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      assert(r.getAs[Long]("js2_nano") == expected(k), s"pair $k")
+      // 2*JS is bounded by 2*ln(2) (plus nano-quantization slack)
+      assert(r.getAs[Long]("js2_nano") <= 1386294362L, s"pair $k bound")
+    }
+  }
+
+  test("q_seasonality: day-of-week indices match plain Scala") {
+    val ev = Tables.table(spark, sf0001, "events")
+      .selectExpr("event_type", "(ts div 1000) div 86400000000 AS day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val daily = ev.groupBy(identity).map { case ((t, d), v) =>
+      (t, d, v.length.toLong) }
+    val expected = daily.groupBy(_._1).flatMap { case (t, ds) =>
+      val nd = ds.size.toLong
+      val sAll = ds.map(_._3).sum
+      ds.groupBy(_._2 % 7).map { case (dow, es) =>
+        val n = es.size.toLong
+        val s = es.map(_._3).sum
+        (t, dow) -> ((n, s,
+          r0(1000000d * (s.toDouble * nd.toDouble) /
+            (n.toDouble * sAll.toDouble))))
+      }
+    }
+    val got = SparkEntry.queries("q_seasonality")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[Long]("dow"))
+      val (n, s, idx) = expected(k)
+      assert(r.getAs[Long]("n_days") == n, s"$k n_days")
+      assert(r.getAs[Long]("sum_cnt") == s, s"$k sum")
+      assert(r.getAs[Long]("idx_ppm") == idx, s"$k index")
+    }
+  }
 }

@@ -58,7 +58,10 @@ object PlanDump {
     "q_ks_test", "q_assoc_rules", "q_freq_spectrum",
     // round 11: the sufficient-statistics kappa, the support-sized KM
     // window pair, and the checkpointed Benford digit rollup
-    "q_kappa", "q_survival", "q_benford")
+    "q_kappa", "q_survival", "q_benford",
+    // round 11: the checkpointed iterative rank, the rank-form Gini,
+    // the broadcast-grid JS divergence, and the dow seasonal index
+    "q_pagerank", "q_gini", "q_js_div", "q_seasonality")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
