@@ -235,6 +235,190 @@ object TemporalQueries {
             .cast("long").as("idx_ppm"))
     },
 
+    // X59 — CUSUM change-point excursions per event series (the
+    // sustained-shift detector q_anomaly's z-score cannot see: a small
+    // persistent drift accumulates in the CUSUM long before any single
+    // day is 3σ out). The recursive CUSUM S⁺_t = max(0, S⁺_{t-1} + dev)
+    // is deliberately re-expressed in its closed window form — S⁺_t =
+    // P_t − min_{i≤t} P_i over the prefix sums P of deviations — so it
+    // is ONE ordered window pass, not a sequential fold. Deviations are
+    // kept exact by the q_anomaly scaling trick: dev_t = n·x_t − Σx
+    // (scaled by the series length instead of dividing by it), so P,
+    // the running extrema, and both excursions are exact BIGINTs —
+    // comparable across engines with zero float steps. Scale: past the
+    // daily rollup everything is (series × days)-sized; the windows
+    // partition by series.
+    "q_cusum" -> Q(
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) x
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, day, x,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) n,
+        |    CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) sx
+        |  FROM e),
+        |p AS (
+        |  SELECT event_type, day, x,
+        |    CAST(sum(n * x - sx) OVER tw AS BIGINT) pf
+        |  FROM t WINDOW tw AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, x, pf,
+        |  CAST(pf - least(0, min(pf) OVER tw) AS BIGINT) AS cusum_pos,
+        |  CAST(greatest(0, max(pf) OVER tw) - pf AS BIGINT) AS cusum_neg
+        |FROM p WINDOW tw AS (PARTITION BY event_type ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+        .stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+      val wAll = Window.partitionBy("event_type")
+      val tw = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the running extrema are clamped THROUGH zero (least/greatest
+      // with the empty prefix P₀ = 0) — without the clamp the identity
+      // to the recursive max(0, S+dev) form breaks on one-sided series
+      // (caught by StatsSpec's recursive-form equivalence proof)
+      e.withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("sx", sum("x").over(wAll))
+        .withColumn("pf", sum(col("n") * col("x") - col("sx")).over(tw))
+        .select(col("event_type"), col("day"), col("x"), col("pf"),
+          (col("pf") - least(lit(0L), min("pf").over(tw)))
+            .as("cusum_pos"),
+          (greatest(lit(0L), max("pf").over(tw)) - col("pf"))
+            .as("cusum_neg"))
+    },
+
+    // X60 — Mann–Kendall trend test per event series (the
+    // distribution-free "is this metric drifting?" statistic — the
+    // monotone-trend companion to q_cusum's level shifts). S =
+    // Σ_{i<j} sign(x_j − x_i) is an EXACT INTEGER over all ordered day
+    // pairs — the self-join is (series × days²)-sized, bounded by the
+    // calendar (≤ ~3.7k days even at a 10-year horizon ⇒ ≤ 13M pairs
+    // per series), never by event volume; tau-a = 2S/(n(n−1)) is the
+    // one mirrored double division (NOT an integer div: S < 0 would
+    // hit the trunc-vs-floor divergence), micro-quantized.
+    "q_trend_mk" -> Q(
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) x
+        |  FROM events GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT a.event_type,
+        |    CAST(CASE WHEN b.x > a.x THEN 1
+        |              WHEN b.x < a.x THEN -1 ELSE 0 END AS BIGINT) sg
+        |  FROM e a JOIN e b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) n_days
+        |      FROM e GROUP BY 1),
+        |s AS (SELECT event_type, CAST(sum(sg) AS BIGINT) s_stat
+        |      FROM pr GROUP BY 1)
+        |SELECT n.event_type, n_days, coalesce(s_stat, 0) AS s_stat,
+        |  CAST(round(1000000 * CAST(2 * coalesce(s_stat, 0) AS DOUBLE)
+        |    / CAST(n_days * (n_days - 1) AS DOUBLE)) AS BIGINT)
+        |    AS tau_ppm
+        |FROM n LEFT JOIN s ON s.event_type = n.event_type
+        |WHERE n_days > 1""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+        // feeds both sides of the pair join AND the day count — ONE
+        // daily rollup (EAGER CHECKPOINT DISCIPLINE, ops/llm/Dedup.scala)
+        .localCheckpoint(true)
+      val a = e.select(col("event_type"), col("day").as("da"),
+        col("x").as("xa"))
+      val b = e.select(col("event_type"), col("day").as("db"),
+        col("x").as("xb"))
+      val sg = when(col("xb") > col("xa"), 1L)
+        .when(col("xb") < col("xa"), -1L).otherwise(0L)
+      val st = a.join(b, Seq("event_type")).filter(col("da") < col("db"))
+        .select(col("event_type"), sg.as("sg"))
+        .groupBy("event_type").agg(sum("sg").as("s_stat"))
+      val n = e.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      n.filter(col("n_days") > 1)
+        .join(broadcast(st), Seq("event_type"), "left")
+        .select(col("event_type"), col("n_days"),
+          coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+          round(lit(1000000)
+            * (lit(2) * coalesce(col("s_stat"), lit(0L))).cast("double")
+            / (col("n_days") * (col("n_days") - 1)).cast("double"))
+            .cast("long").as("tau_ppm"))
+    },
+
+    // X61 — lead-lag cross-correlation between event series (the
+    // causal-screening matrix: "do views at lag k predict purchases?").
+    // For every ORDERED series pair and lag 0..3: exact five-moment
+    // Pearson over the lag-aligned daily counts (the X50/q_corr_exact
+    // discipline — n, Σx, Σy, Σxy, Σx², Σy² are BIGINT sums in one
+    // partial-agg shuffle on (pair, lag)); r = (nΣxy − ΣxΣy)/√(...) has
+    // an exact integer numerator and radicands, one mirrored
+    // sqrt+division step, micro-quantized; degenerate windows (n < 3,
+    // zero variance) filtered by the same exact test. The lag spine is
+    // a 4-row broadcast; the alignment join is day-keyed within series
+    // pairs. Scale: everything past the daily rollup is
+    // (series² × lags × days)-sized — calendar-bounded, never
+    // event-volume-bounded.
+    "q_xcorr" -> Q(
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) x
+        |  FROM events GROUP BY 1, 2),
+        |lags AS (SELECT unnest([0, 1, 2, 3]) AS lag),
+        |al AS (
+        |  SELECT a.event_type lead_type, b.event_type lag_type, l.lag,
+        |    a.x xa, b.x xb
+        |  FROM e a CROSS JOIN lags l
+        |  JOIN e b ON b.day = a.day + l.lag
+        |    AND a.event_type <> b.event_type),
+        |m AS (
+        |  SELECT lead_type, lag_type, lag, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(xa) AS BIGINT) sx, CAST(sum(xb) AS BIGINT) sy,
+        |    CAST(sum(xa * xb) AS BIGINT) sxy,
+        |    CAST(sum(xa * xa) AS BIGINT) sxx,
+        |    CAST(sum(xb * xb) AS BIGINT) syy
+        |  FROM al GROUP BY 1, 2, 3)
+        |SELECT lead_type, lag_type, lag, n,
+        |  CAST(round(1000000 * CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+        |    AS r_micro
+        |FROM m
+        |WHERE n >= 3 AND n * sxx - sx * sx > 0
+        |  AND n * syy - sy * sy > 0""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+        // both sides of the alignment join — ONE daily rollup (EAGER
+        // CHECKPOINT DISCIPLINE, ops/llm/Dedup.scala)
+        .localCheckpoint(true)
+      val lags = s.range(0, 4).select(col("id").as("lag"))
+      val a = e.select(col("event_type").as("lead_type"),
+        col("day").as("da"), col("x").as("xa"))
+      val b = e.select(col("event_type").as("lag_type"),
+        col("day").as("db"), col("x").as("xb"))
+      val m = a.crossJoin(broadcast(lags))
+        .withColumn("db", col("da") + col("lag"))
+        .join(b, Seq("db"))
+        .filter(col("lead_type") =!= col("lag_type"))
+        .groupBy("lead_type", "lag_type", "lag")
+        .agg(count(lit(1)).as("n"), sum("xa").as("sx"),
+          sum("xb").as("sy"), sum(col("xa") * col("xb")).as("sxy"),
+          sum(col("xa") * col("xa")).as("sxx"),
+          sum(col("xb") * col("xb")).as("syy"))
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      m.filter(col("n") >= 3 && vx > 0 && vy > 0)
+        .select(col("lead_type"), col("lag_type"), col("lag"), col("n"),
+          round(lit(1000000)
+            * (col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double")
+            / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+            .cast("long").as("r_micro"))
+    },
+
     // SCD type 2: collapse each user's event stream into versioned
     // [valid_from, valid_to) attribute intervals — consecutive runs of
     // the same event_type become one dimension row, closed by the next

@@ -110,7 +110,10 @@ class DeterminismSpec extends SparkSpec {
       "q_survival", "q_kappa", "q_benford",
       // round 11: the iterative integer rank fixed point, the per-source
       // rank window, the top-V vocab cut, and the dow index windows
-      "q_pagerank", "q_gini", "q_js_div", "q_seasonality")
+      "q_pagerank", "q_gini", "q_js_div", "q_seasonality",
+      // round 11: ordered prefix/extrema windows, the day-pair sign
+      // sum, and the lag-aligned moment sums must be partition-free
+      "q_cusum", "q_trend_mk", "q_xcorr")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

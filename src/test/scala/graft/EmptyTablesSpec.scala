@@ -67,7 +67,9 @@ class EmptyTablesSpec extends SparkSpec {
     // round 11: agreement/survival/digit audits over empty inputs
     "q_kappa", "q_survival", "q_benford",
     // round 11: graph rank / concentration / divergence / seasonality
-    "q_pagerank", "q_gini", "q_js_div", "q_seasonality")
+    "q_pagerank", "q_gini", "q_js_div", "q_seasonality",
+    // round 11: change-point / trend / cross-correlation rollups
+    "q_cusum", "q_trend_mk", "q_xcorr")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

@@ -1110,6 +1110,45 @@ class PlanAuditSpec extends SparkSpec {
       s"daily counts must combine map-side:\n$p")
   }
 
+  test("q_cusum: single scan; all windows partition by the series key") {
+    // the closed-form CUSUM is three series-partitioned window passes
+    // over the daily rollup — never a sequential fold, never a global
+    // sort
+    val p = plan("q_cusum")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"cusum must be single-scan:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"windows must partition by event_type:\n$p")
+    assert(!p.contains("Join"), s"no join machinery expected:\n$p")
+    assert(p.contains("partial_count"),
+      s"daily counts must combine map-side:\n$p")
+  }
+
+  test("q_trend_mk: checkpointed dailies; pair join broadcasts") {
+    // the day-pair self-join runs over the checkpointed calendar-
+    // bounded daily rollup — broadcastable by construction, and the
+    // corpus is never rescanned
+    val p = plan("q_trend_mk")
+    assert(!p.contains("FileScan"),
+      s"daily rollup must be checkpointed before the pair join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the day-pair join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffle join / cartesian over the bounded dailies:\n$p")
+  }
+
+  test("q_xcorr: checkpointed dailies; moments combine map-side") {
+    val p = plan("q_xcorr")
+    assert(!p.contains("FileScan"),
+      s"daily rollup must be checkpointed before the alignment:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the lag-alignment join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join over the bounded dailies:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the five moments must combine map-side:\n$p")
+  }
+
   test("q_freq_spectrum: GT shift is a broadcast self-join on the spectrum") {
     // past the term-key shuffle everything is distinct-frequency-sized:
     // the r+1 shift joins the checkpointed spectrum against itself via

@@ -594,4 +594,102 @@ class StatsSpec extends SparkSpec {
       assert(r.getAs[Long]("idx_ppm") == idx, s"$k index")
     }
   }
+
+  private def dailyCounts(): Map[(String, Long), Long] =
+    Tables.table(spark, sf0001, "events")
+      .selectExpr("event_type", "(ts div 1000) div 86400000000 AS day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+
+  test("q_cusum: closed-form excursions equal the recursive CUSUM") {
+    val daily = dailyCounts()
+    val expected = daily.keys.map(_._1).toSeq.distinct.flatMap { t =>
+      val xs = daily.filter(_._1._1 == t).toSeq
+        .map { case ((_, d), x) => (d, x) }.sortBy(_._1)
+      val n = xs.length.toLong
+      val sx = xs.map(_._2).sum
+      // the textbook RECURSIVE form — the query's window identity
+      // S+ = P - runningMin(P) must reproduce it exactly
+      var (pf, pos, neg) = (0L, 0L, 0L)
+      xs.map { case (d, x) =>
+        val dev = n * x - sx
+        pf += dev
+        pos = math.max(0L, pos + dev)
+        neg = math.max(0L, neg - dev)
+        (t, d) -> ((x, pf, pos, neg))
+      }
+    }.toMap
+    val got = SparkEntry.queries("q_cusum")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[Long]("day"))
+      val (x, pf, pos, neg) = expected(k)
+      assert(r.getAs[Long]("x") == x, s"$k count")
+      assert(r.getAs[Long]("pf") == pf, s"$k prefix")
+      assert(r.getAs[Long]("cusum_pos") == pos, s"$k positive excursion")
+      assert(r.getAs[Long]("cusum_neg") == neg, s"$k negative excursion")
+    }
+  }
+
+  test("q_trend_mk: S statistic matches brute-force pair enumeration") {
+    val daily = dailyCounts()
+    val expected = daily.keys.map(_._1).toSeq.distinct.flatMap { t =>
+      val xs = daily.filter(_._1._1 == t).toSeq
+        .map { case ((_, d), x) => (d, x) }.sortBy(_._1)
+      val n = xs.length.toLong
+      if (n > 1) {
+        val s = (for (i <- xs.indices; j <- (i + 1) until xs.length)
+          yield java.lang.Long.signum(xs(j)._2 - xs(i)._2).toLong).sum
+        Some(t -> ((n, s, r0(1000000d * 2 * s / (n * (n - 1))))))
+      } else None
+    }.toMap
+    val got = SparkEntry.queries("q_trend_mk")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (n, s, tau) = expected(t)
+      assert(r.getAs[Long]("n_days") == n, s"$t n_days")
+      assert(r.getAs[Long]("s_stat") == s, s"$t S")
+      assert(r.getAs[Long]("tau_ppm") == tau, s"$t tau")
+      assert(math.abs(tau) <= 1000000L, s"$t tau bound")
+    }
+  }
+
+  test("q_xcorr: lagged Pearson matches plain-Scala exact moments") {
+    val daily = dailyCounts()
+    val types = daily.keys.map(_._1).toSeq.distinct
+    val expected = (for {
+      a <- types; b <- types if a != b; lag <- 0L to 3L
+    } yield {
+      val pairs = daily.filter(_._1._1 == a).toSeq.flatMap {
+        case ((_, d), xa) => daily.get((b, d + lag)).map(xb => (xa, xb))
+      }
+      val n = pairs.length.toLong
+      val sx = pairs.map(_._1).sum
+      val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      if (n >= 3 && vx > 0 && vy > 0)
+        Some((a, b, lag) -> ((n,
+          r0(1000000d * (n * sxy - sx * sy) /
+            (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble))))))
+      else None
+    }).flatten.toMap
+    val got = SparkEntry.queries("q_xcorr")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val k = (r.getAs[String]("lead_type"), r.getAs[String]("lag_type"),
+        r.getAs[Long]("lag"))
+      val (n, rm) = expected(k)
+      assert(r.getAs[Long]("n") == n, s"$k n")
+      assert(r.getAs[Long]("r_micro") == rm, s"$k r")
+      assert(math.abs(rm) <= 1000000L, s"$k r bound")
+    }
+  }
 }

@@ -61,7 +61,10 @@ object PlanDump {
     "q_kappa", "q_survival", "q_benford",
     // round 11: the checkpointed iterative rank, the rank-form Gini,
     // the broadcast-grid JS divergence, and the dow seasonal index
-    "q_pagerank", "q_gini", "q_js_div", "q_seasonality")
+    "q_pagerank", "q_gini", "q_js_div", "q_seasonality",
+    // round 11: closed-form CUSUM windows, the broadcast day-pair
+    // Mann-Kendall join, and the lag-spine cross-correlation
+    "q_cusum", "q_trend_mk", "q_xcorr")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
