@@ -556,6 +556,90 @@ object AnalyticsQueries {
           .agg(count(lit(1)).as("cnt"))
     },
 
+    // X62 — second-order event paths (the sequential-pattern companion
+    // to q_transitions' first-order Markov counts: the top behavioral
+    // trigrams "view→click→purchase"). Two lead() columns ride ONE
+    // user-partitioned window pass (order key (ts, event_id) — the
+    // unique id breaks ts ties identically on both engines); the path
+    // rollup partial-aggs map-side and the top-20 cut is a
+    // TakeOrderedAndProject over a total order (cnt desc, then the
+    // full path) — never a global sort. Scale: output is min(20,
+    // |V|³)-sized; the only data-sized exchange is the user key.
+    "q_event_paths" -> Q(
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(ts) tsu FROM events),
+        |nx AS (SELECT event_type e1,
+        |    lead(event_type, 1) OVER w e2,
+        |    lead(event_type, 2) OVER w e3
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY tsu, event_id)),
+        |p AS (SELECT e1, e2, e3, CAST(count(*) AS BIGINT) n_paths
+        |  FROM nx WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |  GROUP BY 1, 2, 3)
+        |SELECT e1, e2, e3, n_paths FROM p
+        |ORDER BY n_paths DESC, e1, e2, e3 LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        val e = table(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts div 1000").as("tsu"))
+        val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        e.select(col("event_type").as("e1"),
+            lead("event_type", 1).over(w).as("e2"),
+            lead("event_type", 2).over(w).as("e3"))
+          .filter(col("e2").isNotNull && col("e3").isNotNull)
+          .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n_paths"))
+          .orderBy(col("n_paths").desc, col("e1"), col("e2"), col("e3"))
+          .limit(20)
+    },
+
+    // X63 — transition dwell-time profile (the latency on
+    // q_transitions' edges: HOW LONG between consecutive events, per
+    // (from, to) pair — the "users stall before purchase" diagnostic).
+    // Gaps are exact integer microseconds from the same
+    // (ts, event_id)-ordered user window as X62; median and p90 are
+    // RANK-SELECTED (the q_median discipline: rn = (n+1) div 2 /
+    // ceil(0.9n) = (9n+9) div 10 — exact discrete order statistics,
+    // no interpolation, no float) off ONE pair-partitioned rank
+    // window; the final per-pair collapse is a max(CASE) partial agg.
+    "q_dwell" -> Q(
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(ts) tsu FROM events),
+        |nx AS (SELECT event_type ft,
+        |    lead(event_type) OVER w tt,
+        |    lead(tsu) OVER w - tsu gap_us
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY tsu, event_id)),
+        |g AS (SELECT ft, tt, gap_us,
+        |    row_number() OVER (PARTITION BY ft, tt ORDER BY gap_us) rn,
+        |    count(*) OVER (PARTITION BY ft, tt) n
+        |  FROM nx WHERE tt IS NOT NULL)
+        |SELECT ft AS from_type, tt AS to_type,
+        |  CAST(max(n) AS BIGINT) AS n_gaps,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap_us END)
+        |    AS BIGINT) AS median_us,
+        |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_us END)
+        |    AS BIGINT) AS p90_us
+        |FROM g GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("tsu"))
+      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val nx = e.select(col("event_type").as("ft"),
+          lead("event_type", 1).over(w).as("tt"),
+          (lead("tsu", 1).over(w) - col("tsu")).as("gap_us"))
+        .filter(col("tt").isNotNull)
+      val wg = Window.partitionBy("ft", "tt").orderBy("gap_us")
+      val wn = Window.partitionBy("ft", "tt")
+      nx.withColumn("rn", row_number().over(wg))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("ft").as("from_type"), col("tt").as("to_type"))
+        .agg(max("n").as("n_gaps"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("gap_us")))
+            .as("median_us"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"),
+            col("gap_us"))).as("p90_us"))
+    },
+
     // Cohort retention: users bucketed by first-activity day, counted
     // per (cohort, day-offset) they return on — the classic retention
     // triangle. One user exchange serves the cohort window AND the

@@ -272,6 +272,82 @@ object MiningQueries {
             lit(0L)).as("gt_rstar_micro"))
     },
 
+    // L81 — Zipf slope fit over the top-1000 ranks (the power-law
+    // exponent: "is this corpus natural language?" — slope ≈ −1 for
+    // clean text, the q_freq_spectrum diagnostic reduced to one
+    // number). ln(rank) and ln(count) are quantized to integer micro
+    // units PER POINT (the q_regression discipline: never sum raw
+    // doubles), the five sufficient statistics are BIGINT sums over
+    // the fixed top-K table, and the normal-equation cross-products
+    // n·Σxy − Σx·Σy are DECIMAL(38) (BIGINT overflows at K=1000 ×
+    // micro² magnitudes); slope and intercept are the mirrored double
+    // tail. The top-K cut is a TakeOrderedAndProject total order
+    // (count desc, term) — rank is then a window over the K-row table,
+    // bounded by construction (the q_survival precedent). Scale: ONE
+    // token shuffle; everything after is K-sized.
+    "q_zipf_slope" -> Q(
+      s"""WITH $duckTok,
+        |tf AS (SELECT term, CAST(count(*) AS BIGINT) c FROM tok
+        |       GROUP BY 1),
+        |top AS (SELECT term, c FROM tf ORDER BY c DESC, term LIMIT 1000),
+        |rk AS (SELECT c,
+        |    CAST(row_number() OVER (ORDER BY c DESC, term) AS BIGINT) rnk
+        |  FROM top),
+        |pts AS (SELECT
+        |    CAST(round(1000000 * ln(CAST(rnk AS DOUBLE))) AS BIGINT) x,
+        |    CAST(round(1000000 * ln(CAST(c AS DOUBLE))) AS BIGINT) y
+        |  FROM rk),
+        |m AS (SELECT CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+        |    CAST(sum(x * y) AS BIGINT) sxy,
+        |    CAST(sum(x * x) AS BIGINT) sxx
+        |  FROM pts),
+        |d AS (SELECT n, sx, sy,
+        |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy num,
+        |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx den
+        |  FROM m)
+        |SELECT n AS n_ranks,
+        |  CAST(round(1000000 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+        |    AS BIGINT) AS slope_micro,
+        |  CAST(round((CAST(sy AS DOUBLE)
+        |      - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT)
+        |    AS intercept_micro
+        |FROM d WHERE den > 0""".stripMargin) { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val top = tok(s, dir).groupBy("term").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term")).limit(1000)
+        // bounded at K rows by construction — the global rank window
+        // below runs over this table only (q_survival precedent)
+        .localCheckpoint(true)
+      val rk = top.withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("term"))).cast("long"))
+      val pts = rk.select(
+        round(lit(1000000) * log(col("rnk").cast("double")))
+          .cast("long").as("x"),
+        round(lit(1000000) * log(col("c").cast("double")))
+          .cast("long").as("y"))
+      val m = pts.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      val num = col("n").cast(dec) * col("sxy") -
+        col("sx").cast(dec) * col("sy")
+      val den = col("n").cast(dec) * col("sxx") -
+        col("sx").cast(dec) * col("sx")
+      val slopeD = num.cast("double") / den.cast("double")
+      m.select(col("n"), col("sx"), col("sy"), num.as("num"),
+          den.as("den"))
+        .filter(col("den") > 0)
+        .select(col("n").as("n_ranks"),
+          round(lit(1000000) * col("num").cast("double")
+            / col("den").cast("double")).cast("long").as("slope_micro"),
+          round((col("sy").cast("double")
+            - (col("num").cast("double") / col("den").cast("double"))
+              * col("sx").cast("double")) / col("n").cast("double"))
+            .cast("long").as("intercept_micro"))
+    },
+
     // Inverted-index construction: ordered posting lists for the 200
     // highest-df terms (df desc, term asc — total order). The postings
     // JSON uses the q_topk_collect trick (sorted array → to_json) so the

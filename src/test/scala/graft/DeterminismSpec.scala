@@ -113,7 +113,10 @@ class DeterminismSpec extends SparkSpec {
       "q_pagerank", "q_gini", "q_js_div", "q_seasonality",
       // round 11: ordered prefix/extrema windows, the day-pair sign
       // sum, and the lag-aligned moment sums must be partition-free
-      "q_cusum", "q_trend_mk", "q_xcorr")
+      "q_cusum", "q_trend_mk", "q_xcorr",
+      // round 11: the path/dwell lead windows' (ts, event_id) order,
+      // the top-20 path cut, and the top-K rank for the Zipf fit
+      "q_event_paths", "q_dwell", "q_zipf_slope")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -69,7 +69,9 @@ class EmptyTablesSpec extends SparkSpec {
     // round 11: graph rank / concentration / divergence / seasonality
     "q_pagerank", "q_gini", "q_js_div", "q_seasonality",
     // round 11: change-point / trend / cross-correlation rollups
-    "q_cusum", "q_trend_mk", "q_xcorr")
+    "q_cusum", "q_trend_mk", "q_xcorr",
+    // round 11: path / dwell / Zipf over empty inputs
+    "q_event_paths", "q_dwell", "q_zipf_slope")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

@@ -1149,6 +1149,40 @@ class PlanAuditSpec extends SparkSpec {
       s"the five moments must combine map-side:\n$p")
   }
 
+  test("q_event_paths: single scan; top-20 cut is TakeOrderedAndProject") {
+    val p = plan("q_event_paths")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"paths must be single-scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 cut must be a limit-sort, never a global sort:\n$p")
+    assert(p.contains("partial_count"),
+      s"path counts must combine map-side:\n$p")
+    assert(!p.contains("Join"), s"no join machinery expected:\n$p")
+  }
+
+  test("q_dwell: single scan; rank windows partition by the pair key") {
+    val p = plan("q_dwell")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"dwell must be single-scan:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"rank windows must partition by (from, to):\n$p")
+    assert(p.contains("hashpartitioning(ft"),
+      s"gaps must shuffle on the transition pair:\n$p")
+    assert(!p.contains("Join"), s"no join machinery expected:\n$p")
+  }
+
+  test("q_zipf_slope: checkpointed top-K; one bounded single partition") {
+    // the token scan + top-K cut happen before the checkpoint; the
+    // K-row rank window and 1-row moment aggregate are the only
+    // single-partition stages — bounded at K by construction
+    val p = plan("q_zipf_slope")
+    assert(!p.contains("FileScan"),
+      s"top-K table must be checkpointed before the rank window:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the sufficient statistics must combine map-side:\n$p")
+    assert(!p.contains("Join"), s"no join machinery expected:\n$p")
+  }
+
   test("q_freq_spectrum: GT shift is a broadcast self-join on the spectrum") {
     // past the term-key shuffle everything is distinct-frequency-sized:
     // the r+1 shift joins the checkpointed spectrum against itself via

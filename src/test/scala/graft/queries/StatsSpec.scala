@@ -692,4 +692,89 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(rm) <= 1000000L, s"$k r bound")
     }
   }
+
+  private def orderedEvents(): Map[Long, Seq[(Long, Long, String)]] =
+    Tables.table(spark, sf0001, "events")
+      .selectExpr("user_id", "ts div 1000 AS tsu", "event_id",
+        "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).map { case (u, es) =>
+        u -> es.toSeq.map(e => (e._2, e._3, e._4)).sortBy(e => (e._1, e._2))
+      }
+
+  test("q_event_paths: trigram counts and the cut match plain Scala") {
+    val paths = orderedEvents().values.flatMap { es =>
+      es.sliding(3).filter(_.length == 3)
+        .map(w => (w(0)._3, w(1)._3, w(2)._3))
+    }.toSeq
+    val counts = paths.groupBy(identity)
+      .map { case (p, v) => (p, v.length.toLong) }
+    val expected = counts.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(20)
+    val got = SparkEntry.queries("q_event_paths")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.length)
+    got.foreach { r =>
+      val k = (r.getAs[String]("e1"), r.getAs[String]("e2"),
+        r.getAs[String]("e3"))
+      assert(counts(k) == r.getAs[Long]("n_paths"), s"path $k")
+      assert(expected.map(_._1).contains(k), s"path $k not in the cut")
+    }
+  }
+
+  test("q_dwell: rank-selected latency quantiles match plain Scala") {
+    val gaps = orderedEvents().values.flatMap { es =>
+      es.zip(es.drop(1)).map { case ((t0, _, f), (t1, _, t)) =>
+        ((f, t), t1 - t0)
+      }
+    }.toSeq
+    val expected = gaps.groupBy(_._1).map { case (k, v) =>
+      val xs = v.map(_._2).sorted
+      val n = xs.length
+      k -> ((n.toLong, xs((n + 1) / 2 - 1), xs((9 * n + 9) / 10 - 1)))
+    }
+    val got = SparkEntry.queries("q_dwell")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val k = (r.getAs[String]("from_type"), r.getAs[String]("to_type"))
+      val (n, med, p90) = expected(k)
+      assert(r.getAs[Long]("n_gaps") == n, s"$k n")
+      assert(r.getAs[Long]("median_us") == med, s"$k median")
+      assert(r.getAs[Long]("p90_us") == p90, s"$k p90")
+      assert(med <= p90, s"$k quantile order")
+    }
+  }
+
+  test("q_zipf_slope: normal equations over quantized lns match plain Scala") {
+    val tf = Tables.table(spark, sf0001, "documents")
+      .select("text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+", -1))
+      .groupBy(identity).map { case (t, v) => (t, v.length.toLong) }
+    val top = tf.toSeq.sortBy { case (t, c) => (-c, t) }.take(1000)
+    val pts = top.zipWithIndex.map { case ((_, c), i) =>
+      (r0(1000000 * math.log((i + 1).toDouble)),
+        r0(1000000 * math.log(c.toDouble)))
+    }
+    val n = pts.length.toLong
+    val sx = pts.map(_._1).sum
+    val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val num = BigInt(n) * sxy - BigInt(sx) * sy
+    val den = BigInt(n) * sxx - BigInt(sx) * sx
+    val slope = num.toDouble / den.toDouble
+    val got = SparkEntry.queries("q_zipf_slope")(spark, sf0001).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_ranks") == n)
+    assert(r.getAs[Long]("slope_micro") == r0(1000000 * slope), "slope")
+    assert(r.getAs[Long]("intercept_micro") ==
+      r0((sy - slope * sx) / n), "intercept")
+    // a natural-language corpus is near-Zipfian: slope strictly
+    // negative and in a sane band
+    assert(r.getAs[Long]("slope_micro") < 0L)
+    assert(r.getAs[Long]("slope_micro") > -3000000L)
+  }
 }

@@ -64,7 +64,9 @@ object PlanDump {
     "q_pagerank", "q_gini", "q_js_div", "q_seasonality",
     // round 11: closed-form CUSUM windows, the broadcast day-pair
     // Mann-Kendall join, and the lag-spine cross-correlation
-    "q_cusum", "q_trend_mk", "q_xcorr")
+    "q_cusum", "q_trend_mk", "q_xcorr",
+    // round 11: path mining, dwell quantiles, and the Zipf fit
+    "q_event_paths", "q_dwell", "q_zipf_slope")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
