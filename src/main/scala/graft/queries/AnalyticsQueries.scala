@@ -927,6 +927,31 @@ object AnalyticsQueries {
       graft.streaming.StreamingPipeline.streamEnrich(s, dir)
     },
 
+    // X12v — stateful SEQUENTIAL pattern counting as a REAL gate drain:
+    // the streaming form of q_transitions. A lead() window cannot see
+    // across micro-batches, so the previous event lives in keyed state
+    // (flatMapGroupsWithState: last (tsu, event_id, type) per user);
+    // each trigger bridges from the stored tail, emits its transition
+    // FACTS into an append-only parquet sink (foreachBatch — the
+    // fact-table production shape, vs the update-merge sinks' replace-
+    // by-key), and the final rollup hash-matches the single-pass batch
+    // lead() oracle exactly — certifying that the state bridges every
+    // trigger boundary. Time-ordered arrival across triggers comes from
+    // the events8range staging (the X12s mtime lesson).
+    "q_stream_transitions" -> Q(
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(ts) tsu FROM events),
+        |nx AS (SELECT event_type ft,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY tsu, event_id) tt
+        |  FROM e)
+        |SELECT ft AS from_type, tt AS to_type,
+        |  CAST(count(*) AS BIGINT) cnt
+        |FROM nx WHERE tt IS NOT NULL GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        graft.streaming.StreamingPipeline.streamTransitions(s, dir)
+    },
+
     // X12h — transformWithState (Spark 4's arbitrary-state v2 API) as a
     // REAL gate drain (was spec-only through r10): a typed-ValueState
     // cumulative per-user counter in UPDATE mode, each batch's touched

@@ -527,6 +527,127 @@ object StreamingPipeline {
           max("event_id").as("last_event_id"))
     }
 
+  /** X12v core — SEQUENTIAL pattern emission across micro-batches: the
+    * streaming form of q_transitions' lead() window. A batch window
+    * cannot see across triggers, so the "previous event" must live in
+    * keyed state: per user the state is the LAST event seen
+    * (tsu, event_id, type); each batch sorts its per-user slice by
+    * (tsu, event_id) — bounded by the user's per-trigger volume, not
+    * history — bridges from the stored state, emits the consecutive
+    * (from, to) facts, and stores the new tail. Emissions are
+    * append-mode FACTS (each transition exists exactly once given
+    * exactly-once file accounting), so the correct sink is an
+    * append-only table, not a replace-by-key merge. Correctness
+    * requires event-time-ordered arrival ACROSS triggers — the
+    * events8range staging pins exactly that (range-partitioned slices,
+    * mtime-ordered; equal timestamps never split across slices because
+    * the range partitioner keys them together).
+    */
+  def statefulTransitions(
+      events: org.apache.spark.sql.Dataset[(Long, Long, Long, String)])
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (String, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, batch: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(Long, Long, String)]) =>
+          val rows = batch.toSeq.sortBy(e => (e._2, e._3))
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val seq = state.getOption.map(p => (0L, p._1, p._2, p._3))
+              .toSeq ++ rows
+            val out = seq.zip(seq.tail)
+              .map { case (a, b) => (a._4, b._4) }
+            val last = rows.last
+            state.update((last._2, last._3, last._4))
+            out.iterator
+          }
+      }
+      .toDF("from_type", "to_type")
+  }
+
+  /** X12v — the stateful sequential counter as a REAL gate drain: the
+    * staged time-ordered event stream drained through
+    * `statefulTransitions` with the emitted facts APPENDED per batch
+    * (foreachBatch parquet append — the fact-table production sink),
+    * then rolled up to per-(from, to) counts. Hash-matches
+    * q_transitions' batch oracle exactly: the keyed state bridges every
+    * trigger boundary, so the count table is identical to the
+    * single-pass lead() window over the whole history.
+    */
+  def streamTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val facts = drainAppend(spark,
+      graft.queries.StreamStaging.dir(spark, sfDir, "events8range"),
+      "transitions") { st =>
+      statefulTransitions(
+        st.select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+            col("event_id"), col("event_type"))
+          .as[(Long, Long, Long, String)])
+    }
+    facts.groupBy("from_type", "to_type").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Append-mode stream drain for fact-emitting gate entries: drain the
+    * staged source (2 files per trigger → ≥4 micro-batches) through
+    * `build` (which must be append-mode-legal) with each batch's rows
+    * APPENDED to a parquet fact table via foreachBatch, and return the
+    * accumulated facts as a local DataFrame (collected so the temp dir
+    * can be deleted). Fresh checkpoint per invocation; one try/finally
+    * covers failed start / drain and removes both temp dirs.
+    */
+  def drainAppend(spark: SparkSession, stagedDir: String, prefix: String,
+                  statePartitions: Int = defaultStatePartitions)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val ckpt =
+      java.nio.file.Files.createTempDirectory(s"graft-stream-$prefix-ckpt")
+    val outRoot =
+      java.nio.file.Files.createTempDirectory(s"graft-stream-$prefix-out")
+    val outDir = outRoot.resolve("facts").toString
+    val srcSchema = spark.read.parquet(stagedDir).schema
+    var started: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+    val restoreSp = pushStatePartitions(spark, statePartitions)
+    try {
+      val q = build(spark.readStream.schema(srcSchema)
+          .option("maxFilesPerTrigger", "2")
+          .parquet(stagedDir))
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      started = Some(q)
+      q.awaitTermination()
+      val outPath = new org.apache.hadoop.fs.Path(outDir)
+      val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(outPath)) {
+        // zero batches emitted facts (empty source): an empty frame
+        // with the build's schema
+        val schema = build(spark.read.schema(srcSchema)
+          .parquet(stagedDir)).schema
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schema)
+      } else {
+        val facts = spark.read.parquet(outDir)
+        val rows = facts.collect()
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+          facts.schema)
+      }
+    } finally {
+      restoreSp()
+      started.foreach(q => try q.stop()
+        catch { case _: Exception => () })
+      graft.util.Fs.deleteRecursively(ckpt)
+      graft.util.Fs.deleteRecursively(outRoot)
+    }
+  }
+
   /** Generic complete-mode stream drain for gate entries: re-read the
     * MEMOIZED staged source dir (`queries.StreamStaging` — 8 parquet
     * files; the staging write is fixture I/O billed to the bench's

@@ -116,7 +116,10 @@ class DeterminismSpec extends SparkSpec {
       "q_cusum", "q_trend_mk", "q_xcorr",
       // round 11: the path/dwell lead windows' (ts, event_id) order,
       // the top-20 path cut, and the top-K rank for the Zipf fit
-      "q_event_paths", "q_dwell", "q_zipf_slope")
+      "q_event_paths", "q_dwell", "q_zipf_slope",
+      // round 11: the streaming transition counter's keyed state and
+      // per-batch in-group sort must not depend on partitioning
+      "q_stream_transitions")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -71,7 +71,9 @@ class EmptyTablesSpec extends SparkSpec {
     // round 11: change-point / trend / cross-correlation rollups
     "q_cusum", "q_trend_mk", "q_xcorr",
     // round 11: path / dwell / Zipf over empty inputs
-    "q_event_paths", "q_dwell", "q_zipf_slope")
+    "q_event_paths", "q_dwell", "q_zipf_slope",
+    // round 11: the streaming transition drain over a zero-event source
+    "q_stream_transitions")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

@@ -559,4 +559,34 @@ class StreamingSpec extends SparkSpec {
     // the fixture genuinely exercises state merge
     assert(got.map(_._1).size > 1 && got.exists(_._4 > 1L))
   }
+
+  test("streamTransitions: keyed state bridges triggers; equals batch lead()") {
+    import org.apache.spark.sql.functions._
+    val dir = sf0001
+    val got = StreamingPipeline.streamTransitions(spark, dir)
+      .as[(String, String, Long)].collect().toSet
+    val e = graft.Tables.table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("tsu"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tsu", "event_id")
+    val expected = e
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == expected)
+    // the total transition mass spans multiple triggers: with 8 staged
+    // slices at 2/trigger, any per-user history longer than one slice
+    // MUST have crossed a trigger boundary for the counts to match —
+    // pin that the fixture has users with more events than one slice
+    // could hold contiguously
+    val perUser = graft.Tables.table(spark, dir, "events")
+      .groupBy("user_id").count().as[(Long, Long)].collect()
+    assert(perUser.exists(_._2 >= 8L),
+      "fixture must force cross-trigger state bridging")
+    assert(got.toSeq.map(_._3).sum == perUser.map(_._2 - 1).sum,
+      "every consecutive pair must emit exactly once")
+  }
 }
