@@ -285,6 +285,38 @@ object Stress {
             .agg(min("doc_id").as("keep_doc"),
               count(lit(1)).as("n_copies"))
         }.count()
+      }),
+      // r11 L73: the sparse TF-IDF reranker rides the SAME capped
+      // minhash-bucket candidate front-end as knn_graph, so its factor
+      // must track the capped candidate growth (the weight join +
+      // integer rerank are candidate-sized), never replication²
+      "tfidf_knn_graph" -> (d =>
+        Dedup.tfidfKnnGraph(d, "doc_id", "text", k = 5).count()),
+      // r11 L78: the integer power iteration — replicas multiply the
+      // node AND edge sets ~linearly (the graph is built per replica id
+      // space), so the 5 rank rounds must stay ~linear in edges, never
+      // edges² or rounds×rebuild
+      "pagerank_5rounds" -> (d => {
+        val g = Dedup.knnGraph(d, "doc_id", "text", k = 5)
+          .select(col("doc_id").as("src"), col("nbr_id").as("dst"))
+          .localCheckpoint(true)
+        val deg = g.groupBy("src").agg(count(lit(1)).as("deg"))
+        val edges = g.join(deg, "src").localCheckpoint(true)
+        val nodes = g.select(col("src").as("id"))
+          .union(g.select(col("dst").as("id")))
+          .distinct().localCheckpoint(true)
+        var ranks = nodes.select(col("id"), lit(1000000L).as("pr"))
+        for (_ <- 1 to 5) {
+          val contrib = edges.join(ranks, edges("src") === ranks("id"))
+            .select(col("dst").as("id"), expr("pr div deg").as("m"))
+            .groupBy("id").agg(sum("m").as("m"))
+          ranks = nodes.join(contrib, Seq("id"), "left")
+            .select(col("id"),
+              (lit(150000L) +
+                expr("(850000 * coalesce(m, 0)) div 1000000")).as("pr"))
+            .localCheckpoint(true)
+        }
+        ranks.count()
       }))
 
     // SPARK_GRAFT_STRESS_ONLY=a,b restricts the run — the isolation probe

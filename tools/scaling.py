@@ -37,7 +37,7 @@ RULES = [
                     r"substring_dup|boilerplate)"),
     ("decontaminate", r"^q_contamination"),
     ("stats_ml", r"^q_(regression|nb_train|nb_classify|ab_test|"
-                 r"info_gain)"),
+                 r"info_gain|auc|calibration|kappa|ks_test)"),
     ("tokenizers", r"^q_(bpe_train|bpe_apply|wordpiece_apply|"
                    r"unigram_viterbi|tokenizer_compare)"),
     ("selection", r"^q_(curriculum|quality_classifier|importance_resample|"
@@ -49,20 +49,22 @@ RULES = [
                   r"cross_surprisal|fertility|lang_topk_terms|redact|"
                   r"normalize_entities|entity_spans)"),
     ("mining", r"^q_(bm25|pmi|inverted_index|textrank|chunk_overlap|tfidf|"
-               r"bpe_pairs|ngram_lm)"),
+               r"bpe_pairs|ngram_lm|freq_spectrum|zipf_slope|assoc_rules|"
+               r"js_div|gini|pagerank|ndcg)"),
     ("multimodal", r"^q_(multimodal|frame_sample)"),
     ("maintenance", r"^q_(cdc_merge|snapshot_diff|kanon|compaction_plan|"
                     r"zonemap|zorder|constraints|quarantine)"),
     ("temporal", r"^q_(sessionize|funnel|retention|transitions|interpolate|"
                  r"resample|user_growth|scd2|asof|range_join|date_math|"
-                 r"anomaly)"),
+                 r"anomaly|survival|seasonality|cusum|trend_mk|xcorr|"
+                 r"event_paths|dwell)"),
     ("windows", r"^q_(window_frame|ntile_window|range_frame|first_last|"
                 r"topk|wordcount)"),
     ("joins", r"^q_(join_|cross_join|bloom_join|fuzzy_join)"),
     ("aggregates", r"^q_(distinct|rollup|cube|grouping_sets|count_distinct|"
                    r"approx_|hll_merge|percentile|median|heavy_hitters|"
                    r"cms_|minmax_by|collect_set|pivot|unpivot|skew_salt|"
-                   r"histogram|drift|profile|outliers)"),
+                   r"histogram|drift|profile|outliers|benford)"),
     ("setops_scalar", r"^q_(except|intersect|union_all|case_when|"
                       r"scalar_subquery|regex_extract|json_extract|"
                       r"null_semantics|array_ops|nested|sample|"
