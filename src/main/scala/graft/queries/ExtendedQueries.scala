@@ -907,5 +907,31 @@ object ExtendedQueries {
       bad.select(col("doc_id"),
         array_join(col("violations"), ",").as("violated"))
     },
+
+    // X12w — the q_quarantine rule set as a STREAMING gate drain: the
+    // same rule Columns (Constraints.tag is a stateless projection —
+    // append-mode-legal unchanged) applied per micro-batch over the
+    // staged corpus stream, each doc emitting one fact per violated
+    // rule (or the __clean__ marker) into the append-only dead-letter
+    // sink; the rollup hash-matches the batch oracle — the stream
+    // loses/duplicates no rows across ≥4 triggers. This is the ingest
+    // shape a production pipeline runs: validate at the edge, route
+    // bad rows out, never block the stream on a bad record.
+    "q_stream_quarantine" -> Q(
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(
+        |      [CASE WHEN NOT coalesce(n_chars <= 200, false)
+        |         THEN 'n_chars_le_200' END,
+        |       CASE WHEN NOT coalesce(lang IN ('en', 'fr'), false)
+        |         THEN 'lang_allowed' END],
+        |      x -> x IS NOT NULL) v
+        |  FROM documents),
+        |e AS (SELECT unnest(CASE WHEN len(v) = 0 THEN ['__clean__']
+        |                         ELSE v END) AS rule
+        |      FROM t)
+        |SELECT rule, CAST(count(*) AS BIGINT) n
+        |FROM e GROUP BY 1""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamingPipeline.streamQuarantine(s, dir)
+    },
   )
 }

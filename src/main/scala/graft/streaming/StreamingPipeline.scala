@@ -590,6 +590,34 @@ object StreamingPipeline {
     facts.groupBy("from_type", "to_type").agg(count(lit(1)).as("cnt"))
   }
 
+  /** X12w — streaming data-quality gate: the q_quarantine rule set
+    * applied PER MICRO-BATCH on the ingest stream (Constraints.tag is a
+    * pure projection — stateless, so it is append-mode-legal unchanged;
+    * the same rule Columns drive the batch audit and this drain — one
+    * rule definition, two execution modes). Every document emits one
+    * fact per violated rule — or the `__clean__` marker — into the
+    * append-only sink; the rollup counts what a dead-letter split
+    * would have routed where, and hash-matches the batch oracle
+    * (certifying the stream loses/duplicates no rows across triggers).
+    */
+  def streamQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    val rules = Seq(
+      "n_chars_le_200" ->
+        graft.ops.Constraints.fails(col("n_chars") <= 200),
+      "lang_allowed" ->
+        graft.ops.Constraints.fails(col("lang").isin("en", "fr")))
+    val facts = drainAppend(spark,
+      graft.queries.StreamStaging.dir(spark, sfDir, "docs8"),
+      "quarantine") { st =>
+      graft.ops.Constraints.tag(
+          st.select(col("doc_id"), col("n_chars"), col("lang")), rules)
+        .select(explode(
+          when(size(col("violations")) === 0, array(lit("__clean__")))
+            .otherwise(col("violations"))).as("rule"))
+    }
+    facts.groupBy("rule").agg(count(lit(1)).as("n"))
+  }
+
   /** Append-mode stream drain for fact-emitting gate entries: drain the
     * staged source (2 files per trigger → ≥4 micro-batches) through
     * `build` (which must be append-mode-legal) with each batch's rows

@@ -73,7 +73,9 @@ class EmptyTablesSpec extends SparkSpec {
     // round 11: path / dwell / Zipf over empty inputs
     "q_event_paths", "q_dwell", "q_zipf_slope",
     // round 11: the streaming transition drain over a zero-event source
-    "q_stream_transitions")
+    "q_stream_transitions",
+    // round 11: the streaming quality gate over an empty corpus
+    "q_stream_quarantine")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

@@ -589,4 +589,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq.map(_._3).sum == perUser.map(_._2 - 1).sum,
       "every consecutive pair must emit exactly once")
   }
+
+  test("streamQuarantine: per-batch rule tagging equals the batch split") {
+    import org.apache.spark.sql.functions._
+    val dir = sf0001
+    val got = StreamingPipeline.streamQuarantine(spark, dir)
+      .as[(String, Long)].collect().toMap
+    val d = graft.Tables.table(spark, dir, "documents")
+    val tagged = graft.ops.Constraints.tag(
+      d.select(col("doc_id"), col("n_chars"), col("lang")),
+      Seq(
+        "n_chars_le_200" ->
+          graft.ops.Constraints.fails(col("n_chars") <= 200),
+        "lang_allowed" ->
+          graft.ops.Constraints.fails(col("lang").isin("en", "fr"))))
+    val expected = tagged
+      .select(explode(
+        when(size(col("violations")) === 0, array(lit("__clean__")))
+          .otherwise(col("violations"))).as("rule"))
+      .groupBy("rule").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == expected)
+    // the fixture exercises BOTH routes: clean docs exist and at least
+    // one rule actually fires
+    assert(got.getOrElse("__clean__", 0L) > 0L)
+    assert(got.exists { case (r, n) => r != "__clean__" && n > 0L })
+  }
 }
