@@ -640,6 +640,138 @@ object AnalyticsQueries {
             col("gap_us"))).as("p90_us"))
     },
 
+    // X64 — RFM (recency / frequency / monetary) customer segmentation
+    // per market (the classic CRM kernel): each user scored 1..3 on
+    // each dimension by EXACT tercile rank within their nation —
+    // t = ((rn−1)·3) div n + 1 over a (metric, user_id) total order,
+    // the q_ppl_bucket rank-selection discipline (deterministic, no
+    // float quantiles); monetary is exact integer millis summed before
+    // anything else (the q_window_frame money rule). Recency score is
+    // inverted (3 = most recent). One user-key shuffle builds the
+    // per-user profile, the global anchor day is a 1-row broadcast, the
+    // dimension join broadcasts, and the three rank windows share ONE
+    // nation exchange. Output is (nation × 27)-bounded.
+    "q_rfm" -> Q(
+      """WITH u AS (
+        |  SELECT user_id, max(epoch_us(ts) // 86400000000) last_day,
+        |    CAST(count(*) AS BIGINT) freq,
+        |    CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+        |      monetary
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(last_day) anchor FROM u),
+        |p AS (
+        |  SELECT n_name, u.user_id, anchor - last_day AS recency, freq,
+        |    monetary
+        |  FROM u
+        |  JOIN customer ON u.user_id = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey, mx),
+        |r AS (
+        |  SELECT n_name,
+        |    CAST(count(*) OVER wn AS BIGINT) n,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY recency, user_id) AS BIGINT) rr,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY freq, user_id) AS BIGINT) rf,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY monetary, user_id) AS BIGINT) rm
+        |  FROM p WINDOW wn AS (PARTITION BY n_name)),
+        |s AS (
+        |  SELECT n_name,
+        |    4 - (((rr - 1) * 3) // n + 1) AS r_score,
+        |    ((rf - 1) * 3) // n + 1 AS f_score,
+        |    ((rm - 1) * 3) // n + 1 AS m_score
+        |  FROM r)
+        |SELECT n_name, CAST(r_score AS BIGINT) r_score,
+        |  CAST(f_score AS BIGINT) f_score,
+        |  CAST(m_score AS BIGINT) m_score,
+        |  CAST(count(*) AS BIGINT) n_users
+        |FROM s GROUP BY 1, 2, 3, 4""".stripMargin) { (s, dir) =>
+      val u = table(s, dir, "events")
+        .select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("d"),
+          round(col("value") * 1000).cast("long").as("vm"))
+        .groupBy("user_id")
+        .agg(max("d").as("last_day"), count(lit(1)).as("freq"),
+          sum("vm").as("monetary"))
+        // feeds the global anchor aggregate AND the scoring pass — ONE
+        // events scan (EAGER CHECKPOINT DISCIPLINE, ops/llm/Dedup.scala)
+        .localCheckpoint(true)
+      val mx = u.agg(max("last_day").as("anchor"))
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val n = table(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val p = u.crossJoin(broadcast(mx))
+        .join(broadcast(c), col("user_id") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"),
+          (col("anchor") - col("last_day")).as("recency"),
+          col("freq"), col("monetary"), col("user_id"))
+      def w(o: String) = Window.partitionBy("n_name")
+        .orderBy(col(o), col("user_id"))
+      val r = p
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy("n_name")))
+        .withColumn("rr", row_number().over(w("recency")).cast("long"))
+        .withColumn("rf", row_number().over(w("freq")).cast("long"))
+        .withColumn("rm", row_number().over(w("monetary")).cast("long"))
+      r.select(col("n_name"),
+          (lit(4) - (expr("((rr - 1) * 3) div n") + 1))
+            .cast("long").as("r_score"),
+          (expr("((rf - 1) * 3) div n") + 1).cast("long").as("f_score"),
+          (expr("((rm - 1) * 3) div n") + 1).cast("long").as("m_score"))
+        .groupBy("n_name", "r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_users"))
+    },
+
+    // X65 — behavioral-diversity profile: Shannon entropy of each
+    // user's event-type mix, ln-quantized PER (user, type) term (the
+    // q_info_gain float-entropy discipline: −(c/n)·ln(c/n) is
+    // micro-quantized before summing, so the per-user entropy is an
+    // order-free integer sum), then histogrammed into fixed 0.05-nat
+    // bands so the OUTPUT is band-count-bounded at any user
+    // cardinality. Two user-key hash aggs + one tiny band rollup —
+    // no windows, no joins.
+    "q_user_entropy" -> Q(
+      """WITH c AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) c
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT user_id, CAST(sum(c) AS BIGINT) n,
+        |    CAST(count(*) AS BIGINT) n_types
+        |  FROM c GROUP BY 1),
+        |h AS (
+        |  SELECT c.user_id, n.n_types,
+        |    CAST(sum(CAST(round(-1000000
+        |      * (CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |      * ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)))
+        |      AS BIGINT)) AS BIGINT) h_micro
+        |  FROM c JOIN n ON c.user_id = n.user_id
+        |  GROUP BY 1, 2)
+        |SELECT h_micro // 50000 AS band,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n_types) AS BIGINT) AS sum_types,
+        |  CAST(sum(h_micro) AS BIGINT) AS sum_h_micro
+        |FROM h GROUP BY 1""".stripMargin) { (s, dir) =>
+      val c = table(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        // feeds the per-user totals AND the entropy terms — ONE
+        // (user, type) shuffle (EAGER CHECKPOINT DISCIPLINE,
+        // ops/llm/Dedup.scala)
+        .localCheckpoint(true)
+      val n = c.groupBy("user_id")
+        .agg(sum("c").as("n"), count(lit(1)).as("n_types"))
+      val pr = col("c").cast("double") / col("n").cast("double")
+      val h = c.join(n, "user_id")
+        .select(col("user_id"), col("n_types"),
+          round(lit(-1000000) * pr * log(pr)).cast("long").as("hi"))
+        .groupBy("user_id", "n_types").agg(sum("hi").as("h_micro"))
+      h.select(expr("h_micro div 50000").as("band"), col("n_types"),
+          col("h_micro"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_users"), sum("n_types").as("sum_types"),
+          sum("h_micro").as("sum_h_micro"))
+    },
+
     // Cohort retention: users bucketed by first-activity day, counted
     // per (cohort, day-offset) they return on — the classic retention
     // triangle. One user exchange serves the cohort window AND the

@@ -119,7 +119,10 @@ class DeterminismSpec extends SparkSpec {
       "q_event_paths", "q_dwell", "q_zipf_slope",
       // round 11: the streaming transition counter's keyed state and
       // per-batch in-group sort must not depend on partitioning
-      "q_stream_transitions", "q_stream_quarantine")
+      "q_stream_transitions", "q_stream_quarantine",
+      // round 11: the tercile rank windows' (metric, user_id) total
+      // order and the quantized entropy sums
+      "q_rfm", "q_user_entropy")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -36,7 +36,8 @@ class EmptyTablesSpec extends SparkSpec {
       StructField("event_id", LongType),
       StructField("ts", LongType),
       StructField("user_id", LongType),
-      StructField("event_type", StringType))))
+      StructField("event_type", StringType),
+      StructField("value", DoubleType))))
     write("customer", StructType(Seq(
       StructField("c_custkey", LongType),
       StructField("c_nationkey", LongType))))
@@ -75,7 +76,9 @@ class EmptyTablesSpec extends SparkSpec {
     // round 11: the streaming transition drain over a zero-event source
     "q_stream_transitions",
     // round 11: the streaming quality gate over an empty corpus
-    "q_stream_quarantine")
+    "q_stream_quarantine",
+    // round 11: segmentation / diversity over empty events
+    "q_rfm", "q_user_entropy")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

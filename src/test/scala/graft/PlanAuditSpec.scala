@@ -1183,6 +1183,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join machinery expected:\n$p")
   }
 
+  test("q_rfm: checkpointed profile; dims broadcast; one nation exchange") {
+    // the user profile feeds the anchor aggregate AND the scoring pass
+    // (checkpointed — only the two dimension scans remain); the anchor
+    // is a 1-row broadcast, customer/nation broadcast, and the three
+    // rank windows share one nation-key exchange
+    val p = plan("q_rfm")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 2,
+      s"only the customer/nation dims may scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dimension joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join expected:\n$p")
+    assert(p.linesIterator.count(_.contains(
+      "Exchange hashpartitioning(n_name")) == 1,
+      s"the three rank windows must share one nation exchange:\n$p")
+  }
+
+  test("q_user_entropy: checkpointed type counts; band rollup map-side") {
+    val p = plan("q_user_entropy")
+    assert(!p.contains("FileScan"),
+      s"type counts must be checkpointed before the fan-out:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffle join / cartesian expected:\n$p")
+    assert(p.contains("partial_sum"),
+      s"entropy terms must combine map-side:\n$p")
+    assert(!p.contains("Window"),
+      s"no window machinery — pure hash aggregation:\n$p")
+  }
+
   test("q_freq_spectrum: GT shift is a broadcast self-join on the spectrum") {
     // past the term-key shuffle everything is distinct-frequency-sized:
     // the r+1 shift joins the checkpointed spectrum against itself via

@@ -777,4 +777,78 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("slope_micro") < 0L)
     assert(r.getAs[Long]("slope_micro") > -3000000L)
   }
+
+  test("q_rfm: tercile scores match plain-Scala rank selection") {
+    val ev = Tables.table(spark, sf0001, "events")
+      .selectExpr("user_id", "(ts div 1000) div 86400000000 AS d",
+        "CAST(round(value * 1000) AS BIGINT) AS vm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cust = Tables.table(spark, sf0001, "customer")
+      .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nat = Tables.table(spark, sf0001, "nation")
+      .selectExpr("CAST(n_nationkey AS BIGINT)", "n_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val prof = ev.groupBy(_._1).map { case (u, es) =>
+      (u, es.map(_._2).max, es.length.toLong, es.map(_._3).sum)
+    }.toSeq
+    val anchor = prof.map(_._2).max
+    val byNation = prof.flatMap { case (u, last, f, m) =>
+      cust.get(u).map(nk => (nat(nk), u, anchor - last, f, m))
+    }.groupBy(_._1)
+    def terc(rn: Long, n: Long): Long = (rn - 1) * 3 / n + 1
+    val expected = byNation.toSeq.flatMap { case (nation, us) =>
+      val n = us.length.toLong
+      def ranks(key: ((String, Long, Long, Long, Long)) => Long)
+          : Map[Long, Long] =
+        us.sortBy(e => (key(e), e._2)).zipWithIndex
+          .map { case (e, i) => e._2 -> (i + 1).toLong }.toMap
+      val (rr, rf, rm) = (ranks(_._3), ranks(_._4), ranks(_._5))
+      us.map { e =>
+        (nation, 4 - terc(rr(e._2), n), terc(rf(e._2), n),
+          terc(rm(e._2), n))
+      }
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = SparkEntry.queries("q_rfm")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    // conservation: every joined user lands in exactly one segment
+    assert(got.map(_.getAs[Long]("n_users")).sum ==
+      byNation.values.map(_.length.toLong).sum)
+    got.foreach { r =>
+      val k = (r.getAs[String]("n_name"), r.getAs[Long]("r_score"),
+        r.getAs[Long]("f_score"), r.getAs[Long]("m_score"))
+      assert(expected(k) == r.getAs[Long]("n_users"), s"segment $k")
+      assert(Seq(k._2, k._3, k._4).forall(s => s >= 1L && s <= 3L))
+    }
+  }
+
+  test("q_user_entropy: banded entropy profile matches plain Scala") {
+    val ev = Tables.table(spark, sf0001, "events")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = ev.groupBy(_._1).toSeq.map { case (_, es) =>
+      val counts = es.groupBy(_._2).map(_._2.length.toLong)
+      val n = counts.sum
+      val h = counts.map { c =>
+        val p = c.toDouble / n
+        r0(-1000000 * p * math.log(p))
+      }.sum
+      (h / 50000, counts.size.toLong, h)
+    }.groupBy(_._1).map { case (band, us) =>
+      band -> ((us.length.toLong, us.map(_._2).sum, us.map(_._3).sum))
+    }
+    val got = SparkEntry.queries("q_user_entropy")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val band = r.getAs[Long]("band")
+      val (nu, st, sh) = expected(band)
+      assert(r.getAs[Long]("n_users") == nu, s"band $band users")
+      assert(r.getAs[Long]("sum_types") == st, s"band $band types")
+      assert(r.getAs[Long]("sum_h_micro") == sh, s"band $band entropy")
+      // entropy is bounded by ln(#types): band < ln(5)/0.05 + slack
+      assert(band >= 0L && band <= 33L)
+    }
+  }
 }

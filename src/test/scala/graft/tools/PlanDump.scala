@@ -66,7 +66,9 @@ object PlanDump {
     // Mann-Kendall join, and the lag-spine cross-correlation
     "q_cusum", "q_trend_mk", "q_xcorr",
     // round 11: path mining, dwell quantiles, and the Zipf fit
-    "q_event_paths", "q_dwell", "q_zipf_slope")
+    "q_event_paths", "q_dwell", "q_zipf_slope",
+    // round 11: the tercile-scored RFM and the banded entropy profile
+    "q_rfm", "q_user_entropy")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
