@@ -772,6 +772,88 @@ object AnalyticsQueries {
           sum("h_micro").as("sum_h_micro"))
     },
 
+    // X66 — TPC-H Q5 shape: local-supplier revenue per nation and year.
+    // The one join class the suite did not yet exercise: a FACT-TO-FACT
+    // equi-join (orders ⋈ lineitem on the order key — at 100 TB both
+    // sides shuffle on the key, or co-locate for free if both tables
+    // are bucketed by it via Sinks.writeBucketed; the dims broadcast).
+    // Revenue is exact integer: cents(extendedprice) · (1000 −
+    // milli(discount)) per item — BIGINT-safe to ~10⁹ line items per
+    // group (beyond: DECIMAL(38) per the X51 pattern); the Q5 "local"
+    // condition (supplier nation = customer nation) rides the supplier
+    // join. Scale: one fact-fact exchange pair + broadcast dims + a
+    // (nation × year)-sized rollup.
+    "q_tpch_q5" -> Q(
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (1000 - CAST(round(l_discount * 1000) AS BIGINT)))
+        |    AS BIGINT) AS revenue_ppm_cents
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val l = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val sup = table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val n = table(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = table(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      val rev = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(1000L) - round(col("l_discount") * 1000).cast("long"))
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(rev).as("revenue_ppm_cents"))
+    },
+
+    // X67 — TPC-H Q4 shape: order-priority checking via an EXISTS
+    // semi-join between the two FACT tables (does any line item of the
+    // order ship more than 60 days after it was placed?). The semi-join
+    // is the right plan — the probe side never widens, late lineitems
+    // dedup for free — and at 100 TB it shuffles both facts on the
+    // order key exactly once. Timestamp comparisons are exact (integer
+    // µs under the hood on both engines).
+    "q_tpch_q4" -> Q(
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderpriority"))
+      val l = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+    },
+
     // Cohort retention: users bucketed by first-activity day, counted
     // per (cohort, day-offset) they return on — the classic retention
     // triangle. One user exchange serves the cohort window AND the

@@ -122,7 +122,9 @@ class DeterminismSpec extends SparkSpec {
       "q_stream_transitions", "q_stream_quarantine",
       // round 11: the tercile rank windows' (metric, user_id) total
       // order and the quantized entropy sums
-      "q_rfm", "q_user_entropy")
+      "q_rfm", "q_user_entropy",
+      // round 11: the fact-fact join chain and the EXISTS semi-join
+      "q_tpch_q5", "q_tpch_q4")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -29,9 +29,12 @@ class EmptyTablesSpec extends SparkSpec {
     // only the columns the queries touch — the scan schema is pruned
     // anyway, and the point is the empty-input branch, not the layout
     write("lineitem", StructType(Seq(
+      StructField("l_orderkey", LongType),
       StructField("l_suppkey", LongType),
       StructField("l_quantity", DoubleType),
-      StructField("l_discount", DoubleType))))
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_shipdate", TimestampType))))
     write("events", StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", LongType),
@@ -43,10 +46,20 @@ class EmptyTablesSpec extends SparkSpec {
       StructField("c_nationkey", LongType))))
     write("nation", StructType(Seq(
       StructField("n_nationkey", LongType),
-      StructField("n_name", StringType))))
+      StructField("n_name", StringType),
+      StructField("n_regionkey", LongType))))
     write("orders", StructType(Seq(
       StructField("o_orderkey", LongType),
-      StructField("o_totalprice", DoubleType))))
+      StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType))))
+    write("supplier", StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_nationkey", LongType))))
+    write("region", StructType(Seq(
+      StructField("r_regionkey", LongType),
+      StructField("r_name", StringType))))
     dir
   }
 
@@ -78,7 +91,9 @@ class EmptyTablesSpec extends SparkSpec {
     // round 11: the streaming quality gate over an empty corpus
     "q_stream_quarantine",
     // round 11: segmentation / diversity over empty events
-    "q_rfm", "q_user_entropy")
+    "q_rfm", "q_user_entropy",
+    // round 11: the TPC-H join shapes over empty facts
+    "q_tpch_q5", "q_tpch_q4")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

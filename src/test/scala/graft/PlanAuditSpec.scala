@@ -1212,6 +1212,33 @@ class PlanAuditSpec extends SparkSpec {
       s"no window machinery — pure hash aggregation:\n$p")
   }
 
+  test("q_tpch_q5: dims broadcast; one rollup exchange; no cartesian") {
+    // the star+fact-fact chain: every dimension must reach the facts
+    // as a broadcast; the only shuffle the FINAL plan needs at this
+    // size is the (nation, year) rollup (at scale AQE would add the
+    // fact-fact exchange pair — both are correct; a cartesian or an
+    // unpartial'd agg never is)
+    val p = plan("q_tpch_q5")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 6,
+      s"all six tables scan exactly once:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 4,
+      s"dimensions must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+    assert(p.contains("partial_sum"),
+      s"revenue must combine map-side:\n$p")
+  }
+
+  test("q_tpch_q4: the EXISTS probe is a semi-join, never a widen-dedup") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"),
+      s"the EXISTS must stay a semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+    assert(p.contains("partial_count"),
+      s"priority counts must combine map-side:\n$p")
+  }
+
   test("q_freq_spectrum: GT shift is a broadcast self-join on the spectrum") {
     // past the term-key shuffle everything is distinct-frequency-sized:
     // the r+1 shift joins the checkpointed spectrum against itself via

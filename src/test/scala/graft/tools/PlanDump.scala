@@ -68,7 +68,9 @@ object PlanDump {
     // round 11: path mining, dwell quantiles, and the Zipf fit
     "q_event_paths", "q_dwell", "q_zipf_slope",
     // round 11: the tercile-scored RFM and the banded entropy profile
-    "q_rfm", "q_user_entropy")
+    "q_rfm", "q_user_entropy",
+    // round 11: the fact-fact join chain and the EXISTS semi-join
+    "q_tpch_q5", "q_tpch_q4")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
