@@ -854,6 +854,131 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_orders"))
     },
 
+    // X68 — TPC-H Q13 shape: the customer order-count DISTRIBUTION,
+    // the canonical outer-join histogram (customers with ZERO matching
+    // orders must appear in the 0 bucket — an inner join silently drops
+    // them; sf0.01 has exactly such a customer). Scale shape: the fact
+    // is pre-aggregated to (custkey, cnt) BELOW the outer join — one
+    // map-side-combining exchange on the customer key — so the join
+    // carries one row per active customer, never one per order; joining
+    // the raw fact first and counting after would shuffle every order
+    // row twice. The final distribution rollup is count-of-counts-sized.
+    "q_tpch_q13" -> Q(
+      """WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT CAST(coalesce(cnt, 0) AS BIGINT) AS c_count,
+        |  CAST(count(*) AS BIGINT) AS custdist
+        |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val c = table(s, dir, "customer").select(col("c_custkey"))
+      val oc = table(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+      c.join(oc, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    },
+
+    // X69 — TPC-H Q18 shape: large-volume orders — a HAVING-filtered
+    // aggregate over the fact DRIVES a join back to the facts (the
+    // "group, threshold, rehydrate" pattern). Quantities are integral
+    // doubles in the data; round→long makes the per-order sums exact
+    // integer so the >150 cut is engine-identical. Scale: one lineitem
+    // exchange on the order key builds the qualifying-key set (map-side
+    // partials make the HAVING cheap), orders join it on the same key
+    // (AQE broadcasts the survivors when they fit — they are
+    // threshold-selective by construction), customer stays a broadcast
+    // dim; output is one row per qualifying order, no re-aggregation.
+    "q_tpch_q18" -> Q(
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |      AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 150)
+        |SELECT c_custkey, o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  sum_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey""".stripMargin) { (s, dir) =>
+      val big = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .groupBy("l_orderkey")
+        .agg(sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+      val c = table(s, dir, "customer").select(col("c_custkey"))
+      o.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(c), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          col("sum_qty"))
+    },
+
+    // X70 — TPC-H Q21 shape (adapted to this schema's columns: "late" =
+    // shipped >60 days after the order date): suppliers who were the
+    // SOLE late supplier on a multi-supplier order — the EXISTS +
+    // NOT-EXISTS pair on the same fact, i.e. a semi-join AND an
+    // anti-join against the probe's own derivation. Scale shape: both
+    // sides reduce to (orderkey, suppkey)-distinct tables first (one
+    // order-key exchange each, dedup map-side), the late set is
+    // eager-checkpointed once for its two consumers (semi probe + anti
+    // build — the checkpoint discipline), and the self-anti-join keys on
+    // the order key so it shuffles order-sized, never line-sized. The
+    // per-supplier rollup happens BEFORE the name lookup, so the dim
+    // join is supplier-count-sized and broadcasts.
+    "q_tpch_q21" -> Q(
+      """WITH ls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |late AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM late l1
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM ls
+        |    WHERE ls.l_orderkey = l1.l_orderkey
+        |      AND ls.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val l = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val ls = l.select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val late = l
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .distinct()
+        .localCheckpoint(true) // 2 consumers: semi probe + anti build
+      val late2 = late.select(col("l_orderkey").as("k2"),
+        col("l_suppkey").as("s2"))
+      val sup = table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))
+      late
+        .join(ls.select(col("l_orderkey").as("k1"),
+            col("l_suppkey").as("s1")),
+          col("k1") === col("l_orderkey") &&
+            col("s1") =!= col("l_suppkey"), "left_semi")
+        .join(late2,
+          col("k2") === col("l_orderkey") &&
+            col("s2") =!= col("l_suppkey"), "left_anti")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+    },
+
     // Cohort retention: users bucketed by first-activity day, counted
     // per (cohort, day-offset) they return on — the classic retention
     // triangle. One user exchange serves the cohort window AND the
@@ -947,6 +1072,88 @@ object AnalyticsQueries {
             .cast("long").as("p_ctrl_ppm"),
           round(lit(1000000) * num.cast("double") / den.cast("double"))
             .cast("long").as("chi2_micro"))
+    },
+
+    // X71 — Welch's unequal-variance t-test per event series: does the
+    // treatment arm (the q_ab_test unit-parity assignment) move the
+    // CONTINUOUS `value` metric? The q_ab_test chi-square covers the
+    // binary-outcome half of experiment analysis; this is the
+    // continuous-metric half a real experimentation stack pairs with
+    // it. Six sufficient statistics per series (n, Σx, Σx² per arm,
+    // values in exact integer millis) land in ONE partial-agg shuffle
+    // on the series key; t and the Welch–Satterthwaite degrees of
+    // freedom derive from those exact integers with mirrored double
+    // promotion (n·q and s² exceed BIGINT at this value scale, so the
+    // closed form promotes FIRST — the q_corr_exact discipline),
+    // micro-quantized. Degenerate arms (n ≤ 1, zero pooled variance)
+    // are filtered by the same exact test on both engines. Scale:
+    // output is series-count-sized; nothing downstream grows with
+    // events.
+    "q_welch" -> Q(
+      """WITH e AS (SELECT event_type,
+        |    user_id % 2 = 1 AS treat,
+        |    CAST(round(value * 1000) AS BIGINT) AS x
+        |  FROM events),
+        |s AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) n1,
+        |    CAST(sum(CASE WHEN treat THEN x ELSE 0 END) AS BIGINT) s1,
+        |    CAST(sum(CASE WHEN treat THEN x * x ELSE 0 END) AS BIGINT) q1,
+        |    CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) n0,
+        |    CAST(sum(CASE WHEN NOT treat THEN x ELSE 0 END) AS BIGINT) s0,
+        |    CAST(sum(CASE WHEN NOT treat THEN x * x ELSE 0 END)
+        |      AS BIGINT) q0
+        |  FROM e GROUP BY 1),
+        |w AS (SELECT event_type, n1, n0, s1, s0,
+        |    (CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+        |      / (CAST(n1 AS DOUBLE) * (n1 - 1) * n1) AS a1,
+        |    (CAST(n0 AS DOUBLE) * q0 - CAST(s0 AS DOUBLE) * s0)
+        |      / (CAST(n0 AS DOUBLE) * (n0 - 1) * n0) AS a0
+        |  FROM s WHERE n1 > 1 AND n0 > 1)
+        |SELECT event_type, n1, n0,
+        |  CAST(round(1000000 * (CAST(s1 AS DOUBLE) / n1
+        |    - CAST(s0 AS DOUBLE) / n0)) AS BIGINT) AS dmean_nano,
+        |  CAST(round(1000000 * (CAST(s1 AS DOUBLE) / n1
+        |      - CAST(s0 AS DOUBLE) / n0) / sqrt(a1 + a0)) AS BIGINT)
+        |    AS t_micro,
+        |  CAST(round(1000000 * (a1 + a0) * (a1 + a0)
+        |      / (a1 * a1 / (n1 - 1) + a0 * a0 / (n0 - 1))) AS BIGINT)
+        |    AS df_micro
+        |FROM w WHERE a1 + a0 > 0""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val x = round(col("value") * 1000).cast("long")
+      val treat = col("user_id") % 2 === 1
+      def arm(p: org.apache.spark.sql.Column,
+              v: org.apache.spark.sql.Column) =
+        sum(when(p, v).otherwise(0L))
+      val sums = ev.select(col("event_type"), treat.as("treat"), x.as("x"))
+        .groupBy("event_type")
+        .agg(arm(col("treat"), lit(1L)).as("n1"),
+          arm(col("treat"), col("x")).as("s1"),
+          arm(col("treat"), col("x") * col("x")).as("q1"),
+          arm(!col("treat"), lit(1L)).as("n0"),
+          arm(!col("treat"), col("x")).as("s0"),
+          arm(!col("treat"), col("x") * col("x")).as("q0"))
+      def aVar(n: String, ss: String, q: String) = {
+        val nD = col(n).cast("double")
+        (nD * col(q) - col(ss).cast("double") * col(ss)) /
+          (nD * (col(n) - 1) * col(n))
+      }
+      val dm = col("s1").cast("double") / col("n1") -
+        col("s0").cast("double") / col("n0")
+      sums
+        .filter(col("n1") > 1 && col("n0") > 1)
+        .withColumn("a1", aVar("n1", "s1", "q1"))
+        .withColumn("a0", aVar("n0", "s0", "q0"))
+        .filter(col("a1") + col("a0") > 0)
+        .select(col("event_type"), col("n1"), col("n0"),
+          round(lit(1000000) * dm).cast("long").as("dmean_nano"),
+          round(lit(1000000) * dm / sqrt(col("a1") + col("a0")))
+            .cast("long").as("t_micro"),
+          round(lit(1000000) * (col("a1") + col("a0")) *
+              (col("a1") + col("a0")) /
+              (col("a1") * col("a1") / (col("n1") - 1) +
+                col("a0") * col("a0") / (col("n0") - 1)))
+            .cast("long").as("df_micro"))
     },
 
     // Dual-rule sessionization: 12h gap AND a 24h max-duration cap (the

@@ -150,6 +150,135 @@ object LlmQueries {
           .as("is_quality"))
     },
 
+    // L82 — the Gopher quality-rule battery (Rae et al. 2021, app. A1.1):
+    // the published pre-training document filters, each emitted as its
+    // own boolean NEXT TO the integer features it derives from — a
+    // production filter reports per-rule attrition, not one opaque
+    // gate. Rules: word count in [50, 100k] (splits this corpus
+    // 277/223 at sf0.01), mean word length in [3, 10] (cross-multiplied
+    // — no division), ellipsis-to-word ≤ 0.3, hash-to-word ≤ 0.1, and
+    // ≥2 distinct Gopher stopwords present. All integer/boolean — exact
+    // hashes; ONE scan, pure projection, zero shuffles at any corpus
+    // size (PlanAuditSpec pins it).
+    "q_gopher_rules" -> Q(
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(lower(trim(text)), '\s+', '', 'g'))
+        |      AS BIGINT) AS n_wchars,
+        |    CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT)
+        |      AS n_ellipsis,
+        |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
+        |    CAST(CAST(regexp_matches(lower(text), '\bthe\b') AS INT)
+        |      + CAST(regexp_matches(lower(text), '\bbe\b') AS INT)
+        |      + CAST(regexp_matches(lower(text), '\bto\b') AS INT)
+        |      + CAST(regexp_matches(lower(text), '\bof\b') AS INT)
+        |      + CAST(regexp_matches(lower(text), '\band\b') AS INT)
+        |      + CAST(regexp_matches(lower(text), '\bthat\b') AS INT)
+        |      + CAST(regexp_matches(lower(text), '\bhave\b') AS INT)
+        |      + CAST(regexp_matches(lower(text), '\bwith\b') AS INT)
+        |      AS INTEGER) AS n_stop
+        |  FROM documents),
+        |g AS (SELECT doc_id, n_words, n_wchars, n_ellipsis, n_hash, n_stop,
+        |    n_words BETWEEN 50 AND 100000 AS word_ok,
+        |    3 * n_words <= n_wchars AND n_wchars <= 10 * n_words AS mwl_ok,
+        |    n_ellipsis * 10 <= n_words * 3 AS ellipsis_ok,
+        |    n_hash * 10 <= n_words AS hash_ok,
+        |    n_stop >= 2 AS stop_ok
+        |  FROM f)
+        |SELECT *, word_ok AND mwl_ok AND ellipsis_ok AND hash_ok
+        |  AND stop_ok AS gopher_pass
+        |FROM g""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val norm = lower(trim(d("text")))
+      def present(w: String) =
+        lower(d("text")).rlike("\\b" + w + "\\b").cast("int")
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have",
+        "with").map(present).reduce(_ + _)
+      val f = d.select(d("doc_id"),
+        size(split(norm, "\\s+")).cast("long").as("n_words"),
+        length(regexp_replace(norm, "\\s+", "")).cast("long")
+          .as("n_wchars"),
+        TextOps.regexCount(d("text"), "\\.\\.\\.").cast("long")
+          .as("n_ellipsis"),
+        TextOps.regexCount(d("text"), "#").cast("long").as("n_hash"),
+        stops.as("n_stop"))
+      f.select(col("*"),
+          (col("n_words").between(50, 100000)).as("word_ok"),
+          (lit(3) * col("n_words") <= col("n_wchars") &&
+            col("n_wchars") <= lit(10) * col("n_words")).as("mwl_ok"),
+          (col("n_ellipsis") * 10 <= col("n_words") * 3).as("ellipsis_ok"),
+          (col("n_hash") * 10 <= col("n_words")).as("hash_ok"),
+          (col("n_stop") >= 2).as("stop_ok"))
+        .withColumn("gopher_pass",
+          col("word_ok") && col("mwl_ok") && col("ellipsis_ok") &&
+            col("hash_ok") && col("stop_ok"))
+    },
+
+    // X72 — Spearman rank correlation per source between document size
+    // (chars) and token count: the monotone-association measure that is
+    // robust where q_corr_exact's Pearson is not. Tie-averaged ranks
+    // stay EXACT by doubling: 2·rank̄ = 2·rank() + tie_cnt − 1 is an
+    // integer, so the five Pearson sufficient statistics over (2rx,
+    // 2ry) are exact BIGINT sums and only the closed form touches
+    // doubles (q_corr_exact discipline), micro-quantized. Plan: the
+    // four rank/tie windows all cluster by source — ONE exchange
+    // serves them (key-superset clustering) — then one rollup. At
+    // 100 TB a per-source window is source-sized; the support-sized
+    // block-rank alternative is the q_auc shape.
+    "q_spearman" -> Q(
+      """WITH t AS (SELECT source, CAST(n_chars AS BIGINT) x,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS BIGINT) y
+        |  FROM documents),
+        |r AS (SELECT source,
+        |    2 * rank() OVER (PARTITION BY source ORDER BY x)
+        |      + count(*) OVER (PARTITION BY source, x) - 1 AS rx,
+        |    2 * rank() OVER (PARTITION BY source ORDER BY y)
+        |      + count(*) OVER (PARTITION BY source, y) - 1 AS ry
+        |  FROM t),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(rx) AS BIGINT) sx, CAST(sum(ry) AS BIGINT) sy,
+        |    CAST(sum(rx * ry) AS BIGINT) sxy,
+        |    CAST(sum(rx * rx) AS BIGINT) sxx,
+        |    CAST(sum(ry * ry) AS BIGINT) syy
+        |  FROM r GROUP BY 1)
+        |SELECT source, n,
+        |  CAST(round(1000000 * (CAST(n AS DOUBLE) * sxy
+        |      - CAST(sx AS DOUBLE) * sy) /
+        |    (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |     sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+        |    AS BIGINT) AS spearman_micro
+        |FROM s
+        |WHERE CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+        |  AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+        |""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val t = d.select(d("source"), d("n_chars").cast("long").as("x"),
+        size(TextOps.tokens(d("text"))).cast("long").as("y"))
+      def dblRank(v: String) =
+        lit(2) * rank().over(Window.partitionBy("source").orderBy(v)) +
+          count(lit(1)).over(Window.partitionBy("source", v)) - 1
+      val r = t.select(col("source"),
+        dblRank("x").as("rx"), dblRank("y").as("ry"))
+      val sums = r.groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+          sum(col("rx") * col("ry")).as("sxy"),
+          sum(col("rx") * col("rx")).as("sxx"),
+          sum(col("ry") * col("ry")).as("syy"))
+      val nD = col("n").cast("double")
+      val vx = nD * col("sxx") - col("sx").cast("double") * col("sx")
+      val vy = nD * col("syy") - col("sy").cast("double") * col("sy")
+      sums
+        .filter(vx > 0 && vy > 0)
+        .select(col("source"), col("n"),
+          round(lit(1000000) *
+            (nD * col("sxy") - col("sx").cast("double") * col("sy")) /
+            (sqrt(vx) * sqrt(vy)))
+            .cast("long").as("spearman_micro"))
+    },
+
     // Repetition profile per doc (the Gopher-style repetition filters):
     // total/distinct bigram counts and the top-bigram share. A doc whose
     // most frequent bigram exceeds 10% of all bigram occurrences is

@@ -124,7 +124,13 @@ class DeterminismSpec extends SparkSpec {
       // order and the quantized entropy sums
       "q_rfm", "q_user_entropy",
       // round 11: the fact-fact join chain and the EXISTS semi-join
-      "q_tpch_q5", "q_tpch_q4")
+      "q_tpch_q5", "q_tpch_q4",
+      // round 11: the outer-join zero bucket, the HAVING cut, and the
+      // checkpointed semi+anti late-supplier pair
+      "q_tpch_q13", "q_tpch_q18", "q_tpch_q21",
+      // round 11: the exact arm moments, the regex rule battery, and
+      // the tie-doubled rank windows must be partition-independent
+      "q_welch", "q_gopher_rules", "q_spearman")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

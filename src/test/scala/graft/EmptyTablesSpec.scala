@@ -56,6 +56,7 @@ class EmptyTablesSpec extends SparkSpec {
       StructField("o_orderpriority", StringType))))
     write("supplier", StructType(Seq(
       StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
       StructField("s_nationkey", LongType))))
     write("region", StructType(Seq(
       StructField("r_regionkey", LongType),
@@ -93,7 +94,13 @@ class EmptyTablesSpec extends SparkSpec {
     // round 11: segmentation / diversity over empty events
     "q_rfm", "q_user_entropy",
     // round 11: the TPC-H join shapes over empty facts
-    "q_tpch_q5", "q_tpch_q4")
+    "q_tpch_q5", "q_tpch_q4",
+    // round 11: the outer-join histogram, the HAVING-rehydrate join,
+    // and the semi+anti sole-late-supplier pair over empty facts
+    "q_tpch_q13", "q_tpch_q18", "q_tpch_q21",
+    // round 11: the Welch test, the Gopher rule battery, and the
+    // tie-averaged Spearman ranks over empty inputs
+    "q_welch", "q_gopher_rules", "q_spearman")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

@@ -1239,6 +1239,94 @@ class PlanAuditSpec extends SparkSpec {
       s"priority counts must combine map-side:\n$p")
   }
 
+  test("q_tpch_q13: fact pre-aggregated below the outer join") {
+    // the order counts must combine map-side and reduce to one row per
+    // active customer BEFORE the outer join — joining the raw fact and
+    // counting after would shuffle every order row twice
+    val p = plan("q_tpch_q13")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 2,
+      s"both tables scan exactly once:\n$p")
+    assert(p.contains("LeftOuter"),
+      s"the zero bucket needs an outer join:\n$p")
+    assert(p.contains("partial_count"),
+      s"order counts must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+    // the outer join's fact side is the aggregated (custkey, cnt) table:
+    // the per-custkey HashAggregate pair must sit below the join, i.e.
+    // the plan has an aggregate keyed on o_custkey alone
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") &&
+      l.contains("keys=[o_custkey")),
+      s"pre-aggregation below the join missing:\n$p")
+  }
+
+  test("q_tpch_q18: HAVING cut drives the join-back; no re-aggregation") {
+    val p = plan("q_tpch_q18")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 3,
+      s"all three tables scan exactly once:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-order quantity sums must combine map-side:\n$p")
+    // the threshold applies to the aggregate output, never a re-scan
+    assert(p.contains("(sum_qty"),
+      s"the HAVING cut must filter the aggregated column:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"customer must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+  }
+
+  test("q_tpch_q21: EXISTS and NOT EXISTS stay semi + anti joins") {
+    val p = plan("q_tpch_q21")
+    assert(p.contains("LeftSemi"),
+      s"the other-supplier EXISTS must stay a semi-join:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"the other-late NOT EXISTS must stay an anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+    // per-supplier rollup happens before the name lookup, so supplier
+    // joins a supplier-count-sized table and must broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"the supplier name lookup must broadcast:\n$p")
+    // the late set is checkpointed for its two consumers: the final
+    // plan reads it as an in-memory scan, not a second derivation
+    assert(p.linesIterator.count(_.contains("FileScan")) <= 2,
+      s"the late set must be checkpointed, not re-derived:\n$p")
+  }
+
+  test("q_welch: six arm moments in one partial-agg shuffle; no joins") {
+    val p = plan("q_welch")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"one events scan only:\n$p")
+    assert(p.contains("partial_sum"),
+      s"arm moments must combine map-side:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      == 1, s"exactly one series-key exchange:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"pure sufficient-statistics aggregation — no window/join:\n$p")
+  }
+
+  test("q_gopher_rules: projection only — zero shuffles at any size") {
+    val p = plan("q_gopher_rules")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"one corpus scan only:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("Window") && !p.contains("HashAggregate"),
+      s"the rule battery is a straight projection:\n$p")
+  }
+
+  test("q_spearman: all four rank/tie windows share one source exchange") {
+    // rank(x), tie-count(source,x), rank(y), tie-count(source,y) all
+    // cluster by source — key-superset clustering means ONE exchange
+    // feeds every window, then only the rollup re-shuffles
+    val p = plan("q_spearman")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"one corpus scan only:\n$p")
+    val ex = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex <= 2, s"one window exchange + one rollup, got $ex:\n$p")
+    assert(p.contains("partial_sum"),
+      s"rank moments must combine map-side:\n$p")
+  }
+
   test("q_freq_spectrum: GT shift is a broadcast self-join on the spectrum") {
     // past the term-key shuffle everything is distinct-frequency-sized:
     // the r+1 shift joins the checkpointed spectrum against itself via

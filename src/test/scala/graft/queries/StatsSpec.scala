@@ -851,4 +851,123 @@ class StatsSpec extends SparkSpec {
       assert(band >= 0L && band <= 33L)
     }
   }
+
+  test("q_welch: t and Welch-Satterthwaite df match plain-Scala moments") {
+    val ev = Tables.table(spark, sf0001, "events")
+      .select("event_type", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1) % 2 == 1,
+        r0(r.getDouble(2) * 1000)))
+    val expected = ev.groupBy(_._1).flatMap { case (t, es) =>
+      val (tr, ct) = es.partition(_._2)
+      val (n1, n0) = (tr.length.toLong, ct.length.toLong)
+      if (n1 > 1 && n0 > 1) {
+        def mom(xs: Array[(String, Boolean, Long)]) =
+          (xs.map(_._3).sum, xs.map(e => e._3 * e._3).sum)
+        val (s1, q1) = mom(tr); val (s0, q0) = mom(ct)
+        val a1 = (n1.toDouble * q1 - s1.toDouble * s1) /
+          (n1.toDouble * (n1 - 1) * n1)
+        val a0 = (n0.toDouble * q0 - s0.toDouble * s0) /
+          (n0.toDouble * (n0 - 1) * n0)
+        if (a1 + a0 > 0) {
+          val dm = s1.toDouble / n1 - s0.toDouble / n0
+          Some(t -> ((n1, n0, r0(1000000 * dm),
+            r0(1000000 * dm / math.sqrt(a1 + a0)),
+            r0(1000000 * (a1 + a0) * (a1 + a0) /
+              (a1 * a1 / (n1 - 1) + a0 * a0 / (n0 - 1))))))
+        } else None
+      } else None
+    }
+    val got = SparkEntry.queries("q_welch")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (n1, n0, dm, tm, df) = expected(t)
+      assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n0") == n0)
+      assert(r.getAs[Long]("dmean_nano") == dm, s"$t mean diff")
+      assert(r.getAs[Long]("t_micro") == tm, s"$t t statistic")
+      assert(r.getAs[Long]("df_micro") == df, s"$t degrees of freedom")
+      // Welch df is bounded by the pooled df
+      assert(df <= 1000000L * (n1 + n0 - 2) && df > 0L, s"$t df bound")
+    }
+  }
+
+  test("q_spearman: tie-doubled ranks match plain Scala; rho in [-1,1]") {
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select("source", "n_chars", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).trim.toLowerCase.split("\\s+").length.toLong))
+    val expected = docs.groupBy(_._1).flatMap { case (src, ds) =>
+      // 2·(tie-averaged rank) = 2·|{v' < v}| + |{v' = v}| + 1
+      def dblRanks(vs: Array[Long]): Array[Long] =
+        vs.map(v => 2L * vs.count(_ < v) + vs.count(_ == v) + 1)
+      val rx = dblRanks(ds.map(_._2)); val ry = dblRanks(ds.map(_._3))
+      val n = ds.length.toLong
+      val (sx, sy) = (rx.sum, ry.sum)
+      val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+      val sxx = rx.map(a => a * a).sum; val syy = ry.map(a => a * a).sum
+      val vx = n.toDouble * sxx - sx.toDouble * sx
+      val vy = n.toDouble * syy - sy.toDouble * sy
+      if (vx > 0 && vy > 0)
+        Some(src -> ((n, r0(1000000 *
+          (n.toDouble * sxy - sx.toDouble * sy) /
+          (math.sqrt(vx) * math.sqrt(vy))))))
+      else None
+    }
+    val got = SparkEntry.queries("q_spearman")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (n, rho) = expected(src)
+      assert(r.getAs[Long]("n") == n, s"$src n")
+      assert(r.getAs[Long]("spearman_micro") == rho, s"$src rho")
+      assert(math.abs(rho) <= 1000000L, s"$src rho bound")
+    }
+  }
+
+  test("q_gopher_rules: the rule battery matches plain-Scala regexes") {
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stopWords =
+      Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val expected = docs.map { case (id, text) =>
+      val norm = text.trim.toLowerCase
+      val nWords = norm.split("\\s+").length.toLong
+      val nWchars = norm.replaceAll("\\s+", "").length.toLong
+      def cnt(re: String) =
+        re.r.findAllMatchIn(text).length.toLong
+      val nEll = cnt("\\.\\.\\."); val nHash = cnt("#")
+      val nStop = stopWords.count(w =>
+        ("\\b" + w + "\\b").r.findFirstIn(text.toLowerCase).isDefined)
+      id -> ((nWords, nWchars, nEll, nHash, nStop,
+        nWords >= 50 && nWords <= 100000,
+        3 * nWords <= nWchars && nWchars <= 10 * nWords,
+        nEll * 10 <= nWords * 3, nHash * 10 <= nWords, nStop >= 2))
+    }.toMap
+    val got = SparkEntry.queries("q_gopher_rules")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    // the corpus must exercise BOTH routes of the overall gate
+    assert(got.exists(_.getAs[Boolean]("gopher_pass") !=
+      got.head.getAs[Boolean]("gopher_pass")) ||
+      got.map(_.getAs[Boolean]("word_ok")).distinct.length == 2)
+    got.foreach { r =>
+      val (nw, nc, ne, nh, ns, wok, mok, eok, hok, sok) =
+        expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_words") == nw)
+      assert(r.getAs[Long]("n_wchars") == nc)
+      assert(r.getAs[Long]("n_ellipsis") == ne)
+      assert(r.getAs[Long]("n_hash") == nh)
+      assert(r.getAs[Int]("n_stop") == ns)
+      assert(r.getAs[Boolean]("word_ok") == wok)
+      assert(r.getAs[Boolean]("mwl_ok") == mok)
+      assert(r.getAs[Boolean]("ellipsis_ok") == eok)
+      assert(r.getAs[Boolean]("hash_ok") == hok)
+      assert(r.getAs[Boolean]("stop_ok") == sok)
+      assert(r.getAs[Boolean]("gopher_pass") ==
+        (wok && mok && eok && hok && sok))
+    }
+  }
 }

@@ -70,7 +70,13 @@ object PlanDump {
     // round 11: the tercile-scored RFM and the banded entropy profile
     "q_rfm", "q_user_entropy",
     // round 11: the fact-fact join chain and the EXISTS semi-join
-    "q_tpch_q5", "q_tpch_q4")
+    "q_tpch_q5", "q_tpch_q4",
+    // round 11: the outer-join count histogram, the HAVING-rehydrate
+    // join-back, and the sole-late-supplier semi+anti pair
+    "q_tpch_q13", "q_tpch_q18", "q_tpch_q21",
+    // round 11: the one-shuffle Welch moments, the projection-only
+    // Gopher battery, and the shared-exchange Spearman rank windows
+    "q_welch", "q_gopher_rules", "q_spearman")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
