@@ -33,6 +33,39 @@ object LlmQueries {
       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks
       |        FROM documents))""".stripMargin
 
+  /** DuckDB CTE chain replaying Pca.component verbatim: integer 1e-4
+    * quantization → truncating per-dim means → centered coords →
+    * covariance (scatter // n) → `rounds` unrolled power-iteration
+    * rounds (w = C·v; v' = (w·1e6) // max|w| in HUGEINT — DuckDB `//`
+    * truncates toward zero exactly like Spark `div`, HUGEINT included).
+    * Yields `cent(id, i, c)` and `v<rounds>(i, v)`.
+    */
+  private def pcaCtes(rounds: Int): String = {
+    val base =
+      """xq AS (
+        |  SELECT vec_id AS id, u.i AS i,
+        |    CAST(round(embedding[u.i]::DOUBLE * 10000) AS BIGINT) AS x
+        |  FROM embeddings,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
+        |means AS (SELECT i, sum(x) // count(*) AS m FROM xq GROUP BY 1),
+        |cent AS (SELECT id, xq.i AS i, x - m AS c
+        |  FROM xq JOIN means ON means.i = xq.i),
+        |cov AS (SELECT a.i AS i, b.i AS j,
+        |    sum(a.c * b.c) // CAST(count(*) AS BIGINT) AS cij
+        |  FROM cent a JOIN cent b ON a.id = b.id GROUP BY 1, 2),
+        |v0 AS (SELECT i, CAST(1000000 AS BIGINT) AS v FROM means)"""
+        .stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""w$r AS (SELECT cov.i AS i, CAST(sum(cij * v.v) AS BIGINT) AS w
+         |  FROM cov JOIN v${r - 1} v ON v.i = cov.j GROUP BY 1),
+         |g$r AS (SELECT max(abs(w)) AS g FROM w$r),
+         |v$r AS (SELECT i, CAST((CAST(w AS HUGEINT) * 1000000) // g
+         |    AS BIGINT) AS v
+         |  FROM w$r, g$r WHERE g > 0)""".stripMargin
+    }.mkString(",\n")
+    base + ",\n" + rs
+  }
+
   // DuckDB-side MinHash banding (mirrors Dedup.minhashBands with n=3,
   // bands=4): chain after `base` (duckShingles); yields
   // `mh_banded(doc_id, band, bkey)` (+ mh_sigs for calibration).
@@ -2507,6 +2540,39 @@ object LlmQueries {
         .groupBy(col("label"), col("dim"))
         .agg(sum(round(col("v") * 1000000).cast("long")).as("sum_micro"),
           count(lit(1)).as("n"))
+    },
+
+    // L83 — dominant principal component by exact-integer power
+    // iteration (the corpus-geometry diagnostic: one distributed
+    // covariance pass + 5 integer matvec rounds whose fixed point is
+    // bit-identical on both engines — the q_pagerank unrolled-recurrence
+    // discipline applied to linear algebra). The covariance outer
+    // product is generated SCAN-SIDE below the (i, j) partial agg;
+    // nothing shuffles by row id; iteration tables are 64 rows. See
+    // ops/llm/Pca.scala for the overflow/scale analysis.
+    "q_pca_power" -> Q(
+      s"""WITH ${pcaCtes(5)}
+        |SELECT CAST(i AS BIGINT) AS dim, v AS v_unit FROM v5
+        |""".stripMargin) { (s, dir) =>
+      Pca.component(table(s, dir, "embeddings"), "vec_id", "embedding",
+          rounds = 5)
+        .select(col("i").cast("long").as("dim"), col("v").as("v_unit"))
+    },
+
+    // L83b — per-document projection onto the dominant component (the
+    // serving half: where each embedding sits on the main variance
+    // axis — the 1-D embedding the component exists for). Exact integer
+    // dot products computed scan-side against the broadcast component;
+    // the oracle replays the entire train→serve chain verbatim, so one
+    // hash certifies the whole loop (the q_nb_classify precedent).
+    "q_pca_project" -> Q(
+      s"""WITH ${pcaCtes(5)}
+        |SELECT id AS vec_id, CAST(sum(c * v.v) AS BIGINT) AS proj
+        |FROM cent JOIN v5 v ON v.i = cent.i GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      Pca.project(table(s, dir, "embeddings"), "vec_id", "embedding",
+          rounds = 5)
+        .select(col("id").as("vec_id"), col("proj"))
     },
 
     // ANN variant: hyperplane-LSH buckets + Hamming-1 multi-probe, exact

@@ -130,7 +130,10 @@ class DeterminismSpec extends SparkSpec {
       "q_tpch_q13", "q_tpch_q18", "q_tpch_q21",
       // round 11: the exact arm moments, the regex rule battery, and
       // the tie-doubled rank windows must be partition-independent
-      "q_welch", "q_gopher_rules", "q_spearman")
+      "q_welch", "q_gopher_rules", "q_spearman",
+      // round 11: the covariance outer product and the 5-round integer
+      // matvec fixed point must be partition-independent
+      "q_pca_power", "q_pca_project")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -61,6 +61,10 @@ class EmptyTablesSpec extends SparkSpec {
     write("region", StructType(Seq(
       StructField("r_regionkey", LongType),
       StructField("r_name", StringType))))
+    write("embeddings", StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType))))
     dir
   }
 
@@ -100,7 +104,10 @@ class EmptyTablesSpec extends SparkSpec {
     "q_tpch_q13", "q_tpch_q18", "q_tpch_q21",
     // round 11: the Welch test, the Gopher rule battery, and the
     // tie-averaged Spearman ranks over empty inputs
-    "q_welch", "q_gopher_rules", "q_spearman")
+    "q_welch", "q_gopher_rules", "q_spearman",
+    // round 11: the integer power iteration and its projections over
+    // an empty embeddings table
+    "q_pca_power", "q_pca_project")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

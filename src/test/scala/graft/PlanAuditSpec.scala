@@ -1327,6 +1327,32 @@ class PlanAuditSpec extends SparkSpec {
       s"rank moments must combine map-side:\n$p")
   }
 
+  test("q_pca_power: iteration plan reads only the checkpointed vector") {
+    // the q_pagerank discipline: the returned rank vector is the last
+    // checkpointed round — its plan must not re-derive the covariance
+    // (or the corpus) on consumption
+    val p = plan("q_pca_power")
+    assert(!p.contains("FileScan"),
+      s"the component must come from the checkpointed iteration:\n$p")
+    assert(!p.contains("Exchange"),
+      s"consuming the 64-row component must not shuffle:\n$p")
+  }
+
+  test("q_pca_project: one scan; component and means reach it broadcast") {
+    // projections are scan-side dot products: one corpus scan, the
+    // 1-row mean/component arrays arrive via broadcast, and nothing
+    // shuffles by row id
+    val p = plan("q_pca_project")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"exactly one embeddings scan:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"projections must not shuffle by row id:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row arrays must arrive broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+  }
+
   test("q_freq_spectrum: GT shift is a broadcast self-join on the spectrum") {
     // past the term-key shuffle everything is distinct-frequency-sized:
     // the r+1 shift joins the checkpointed spectrum against itself via

@@ -926,6 +926,50 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_pca_power / q_pca_project: power iteration matches plain Scala") {
+    val rows = Tables.table(spark, sf0001, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val n = rows.length
+    val d = rows.head._2.length
+    val xq = rows.map { case (id, v) => (id, v.map(x => r0(x * 10000))) }
+    // Long '/' truncates toward zero — the Spark `div` / DuckDB `//`
+    // semantics the chain is built on
+    val m = Array.tabulate(d)(i => xq.map(_._2(i)).sum / n)
+    val cent = xq.map { case (id, v) =>
+      (id, Array.tabulate(d)(i => v(i) - m(i))) }
+    val cov = Array.tabulate(d, d)((i, j) =>
+      cent.map { case (_, c) => c(i) * c(j) }.sum / n)
+    var v = Array.fill(d)(1000000L)
+    for (_ <- 1 to 5) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val g = w.map(math.abs).max
+      assert(g > 0, "degenerate covariance on live data")
+      v = w.map(x => (BigInt(x) * 1000000 / g).toLong)
+    }
+    val gotV = SparkEntry.queries("q_pca_power")(spark, sf0001).collect()
+    assert(gotV.length == d)
+    gotV.foreach { r =>
+      assert(r.getAs[Long]("v_unit") ==
+        v(r.getAs[Long]("dim").toInt - 1), s"dim ${r.getAs[Long]("dim")}")
+    }
+    // each round renormalizes so the max-magnitude coordinate attains
+    // exactly ±1e6
+    assert(gotV.map(r => math.abs(r.getAs[Long]("v_unit"))).max ==
+      1000000L)
+    val projs = cent.map { case (id, c) =>
+      id -> (0 until d).map(i => c(i) * v(i)).sum }.toMap
+    val gotP = SparkEntry.queries("q_pca_project")(spark, sf0001)
+      .collect()
+    assert(gotP.length == n)
+    gotP.foreach { r =>
+      assert(r.getAs[Long]("proj") == projs(r.getAs[Long]("vec_id")),
+        s"vec ${r.getAs[Long]("vec_id")}")
+    }
+  }
+
   test("q_gopher_rules: the rule battery matches plain-Scala regexes") {
     val docs = Tables.table(spark, sf0001, "documents")
       .select("doc_id", "text").collect()

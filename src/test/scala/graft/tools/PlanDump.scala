@@ -76,7 +76,10 @@ object PlanDump {
     "q_tpch_q13", "q_tpch_q18", "q_tpch_q21",
     // round 11: the one-shuffle Welch moments, the projection-only
     // Gopher battery, and the shared-exchange Spearman rank windows
-    "q_welch", "q_gopher_rules", "q_spearman")
+    "q_welch", "q_gopher_rules", "q_spearman",
+    // round 11: the scan-side covariance outer product and the
+    // broadcast-component projections
+    "q_pca_power", "q_pca_project")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
