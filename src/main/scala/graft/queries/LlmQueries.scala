@@ -66,6 +66,41 @@ object LlmQueries {
     base + ",\n" + rs
   }
 
+  /** DuckDB CTE chain replaying Kmeans.fit verbatim: quantized coords,
+    * lowest-id seeds, then `rounds` unrolled (assign, update) pairs —
+    * assignment ties break (dist asc, cid asc); the update mean is
+    * truncating; empty clusters keep the previous centroid. Yields
+    * `a{rounds+1}(id, cid, d)`, the final assignment.
+    */
+  private def kmeansCtes(k: Int, rounds: Int): String = {
+    val base =
+      s"""xq AS (
+        |  SELECT vec_id AS id, u.i AS i,
+        |    CAST(round(embedding[u.i]::DOUBLE * 10000) AS BIGINT) AS x
+        |  FROM embeddings,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
+        |c0 AS (SELECT id AS cid, i, x AS m FROM xq WHERE id < $k)"""
+        .stripMargin
+    val assignOnly = (r: Int) =>
+      s"""a$r AS (SELECT id, cid, d FROM (
+         |    SELECT xq.id, c.cid,
+         |      CAST(sum((x - m) * (x - m)) AS BIGINT) AS d,
+         |      row_number() OVER (PARTITION BY xq.id
+         |        ORDER BY sum((x - m) * (x - m)) ASC, c.cid ASC) AS rn
+         |    FROM xq JOIN c${r - 1} c ON c.i = xq.i
+         |    GROUP BY 1, 2)
+         |  WHERE rn = 1)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""${assignOnly(r)},
+         |u$r AS (SELECT a.cid, xq.i, sum(x) // count(*) AS m
+         |  FROM a$r a JOIN xq ON xq.id = a.id GROUP BY 1, 2),
+         |c$r AS (SELECT c.cid, c.i, coalesce(u.m, c.m) AS m
+         |  FROM c${r - 1} c LEFT JOIN u$r u
+         |    ON u.cid = c.cid AND u.i = c.i)""".stripMargin
+    }.mkString(",\n")
+    base + ",\n" + rs + ",\n" + assignOnly(rounds + 1)
+  }
+
   // DuckDB-side MinHash banding (mirrors Dedup.minhashBands with n=3,
   // bands=4): chain after `base` (duckShingles); yields
   // `mh_banded(doc_id, band, bkey)` (+ mh_sigs for calibration).
@@ -2573,6 +2608,26 @@ object LlmQueries {
       Pca.project(table(s, dir, "embeddings"), "vec_id", "embedding",
           rounds = 5)
         .select(col("id").as("vec_id"), col("proj"))
+    },
+
+    // L84 — ORACLE-EXACT Lloyd k-means (k=8, 3 rounds) over the
+    // embeddings: the full clustering iteration behind the IVF cell
+    // build (whose one-round k-means-lite ships as the rows-only
+    // q_similarity_ivf). Exact integer distances, truncating centroid
+    // means, (dist, cid) tie-broken argmin — the fixed point is
+    // bit-identical on both engines; the oracle unrolls the same
+    // (assign, update) recurrence as CTE rounds. Scale: the corpus is
+    // checkpointed once, centroids travel as ONE broadcast row, the
+    // assignment argmin is SCAN-SIDE (array_min over the centroid
+    // array — zero exchanges, no n×k join), and the update shuffles
+    // only (cid, dim) partial sums. See ops/llm/Kmeans.scala.
+    "q_kmeans" -> Q(
+      s"""WITH ${kmeansCtes(8, 3)}
+        |SELECT id AS vec_id, CAST(cid AS BIGINT) AS cid, d AS dist2
+        |FROM a4""".stripMargin) { (s, dir) =>
+      Kmeans.fit(table(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, rounds = 3)
+        .select(col("id").as("vec_id"), col("cid"), col("dist2"))
     },
 
     // ANN variant: hyperplane-LSH buckets + Hamming-1 multi-probe, exact

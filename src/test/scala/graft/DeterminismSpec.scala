@@ -133,7 +133,10 @@ class DeterminismSpec extends SparkSpec {
       "q_welch", "q_gopher_rules", "q_spearman",
       // round 11: the covariance outer product and the 5-round integer
       // matvec fixed point must be partition-independent
-      "q_pca_power", "q_pca_project")
+      "q_pca_power", "q_pca_project",
+      // round 11: the (dist, cid) argmin and truncating centroid means
+      // must be partition-independent across all three Lloyd rounds
+      "q_kmeans")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

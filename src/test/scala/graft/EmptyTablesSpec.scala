@@ -107,7 +107,9 @@ class EmptyTablesSpec extends SparkSpec {
     "q_welch", "q_gopher_rules", "q_spearman",
     // round 11: the integer power iteration and its projections over
     // an empty embeddings table
-    "q_pca_power", "q_pca_project")
+    "q_pca_power", "q_pca_project",
+    // round 11: Lloyd k-means over an empty embeddings table
+    "q_kmeans")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

@@ -1353,6 +1353,20 @@ class PlanAuditSpec extends SparkSpec {
       s"no cartesian product allowed:\n$p")
   }
 
+  test("q_kmeans: final assignment is scan-side over broadcast centroids") {
+    // the corpus is checkpointed once and the argmin is a projection
+    // against the 1-row centroid array — no n×k join, no id shuffle
+    val p = plan("q_kmeans")
+    assert(!p.contains("FileScan"),
+      s"the corpus must come from its checkpoint:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"assignment must not shuffle by row id:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroids must arrive as a 1-row broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+  }
+
   test("q_freq_spectrum: GT shift is a broadcast self-join on the spectrum") {
     // past the term-key shuffle everything is distinct-frequency-sized:
     // the r+1 shift joins the checkpointed spectrum against itself via

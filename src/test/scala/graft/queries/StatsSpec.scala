@@ -970,6 +970,48 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_kmeans: three Lloyd rounds match a plain-Scala iteration") {
+    val rows = Tables.table(spark, sf0001, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray
+        .map(x => r0(x * 10000))))
+    val k = 8
+    var cent: Map[Long, Array[Long]] =
+      rows.filter(_._1 < k).map { case (id, v) => id -> v }.toMap
+    def assign(c: Map[Long, Array[Long]]) = rows.map { case (id, v) =>
+      val (d, cid) = c.toSeq.map { case (cid, m) =>
+        (v.zip(m).map { case (x, mm) =>
+          (x - mm) * (x - mm) }.sum, cid)
+      }.min // (dist asc, cid asc) — the struct-ordering tie-break
+      (id, cid, d, v)
+    }
+    for (_ <- 1 to 3) {
+      val a = assign(cent)
+      val upd = a.groupBy(_._2).map { case (cid, vs) =>
+        val n = vs.length
+        cid -> Array.tabulate(vs.head._4.length)(i =>
+          vs.map(_._4(i)).sum / n) // truncating mean
+      }
+      cent = cent.map { case (cid, old) =>
+        cid -> upd.getOrElse(cid, old) }
+    }
+    val expected = assign(cent).map { case (id, cid, d, _) =>
+      id -> ((cid, d)) }.toMap
+    val got = SparkEntry.queries("q_kmeans")(spark, sf0001).collect()
+    assert(got.length == rows.length)
+    // every centroid id stays in [0, k)
+    assert(got.forall(r => r.getAs[Long]("cid") >= 0 &&
+      r.getAs[Long]("cid") < k))
+    got.foreach { r =>
+      val (cid, d) = expected(r.getAs[Long]("vec_id"))
+      assert(r.getAs[Long]("cid") == cid,
+        s"vec ${r.getAs[Long]("vec_id")} assignment")
+      assert(r.getAs[Long]("dist2") == d,
+        s"vec ${r.getAs[Long]("vec_id")} distance")
+    }
+  }
+
   test("q_gopher_rules: the rule battery matches plain-Scala regexes") {
     val docs = Tables.table(spark, sf0001, "documents")
       .select("doc_id", "text").collect()

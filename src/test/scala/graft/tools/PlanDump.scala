@@ -79,7 +79,9 @@ object PlanDump {
     "q_welch", "q_gopher_rules", "q_spearman",
     // round 11: the scan-side covariance outer product and the
     // broadcast-component projections
-    "q_pca_power", "q_pca_project")
+    "q_pca_power", "q_pca_project",
+    // round 11: the scan-side Lloyd assignment over broadcast centroids
+    "q_kmeans")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
