@@ -531,6 +531,56 @@ object AnalyticsQueries {
           count(col("t3")).as("n_then_purchase"))
     },
 
+    // X73 — multi-touch conversion attribution: for every purchase, the
+    // FIRST and LAST non-purchase touchpoint in the trailing 7-day
+    // window, credited by event type (the first-touch/last-touch models
+    // a marketing stack reports side by side). Touch candidates encode
+    // as fixed-width sortable strings (zero-padded tsu ‖ event_id ‖
+    // type), so min/max over ONE RANGE-framed window pass ARE the two
+    // attribution models — never a purchase×touch range self-join
+    // (quadratic per user at 100 TB); both windows share the user
+    // exchange. Output is touch-type-pair-bounded at any event volume.
+    "q_attribution" -> Q(
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) tsu
+        |           FROM events),
+        |k AS (SELECT user_id, event_id, event_type, tsu,
+        |    CASE WHEN event_type <> 'purchase' THEN
+        |      lpad(CAST(tsu AS VARCHAR), 20, '0')
+        |        || lpad(CAST(event_id AS VARCHAR), 12, '0')
+        |        || event_type END AS tkey
+        |  FROM e),
+        |w AS (SELECT user_id, event_id, event_type,
+        |    min(tkey) OVER (PARTITION BY user_id ORDER BY tsu
+        |      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) fk,
+        |    max(tkey) OVER (PARTITION BY user_id ORDER BY tsu
+        |      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) lk
+        |  FROM k)
+        |SELECT coalesce(substr(fk, 33), 'none') AS first_touch,
+        |  coalesce(substr(lk, 33), 'none') AS last_touch,
+        |  CAST(count(*) AS BIGINT) AS n_conversions
+        |FROM w WHERE event_type = 'purchase'
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("tsu"))
+      val tkey = when(col("event_type") =!= "purchase",
+        concat(lpad(col("tsu").cast("string"), 20, "0"),
+          lpad(col("event_id").cast("string"), 12, "0"),
+          col("event_type")))
+      val w7 = Window.partitionBy("user_id").orderBy("tsu")
+        .rangeBetween(-604_800_000_000L, Window.currentRow)
+      e.withColumn("tkey", tkey)
+        .withColumn("fk", min(col("tkey")).over(w7))
+        .withColumn("lk", max(col("tkey")).over(w7))
+        .filter(col("event_type") === "purchase")
+        .groupBy(
+          coalesce(expr("substring(fk, 33)"), lit("none"))
+            .as("first_touch"),
+          coalesce(expr("substring(lk, 33)"), lit("none"))
+            .as("last_touch"))
+        .agg(count(lit(1)).as("n_conversions"))
+    },
+
     // Event-transition matrix (first-order Markov counts): how often each
     // event type is followed by each other type within a user's ordered
     // stream — the path-analysis staple behind sankey/flow charts. One
@@ -1371,6 +1421,38 @@ object AnalyticsQueries {
         |FROM nx WHERE tt IS NOT NULL GROUP BY 1, 2""".stripMargin) {
       (s, dir) =>
         graft.streaming.StreamingPipeline.streamTransitions(s, dir)
+    },
+
+    // X12x — the streaming ordered funnel: the q_funnel signup→click→
+    // purchase state machine tracked per user in keyed state across
+    // micro-batches (greedy time-ordered folding — provably equal to
+    // the batch min-CASE chain because arrival is event-time-ordered
+    // and every qualifying condition is strict in tsu), each trigger
+    // merging changed users into the sink table, then the three-step
+    // rollup. The oracle is q_funnel's SQL verbatim — one hash proves
+    // the state machine bridges every trigger boundary.
+    "q_stream_funnel" -> Q(
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) tsu
+        |           FROM events),
+        |u AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN tsu END) t1
+        |  FROM e GROUP BY 1),
+        |u2 AS (SELECT u.user_id, u.t1,
+        |    min(CASE WHEN e.event_type = 'click' AND e.tsu > u.t1
+        |             AND e.tsu <= u.t1 + 86400000000 THEN e.tsu END) t2
+        |  FROM u JOIN e ON e.user_id = u.user_id GROUP BY 1, 2),
+        |u3 AS (SELECT u2.user_id, u2.t1, u2.t2,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.tsu > u2.t2
+        |             AND e.tsu <= u2.t2 + 86400000000 THEN e.tsu END) t3
+        |  FROM u2 JOIN e ON e.user_id = u2.user_id GROUP BY 1, 2, 3)
+        |SELECT
+        |  CAST(count(*) FILTER (WHERE t1 IS NOT NULL) AS BIGINT) n_signup,
+        |  CAST(count(*) FILTER (WHERE t2 IS NOT NULL) AS BIGINT)
+        |    n_then_click,
+        |  CAST(count(*) FILTER (WHERE t3 IS NOT NULL) AS BIGINT)
+        |    n_then_purchase
+        |FROM u3""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamingPipeline.streamFunnel(s, dir)
     },
 
     // X12h — transformWithState (Spark 4's arbitrary-state v2 API) as a

@@ -590,6 +590,73 @@ object StreamingPipeline {
     facts.groupBy("from_type", "to_type").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Keyed funnel state machine: per user, the earliest signup t1, the
+    * earliest qualifying click t2 ∈ (t1, t1+win], and the earliest
+    * qualifying purchase t3 ∈ (t2, t2+win], folded in event-time order
+    * across micro-batches (-1 = step not reached). Greedy time-ordered
+    * folding equals the batch q_funnel min-CASE chain BECAUSE arrival
+    * is event-time-ordered across triggers (events8range staging) and
+    * every qualifying condition is strict in tsu — an equal-timestamp
+    * event can never qualify, so intra-slice order is immaterial.
+    * Emits the user's full current state on every batch it appears in
+    * (update-mode-legal: replace-by-key merge is correct).
+    */
+  def statefulFunnel(
+      events: org.apache.spark.sql.Dataset[(Long, Long, Long, String)],
+      win: Long = 86_400_000_000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long),
+        (Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(Long, Long, Long)]) =>
+          val rows = batch.toSeq.sortBy(e => (e._2, e._3))
+          if (rows.isEmpty) Iterator.empty
+          else {
+            var (t1, t2, t3) =
+              state.getOption.getOrElse((-1L, -1L, -1L))
+            rows.foreach { case (_, tsu, _, tpe) =>
+              if (t1 < 0) { if (tpe == "signup") t1 = tsu }
+              else if (t2 < 0) {
+                if (tpe == "click" && tsu > t1 && tsu <= t1 + win)
+                  t2 = tsu
+              } else if (t3 < 0) {
+                if (tpe == "purchase" && tsu > t2 && tsu <= t2 + win)
+                  t3 = tsu
+              }
+            }
+            state.update((t1, t2, t3))
+            Iterator((user, t1, t2, t3))
+          }
+      }
+      .toDF("user_id", "t1", "t2", "t3")
+  }
+
+  /** X12x — the streaming ordered funnel: per-user signup→click→
+    * purchase progression tracked in keyed state across micro-batches,
+    * each trigger MERGE-ing the changed users' states into the sink
+    * table (the production "conversion state store" shape), then the
+    * three-step rollup — hash-matched against q_funnel's batch oracle,
+    * proving the state machine bridges every trigger boundary.
+    */
+  def streamFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val state = drainUpdateMerge(spark,
+      graft.queries.StreamStaging.dir(spark, sfDir, "events8range"),
+      "funnel", Seq("user_id")) { st =>
+      statefulFunnel(
+        st.select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+            col("event_id"), col("event_type"))
+          .as[(Long, Long, Long, String)])
+    }
+    state.agg(
+      count(when(col("t1") >= 0, 1)).as("n_signup"),
+      count(when(col("t2") >= 0, 1)).as("n_then_click"),
+      count(when(col("t3") >= 0, 1)).as("n_then_purchase"))
+  }
+
   /** X12w — streaming data-quality gate: the q_quarantine rule set
     * applied PER MICRO-BATCH on the ingest stream (Constraints.tag is a
     * pure projection — stateless, so it is append-mode-legal unchanged;

@@ -136,7 +136,10 @@ class DeterminismSpec extends SparkSpec {
       "q_pca_power", "q_pca_project",
       // round 11: the (dist, cid) argmin and truncating centroid means
       // must be partition-independent across all three Lloyd rounds
-      "q_kmeans")
+      "q_kmeans",
+      // round 11: the RANGE-framed attribution windows and the keyed
+      // streaming funnel state machine
+      "q_attribution", "q_stream_funnel")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -109,7 +109,9 @@ class EmptyTablesSpec extends SparkSpec {
     // an empty embeddings table
     "q_pca_power", "q_pca_project",
     // round 11: Lloyd k-means over an empty embeddings table
-    "q_kmeans")
+    "q_kmeans",
+    // round 11: attribution over empty events (no purchases → no rows)
+    "q_attribution")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

@@ -1367,6 +1367,20 @@ class PlanAuditSpec extends SparkSpec {
       s"no cartesian product allowed:\n$p")
   }
 
+  test("q_attribution: both RANGE windows share one user exchange") {
+    // first-touch min and last-touch max ride the SAME user-partitioned
+    // window pass — never a purchase×touch range self-join
+    val p = plan("q_attribution")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"one events scan only:\n$p")
+    assert(!p.contains("Join"),
+      s"attribution must not self-join:\n$p")
+    val ex = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex <= 2, s"one window exchange + one rollup, got $ex:\n$p")
+    assert(p.contains("partial_count"),
+      s"conversion counts must combine map-side:\n$p")
+  }
+
   test("q_freq_spectrum: GT shift is a broadcast self-join on the spectrum") {
     // past the term-key shuffle everything is distinct-frequency-sized:
     // the r+1 shift joins the checkpointed spectrum against itself via

@@ -590,6 +590,20 @@ class StreamingSpec extends SparkSpec {
       "every consecutive pair must emit exactly once")
   }
 
+  test("streamFunnel: keyed funnel state equals the batch min-CASE chain") {
+    import org.apache.spark.sql.functions._
+    val dir = sf0001
+    val got = StreamingPipeline.streamFunnel(spark, dir)
+      .as[(Long, Long, Long)].collect().head
+    val expected = graft.SparkEntry.queries("q_funnel")(spark, dir)
+      .as[(Long, Long, Long)].collect().head
+    assert(got == expected)
+    // the funnel is monotone by construction
+    assert(got._1 >= got._2 && got._2 >= got._3 && got._3 >= 0L)
+    // the fixture must actually exercise the full chain
+    assert(got._3 > 0L, "fixture should convert at least one user")
+  }
+
   test("streamQuarantine: per-batch rule tagging equals the batch split") {
     import org.apache.spark.sql.functions._
     val dir = sf0001

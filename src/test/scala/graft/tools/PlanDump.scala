@@ -81,7 +81,9 @@ object PlanDump {
     // broadcast-component projections
     "q_pca_power", "q_pca_project",
     // round 11: the scan-side Lloyd assignment over broadcast centroids
-    "q_kmeans")
+    "q_kmeans",
+    // round 11: the shared-exchange RANGE-framed attribution windows
+    "q_attribution")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
