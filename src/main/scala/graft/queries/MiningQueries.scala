@@ -539,5 +539,73 @@ object MiningQueries {
         .select(col("event_id"), col("zx"), col("zy"),
           ZOrder.interleave(col("zx"), col("zy")).as("zkey"))
     },
+
+    // Hilbert-curve layout keys over the same (user_id, value) buckets —
+    // q_zorder's better-locality sibling (consecutive indexes are always
+    // grid-adjacent, so curve-segment files carry tighter 2-D bounding
+    // boxes than the z-curve's diagonal jumps). The rotate/flip xy2d
+    // loop unrolls into 8 chained projections of pure integer CASE/xor
+    // arithmetic (ops/Hilbert.scala — linear expression tree, scan-side
+    // under whole-stage codegen); the oracle replays the identical
+    // unrolled levels bit-for-bit.
+    "q_hilbert" -> Q(
+      s"""WITH st AS (SELECT CAST(min(user_id) AS BIGINT) mnx,
+        |    CAST(max(user_id) AS BIGINT) mxx,
+        |    min(value) mny, max(value) mxy FROM events),
+        |b AS (SELECT event_id,
+        |  CASE WHEN user_id IS NULL OR mnx IS NULL OR mxx IS NULL
+        |      OR mnx = mxx THEN 0
+        |    ELSE greatest(0, least(255, CAST(floor(
+        |      ((CAST(user_id AS DOUBLE) - CAST(mnx AS DOUBLE)) * 256) /
+        |      (CAST(mxx AS DOUBLE) - CAST(mnx AS DOUBLE))) AS BIGINT)))
+        |    END zx,
+        |  CASE WHEN value IS NULL OR mny IS NULL OR mxy IS NULL
+        |      OR mny = mxy THEN 0
+        |    ELSE greatest(0, least(255, CAST(floor(
+        |      ((CAST(value AS DOUBLE) - CAST(mny AS DOUBLE)) * 256) /
+        |      (CAST(mxy AS DOUBLE) - CAST(mny AS DOUBLE))) AS BIGINT)))
+        |    END zy
+        |  FROM events, st),
+        |${hilbertCtes(8)}
+        |SELECT event_id, zx, zy, d AS hkey FROM h0""".stripMargin) {
+      (s, dir) =>
+        val e = table(s, dir, "events")
+        val st = e.agg(min("user_id").as("mnx"), max("user_id").as("mxx"),
+          min("value").as("mny"), max("value").as("mxy"))
+        val b = e.crossJoin(broadcast(st))
+          .select(col("event_id"),
+            ZOrder.bucket(col("user_id"), col("mnx"), col("mxx"))
+              .as("zx"),
+            ZOrder.bucket(col("value"), col("mny"), col("mxy"))
+              .as("zy"))
+        graft.ops.Hilbert.withIndex(b, "zx", "zy", "hkey")
+          .select(col("event_id"), col("zx"), col("zy"), col("hkey"))
+    },
   )
+
+  /** DuckDB CTE levels replaying Hilbert.withIndex bit-for-bit: chain
+    * after a `b(event_id, zx, zy)` CTE; yields `h0(..., d)`.
+    */
+  private def hilbertCtes(order: Int): String = {
+    val start =
+      s"""h$order AS (SELECT event_id, zx, zy, zx AS x, zy AS y,
+         |  CAST(0 AS BIGINT) AS d FROM b)""".stripMargin
+    val levels = ((order - 1) to 0 by -1).map { l =>
+      val s = 1L << l
+      s"""r$l AS (SELECT event_id, zx, zy, x, y, d,
+         |    CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |    CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |  FROM h${l + 1}),
+         |h$l AS (SELECT event_id, zx, zy,
+         |    CASE WHEN ry = 0 THEN
+         |      (CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END)
+         |      ELSE x END AS x,
+         |    CASE WHEN ry = 0 THEN
+         |      (CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END)
+         |      ELSE y END AS y,
+         |    d + ${s * s} * xor(3 * rx, ry) AS d
+         |  FROM r$l)""".stripMargin
+    }.mkString(",\n")
+    start + ",\n" + levels
+  }
 }

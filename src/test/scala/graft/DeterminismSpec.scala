@@ -139,7 +139,9 @@ class DeterminismSpec extends SparkSpec {
       "q_kmeans",
       // round 11: the RANGE-framed attribution windows and the keyed
       // streaming funnel state machine
-      "q_attribution", "q_stream_funnel")
+      "q_attribution", "q_stream_funnel",
+      // round 11: the unrolled Hilbert rotate/flip levels
+      "q_hilbert")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

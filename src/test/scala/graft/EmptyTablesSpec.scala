@@ -111,7 +111,9 @@ class EmptyTablesSpec extends SparkSpec {
     // round 11: Lloyd k-means over an empty embeddings table
     "q_kmeans",
     // round 11: attribution over empty events (no purchases → no rows)
-    "q_attribution")
+    "q_attribution",
+    // round 11: Hilbert keys over empty events
+    "q_hilbert")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

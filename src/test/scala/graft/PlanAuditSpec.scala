@@ -1381,6 +1381,18 @@ class PlanAuditSpec extends SparkSpec {
       s"conversion counts must combine map-side:\n$p")
   }
 
+  test("q_hilbert: unrolled curve levels stay a scan-side projection") {
+    // the 8 rotate/flip levels are chained projections — no shuffle, no
+    // window; the column bounds arrive as a 1-row broadcast
+    val p = plan("q_hilbert")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the key computation must not shuffle rows:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"bounds must arrive as a 1-row broadcast:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      s"pure projection expected:\n$p")
+  }
+
   test("q_freq_spectrum: GT shift is a broadcast self-join on the spectrum") {
     // past the term-key shuffle everything is distinct-frequency-sized:
     // the r+1 shift joins the checkpointed spectrum against itself via

@@ -83,7 +83,9 @@ object PlanDump {
     // round 11: the scan-side Lloyd assignment over broadcast centroids
     "q_kmeans",
     // round 11: the shared-exchange RANGE-framed attribution windows
-    "q_attribution")
+    "q_attribution",
+    // round 11: the scan-side unrolled Hilbert projection chain
+    "q_hilbert")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
