@@ -221,6 +221,104 @@ object SelectionQueries {
             .cast("long").as("auc_micro"))
     },
 
+    // L86 — decile gains/lift table (the third leg of the evaluation
+    // family next to q_auc's ranking power and q_calibration's
+    // reliability: "if I keep only the top-k% by score, how many of
+    // the positives do I capture, and at what multiple of random?").
+    // Docs rank per source by (score desc, doc_id) — a deterministic
+    // total order — into exact tercile-style deciles
+    // (((rn−1)·10) div n + 1, the q_rfm rank-selection discipline);
+    // per-decile counts partial-agg; cumulative gains/lift ride
+    // 10-row-per-source windows over the decile table. Only the two
+    // final ratios touch doubles (mirrored, micro-quantized); the
+    // cross-products stay BIGINT to ~3e9 docs/source (beyond:
+    // DECIMAL(38), X51 pattern). Scale: one doc-rank window per source
+    // + a decile-sized everything-else.
+    "q_lift" -> Q(
+      """WITH occ AS (
+        |  SELECT doc_id, source, lang,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, source, lang,
+        |    CASE WHEN substr(sha256(t), 1, 1) <= '3' THEN -2
+        |         WHEN substr(sha256(t), 1, 1) <= '7' THEN -1
+        |         WHEN substr(sha256(t), 1, 1) <= 'b' THEN 1
+        |         ELSE 2 END AS wt
+        |  FROM occ),
+        |ds AS (
+        |  SELECT doc_id, source,
+        |    CAST(max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pos,
+        |    CAST(sum(wt) AS BIGINT) AS score
+        |  FROM w GROUP BY 1, 2),
+        |rk AS (SELECT source, pos,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) rn,
+        |    count(*) OVER (PARTITION BY source) n
+        |  FROM ds),
+        |dec AS (SELECT source, ((rn - 1) * 10) // n + 1 AS decile, pos
+        |  FROM rk),
+        |agg AS (SELECT source, decile, CAST(count(*) AS BIGINT) n_docs,
+        |    CAST(sum(pos) AS BIGINT) n_pos
+        |  FROM dec GROUP BY 1, 2),
+        |c AS (SELECT source, decile, n_docs, n_pos,
+        |    CAST(sum(n_docs) OVER (PARTITION BY source ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) cum_n,
+        |    CAST(sum(n_pos) OVER (PARTITION BY source ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) cum_pos,
+        |    CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) tot_n,
+        |    CAST(sum(n_pos) OVER (PARTITION BY source) AS BIGINT) tot_pos
+        |  FROM agg)
+        |SELECT source, CAST(decile AS BIGINT) AS decile, n_docs, n_pos,
+        |  cum_pos,
+        |  CAST(round(1000000 * CAST(cum_pos AS DOUBLE) / tot_pos)
+        |    AS BIGINT) AS gain_ppm,
+        |  CAST(round(1000000 * CAST(cum_pos * tot_n AS DOUBLE)
+        |    / CAST(cum_n * tot_pos AS DOUBLE)) AS BIGINT) AS lift_micro
+        |FROM c WHERE tot_pos > 0""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val occ = d.select(d("doc_id"), d("source"), d("lang"),
+        explode(TextOps.tokens(d("text"))).as("t"))
+      val h = substring(sha2(col("t"), 256), 1, 1)
+      val wt = when(h <= "3", -2).when(h <= "7", -1)
+        .when(h <= "b", 1).otherwise(2)
+      val ds = occ.select(col("doc_id"), col("source"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos0"),
+          wt.cast("long").as("wt"))
+        .groupBy("doc_id", "source")
+        .agg(max("pos0").as("pos"), sum("wt").as("score"))
+      val rkW = Window.partitionBy("source")
+        .orderBy(col("score").desc, col("doc_id"))
+      val nW = Window.partitionBy("source")
+      val dec = ds
+        .select(col("source"), col("pos"),
+          row_number().over(rkW).as("rn"),
+          count(lit(1)).over(nW).as("n"))
+        .select(col("source"), col("pos"),
+          (expr("((rn - 1) * 10) div n") + 1).as("decile"))
+      val agg = dec.groupBy("source", "decile")
+        .agg(count(lit(1)).as("n_docs"), sum("pos").as("n_pos"))
+      val cw = Window.partitionBy("source").orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tw = Window.partitionBy("source")
+      agg.withColumn("cum_n", sum("n_docs").over(cw))
+        .withColumn("cum_pos", sum("n_pos").over(cw))
+        .withColumn("tot_n", sum("n_docs").over(tw))
+        .withColumn("tot_pos", sum("n_pos").over(tw))
+        .filter(col("tot_pos") > 0)
+        .select(col("source"), col("decile").cast("long").as("decile"),
+          col("n_docs"), col("n_pos"), col("cum_pos"),
+          round(lit(1000000) * col("cum_pos").cast("double") /
+            col("tot_pos")).cast("long").as("gain_ppm"),
+          round(lit(1000000) *
+              (col("cum_pos") * col("tot_n")).cast("double") /
+              (col("cum_n") * col("tot_pos")).cast("double"))
+            .cast("long").as("lift_micro"))
+    },
+
     // L74 — calibration / reliability diagram (the q_auc companion):
     // does a higher score actually mean a higher positive rate? Docs
     // bin into 10 equi-width score bins over the OBSERVED range (min/

@@ -141,7 +141,9 @@ class DeterminismSpec extends SparkSpec {
       // streaming funnel state machine
       "q_attribution", "q_stream_funnel",
       // round 11: the unrolled Hilbert rotate/flip levels
-      "q_hilbert")
+      "q_hilbert",
+      // round 11: the (score desc, doc_id) decile total order
+      "q_lift")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -113,7 +113,9 @@ class EmptyTablesSpec extends SparkSpec {
     // round 11: attribution over empty events (no purchases → no rows)
     "q_attribution",
     // round 11: Hilbert keys over empty events
-    "q_hilbert")
+    "q_hilbert",
+    // round 11: the gains table over an empty corpus
+    "q_lift")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

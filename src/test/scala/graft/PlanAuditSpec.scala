@@ -1393,6 +1393,18 @@ class PlanAuditSpec extends SparkSpec {
       s"pure projection expected:\n$p")
   }
 
+  test("q_lift: one corpus scan; rank window rides the source partition") {
+    val p = plan("q_lift")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"one corpus scan only:\n$p")
+    assert(!p.contains("Join"),
+      s"the gains table must not join:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"no global window allowed:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"decile counts must combine map-side:\n$p")
+  }
+
   test("q_freq_spectrum: GT shift is a broadcast self-join on the spectrum") {
     // past the term-key shuffle everything is distinct-frequency-sized:
     // the r+1 shift joins the checkpointed spectrum against itself via

@@ -1012,6 +1012,56 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_lift: decile gains and lift match a plain-Scala ranking") {
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select("doc_id", "source", "lang", "text").collect()
+      .map { r =>
+        val score = r.getString(3).trim.toLowerCase.split("\\s+")
+          .map { t =>
+            val h = java.security.MessageDigest.getInstance("SHA-256")
+              .digest(t.getBytes("UTF-8")).take(1)
+            val c = "%02x".format(h(0) & 0xff).charAt(0)
+            if (c <= '3') -2L else if (c <= '7') -1L
+            else if (c <= 'b') 1L else 2L
+          }.sum
+        (r.getLong(0), r.getString(1),
+          if (r.getString(2) == "en") 1L else 0L, score)
+      }
+    val expected = docs.groupBy(_._2).flatMap { case (src, ds) =>
+      val n = ds.length.toLong
+      val ranked = ds.sortBy(d => (-d._4, d._1))
+      val decs = ranked.zipWithIndex.map { case (d, i) =>
+        (i.toLong * 10 / n + 1, d._3) }
+      val agg = decs.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (dec, xs) =>
+          (dec, xs.length.toLong, xs.map(_._2).sum) }
+      val totN = n; val totPos = ds.map(_._3).sum
+      var (cumN, cumPos) = (0L, 0L)
+      if (totPos > 0) agg.map { case (dec, nd, np) =>
+        cumN += nd; cumPos += np
+        (src, dec) -> ((nd, np, cumPos,
+          r0(1000000.0 * cumPos / totPos),
+          r0(1000000 * (cumPos * totN).toDouble /
+            (cumN * totPos).toDouble)))
+      } else Seq.empty
+    }
+    val got = SparkEntry.queries("q_lift")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val k = (r.getAs[String]("source"), r.getAs[Long]("decile"))
+      val (nd, np, cp, gain, lift) = expected(k)
+      assert(r.getAs[Long]("n_docs") == nd, s"$k docs")
+      assert(r.getAs[Long]("n_pos") == np, s"$k positives")
+      assert(r.getAs[Long]("cum_pos") == cp, s"$k cumulative")
+      assert(r.getAs[Long]("gain_ppm") == gain, s"$k gain")
+      assert(r.getAs[Long]("lift_micro") == lift, s"$k lift")
+    }
+    // the final decile's gain is exactly 100%
+    got.filter(_.getAs[Long]("decile") == 10L)
+      .foreach(r => assert(r.getAs[Long]("gain_ppm") == 1000000L))
+  }
+
   test("q_gopher_rules: the rule battery matches plain-Scala regexes") {
     val docs = Tables.table(spark, sf0001, "documents")
       .select("doc_id", "text").collect()

@@ -85,7 +85,9 @@ object PlanDump {
     // round 11: the shared-exchange RANGE-framed attribution windows
     "q_attribution",
     // round 11: the scan-side unrolled Hilbert projection chain
-    "q_hilbert")
+    "q_hilbert",
+    // round 11: the decile gains table's rank + cumulative windows
+    "q_lift")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
