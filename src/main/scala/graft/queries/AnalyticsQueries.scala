@@ -1029,6 +1029,49 @@ object AnalyticsQueries {
         .select(col("s_suppkey"), col("s_name"), col("numwait"))
     },
 
+    // X74 — TPC-H Q2 shape: the cheapest-supplier-per-part correlated
+    // subquery, decorrelated the way Catalyst itself rewrites it — an
+    // aggregate-equality JOIN-BACK that keeps ALL argmin witnesses
+    // (ties produce one row each; q_minmax_by's max_by keeps only one,
+    // so this is a genuinely different contract). Scale: offers reduce
+    // per (part, supplier) in one partial-agg shuffle; the per-part min
+    // reuses the part-key clustering; the join-back keys on (part,
+    // cost) — never a correlated per-row subquery; the name lookup
+    // broadcasts after the rollup.
+    "q_tpch_q2" -> Q(
+      """WITH offer AS (SELECT l_partkey, l_suppkey,
+        |    CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cost_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |best AS (SELECT l_partkey, min(cost_cents) AS best_cents
+        |  FROM offer GROUP BY 1)
+        |SELECT o.l_partkey AS p_partkey, o.l_suppkey AS s_suppkey,
+        |  s_name, o.cost_cents
+        |FROM offer o
+        |JOIN best b ON b.l_partkey = o.l_partkey
+        |  AND o.cost_cents = b.best_cents
+        |JOIN supplier ON s_suppkey = o.l_suppkey""".stripMargin) {
+      (s, dir) =>
+        val offer = table(s, dir, "lineitem")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(round(col("l_extendedprice") * 100).cast("long"))
+            .as("cost_cents"))
+          // 2 consumers: the per-part min and the join-back probe
+          .localCheckpoint(true)
+        val best = offer.groupBy("l_partkey")
+          .agg(min("cost_cents").as("best_cents"))
+          .select(col("l_partkey").as("bp"), col("best_cents"))
+        val sup = table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))
+        offer
+          .join(best, col("bp") === col("l_partkey") &&
+            col("cost_cents") === col("best_cents"))
+          .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+          .select(col("l_partkey").as("p_partkey"),
+            col("l_suppkey").as("s_suppkey"), col("s_name"),
+            col("cost_cents"))
+    },
+
     // Cohort retention: users bucketed by first-activity day, counted
     // per (cohort, day-offset) they return on — the classic retention
     // triangle. One user exchange serves the cohort window AND the

@@ -605,6 +605,67 @@ object ExtendedQueries {
     // fences lo = q1 − 3·IQR / hi = q3 + 3·IQR and every membership test
     // are exact integer comparisons. Types with no outliers surface with
     // n_outliers = 0 via the left join, not by vanishing.
+    // X75 — winsorized (clamped) robust aggregation per group: the
+    // production answer to "the mean is poisoned by outliers" when you
+    // still need a mean, next to q_outliers' fence REPORT. p05/p95 are
+    // RANK-SELECTED discrete order statistics (the q_median discipline
+    // — exact, engine-identical, no interpolation) picked off ONE
+    // group-partitioned window with a unique tie-break; the clamp +
+    // clamped integer-cents sum rides the SAME windowed rows joined to
+    // the 3-row broadcast quantile table. Scale: one window pass + a
+    // group-count-sized broadcast; clamped sums are BIGINT-safe to
+    // ~9e11 rows/group at this price scale.
+    "q_winsorize" -> Q(
+      """WITH v AS (SELECT l_returnflag flag, l_orderkey, l_linenumber,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem),
+        |r AS (SELECT flag, c,
+        |    row_number() OVER (PARTITION BY flag
+        |      ORDER BY c, l_orderkey, l_linenumber) rn,
+        |    count(*) OVER (PARTITION BY flag) n
+        |  FROM v),
+        |q AS (SELECT flag,
+        |    CAST(max(CASE WHEN rn = ((n - 1) * 5) // 100 + 1 THEN c END)
+        |      AS BIGINT) p05,
+        |    CAST(max(CASE WHEN rn = ((n - 1) * 95) // 100 + 1 THEN c END)
+        |      AS BIGINT) p95
+        |  FROM r GROUP BY 1)
+        |SELECT r.flag AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  q.p05 AS p05_cents, q.p95 AS p95_cents,
+        |  CAST(sum(least(greatest(c, p05), p95)) AS BIGINT)
+        |    AS winsorized_cents,
+        |  CAST(sum(CASE WHEN c < p05 OR c > p95 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clamped
+        |FROM r JOIN q ON q.flag = r.flag
+        |GROUP BY 1, 3, 4""".stripMargin) { (s, dir) =>
+      val v = table(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_orderkey"),
+          col("l_linenumber"),
+          round(col("l_extendedprice") * 100).cast("long").as("c"))
+      val w = Window.partitionBy("flag")
+        .orderBy("c", "l_orderkey", "l_linenumber")
+      val r = v.select(col("flag"), col("c"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("flag")).as("n"))
+      val q = r.groupBy("flag")
+        .agg(max(when(col("rn") ===
+            expr("((n - 1) * 5) div 100") + 1, col("c"))).as("p05"),
+          max(when(col("rn") ===
+            expr("((n - 1) * 95) div 100") + 1, col("c"))).as("p95"))
+        .select(col("flag").as("qflag"), col("p05"), col("p95"))
+        .localCheckpoint(true) // group-count-sized, broadcast below
+      r.join(broadcast(q), col("qflag") === col("flag"))
+        .groupBy(col("flag").as("l_returnflag"), col("p05"), col("p95"))
+        .agg(count(lit(1)).as("n"),
+          sum(least(greatest(col("c"), col("p05")), col("p95")))
+            .as("winsorized_cents"),
+          sum(when(col("c") < col("p05") || col("c") > col("p95"), 1L)
+            .otherwise(0L)).as("n_clamped"))
+        .select(col("l_returnflag"), col("n"),
+          col("p05").as("p05_cents"), col("p95").as("p95_cents"),
+          col("winsorized_cents"), col("n_clamped"))
+    },
+
     "q_outliers" -> Q(
       """WITH e AS (SELECT event_type,
         |  CAST(floor(value * 1000000) AS BIGINT) vm, event_id FROM events),

@@ -218,6 +218,41 @@ object MaintenanceQueries {
             .as("n_risky_rows"))
     },
 
+    // L87 — l-diversity audit (the q_kanon companion: k-anonymity bounds
+    // re-identification by class SIZE, l-diversity bounds ATTRIBUTE
+    // inference — a large class whose members all share one sensitive
+    // value still leaks it). Quasi-identifiers (lang, size bucket);
+    // sensitive attribute: source; a class is risky when fewer than 3
+    // distinct sources appear in it. Same two-level rollup shape as
+    // q_kanon plus one distinct-aggregate; everything class-count-sized
+    // past the first shuffle.
+    "q_l_diversity" -> Q(
+      """WITH cls AS (
+        |  SELECT lang, n_chars // 100 AS size_bucket,
+        |    CAST(count(*) AS BIGINT) AS cls_n,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS l_div
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(l_div) AS BIGINT) AS min_diversity,
+        |  CAST(sum(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_risky_classes,
+        |  CAST(sum(CASE WHEN l_div < 3 THEN cls_n ELSE 0 END) AS BIGINT)
+        |    AS n_risky_rows
+        |FROM cls GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val cls = d.groupBy(d("lang"), expr("n_chars div 100")
+          .as("size_bucket"))
+        .agg(count(lit(1)).as("cls_n"),
+          countDistinct(col("source")).as("l_div"))
+      cls.groupBy("lang")
+        .agg(count(lit(1)).as("n_classes"),
+          min("l_div").as("min_diversity"),
+          sum(when(col("l_div") < 3, 1L).otherwise(0L))
+            .as("n_risky_classes"),
+          sum(when(col("l_div") < 3, col("cls_n")).otherwise(0L))
+            .as("n_risky_rows"))
+    },
+
     // X12o — the CDC CONSUMER as a REAL streaming run (fourth streaming
     // gate entry): the change feed arrives as a file-source stream
     // (8 staged files, 2 per trigger → ≥4 micro-batches) and the

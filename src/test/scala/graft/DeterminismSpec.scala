@@ -143,7 +143,10 @@ class DeterminismSpec extends SparkSpec {
       // round 11: the unrolled Hilbert rotate/flip levels
       "q_hilbert",
       // round 11: the (score desc, doc_id) decile total order
-      "q_lift")
+      "q_lift",
+      // round 11: the argmin join-back, the rank-selected clamps, and
+      // the class-distinct diversity rollup
+      "q_tpch_q2", "q_winsorize", "q_l_diversity")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -30,10 +30,13 @@ class EmptyTablesSpec extends SparkSpec {
     // anyway, and the point is the empty-input branch, not the layout
     write("lineitem", StructType(Seq(
       StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType),
       StructField("l_suppkey", LongType),
+      StructField("l_linenumber", IntegerType),
       StructField("l_quantity", DoubleType),
       StructField("l_extendedprice", DoubleType),
       StructField("l_discount", DoubleType),
+      StructField("l_returnflag", StringType),
       StructField("l_shipdate", TimestampType))))
     write("events", StructType(Seq(
       StructField("event_id", LongType),
@@ -115,7 +118,10 @@ class EmptyTablesSpec extends SparkSpec {
     // round 11: Hilbert keys over empty events
     "q_hilbert",
     // round 11: the gains table over an empty corpus
-    "q_lift")
+    "q_lift",
+    // round 11: argmin join-back, winsorized rollup, and l-diversity
+    // over empty inputs
+    "q_tpch_q2", "q_winsorize", "q_l_diversity")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

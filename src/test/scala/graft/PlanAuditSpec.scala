@@ -1405,6 +1405,39 @@ class PlanAuditSpec extends SparkSpec {
       s"decile counts must combine map-side:\n$p")
   }
 
+  test("q_tpch_q2: join-back reads the checkpointed offers, name broadcasts") {
+    // the offer table feeds the per-part min AND the join-back probe —
+    // checkpointed once; the final plan derives nothing from parquet
+    val p = plan("q_tpch_q2")
+    assert(!p.contains("FileScan") ||
+      p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"offers must be checkpointed (only the supplier dim may scan):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the name lookup must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+  }
+
+  test("q_winsorize: one scan; quantiles reach the clamp as a broadcast") {
+    val p = plan("q_winsorize")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"one lineitem scan only:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 3-row quantile table must broadcast:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"no global window allowed:\n$p")
+    assert(p.contains("partial_sum"),
+      s"clamped sums must combine map-side:\n$p")
+  }
+
+  test("q_l_diversity: two-level rollup, distinct below, no joins") {
+    val p = plan("q_l_diversity")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"one corpus scan only:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"pure aggregation expected:\n$p")
+  }
+
   test("q_freq_spectrum: GT shift is a broadcast self-join on the spectrum") {
     // past the term-key shuffle everything is distinct-frequency-sized:
     // the r+1 shift joins the checkpointed spectrum against itself via

@@ -1062,6 +1062,36 @@ class StatsSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Long]("gain_ppm") == 1000000L))
   }
 
+  test("q_winsorize: rank-selected clamps match a plain-Scala sort") {
+    val li = Tables.table(spark, sf0001, "lineitem")
+      .selectExpr("l_returnflag", "l_orderkey", "l_linenumber",
+        "cast(round(l_extendedprice * 100) as bigint) c").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val expected = li.groupBy(_._1).map { case (flag, rows) =>
+      val sorted = rows.sortBy(r => (r._4, r._2, r._3)).map(_._4)
+      val n = sorted.length
+      val p05 = sorted(((n - 1) * 5 / 100).toInt)
+      val p95 = sorted(((n - 1) * 95 / 100).toInt)
+      val clamped = sorted.map(c => math.min(math.max(c, p05), p95))
+      flag -> ((n.toLong, p05, p95, clamped.sum,
+        sorted.count(c => c < p05 || c > p95).toLong))
+    }
+    val got = SparkEntry.queries("q_winsorize")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val (n, p05, p95, ws, nc) = expected(flag)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("p05_cents") == p05, s"$flag p05")
+      assert(r.getAs[Long]("p95_cents") == p95, s"$flag p95")
+      assert(r.getAs[Long]("winsorized_cents") == ws, s"$flag sum")
+      assert(r.getAs[Long]("n_clamped") == nc, s"$flag clamped")
+      // the clamp must actually bite on live data
+      assert(nc > 0L, s"$flag fixture exercises the clamp")
+    }
+  }
+
   test("q_gopher_rules: the rule battery matches plain-Scala regexes") {
     val docs = Tables.table(spark, sf0001, "documents")
       .select("doc_id", "text").collect()

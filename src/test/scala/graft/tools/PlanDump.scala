@@ -87,7 +87,9 @@ object PlanDump {
     // round 11: the scan-side unrolled Hilbert projection chain
     "q_hilbert",
     // round 11: the decile gains table's rank + cumulative windows
-    "q_lift")
+    "q_lift",
+    // round 11: the argmin join-back, the windowed clamp, l-diversity
+    "q_tpch_q2", "q_winsorize", "q_l_diversity")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
