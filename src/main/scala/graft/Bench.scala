@@ -151,6 +151,10 @@ object Bench {
       timedBase(s"fixture_$f") {
         graft.queries.FormatFixture.path(spark, sfDir, f); () }
     }
+    // bucketed catalog tables (r11): q_join_bucketed times the
+    // co-located JOIN, the one-off bucketed writes bill here.
+    timedBase("fixture_bucketed") {
+      graft.queries.FormatFixture.bucketedTables(spark, sfDir); () }
     // streaming staged sources (r10): the ten streaming entries share
     // four memoized staged layouts — the entries time the STREAM, the
     // corpus staging writes bill here.

@@ -49,6 +49,13 @@ object GraftSession {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
+      // catalog-table storage (bucketed layouts) goes to a per-process
+      // temp dir, never ./spark-warehouse in the caller's CWD; pid
+      // suffix keeps concurrent driver/bench JVMs from clobbering each
+      // other's table directories
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+          s"graft-warehouse-${ProcessHandle.current.pid}").toString)
 
   /** Local session (tests, Verify/Bench, standalone CLI). */
   def local(appName: String, cores: Int): SparkSession =

@@ -91,4 +91,33 @@ private[graft] object FormatFixture {
         dest
       })
     }
+
+  /** Two co-bucketed catalog tables over `dir`'s documents — the corpus
+    * attributes and a derived per-doc token count, both bucketed (and
+    * sorted) by doc_id into 8 buckets via [[graft.io.Sinks.writeBucketed]]
+    * — so a doc_id equi-join between them is EXCHANGE-FREE (the 100 TB
+    * co-located-join layout; PlanAuditSpec pins the shuffle-free
+    * SortMergeJoin). Memoized per (dir, fingerprint); table files live
+    * in the session's per-process temp warehouse (GraftSession).
+    */
+  def bucketedTables(s: SparkSession, dir: String): (String, String) =
+    synchronized {
+      val key = s"$dir@bucketed@${SharedBases.fingerprint(s, dir)}"
+      cache.getOrElseUpdate(key, {
+        cache.keys.filter(_.startsWith(s"$dir@bucketed@")).toSeq
+          .foreach(cache.remove)
+        val sfx = md5(dir).take(8)
+        val (docsT, toksT) = (s"graft_docs_b_$sfx", s"graft_toks_b_$sfx")
+        val d = docs(s, dir)
+        graft.io.Sinks.writeBucketed(
+          d.select("doc_id", "lang", "source", "n_chars"),
+          docsT, buckets = 8, keys = Seq("doc_id"))
+        graft.io.Sinks.writeBucketed(
+          d.select(col("doc_id"),
+            size(graft.ops.llm.TextOps.tokens(col("text"))).cast("long")
+              .as("ws_tokens")),
+          toksT, buckets = 8, keys = Seq("doc_id"))
+        s"$docsT,$toksT"
+      }).split(",") match { case Array(a, b) => (a, b) }
+    }
 }

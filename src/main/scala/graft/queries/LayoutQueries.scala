@@ -95,6 +95,30 @@ object LayoutQueries {
           .filter(col("lang").isin("en", "fr")))
     },
 
+    // S1d — co-bucketed catalog-table join (the 100 TB co-located-join
+    // layout, promoted from SinksSpec to the hash-checked gate): both
+    // sides written via Sinks.writeBucketed (8 buckets on doc_id,
+    // sorted), so the doc_id equi-join needs NO exchange on either side
+    // — the layout that turns the fact⋈fact shuffle into a local merge.
+    // The oracle recomputes the same rollup from the raw corpus, so one
+    // hash certifies the bucketed write → catalog read → co-located
+    // join roundtrip end-to-end. PlanAuditSpec pins the shuffle-free
+    // SortMergeJoin with broadcasting disabled (the big-big path the
+    // bucketing exists for).
+    "q_join_bucketed" -> Q(
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+        |    AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val (docsT, toksT) = FormatFixture.bucketedTables(s, dir)
+      s.table(docsT).join(s.table(toksT), "doc_id")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          sum("ws_tokens").as("total_tokens"))
+    },
+
     // Compaction planner (ops/Compaction.plan + planSummary) on a
     // manifest stand-in: one "file" per document, path = source/doc_id,
     // bytes = n_chars. The oracle replays the greedy cumulative-sum

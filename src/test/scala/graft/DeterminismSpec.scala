@@ -146,7 +146,9 @@ class DeterminismSpec extends SparkSpec {
       "q_lift",
       // round 11: the argmin join-back, the rank-selected clamps, and
       // the class-distinct diversity rollup
-      "q_tpch_q2", "q_winsorize", "q_l_diversity")
+      "q_tpch_q2", "q_winsorize", "q_l_diversity",
+      // round 11: the bucketed-layout roundtrip join
+      "q_join_bucketed")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

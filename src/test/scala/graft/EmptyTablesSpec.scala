@@ -121,7 +121,9 @@ class EmptyTablesSpec extends SparkSpec {
     "q_lift",
     // round 11: argmin join-back, winsorized rollup, and l-diversity
     // over empty inputs
-    "q_tpch_q2", "q_winsorize", "q_l_diversity")
+    "q_tpch_q2", "q_winsorize", "q_l_diversity",
+    // round 11: the bucketed join over an empty corpus
+    "q_join_bucketed")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

@@ -1438,6 +1438,27 @@ class PlanAuditSpec extends SparkSpec {
       s"pure aggregation expected:\n$p")
   }
 
+  test("q_join_bucketed: the co-located join needs no exchange") {
+    // with broadcasting disabled (the big-big path bucketing exists
+    // for), the doc_id join of the two co-bucketed catalog tables must
+    // be a shuffle-FREE SortMergeJoin; only the rollup may exchange
+    val (a, b) = graft.queries.FormatFixture.bucketedTables(spark, sf0001)
+    val thresh = "spark.sql.autoBroadcastJoinThreshold"
+    val orig = spark.conf.get(thresh)
+    try {
+      spark.conf.set(thresh, "-1")
+      val joined = spark.table(a).join(spark.table(b), "doc_id")
+        .groupBy("lang", "source").count()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"),
+        s"big-big path must be a sort-merge join:\n$p")
+      val ex = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(ex == 1,
+        s"only the rollup may exchange (join sides are co-bucketed), " +
+          s"got $ex:\n$p")
+    } finally spark.conf.set(thresh, orig)
+  }
+
   test("q_freq_spectrum: GT shift is a broadcast self-join on the spectrum") {
     // past the term-key shuffle everything is distinct-frequency-sized:
     // the r+1 shift joins the checkpointed spectrum against itself via

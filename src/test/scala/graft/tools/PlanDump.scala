@@ -89,7 +89,9 @@ object PlanDump {
     // round 11: the decile gains table's rank + cumulative windows
     "q_lift",
     // round 11: the argmin join-back, the windowed clamp, l-diversity
-    "q_tpch_q2", "q_winsorize", "q_l_diversity")
+    "q_tpch_q2", "q_winsorize", "q_l_diversity",
+    // round 11: the co-located bucketed catalog join
+    "q_join_bucketed")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
