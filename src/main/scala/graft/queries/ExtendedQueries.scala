@@ -666,6 +666,111 @@ object ExtendedQueries {
           col("winsorized_cents"), col("n_clamped"))
     },
 
+    // X76 — deterministic Poisson bootstrap: distribution-free
+    // confidence intervals for group means at corpus scale (the
+    // one-pass online bootstrap of Oza/Russell as used by production
+    // metric platforms: each row joins replicate b with a Poisson(1)
+    // multiplicity, so B weighted means ARE B resamples — no data
+    // duplication, no row shuffling, B·|groups| partial-agg output).
+    // Randomness is a deterministic inverse-CDF lookup on a sha256
+    // byte of (row key, replicate) — engine-identical, partition-
+    // independent, and replayed verbatim by the oracle; the replicate
+    // means and the rank-selected p10/p90 band are exact integers with
+    // one mirrored division each. The raw point estimate rides the
+    // SAME aggregation (the b=0 lane carries unweighted sums) — ONE
+    // scan total.
+    "q_bootstrap" -> Q(
+      """WITH v AS (SELECT l_returnflag flag, l_orderkey, l_linenumber,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) c
+        |  FROM lineitem),
+        |e AS (SELECT flag, c,
+        |    sha256(CAST(l_orderkey AS VARCHAR) || ':'
+        |      || CAST(l_linenumber AS VARCHAR)) AS rh,
+        |    unnest(generate_series(0, 15)) AS b FROM v),
+        |wt AS (SELECT flag, c, b,
+        |    CASE WHEN hu < 94 THEN 0 WHEN hu < 188 THEN 1
+        |         WHEN hu < 235 THEN 2 WHEN hu < 251 THEN 3
+        |         WHEN hu < 255 THEN 4 ELSE 5 END AS w
+        |  FROM (SELECT flag, c, b,
+        |      CAST(('0x' || substr(rh, 2 * b + 1, 2))::UBIGINT
+        |        AS INTEGER) hu
+        |    FROM e) h),
+        |rep AS (SELECT flag, b, CAST(sum(w) AS BIGINT) nb,
+        |    CAST(sum(w * c) AS BIGINT) sb,
+        |    CAST(count(*) AS BIGINT) nraw, CAST(sum(c) AS BIGINT) craw
+        |  FROM wt GROUP BY 1, 2),
+        |m AS (SELECT flag, b,
+        |    CAST(round(1000000 * CAST(sb AS DOUBLE) / nb) AS BIGINT)
+        |      mean_micro
+        |  FROM rep WHERE nb > 0),
+        |r AS (SELECT flag, mean_micro,
+        |    row_number() OVER (PARTITION BY flag
+        |      ORDER BY mean_micro, b) rn,
+        |    count(*) OVER (PARTITION BY flag) nrep
+        |  FROM m),
+        |ci AS (SELECT flag,
+        |    CAST(max(nrep) AS BIGINT) n_replicates,
+        |    CAST(max(CASE WHEN rn = ((nrep - 1) * 10) // 100 + 1
+        |      THEN mean_micro END) AS BIGINT) lo_micro,
+        |    CAST(max(CASE WHEN rn = ((nrep - 1) * 90) // 100 + 1
+        |      THEN mean_micro END) AS BIGINT) hi_micro
+        |  FROM r GROUP BY 1),
+        |pt AS (SELECT flag, nraw AS n,
+        |    CAST(round(1000000 * CAST(craw AS DOUBLE) / nraw) AS BIGINT)
+        |      mean_micro
+        |  FROM rep WHERE b = 0 AND nraw > 0)
+        |SELECT pt.flag AS l_returnflag, n, pt.mean_micro, n_replicates,
+        |  lo_micro, hi_micro
+        |FROM pt JOIN ci ON ci.flag = pt.flag""".stripMargin) { (s, dir) =>
+      val v = table(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_orderkey"),
+          col("l_linenumber"),
+          round(col("l_extendedprice") * 100).cast("long").as("c"))
+      // ONE sha per row — its 32 hex-byte pairs seed all 16 replicate
+      // lanes (byte b is replicate b's uniform), 16× fewer digests
+      val e = v
+        .withColumn("rh",
+          expr("sha2(concat_ws(':', l_orderkey, l_linenumber), 256)"))
+        .withColumn("b", explode(sequence(lit(0), lit(15))))
+      val hu =
+        expr("cast(conv(substr(rh, 2 * b + 1, 2), 16, 10) as int)")
+      val w = when(col("hu") < 94, 0L).when(col("hu") < 188, 1L)
+        .when(col("hu") < 235, 2L).when(col("hu") < 251, 3L)
+        .when(col("hu") < 255, 4L).otherwise(5L)
+      val rep = e.withColumn("hu", hu).withColumn("w", w)
+        .groupBy("flag", "b")
+        .agg(sum("w").as("nb"), sum(col("w") * col("c")).as("sb"),
+          count(lit(1)).as("nraw"), sum("c").as("craw"))
+        // 2 consumers: the replicate-mean ranks and the b=0 point lane
+        .localCheckpoint(true)
+      val m = rep.filter(col("nb") > 0)
+        .select(col("flag"), col("b"),
+          round(lit(1000000) * col("sb").cast("double") / col("nb"))
+            .cast("long").as("mean_micro"))
+      val rw = Window.partitionBy("flag").orderBy("mean_micro", "b")
+      val r = m.select(col("flag"), col("mean_micro"),
+        row_number().over(rw).as("rn"),
+        count(lit(1)).over(Window.partitionBy("flag")).as("nrep"))
+      val ci = r.groupBy("flag")
+        .agg(max("nrep").as("n_replicates"),
+          max(when(col("rn") ===
+            expr("((nrep - 1) * 10) div 100") + 1, col("mean_micro")))
+            .as("lo_micro"),
+          max(when(col("rn") ===
+            expr("((nrep - 1) * 90) div 100") + 1, col("mean_micro")))
+            .as("hi_micro"))
+        .select(col("flag").as("cflag"), col("n_replicates"),
+          col("lo_micro"), col("hi_micro"))
+      rep.filter(col("b") === 0 && col("nraw") > 0)
+        .select(col("flag"), col("nraw").as("n"),
+          round(lit(1000000) * col("craw").cast("double") / col("nraw"))
+            .cast("long").as("mean_micro"))
+        .join(broadcast(ci), col("cflag") === col("flag"))
+        .select(col("flag").as("l_returnflag"), col("n"),
+          col("mean_micro"), col("n_replicates"), col("lo_micro"),
+          col("hi_micro"))
+    },
+
     "q_outliers" -> Q(
       """WITH e AS (SELECT event_type,
         |  CAST(floor(value * 1000000) AS BIGINT) vm, event_id FROM events),

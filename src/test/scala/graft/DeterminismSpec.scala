@@ -148,7 +148,9 @@ class DeterminismSpec extends SparkSpec {
       // the class-distinct diversity rollup
       "q_tpch_q2", "q_winsorize", "q_l_diversity",
       // round 11: the bucketed-layout roundtrip join
-      "q_join_bucketed")
+      "q_join_bucketed",
+      // round 11: the sha-seeded Poisson replicate lanes
+      "q_bootstrap")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

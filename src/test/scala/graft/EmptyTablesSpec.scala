@@ -123,7 +123,9 @@ class EmptyTablesSpec extends SparkSpec {
     // over empty inputs
     "q_tpch_q2", "q_winsorize", "q_l_diversity",
     // round 11: the bucketed join over an empty corpus
-    "q_join_bucketed")
+    "q_join_bucketed",
+    // round 11: the bootstrap over empty facts
+    "q_bootstrap")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

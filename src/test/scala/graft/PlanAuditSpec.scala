@@ -1459,6 +1459,19 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set(thresh, orig)
   }
 
+  test("q_bootstrap: replicate lanes generated below the partial agg") {
+    // the ×16 explode happens map-side (the q_assoc_rules discipline);
+    // both consumers read the checkpointed replicate table, so the
+    // final plan scans nothing and only broadcasts
+    val p = plan("q_bootstrap")
+    assert(!p.contains("FileScan"),
+      s"replicate sums must be checkpointed:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the CI table must broadcast onto the point lane:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"no global window allowed:\n$p")
+  }
+
   test("q_freq_spectrum: GT shift is a broadcast self-join on the spectrum") {
     // past the term-key shuffle everything is distinct-frequency-sized:
     // the r+1 shift joins the checkpointed spectrum against itself via

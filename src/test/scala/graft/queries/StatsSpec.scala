@@ -1092,6 +1092,53 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_bootstrap: deterministic Poisson replicates match plain Scala") {
+    val li = Tables.table(spark, sf0001, "lineitem")
+      .selectExpr("l_returnflag", "l_orderkey", "l_linenumber",
+        "cast(round(l_extendedprice * 100) as bigint) c").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    def weight(ok: Long, ln: Int, b: Int): Long = {
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"$ok:$ln".getBytes("UTF-8"))
+      val hu = sha(b) & 0xff // hex chars 2b+1..2b+2 = byte b
+      if (hu < 94) 0L else if (hu < 188) 1L else if (hu < 235) 2L
+      else if (hu < 251) 3L else if (hu < 255) 4L else 5L
+    }
+    val expected = li.groupBy(_._1).flatMap { case (flag, rows) =>
+      val means = (0 until 16).flatMap { b =>
+        val ws = rows.map(r => (weight(r._2, r._3, b), r._4))
+        val nb = ws.map(_._1).sum
+        if (nb > 0)
+          Some((r0(1000000.0 * ws.map(w => w._1 * w._2).sum / nb),
+            b))
+        else None
+      }.sorted
+      if (rows.nonEmpty) {
+        val nrep = means.length
+        val lo = means(((nrep - 1) * 10 / 100).toInt)._1
+        val hi = means(((nrep - 1) * 90 / 100).toInt)._1
+        Some(flag -> ((rows.length.toLong,
+          r0(1000000.0 * rows.map(_._4).sum / rows.length),
+          nrep.toLong, lo, hi)))
+      } else None
+    }
+    val got = SparkEntry.queries("q_bootstrap")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val (n, mm, nrep, lo, hi) = expected(flag)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("mean_micro") == mm, s"$flag point mean")
+      assert(r.getAs[Long]("n_replicates") == nrep, s"$flag replicates")
+      assert(r.getAs[Long]("lo_micro") == lo, s"$flag lo")
+      assert(r.getAs[Long]("hi_micro") == hi, s"$flag hi")
+      assert(lo <= hi, s"$flag band ordering")
+      // the band must be non-degenerate on live data (replicates vary)
+      assert(lo < hi, s"$flag fixture should spread the replicates")
+    }
+  }
+
   test("q_gopher_rules: the rule battery matches plain-Scala regexes") {
     val docs = Tables.table(spark, sf0001, "documents")
       .select("doc_id", "text").collect()

@@ -91,7 +91,9 @@ object PlanDump {
     // round 11: the argmin join-back, the windowed clamp, l-diversity
     "q_tpch_q2", "q_winsorize", "q_l_diversity",
     // round 11: the co-located bucketed catalog join
-    "q_join_bucketed")
+    "q_join_bucketed",
+    // round 11: the one-scan Poisson-replicate explode + CI ranks
+    "q_bootstrap")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
