@@ -1498,6 +1498,28 @@ object AnalyticsQueries {
       graft.streaming.StreamingPipeline.streamFunnel(s, dir)
     },
 
+    // X12z — streaming point-in-time enrichment: the q_asof_join
+    // semantics served per micro-batch against the static view history
+    // (the feature-store serving join — "the latest feature value as
+    // of this event's timestamp"). TimeJoins.asof runs with batch
+    // semantics inside foreachBatch; correct under any trigger split
+    // because an as-of match is per-left-row independent. Oracle =
+    // q_asof_join's SQL verbatim — one hash proves no click is lost,
+    // duplicated, or mismatched across ≥4 triggers.
+    "q_stream_asof" -> Q(
+      """WITH c AS (SELECT user_id, event_id cid, epoch_us(ts) tsu
+        |           FROM events WHERE event_type = 'click'),
+        |v0 AS (SELECT user_id, event_id vid, epoch_us(ts) tsu
+        |       FROM events WHERE event_type = 'view'),
+        |v AS (SELECT user_id, tsu, max(vid) vid FROM v0 GROUP BY 1, 2)
+        |SELECT c.cid AS click_id, c.user_id, c.tsu AS ts,
+        |  v.vid AS view_id, c.tsu - v.tsu AS gap
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.tsu >= v.tsu""".stripMargin) {
+      (s, dir) =>
+        graft.streaming.StreamingPipeline.streamAsof(s, dir)
+    },
+
     // X12h — transformWithState (Spark 4's arbitrary-state v2 API) as a
     // REAL gate drain (was spec-only through r10): a typed-ValueState
     // cumulative per-user counter in UPDATE mode, each batch's touched

@@ -657,6 +657,34 @@ object StreamingPipeline {
       count(when(col("t3") >= 0, 1)).as("n_then_purchase"))
   }
 
+  /** X12z — streaming point-in-time enrichment (the feature-store
+    * serving join): every streamed click is matched per micro-batch to
+    * the user's latest STATIC view at-or-before its timestamp via
+    * `TimeJoins.asof` running with batch semantics inside foreachBatch
+    * (the escape hatch for window-based ops a streaming plan cannot
+    * host). Correct under any batch split because an as-of match is
+    * per-row independent: left rows never affect each other's
+    * carried-forward match, only the static right side does. Each
+    * click lands in exactly one trigger → appended exactly once; the
+    * result hash-matches the batch q_asof_join oracle verbatim.
+    */
+  def streamAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val views = graft.Tables.table(spark, sfDir, "events")
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), expr("ts div 1000").as("tsu"),
+        col("event_id").as("view_id"))
+    drainAppend(spark,
+      graft.queries.StreamStaging.dir(spark, sfDir, "events8range"),
+      "asof",
+      perBatch = batch =>
+        graft.ops.TimeJoins.asof(batch, views, "user_id", "tsu",
+          "click_id", "view_id")) { st =>
+      st.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+          col("event_id").as("click_id"))
+    }.withColumnRenamed("tsu", "ts")
+  }
+
   /** X12w — streaming data-quality gate: the q_quarantine rule set
     * applied PER MICRO-BATCH on the ingest stream (Constraints.tag is a
     * pure projection — stateless, so it is append-mode-legal unchanged;
@@ -694,7 +722,8 @@ object StreamingPipeline {
     * covers failed start / drain and removes both temp dirs.
     */
   def drainAppend(spark: SparkSession, stagedDir: String, prefix: String,
-                  statePartitions: Int = defaultStatePartitions)(
+                  statePartitions: Int = defaultStatePartitions,
+                  perBatch: DataFrame => DataFrame = identity)(
       build: DataFrame => DataFrame): DataFrame = {
     val ckpt =
       java.nio.file.Files.createTempDirectory(s"graft-stream-$prefix-ckpt")
@@ -711,7 +740,11 @@ object StreamingPipeline {
         .writeStream
         .outputMode("append")
         .foreachBatch { (df: DataFrame, _: Long) =>
-          df.write.mode("append").parquet(outDir)
+          // perBatch runs with BATCH semantics inside the callback (the
+          // foreachBatch escape hatch): windowed/non-stream-legal ops
+          // are fine here as long as the result is per-row independent
+          // of how rows split across triggers (callers' contract)
+          perBatch(df).write.mode("append").parquet(outDir)
         }
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
@@ -723,8 +756,8 @@ object StreamingPipeline {
       if (!fs.exists(outPath)) {
         // zero batches emitted facts (empty source): an empty frame
         // with the build's schema
-        val schema = build(spark.read.schema(srcSchema)
-          .parquet(stagedDir)).schema
+        val schema = perBatch(build(spark.read.schema(srcSchema)
+          .parquet(stagedDir))).schema
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           schema)

@@ -150,7 +150,9 @@ class DeterminismSpec extends SparkSpec {
       // round 11: the bucketed-layout roundtrip join
       "q_join_bucketed",
       // round 11: the sha-seeded Poisson replicate lanes
-      "q_bootstrap")
+      "q_bootstrap",
+      // round 11: the per-batch point-in-time enrichment drain
+      "q_stream_asof")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

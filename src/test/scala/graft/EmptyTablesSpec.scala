@@ -125,7 +125,9 @@ class EmptyTablesSpec extends SparkSpec {
     // round 11: the bucketed join over an empty corpus
     "q_join_bucketed",
     // round 11: the bootstrap over empty facts
-    "q_bootstrap")
+    "q_bootstrap",
+    // round 11: the streaming asof over a zero-event source
+    "q_stream_asof")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

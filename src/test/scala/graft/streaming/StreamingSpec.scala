@@ -604,6 +604,17 @@ class StreamingSpec extends SparkSpec {
     assert(got._3 > 0L, "fixture should convert at least one user")
   }
 
+  test("streamAsof: per-batch point-in-time join equals the batch asof") {
+    val dir = sf0001
+    val got = StreamingPipeline.streamAsof(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val expected = graft.SparkEntry.queries("q_asof_join")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty)
+    assert(got == expected,
+      "streamed per-batch asof must equal the single-pass batch asof")
+  }
+
   test("streamQuarantine: per-batch rule tagging equals the batch split") {
     import org.apache.spark.sql.functions._
     val dir = sf0001
