@@ -1072,6 +1072,80 @@ object AnalyticsQueries {
             col("cost_cents"))
     },
 
+    // X77 — TPC-H Q11 shape: groups filtered by their share of a GLOBAL
+    // aggregate (the HAVING-vs-scalar-subquery pattern). Q11's own
+    // threshold is fraction/SF — scale-dependent by design — so the
+    // share test here is the scale-INVARIANT form: parts worth more
+    // than 1.5× the mean part value (2/29/252 survivors at
+    // sf0.001/0.01/0.1), as an exact integer cross-multiplication
+    // val·np·2 > 3·total — no division (BIGINT-safe to ~10⁹ parts ×
+    // cents; beyond: DECIMAL(38), X51 pattern). The global (total, np)
+    // folds in as a 1-row broadcast (the q_scalar_subquery shape);
+    // the part aggregate is checkpointed once for its two consumers.
+    "q_tpch_q11" -> Q(
+      """WITH v AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS val_cents
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(val_cents) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS np FROM v)
+        |SELECT l_partkey, val_cents
+        |FROM v, t WHERE val_cents * np * 2 > 3 * total""".stripMargin) {
+      (s, dir) =>
+        val v = table(s, dir, "lineitem")
+          .groupBy("l_partkey")
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("val_cents"))
+          // 2 consumers: the global total and the share filter
+          .localCheckpoint(true)
+        val t = v.agg(sum("val_cents").as("total"),
+          count(lit(1)).as("np"))
+        v.crossJoin(broadcast(t))
+          .filter(col("val_cents") * col("np") * 2 > lit(3) * col("total"))
+          .select(col("l_partkey"), col("val_cents"))
+    },
+
+    // X78 — exact rolling active users (DAU / trailing-7-day WAU /
+    // stickiness): the engagement triple every product dashboard
+    // leads with. Exact distinct-over-sliding-window without window
+    // state: each (user, day) activity fact contributes to the 7
+    // window-days it stays visible in (a map-side ×7 explode), and the
+    // second (user, window-day) dedup makes the count exact — the
+    // standard exact shape; at extreme scale the HLL sketch swaps in
+    // (q_approx_distinct family) with the same contribution explode.
+    // Stickiness DAU/WAU is the one mirrored ppm division.
+    "q_rolling_actives" -> Q(
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS d FROM events),
+        |w AS (SELECT DISTINCT user_id, d + o AS wd
+        |  FROM ud, (SELECT unnest(generate_series(0, 6)) o) g),
+        |dau AS (SELECT d, CAST(count(*) AS BIGINT) dau
+        |  FROM ud GROUP BY 1),
+        |wau AS (SELECT wd, CAST(count(*) AS BIGINT) wau
+        |  FROM w GROUP BY 1)
+        |SELECT dau.d AS day, dau, wau,
+        |  CAST(round(1000000 * CAST(dau AS DOUBLE) / wau) AS BIGINT)
+        |    AS stickiness_ppm
+        |FROM dau JOIN wau ON wau.wd = dau.d""".stripMargin) { (s, dir) =>
+      val ud = table(s, dir, "events")
+        .select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("d"))
+        .distinct()
+        // 2 consumers: the DAU rollup and the window-day explode
+        .localCheckpoint(true)
+      val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("d"), col("d") + 6)).as("wd"))
+        .distinct()
+        .groupBy("wd").agg(count(lit(1)).as("wau"))
+        .select(col("wd"), col("wau"))
+      dau.join(wau, col("wd") === col("d"))
+        .select(col("d").as("day"), col("dau"), col("wau"),
+          round(lit(1000000) * col("dau").cast("double") / col("wau"))
+            .cast("long").as("stickiness_ppm"))
+    },
+
     // Cohort retention: users bucketed by first-activity day, counted
     // per (cohort, day-offset) they return on — the classic retention
     // triangle. One user exchange serves the cohort window AND the

@@ -36,6 +36,111 @@ object SelectionQueries {
       sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_new"))
   }
 
+  /** The L69b Naive-Bayes train→serve chain (oracle SQL + Spark form),
+    * shared by q_nb_classify and the q_confusion rollup so the model
+    * under evaluation is the literally-same derivation.
+    */
+  private val nbClassifySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |cnt AS (SELECT lang, term, CAST(count(*) AS BIGINT) c
+      |        FROM tok GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) tl
+      |        FROM cnt GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) v FROM tok),
+      |model AS (
+      |  SELECT cnt.lang AS mlang, cnt.term,
+      |    CAST(round(-ln((cnt.c + 1) / CAST(tot.tl + v.v AS DOUBLE))
+      |      * 10000) AS BIGINT) AS micro
+      |  FROM cnt JOIN tot ON cnt.lang = tot.lang, v),
+      |dflt AS (
+      |  SELECT lang AS mlang,
+      |    CAST(round(ln(CAST(tl + v.v AS DOUBLE)) * 10000) AS BIGINT)
+      |      AS m0
+      |  FROM tot, v),
+      |dl AS (SELECT lang, CAST(count(*) AS BIGINT) dl
+      |       FROM documents GROUP BY 1),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) nd FROM documents),
+      |prior AS (
+      |  SELECT lang AS mlang,
+      |    CAST(round(-ln(dl / CAST(nd AS DOUBLE)) * 10000) AS BIGINT)
+      |      AS pm
+      |  FROM dl, nd),
+      |tf AS (SELECT doc_id, lang AS true_lang, term,
+      |         CAST(count(*) AS BIGINT) tf
+      |       FROM tok GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.true_lang, p.mlang,
+      |    p.pm + sum(tf.tf * coalesce(m.micro, df.m0)) AS score
+      |  FROM tf
+      |  CROSS JOIN prior p
+      |  JOIN dflt df ON df.mlang = p.mlang
+      |  LEFT JOIN model m
+      |    ON m.mlang = p.mlang AND m.term = tf.term
+      |  GROUP BY 1, 2, 3, p.pm),
+      |ranked AS (
+      |  SELECT doc_id, true_lang, mlang AS pred_lang,
+      |    CAST(score AS BIGINT) AS score_micro4,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score ASC, mlang ASC) AS rn
+      |  FROM scored)
+      |SELECT doc_id, true_lang, pred_lang, score_micro4,
+      |  CAST(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END
+      |    AS BIGINT) AS correct
+      |FROM ranked WHERE rn = 1""".stripMargin
+
+  private def nbClassify(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    val d = table(s, dir, "documents")
+    val tok = d.select(d("doc_id"), d("lang"),
+      explode(TextOps.tokens(d("text"))).as("term"))
+    val cnt = tok.groupBy(col("lang").as("mlang"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("mlang").agg(sum("c").as("tl"))
+    val v = tok.agg(countDistinct("term").as("v"))
+    val model = cnt.join(tot, "mlang").crossJoin(broadcast(v))
+      .select(col("mlang"), col("term"),
+        round(-log((col("c") + 1) /
+          (col("tl") + col("v")).cast("double")) * 10000, 0)
+          .cast("long").as("micro"))
+    val dflt = tot.crossJoin(broadcast(v))
+      .select(col("mlang"),
+        round(log((col("tl") + col("v")).cast("double")) * 10000, 0)
+          .cast("long").as("m0"))
+    val dl = d.groupBy(col("lang").as("mlang"))
+      .agg(count(lit(1)).as("dl"))
+    val nd = d.agg(count(lit(1)).as("nd"))
+    val prior = dl.crossJoin(broadcast(nd))
+      .select(col("mlang"),
+        round(-log(col("dl") / col("nd").cast("double")) * 10000, 0)
+          .cast("long").as("pm"))
+    val tf = tok
+      .groupBy(col("doc_id"), col("lang").as("true_lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf.crossJoin(broadcast(prior))
+      .join(broadcast(dflt), "mlang")
+      .join(broadcast(model), Seq("mlang", "term"), "left")
+      .groupBy(col("doc_id"), col("true_lang"), col("mlang"), col("pm"))
+      .agg(sum(col("tf") * coalesce(col("micro"), col("m0"))).as("ssum"))
+      .select(col("doc_id"), col("true_lang"), col("mlang"),
+        (col("pm") + col("ssum")).as("score"))
+    // argmin via min(struct(score, class)) — lexicographic struct
+    // ordering IS the (score asc, class asc) tie-broken argmin, and
+    // unlike a row_number window it partial-aggregates map-side (no
+    // per-doc sort, 5-vs-1 rows into the final shuffle). The oracle
+    // spells the same total order as a window; results are identical.
+    scored
+      .groupBy(col("doc_id"), col("true_lang"))
+      .agg(min(struct(col("score"), col("mlang"))).as("best"))
+      .select(col("doc_id"), col("true_lang"),
+        col("best.mlang").as("pred_lang"),
+        col("best.score").cast("long").as("score_micro4"),
+        when(col("best.mlang") === col("true_lang"), 1L).otherwise(0L)
+          .as("correct"))
+  }
+
   val all: Map[String, Q] = Map(
 
     // L52 — curriculum ordering: difficulty-ascending training order with
@@ -514,102 +619,24 @@ object SelectionQueries {
     // predicted class minimizes total surprisal (prior + Σ tf·micro),
     // integer arithmetic end to end, ties broken by class name — a
     // total order, so the argmin is deterministic on both engines.
-    "q_nb_classify" -> Q(
-      """WITH tok AS (
-        |  SELECT doc_id, lang,
-        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-        |  FROM documents),
-        |cnt AS (SELECT lang, term, CAST(count(*) AS BIGINT) c
-        |        FROM tok GROUP BY 1, 2),
-        |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) tl
-        |        FROM cnt GROUP BY 1),
-        |v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) v FROM tok),
-        |model AS (
-        |  SELECT cnt.lang AS mlang, cnt.term,
-        |    CAST(round(-ln((cnt.c + 1) / CAST(tot.tl + v.v AS DOUBLE))
-        |      * 10000) AS BIGINT) AS micro
-        |  FROM cnt JOIN tot ON cnt.lang = tot.lang, v),
-        |dflt AS (
-        |  SELECT lang AS mlang,
-        |    CAST(round(ln(CAST(tl + v.v AS DOUBLE)) * 10000) AS BIGINT)
-        |      AS m0
-        |  FROM tot, v),
-        |dl AS (SELECT lang, CAST(count(*) AS BIGINT) dl
-        |       FROM documents GROUP BY 1),
-        |nd AS (SELECT CAST(count(*) AS BIGINT) nd FROM documents),
-        |prior AS (
-        |  SELECT lang AS mlang,
-        |    CAST(round(-ln(dl / CAST(nd AS DOUBLE)) * 10000) AS BIGINT)
-        |      AS pm
-        |  FROM dl, nd),
-        |tf AS (SELECT doc_id, lang AS true_lang, term,
-        |         CAST(count(*) AS BIGINT) tf
-        |       FROM tok GROUP BY 1, 2, 3),
-        |scored AS (
-        |  SELECT tf.doc_id, tf.true_lang, p.mlang,
-        |    p.pm + sum(tf.tf * coalesce(m.micro, df.m0)) AS score
-        |  FROM tf
-        |  CROSS JOIN prior p
-        |  JOIN dflt df ON df.mlang = p.mlang
-        |  LEFT JOIN model m
-        |    ON m.mlang = p.mlang AND m.term = tf.term
-        |  GROUP BY 1, 2, 3, p.pm),
-        |ranked AS (
-        |  SELECT doc_id, true_lang, mlang AS pred_lang,
-        |    CAST(score AS BIGINT) AS score_micro4,
-        |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY score ASC, mlang ASC) AS rn
-        |  FROM scored)
-        |SELECT doc_id, true_lang, pred_lang, score_micro4,
-        |  CAST(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END
-        |    AS BIGINT) AS correct
-        |FROM ranked WHERE rn = 1""".stripMargin) { (s, dir) =>
-      val d = table(s, dir, "documents")
-      val tok = d.select(d("doc_id"), d("lang"),
-        explode(TextOps.tokens(d("text"))).as("term"))
-      val cnt = tok.groupBy(col("lang").as("mlang"), col("term"))
-        .agg(count(lit(1)).as("c"))
-      val tot = cnt.groupBy("mlang").agg(sum("c").as("tl"))
-      val v = tok.agg(countDistinct("term").as("v"))
-      val model = cnt.join(tot, "mlang").crossJoin(broadcast(v))
-        .select(col("mlang"), col("term"),
-          round(-log((col("c") + 1) /
-            (col("tl") + col("v")).cast("double")) * 10000, 0)
-            .cast("long").as("micro"))
-      val dflt = tot.crossJoin(broadcast(v))
-        .select(col("mlang"),
-          round(log((col("tl") + col("v")).cast("double")) * 10000, 0)
-            .cast("long").as("m0"))
-      val dl = d.groupBy(col("lang").as("mlang"))
-        .agg(count(lit(1)).as("dl"))
-      val nd = d.agg(count(lit(1)).as("nd"))
-      val prior = dl.crossJoin(broadcast(nd))
-        .select(col("mlang"),
-          round(-log(col("dl") / col("nd").cast("double")) * 10000, 0)
-            .cast("long").as("pm"))
-      val tf = tok
-        .groupBy(col("doc_id"), col("lang").as("true_lang"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val scored = tf.crossJoin(broadcast(prior))
-        .join(broadcast(dflt), "mlang")
-        .join(broadcast(model), Seq("mlang", "term"), "left")
-        .groupBy(col("doc_id"), col("true_lang"), col("mlang"), col("pm"))
-        .agg(sum(col("tf") * coalesce(col("micro"), col("m0"))).as("ssum"))
-        .select(col("doc_id"), col("true_lang"), col("mlang"),
-          (col("pm") + col("ssum")).as("score"))
-      // argmin via min(struct(score, class)) — lexicographic struct
-      // ordering IS the (score asc, class asc) tie-broken argmin, and
-      // unlike a row_number window it partial-aggregates map-side (no
-      // per-doc sort, 5-vs-1 rows into the final shuffle). The oracle
-      // spells the same total order as a window; results are identical.
-      scored
-        .groupBy(col("doc_id"), col("true_lang"))
-        .agg(min(struct(col("score"), col("mlang"))).as("best"))
-        .select(col("doc_id"), col("true_lang"),
-          col("best.mlang").as("pred_lang"),
-          col("best.score").cast("long").as("score_micro4"),
-          when(col("best.mlang") === col("true_lang"), 1L).otherwise(0L)
-            .as("correct"))
+    "q_nb_classify" -> Q(nbClassifySql)(nbClassify),
+
+    // L88 — multiclass confusion matrix of the L69 Naive-Bayes lang-ID
+    // model (the 5x5 evaluation companion to q_kappa's 2x2): which
+    // true language gets mistaken for which — THE diagnostic a
+    // per-class accuracy number hides. Registry composition at the
+    // source level: the rollup consumes the literally-same nbClassify
+    // derivation (and the oracle wraps the identical SQL), so the hash
+    // certifies model + serving + evaluation in one. Output is
+    // classes²-bounded at any corpus size.
+    "q_confusion" -> Q(
+      s"""SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(correct) AS BIGINT) AS n_correct
+        |FROM ($nbClassifySql
+        |) b GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      nbClassify(s, dir)
+        .groupBy("true_lang", "pred_lang")
+        .agg(count(lit(1)).as("n"), sum("correct").as("n_correct"))
     },
 
     // L70 — information-gain feature ranking (the NB/fasttext

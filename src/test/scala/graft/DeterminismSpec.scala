@@ -152,7 +152,10 @@ class DeterminismSpec extends SparkSpec {
       // round 11: the sha-seeded Poisson replicate lanes
       "q_bootstrap",
       // round 11: the per-batch point-in-time enrichment drain
-      "q_stream_asof")
+      "q_stream_asof",
+      // round 11: the global-share cut, the NB confusion rollup, and
+      // the window-day contribution dedup
+      "q_tpch_q11", "q_confusion", "q_rolling_actives")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

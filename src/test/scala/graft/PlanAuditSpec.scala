@@ -1472,6 +1472,28 @@ class PlanAuditSpec extends SparkSpec {
       s"no global window allowed:\n$p")
   }
 
+  test("q_tpch_q11: global share cut reads the checkpointed aggregate") {
+    // the part aggregate feeds the total AND the filter — checkpointed
+    // once; the (total, np) row arrives as a 1-row broadcast
+    val p = plan("q_tpch_q11")
+    assert(!p.contains("FileScan"),
+      s"the part aggregate must be checkpointed:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the global total must arrive as a 1-row broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the share cut must not re-shuffle:\n$p")
+  }
+
+  test("q_rolling_actives: window-day contributions explode map-side") {
+    val p = plan("q_rolling_actives")
+    assert(!p.contains("FileScan"),
+      s"the (user, day) table must be checkpointed:\n$p")
+    assert(p.contains("Generate explode"),
+      s"the x7 contribution explode must be a Generate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"no cartesian or window machinery expected:\n$p")
+  }
+
   test("q_freq_spectrum: GT shift is a broadcast self-join on the spectrum") {
     // past the term-key shuffle everything is distinct-frequency-sized:
     // the r+1 shift joins the checkpointed spectrum against itself via

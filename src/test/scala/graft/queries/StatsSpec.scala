@@ -1139,6 +1139,45 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_confusion: conservation and diagonal laws hold") {
+    val got = SparkEntry.queries("q_confusion")(spark, sf0001).collect()
+    val docs = Tables.table(spark, sf0001, "documents").count()
+    // every document lands in exactly one confusion cell
+    assert(got.map(_.getAs[Long]("n")).sum == docs)
+    got.foreach { r =>
+      val diag =
+        r.getAs[String]("true_lang") == r.getAs[String]("pred_lang")
+      assert(r.getAs[Long]("n_correct") ==
+        (if (diag) r.getAs[Long]("n") else 0L),
+        s"correct counts must sit on the diagonal: $r")
+    }
+    // the matrix must not be degenerate (some mass off-diagonal —
+    // the cheap model genuinely errs on this corpus)
+    assert(got.exists(r =>
+      r.getAs[String]("true_lang") != r.getAs[String]("pred_lang")))
+  }
+
+  test("q_rolling_actives: DAU/WAU match a plain-Scala sliding window") {
+    val ev = Tables.table(spark, sf0001, "events")
+      .selectExpr("user_id", "(ts div 1000) div 86400000000 AS d")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val dau = ev.groupBy(_._2).map { case (d, xs) =>
+      d -> xs.map(_._1).distinct.length.toLong }
+    val got = SparkEntry.queries("q_rolling_actives")(spark, sf0001)
+      .collect()
+    assert(got.length == dau.size)
+    got.foreach { r =>
+      val day = r.getAs[Long]("day")
+      val wau = ev.filter(e => e._2 <= day && e._2 >= day - 6)
+        .map(_._1).distinct.length.toLong
+      assert(r.getAs[Long]("dau") == dau(day), s"day $day DAU")
+      assert(r.getAs[Long]("wau") == wau, s"day $day WAU")
+      assert(r.getAs[Long]("stickiness_ppm") ==
+        r0(1000000.0 * dau(day) / wau), s"day $day stickiness")
+      assert(wau >= dau(day), s"day $day WAU dominates DAU")
+    }
+  }
+
   test("q_gopher_rules: the rule battery matches plain-Scala regexes") {
     val docs = Tables.table(spark, sf0001, "documents")
       .select("doc_id", "text").collect()

@@ -93,7 +93,10 @@ object PlanDump {
     // round 11: the co-located bucketed catalog join
     "q_join_bucketed",
     // round 11: the one-scan Poisson-replicate explode + CI ranks
-    "q_bootstrap")
+    "q_bootstrap",
+    // round 11: the 1-row broadcast share cut, the composed NB
+    // confusion rollup, and the ×7 contribution-explode actives
+    "q_tpch_q11", "q_confusion", "q_rolling_actives")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
