@@ -1171,6 +1171,62 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_users"))
     },
 
+    // X79 — cohort LTV curve (the revenue companion to q_retention's
+    // activity triangle: cumulative purchase value per cohort by age,
+    // and the per-user LTV a growth model fits against). Revenue exact
+    // in integer millis; the cumulative ride is ONE cohort-partitioned
+    // window over the (cohort × offset)-sized rollup (never the raw
+    // events); cohort sizes join back as a broadcast (cohort-count-
+    // sized); per-user LTV is the one mirrored division,
+    // micro-value-quantized. Scale: one user-key exchange for cohorts,
+    // one (cohort, offs) rollup, window over the tiny triangle.
+    "q_ltv" -> Q(
+      """WITH a AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d
+        |           FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort FROM a GROUP BY 1),
+        |cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+        |       FROM c GROUP BY 1),
+        |p AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+        |    CAST(round(value * 1000) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT c.cohort, p.d - c.cohort AS offs,
+        |    CAST(sum(vm) AS BIGINT) AS rev_millis
+        |  FROM p JOIN c ON c.user_id = p.user_id GROUP BY 1, 2),
+        |w AS (SELECT cohort, offs, rev_millis,
+        |    CAST(sum(rev_millis) OVER (PARTITION BY cohort ORDER BY offs
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_rev_millis
+        |  FROM r)
+        |SELECT w.cohort, offs, n_users, rev_millis, cum_rev_millis,
+        |  CAST(round(1000 * CAST(cum_rev_millis AS DOUBLE) / n_users)
+        |    AS BIGINT) AS ltv_micro_per_user
+        |FROM w JOIN cs ON cs.cohort = w.cohort""".stripMargin) {
+      (s, dir) =>
+        val e = table(s, dir, "events")
+        val a = e.select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("d"))
+        val c = a.groupBy("user_id").agg(min("d").as("cohort"))
+          // 2 consumers: the revenue join and the cohort-size rollup
+          .localCheckpoint(true)
+        val cs = c.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+          .select(col("cohort").as("cs_cohort"), col("n_users"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            expr("(ts div 1000) div 86400000000").as("d"),
+            round(col("value") * 1000).cast("long").as("vm"))
+        val r = p.join(c, "user_id")
+          .groupBy(col("cohort"), (col("d") - col("cohort")).as("offs"))
+          .agg(sum("vm").as("rev_millis"))
+        val cw = Window.partitionBy("cohort").orderBy("offs")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        r.withColumn("cum_rev_millis", sum("rev_millis").over(cw))
+          .join(broadcast(cs), col("cs_cohort") === col("cohort"))
+          .select(col("cohort"), col("offs"), col("n_users"),
+            col("rev_millis"), col("cum_rev_millis"),
+            round(lit(1000) * col("cum_rev_millis").cast("double") /
+              col("n_users")).cast("long").as("ltv_micro_per_user"))
+    },
+
     // X51 — experiment (A/B) analysis: deterministic 50/50 assignment by
     // user-id parity (a real deployment hashes the unit id the same
     // way), click-conversion rates per arm, and the 2×2 chi-square

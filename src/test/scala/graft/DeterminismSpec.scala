@@ -155,7 +155,9 @@ class DeterminismSpec extends SparkSpec {
       "q_stream_asof",
       // round 11: the global-share cut, the NB confusion rollup, and
       // the window-day contribution dedup
-      "q_tpch_q11", "q_confusion", "q_rolling_actives")
+      "q_tpch_q11", "q_confusion", "q_rolling_actives",
+      // round 11: the cohort LTV cumulative window
+      "q_ltv")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

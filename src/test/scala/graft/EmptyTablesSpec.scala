@@ -129,7 +129,9 @@ class EmptyTablesSpec extends SparkSpec {
     // round 11: the streaming asof over a zero-event source
     "q_stream_asof",
     // round 11: share-of-total, confusion matrix, rolling actives
-    "q_tpch_q11", "q_confusion", "q_rolling_actives")
+    "q_tpch_q11", "q_confusion", "q_rolling_actives",
+    // round 11: the LTV triangle over empty events
+    "q_ltv")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

@@ -96,7 +96,9 @@ object PlanDump {
     "q_bootstrap",
     // round 11: the 1-row broadcast share cut, the composed NB
     // confusion rollup, and the ×7 contribution-explode actives
-    "q_tpch_q11", "q_confusion", "q_rolling_actives")
+    "q_tpch_q11", "q_confusion", "q_rolling_actives",
+    // round 11: the cohort-partitioned LTV triangle window
+    "q_ltv")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
