@@ -37,7 +37,8 @@ RULES = [
                     r"substring_dup|boilerplate)"),
     ("decontaminate", r"^q_contamination"),
     ("stats_ml", r"^q_(regression|nb_train|nb_classify|ab_test|"
-                 r"info_gain|auc|calibration|kappa|ks_test)"),
+                 r"info_gain|auc|calibration|kappa|ks_test|welch|"
+                 r"spearman|bootstrap|lift|confusion|pca_|kmeans)"),
     ("tokenizers", r"^q_(bpe_train|bpe_apply|wordpiece_apply|"
                    r"unigram_viterbi|tokenizer_compare)"),
     ("selection", r"^q_(curriculum|quality_classifier|importance_resample|"
@@ -46,6 +47,7 @@ RULES = [
                   r"corpus_clean|weighted_sample|vocab_growth)"),
     ("textstats", r"^q_(textstats|token_count|quality|lang_id|fingerprint|"
                   r"repetition|char_diversity|vocab_coverage|surprisal|"
+                  r"gopher_rules|"
                   r"cross_surprisal|fertility|lang_topk_terms|redact|"
                   r"normalize_entities|entity_spans)"),
     ("mining", r"^q_(bm25|pmi|inverted_index|textrank|chunk_overlap|tfidf|"
@@ -53,18 +55,18 @@ RULES = [
                r"js_div|gini|pagerank|ndcg)"),
     ("multimodal", r"^q_(multimodal|frame_sample)"),
     ("maintenance", r"^q_(cdc_merge|snapshot_diff|kanon|compaction_plan|"
-                    r"zonemap|zorder|constraints|quarantine)"),
+                    r"zonemap|zorder|hilbert|l_diversity|constraints|quarantine)"),
     ("temporal", r"^q_(sessionize|funnel|retention|transitions|interpolate|"
                  r"resample|user_growth|scd2|asof|range_join|date_math|"
                  r"anomaly|survival|seasonality|cusum|trend_mk|xcorr|"
-                 r"event_paths|dwell)"),
+                 r"event_paths|dwell|attribution|rolling_actives|ltv)"),
     ("windows", r"^q_(window_frame|ntile_window|range_frame|first_last|"
                 r"topk|wordcount)"),
-    ("joins", r"^q_(join_|cross_join|bloom_join|fuzzy_join)"),
+    ("joins", r"^q_(join_|cross_join|bloom_join|fuzzy_join|tpch_)"),
     ("aggregates", r"^q_(distinct|rollup|cube|grouping_sets|count_distinct|"
                    r"approx_|hll_merge|percentile|median|heavy_hitters|"
                    r"cms_|minmax_by|collect_set|pivot|unpivot|skew_salt|"
-                   r"histogram|drift|profile|outliers|benford)"),
+                   r"histogram|drift|profile|outliers|benford|winsorize)"),
     ("setops_scalar", r"^q_(except|intersect|union_all|case_when|"
                       r"scalar_subquery|regex_extract|json_extract|"
                       r"null_semantics|array_ops|nested|sample|"
