@@ -2965,6 +2965,49 @@ object LlmQueries {
         element_at(frames, 3).as("frame2_sha"))
     },
 
+    // L13d — multimodal resize, promoted from spec-only to the
+    // hash-checked gate: aspect-preserving fit into maxSide=512 with
+    // the GEOMETRY math real (integer floor-scale, engine-identical;
+    // the oracle replays it) and the resampled pixel buffer stubbed as
+    // a dimension-prefixed digest (no codec libs in this environment —
+    // the documented multimodal boundary). Media dimensions are
+    // synthesized deterministically from n_chars so both the
+    // scale-down and pass-through branches occur on the live corpus.
+    // Pure scan-side projection at any corpus size.
+    "q_multimodal_resize" -> Q(
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |    CAST(200 + n_chars % 4000 AS INTEGER) w,
+        |    CAST(150 + (n_chars * 7) % 3000 AS INTEGER) h
+        |  FROM documents),
+        |r AS (SELECT media_id, text, w, h,
+        |    CASE WHEN greatest(w, h) > 512
+        |      THEN CAST(floor(CAST(w AS BIGINT) * 512 / greatest(w, h))
+        |        AS INTEGER) ELSE w END nw,
+        |    CASE WHEN greatest(w, h) > 512
+        |      THEN CAST(floor(CAST(h AS BIGINT) * 512 / greatest(w, h))
+        |        AS INTEGER) ELSE h END nh
+        |  FROM m)
+        |SELECT media_id, w AS width, h AS height,
+        |  nw AS new_width, nh AS new_height,
+        |  sha256(CAST(nw AS VARCHAR) || 'x' || CAST(nh AS VARCHAR)
+        |    || ':' || text) AS pixels_sha
+        |FROM r""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val media = d.select(d("doc_id").cast("long").as("media_id"),
+        d("text").cast("binary").as("payload"),
+        struct(lit("image/png").as("format"),
+          (lit(200) + d("n_chars") % 4000).cast("int").as("width"),
+          (lit(150) + (d("n_chars") * 7) % 3000).cast("int").as("height"),
+          lit(1).as("n_frames")).as("meta"))
+      val r = Multimodal.resizeStub(col("payload"), col("meta"),
+        maxSide = 512)
+      media.select(col("media_id"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        r.getField("width").as("new_width"),
+        r.getField("height").as("new_height"),
+        r.getField("pixels_sha").as("pixels_sha"))
+    },
+
     // L49 — quality-weighted corpus subsampling WITHOUT replacement
     // (PPSWOR), exact-integer form. The float-free reduction: a doc of
     // integer weight w contributes w content-digest keys

@@ -157,7 +157,9 @@ class DeterminismSpec extends SparkSpec {
       // the window-day contribution dedup
       "q_tpch_q11", "q_confusion", "q_rolling_actives",
       // round 11: the cohort LTV cumulative window
-      "q_ltv")
+      "q_ltv",
+      // round 11: the resize geometry projection
+      "q_multimodal_resize")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -131,7 +131,9 @@ class EmptyTablesSpec extends SparkSpec {
     // round 11: share-of-total, confusion matrix, rolling actives
     "q_tpch_q11", "q_confusion", "q_rolling_actives",
     // round 11: the LTV triangle over empty events
-    "q_ltv")
+    "q_ltv",
+    // round 11: the resize projection over an empty corpus
+    "q_multimodal_resize")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

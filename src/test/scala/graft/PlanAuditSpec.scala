@@ -1494,6 +1494,15 @@ class PlanAuditSpec extends SparkSpec {
       s"no cartesian or window machinery expected:\n$p")
   }
 
+  test("q_multimodal_resize: payloads never shuffle — pure projection") {
+    val p = plan("q_multimodal_resize")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"one corpus scan only:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("HashAggregate"),
+      s"resize geometry + digest must stay scan-side:\n$p")
+  }
+
   test("q_freq_spectrum: GT shift is a broadcast self-join on the spectrum") {
     // past the term-key shuffle everything is distinct-frequency-sized:
     // the r+1 shift joins the checkpointed spectrum against itself via

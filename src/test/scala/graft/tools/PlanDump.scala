@@ -98,7 +98,9 @@ object PlanDump {
     // confusion rollup, and the ×7 contribution-explode actives
     "q_tpch_q11", "q_confusion", "q_rolling_actives",
     // round 11: the cohort-partitioned LTV triangle window
-    "q_ltv")
+    "q_ltv",
+    // round 11: the scan-side resize geometry
+    "q_multimodal_resize")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
