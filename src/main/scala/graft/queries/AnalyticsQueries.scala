@@ -1105,6 +1105,141 @@ object AnalyticsQueries {
           .select(col("l_partkey"), col("val_cents"))
     },
 
+    // X80 — TPC-H Q3 shape: shipping-priority — the canonical
+    // "join, aggregate, TAKE the global top-N" composite (the suite has
+    // joins and sort/limit separately; Q3 is the production shape where
+    // the limit must ride ON TOP of a fact-fact join + rollup without a
+    // global sort). Revenue is the exact Q5 integer form
+    // (cents × (1000 − milli-discount)); the (revenue desc, orderkey)
+    // order is a total order, so the top-10 cut is deterministic.
+    // Scale: segment-filtered customers broadcast into orders, one
+    // fact-fact exchange on the order key, map-side partial aggs, and
+    // the limit plans as TakeOrderedAndProject — per-partition heaps +
+    // a 10-row driver merge, never a global sort of the rollup.
+    "q_tpch_q3" -> Q(
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (1000 - CAST(round(l_discount * 1000) AS BIGINT)))
+        |    AS BIGINT) AS revenue_ppm_cents,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  o_orderpriority
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY 1, 3, 4
+        |ORDER BY revenue_ppm_cents DESC, l_orderkey
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val cut = to_timestamp(lit("1998-07-01 00:00:00"))
+      val c = table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderpriority"))
+      val l = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"))
+      val rev = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(1000L) - round(col("l_discount") * 1000).cast("long"))
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          col("o_orderpriority"))
+        .agg(sum(rev).as("revenue_ppm_cents"))
+        .orderBy(col("revenue_ppm_cents").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue_ppm_cents"),
+          col("o_year"), col("o_orderpriority"))
+    },
+
+    // X81 — TPC-H Q16 shape: supplier-diversity count — the
+    // double-distinct composite: the part⋈supplier relation is DERIVED
+    // by deduplicating fact pairs (this schema's partsupp is implicit
+    // in lineitem), a NOT-IN blacklist rides a broadcast ANTI join
+    // (never a filter subquery per row), and the rollup is a
+    // count-DISTINCT per attribute group (suppliers serve many parts
+    // in the same group — the pair dedup alone is not enough).
+    // Scale: the (partkey, suppkey) dedup is one map-side-combining
+    // exchange on the pair; part attributes broadcast; the blacklist is
+    // supplier-sized (tiny). The distinct-agg plans as the two-phase
+    // Expand+agg Spark uses for count(distinct) under a group key.
+    "q_tpch_q16" -> Q(
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val ps = table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val p = table(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"))
+      val bad = table(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      ps.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+
+    // X82 — TPC-H Q22 shape: the global-benchmark anti-join composite —
+    // customers whose balance beats the GLOBAL positive-balance mean
+    // (a 1-row broadcast aggregate, decided by exact integer
+    // cross-multiplication bal·n > total — the Q11 no-division
+    // discipline) AND with no recent orders (anti-join against the
+    // distinct recent-buyer key set; Q22's phone-prefix group key maps
+    // to this schema's market segment). The one customer scan is
+    // checkpointed for its two consumers (the mean and the filter).
+    // Scale: customer-dim-sized throughout; the recent-buyer set is one
+    // map-side-deduped exchange of order keys, then a broadcast anti.
+    "q_tpch_q22" -> Q(
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |pos AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM cust WHERE bal_cents > 0),
+        |recent AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+        |FROM cust, pos
+        |WHERE bal_cents * n > total
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val cust = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        // 2 consumers: the global positive mean and the filter probe
+        .localCheckpoint(true)
+      val pos = cust.filter(col("bal_cents") > 0)
+        .agg(sum("bal_cents").as("total"), count(lit(1)).as("n"))
+      val recent = table(s, dir, "orders")
+        .filter(col("o_orderdate") >=
+          to_timestamp(lit("2001-01-01 00:00:00")))
+        .select(col("o_custkey")).distinct()
+      cust.crossJoin(broadcast(pos))
+        .filter(col("bal_cents") * col("n") > col("total"))
+        .join(broadcast(recent), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          sum("bal_cents").as("totacctbal_cents"))
+    },
+
     // X78 — exact rolling active users (DAU / trailing-7-day WAU /
     // stickiness): the engagement triple every product dashboard
     // leads with. Exact distinct-over-sliding-window without window

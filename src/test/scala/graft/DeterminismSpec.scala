@@ -159,7 +159,11 @@ class DeterminismSpec extends SparkSpec {
       // round 11: the cohort LTV cumulative window
       "q_ltv",
       // round 11: the resize geometry projection
-      "q_multimodal_resize")
+      "q_multimodal_resize",
+      // round 12: the (revenue desc, orderkey) top-10 total order, the
+      // pair-dedup + distinct-agg composite, and the cross-multiplied
+      // global-mean cut + anti-join
+      "q_tpch_q3", "q_tpch_q16", "q_tpch_q22")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

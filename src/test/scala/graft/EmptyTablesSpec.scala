@@ -46,7 +46,14 @@ class EmptyTablesSpec extends SparkSpec {
       StructField("value", DoubleType))))
     write("customer", StructType(Seq(
       StructField("c_custkey", LongType),
-      StructField("c_nationkey", LongType))))
+      StructField("c_nationkey", LongType),
+      StructField("c_mktsegment", StringType),
+      StructField("c_acctbal", DoubleType))))
+    write("part", StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_brand", StringType),
+      StructField("p_type", StringType),
+      StructField("p_size", IntegerType))))
     write("nation", StructType(Seq(
       StructField("n_nationkey", LongType),
       StructField("n_name", StringType),
@@ -60,7 +67,8 @@ class EmptyTablesSpec extends SparkSpec {
     write("supplier", StructType(Seq(
       StructField("s_suppkey", LongType),
       StructField("s_name", StringType),
-      StructField("s_nationkey", LongType))))
+      StructField("s_nationkey", LongType),
+      StructField("s_acctbal", DoubleType))))
     write("region", StructType(Seq(
       StructField("r_regionkey", LongType),
       StructField("r_name", StringType))))
@@ -133,7 +141,11 @@ class EmptyTablesSpec extends SparkSpec {
     // round 11: the LTV triangle over empty events
     "q_ltv",
     // round 11: the resize projection over an empty corpus
-    "q_multimodal_resize")
+    "q_multimodal_resize",
+    // round 12: the top-N join composite, the double-distinct
+    // supplier count, and the global-benchmark anti-join over empty
+    // facts
+    "q_tpch_q3", "q_tpch_q16", "q_tpch_q22")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

@@ -1484,6 +1484,52 @@ class PlanAuditSpec extends SparkSpec {
       s"the share cut must not re-shuffle:\n$p")
   }
 
+  test("q_tpch_q3: the top-10 cut is a heap take, never a global sort") {
+    // the limit over the (revenue desc, orderkey) total order must plan
+    // as TakeOrderedAndProject — per-partition heaps + a 10-row driver
+    // merge; a global Sort of the rollup would shuffle every group row
+    val p = plan("q_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-10 must be a heap take:\n$p")
+    assert(!p.contains("Sort "),
+      s"no global sort of the rollup allowed:\n$p")
+    assert(p.contains("partial_sum"),
+      s"revenue must combine map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"segment-filtered customers must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+  }
+
+  test("q_tpch_q16: blacklist stays a broadcast anti; pairs dedup once") {
+    val p = plan("q_tpch_q16")
+    assert(p.contains("LeftAnti"),
+      s"the NOT IN blacklist must plan as an anti-join:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 3,
+      s"all three tables scan exactly once:\n$p")
+    // the (partkey, suppkey) dedup combines map-side before its exchange
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") &&
+      l.contains("keys=[l_partkey") && l.contains("l_suppkey")),
+      s"the pair dedup must be a keyed aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+  }
+
+  test("q_tpch_q22: global mean arrives as a 1-row broadcast") {
+    // the checkpointed customer projection feeds the mean AND the
+    // filter; the (total, n) row broadcasts; the recent-buyer set is a
+    // broadcast anti-join
+    val p = plan("q_tpch_q22")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the global mean must arrive as a 1-row broadcast:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"the recent-buyer exclusion must be an anti-join:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"only the orders scan remains past the checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+  }
+
   test("q_rolling_actives: window-day contributions explode map-side") {
     val p = plan("q_rolling_actives")
     assert(!p.contains("FileScan"),

@@ -100,7 +100,11 @@ object PlanDump {
     // round 11: the cohort-partitioned LTV triangle window
     "q_ltv",
     // round 11: the scan-side resize geometry
-    "q_multimodal_resize")
+    "q_multimodal_resize",
+    // round 12: the heap-take top-N join composite, the pair-dedup +
+    // distinct-agg supplier count, and the cross-multiplied
+    // global-mean anti-join
+    "q_tpch_q3", "q_tpch_q16", "q_tpch_q22")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
