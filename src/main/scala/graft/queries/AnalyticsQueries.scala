@@ -1514,6 +1514,90 @@ object AnalyticsQueries {
             .cast("long").as("df_micro"))
     },
 
+    // X83 — Kruskal–Wallis H rank test per event series (the k-group
+    // nonparametric ANOVA — the q_welch companion when normality can't
+    // be assumed; three deterministic arms from user parity mod 3).
+    // The float hazard is engineered out the q_spearman way: the
+    // tie-averaged rank is kept EXACT by doubling (2·r̄ = 2·rank() +
+    // tie_cnt − 1 is an integer), so each arm's rank sum and the tie
+    // term Σ(t³−t) = Σ_rows(cnt²−1) are order-free BIGINT sums; the
+    // closed form (H over the tie correction) is ONE mirrored double
+    // promotion from six integers, micro-quantized. Both windows
+    // cluster by the series key, so they share ONE exchange
+    // (HashPartitioning(series) satisfies the (series, x) clustering);
+    // the rest is a (series × 3)-sized pivot. BIGINT-safe to ~10⁹ rows
+    // per series (s2² < 2⁶³); beyond: DECIMAL(38), the X51 pattern.
+    "q_kruskal" -> Q(
+      """WITH e AS (SELECT event_type, user_id % 3 AS arm,
+        |    CAST(round(value * 1000) AS BIGINT) AS x
+        |  FROM events),
+        |r AS (SELECT event_type, arm,
+        |    CAST(rank() OVER (PARTITION BY event_type ORDER BY x)
+        |      AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY event_type, x)
+        |      AS BIGINT) AS cnt
+        |  FROM e),
+        |a AS (SELECT event_type, arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(2 * rnk + cnt - 1) AS BIGINT) AS s2,
+        |    CAST(sum(cnt * cnt - 1) AS BIGINT) AS tt
+        |  FROM r GROUP BY 1, 2),
+        |p AS (SELECT event_type,
+        |    CAST(max(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+        |    CAST(max(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+        |    CAST(max(CASE WHEN arm = 2 THEN n END) AS BIGINT) AS n2,
+        |    CAST(max(CASE WHEN arm = 0 THEN s2 END) AS BIGINT) AS s20,
+        |    CAST(max(CASE WHEN arm = 1 THEN s2 END) AS BIGINT) AS s21,
+        |    CAST(max(CASE WHEN arm = 2 THEN s2 END) AS BIGINT) AS s22,
+        |    CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(tt) AS BIGINT) AS tsum
+        |  FROM a GROUP BY 1)
+        |SELECT event_type, n0, n1, n2, tsum,
+        |  CAST(round(1000000 * ((3.0 / (CAST(nn AS DOUBLE) * (nn + 1))
+        |      * (CAST(s20 AS DOUBLE) * s20 / n0
+        |        + CAST(s21 AS DOUBLE) * s21 / n1
+        |        + CAST(s22 AS DOUBLE) * s22 / n2)
+        |      - 3.0 * (nn + 1))
+        |    / (1.0 - CAST(tsum AS DOUBLE)
+        |      / (CAST(nn AS DOUBLE) * nn * nn - nn)))) AS BIGINT)
+        |    AS h_micro
+        |FROM p
+        |WHERE n0 > 0 AND n1 > 0 AND n2 > 0
+        |  AND tsum < nn * nn * nn - nn""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(col("event_type"),
+          (col("user_id") % 3).cast("long").as("arm"),
+          round(col("value") * 1000).cast("long").as("x"))
+      val wR = Window.partitionBy("event_type").orderBy("x")
+      val wC = Window.partitionBy("event_type", "x")
+      val r = e
+        .withColumn("rnk", rank().over(wR).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(wC))
+      val a = r.groupBy("event_type", "arm")
+        .agg(count(lit(1)).as("n"),
+          sum(lit(2) * col("rnk") + col("cnt") - 1).as("s2"),
+          sum(col("cnt") * col("cnt") - 1).as("tt"))
+      def pick(i: Int, c: String) =
+        max(when(col("arm") === i, col(c)))
+      val p = a.groupBy("event_type")
+        .agg(pick(0, "n").as("n0"), pick(1, "n").as("n1"),
+          pick(2, "n").as("n2"), pick(0, "s2").as("s20"),
+          pick(1, "s2").as("s21"), pick(2, "s2").as("s22"),
+          sum("n").as("nn"), sum("tt").as("tsum"))
+      val nD = col("nn").cast("double")
+      def sq(s2c: String, nc: String) =
+        col(s2c).cast("double") * col(s2c) / col(nc)
+      val h = lit(3.0) / (nD * (col("nn") + 1)) *
+        (sq("s20", "n0") + sq("s21", "n1") + sq("s22", "n2")) -
+        lit(3.0) * (col("nn") + 1)
+      val corr = lit(1.0) - col("tsum").cast("double") /
+        (nD * col("nn") * col("nn") - col("nn"))
+      p.filter(col("n0") > 0 && col("n1") > 0 && col("n2") > 0 &&
+          col("tsum") < col("nn") * col("nn") * col("nn") - col("nn"))
+        .select(col("event_type"), col("n0"), col("n1"), col("n2"),
+          col("tsum"),
+          round(lit(1000000) * (h / corr)).cast("long").as("h_micro"))
+    },
+
     // Dual-rule sessionization: 12h gap AND a 24h max-duration cap (the
     // GA4-style pair) — 426 of 3292 gap sessions at sf0.01 exceed the cap
     // and split. Whole computation rides the one per-key exchange.

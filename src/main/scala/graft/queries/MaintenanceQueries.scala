@@ -253,6 +253,84 @@ object MaintenanceQueries {
             .as("n_risky_rows"))
     },
 
+    // L90 — t-closeness audit: the third leg of the privacy family
+    // (q_kanon bounds re-identification by class SIZE, q_l_diversity
+    // bounds inference by DISTINCT sensitive values; t-closeness bounds
+    // it by DISTRIBUTION distance — a class can be large and diverse
+    // yet still leak if its source mix is far from the corpus's). Per
+    // quasi-identifier class (lang, size bucket): the total-variation
+    // distance between the class's sensitive-value (source) histogram
+    // and the global one, ENTIRELY in exact integers — the class×value
+    // grid is DENSE (a class missing a value contributes |0·N − g_v·n_c|,
+    // which a join on observed counts alone would drop), TVD numerator
+    // num = Σ_v |c_v·N − g_v·n_c| over denominator 2·n_c·N, and the ppm
+    // value is integer division (both engines truncate non-negatives
+    // identically) — no mirrored doubles anywhere. Scale: one corpus
+    // projection checkpointed for its three consumers; the grid is
+    // class-count × V (V = sensitive cardinality, tiny) with the value
+    // histogram and the 1-row total as broadcasts; BIGINT-safe while
+    // 10⁶·2·n_c·N < 2⁶³ (n_c·N ≲ 4.6e12; beyond: DECIMAL(38), the X51
+    // pattern). Rolled up per lang so output is lang-sized.
+    "q_t_closeness" -> Q(
+      """WITH base AS (SELECT lang, n_chars // 100 AS size_bucket, source
+        |  FROM documents),
+        |cls AS (SELECT lang, size_bucket, CAST(count(*) AS BIGINT) n_c
+        |  FROM base GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) g_v
+        |  FROM base GROUP BY 1),
+        |tot AS (SELECT CAST(sum(g_v) AS BIGINT) n FROM g),
+        |cnt AS (SELECT lang, size_bucket, source,
+        |    CAST(count(*) AS BIGINT) c
+        |  FROM base GROUP BY 1, 2, 3),
+        |t AS (SELECT cls.lang, cls.size_bucket, cls.n_c, tot.n,
+        |    CAST(sum(abs(coalesce(cnt.c, 0) * tot.n - g.g_v * cls.n_c))
+        |      AS BIGINT) num
+        |  FROM cls CROSS JOIN g CROSS JOIN tot
+        |  LEFT JOIN cnt ON cnt.lang = cls.lang
+        |    AND cnt.size_bucket = cls.size_bucket
+        |    AND cnt.source = g.source
+        |  GROUP BY 1, 2, 3, 4),
+        |tc AS (SELECT lang, n_c,
+        |    (1000000 * num) // (2 * n_c * n) AS t_ppm
+        |  FROM t)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(max(t_ppm) AS BIGINT) AS max_t_ppm,
+        |  CAST(sum(CASE WHEN t_ppm > 250000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_risky_classes,
+        |  CAST(sum(CASE WHEN t_ppm > 250000 THEN n_c ELSE 0 END)
+        |    AS BIGINT) AS n_risky_rows
+        |FROM tc GROUP BY 1""".stripMargin) { (s, dir) =>
+      val base = table(s, dir, "documents")
+        .select(col("lang"), expr("n_chars div 100").as("size_bucket"),
+          col("source"))
+        // 3 consumers: classes, the value histogram, and the counts
+        .localCheckpoint(true)
+      val cls = base.groupBy("lang", "size_bucket")
+        .agg(count(lit(1)).as("n_c"))
+      val g = base.groupBy("source").agg(count(lit(1)).as("g_v"))
+        // 2 consumers: the grid and the global total
+        .localCheckpoint(true)
+      val tot = g.agg(sum("g_v").as("n"))
+      val cnt = base.groupBy("lang", "size_bucket", "source")
+        .agg(count(lit(1)).as("c"))
+      val t = cls.crossJoin(broadcast(g)).crossJoin(broadcast(tot))
+        .join(cnt, Seq("lang", "size_bucket", "source"), "left_outer")
+        .select(col("lang"), col("size_bucket"), col("n_c"), col("n"),
+          abs(coalesce(col("c"), lit(0L)) * col("n") -
+            col("g_v") * col("n_c")).as("term"))
+        .groupBy("lang", "size_bucket", "n_c", "n")
+        .agg(sum("term").as("num"))
+      t.select(col("lang"), col("n_c"),
+          expr("(1000000 * num) div (2 * n_c * n)").as("t_ppm"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_classes"),
+          max("t_ppm").as("max_t_ppm"),
+          sum(when(col("t_ppm") > 250000, 1L).otherwise(0L))
+            .as("n_risky_classes"),
+          sum(when(col("t_ppm") > 250000, col("n_c")).otherwise(0L))
+            .as("n_risky_rows"))
+    },
+
     // X12o — the CDC CONSUMER as a REAL streaming run (fourth streaming
     // gate entry): the change feed arrives as a file-source stream
     // (8 staged files, 2 per trigger → ≥4 micro-batches) and the

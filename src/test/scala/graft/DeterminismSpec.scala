@@ -163,7 +163,10 @@ class DeterminismSpec extends SparkSpec {
       // round 12: the (revenue desc, orderkey) top-10 total order, the
       // pair-dedup + distinct-agg composite, and the cross-multiplied
       // global-mean cut + anti-join
-      "q_tpch_q3", "q_tpch_q16", "q_tpch_q22")
+      "q_tpch_q3", "q_tpch_q16", "q_tpch_q22",
+      // round 12: the shared-exchange rank/tie windows and the dense
+      // integer TVD grid must be partition-independent
+      "q_kruskal", "q_t_closeness")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

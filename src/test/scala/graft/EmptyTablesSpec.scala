@@ -145,7 +145,10 @@ class EmptyTablesSpec extends SparkSpec {
     // round 12: the top-N join composite, the double-distinct
     // supplier count, and the global-benchmark anti-join over empty
     // facts
-    "q_tpch_q3", "q_tpch_q16", "q_tpch_q22")
+    "q_tpch_q3", "q_tpch_q16", "q_tpch_q22",
+    // round 12: the rank test over empty events and the TVD audit
+    // over an empty corpus
+    "q_kruskal", "q_t_closeness")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

@@ -1530,6 +1530,32 @@ class PlanAuditSpec extends SparkSpec {
       s"no cartesian product allowed:\n$p")
   }
 
+  test("q_kruskal: rank and tie windows share one series exchange") {
+    // HashPartitioning(event_type) satisfies the (event_type, x)
+    // clustering, and both aggregates key on supersets of the window
+    // partitioning — the whole query is ONE exchange
+    val p = plan("q_kruskal")
+    assert(p.linesIterator.count(
+        _.contains("Exchange hashpartitioning")) == 1,
+      s"rank windows + both aggs must share one exchange:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"events scans exactly once:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+  }
+
+  test("q_t_closeness: dense grid reads the checkpointed projection") {
+    // the corpus projection feeds classes, histogram, and counts —
+    // checkpointed once; the global total arrives as a 1-row broadcast
+    val p = plan("q_t_closeness")
+    assert(!p.contains("FileScan"),
+      s"the corpus projection must be checkpointed:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the V-sized histogram and 1-row total must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+  }
+
   test("q_rolling_actives: window-day contributions explode map-side") {
     val p = plan("q_rolling_actives")
     assert(!p.contains("FileScan"),

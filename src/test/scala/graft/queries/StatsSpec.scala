@@ -1222,4 +1222,83 @@ class StatsSpec extends SparkSpec {
         (wok && mok && eok && hok && sok))
     }
   }
+
+  test("q_kruskal: H and tie correction match plain-Scala doubled ranks") {
+    val ev = Tables.table(spark, sf0001, "events")
+      .select("event_type", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1) % 3,
+        r0(r.getDouble(2) * 1000)))
+    val expected = ev.groupBy(_._1).flatMap { case (t, es) =>
+      val xs = es.map(_._3)
+      // 2·(tie-averaged rank) = 2·|{v' < v}| + |{v' = v}| + 1
+      def s2Of(v: Long) = 2L * xs.count(_ < v) + xs.count(_ == v) + 1
+      val byArm = (0L to 2L).map { a =>
+        val vs = es.filter(_._2 == a).map(_._3)
+        (vs.length.toLong, vs.map(s2Of).sum)
+      }
+      val nn = xs.length.toLong
+      val tsum = xs.map(v => { val t = xs.count(_ == v).toLong
+        t * t - 1 }).sum
+      val Seq((n0, s20), (n1, s21), (n2, s22)) = byArm
+      // conservation law: the doubled rank sums total N(N+1)
+      assert(s20 + s21 + s22 == nn * (nn + 1), s"$t rank mass")
+      if (n0 > 0 && n1 > 0 && n2 > 0 && tsum < nn * nn * nn - nn) {
+        val nD = nn.toDouble
+        val h = 3.0 / (nD * (nn + 1)) *
+          (s20.toDouble * s20 / n0 + s21.toDouble * s21 / n1 +
+            s22.toDouble * s22 / n2) - 3.0 * (nn + 1)
+        val c = 1.0 - tsum.toDouble / (nD * nn * nn - nn)
+        Some(t -> ((n0, n1, n2, tsum, r0(1000000 * (h / c)))))
+      } else None
+    }
+    val got = SparkEntry.queries("q_kruskal")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (n0, n1, n2, tsum, h) = expected(t)
+      assert(r.getAs[Long]("n0") == n0 && r.getAs[Long]("n1") == n1 &&
+        r.getAs[Long]("n2") == n2, s"$t arm sizes")
+      assert(r.getAs[Long]("tsum") == tsum, s"$t tie term")
+      assert(r.getAs[Long]("h_micro") == h, s"$t H statistic")
+      // H is nonnegative up to quantization of the tie-corrected form
+      assert(h >= -1L, s"$t H sign")
+    }
+  }
+
+  test("q_t_closeness: dense-grid TVD matches plain-Scala integers") {
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select("lang", "n_chars", "source").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 100, r.getString(2)))
+    val n = docs.length.toLong
+    val global = docs.groupBy(_._3).map { case (s, d) =>
+      s -> d.length.toLong }
+    val classes = docs.groupBy(d => (d._1, d._2))
+    val perClass = classes.map { case ((lang, b), ds) =>
+      val nc = ds.length.toLong
+      val num = global.map { case (src, gv) =>
+        val c = ds.count(_._3 == src).toLong
+        math.abs(c * n - gv * nc)
+      }.sum
+      (lang, nc, (1000000L * num) / (2 * nc * n))
+    }
+    val expected = perClass.groupBy(_._1).map { case (lang, cs) =>
+      lang -> ((cs.size.toLong, cs.map(_._3).max,
+        cs.count(_._3 > 250000).toLong,
+        cs.filter(_._3 > 250000).map(_._2).sum))
+    }
+    val got = SparkEntry.queries("q_t_closeness")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val (ncls, maxT, risky, riskyRows) = expected(lang)
+      assert(r.getAs[Long]("n_classes") == ncls, s"$lang classes")
+      assert(r.getAs[Long]("max_t_ppm") == maxT, s"$lang max TVD")
+      assert(r.getAs[Long]("n_risky_classes") == risky, s"$lang risky")
+      assert(r.getAs[Long]("n_risky_rows") == riskyRows, s"$lang rows")
+      // TVD is a probability distance: ppm in [0, 1e6]
+      assert(maxT >= 0L && maxT <= 1000000L, s"$lang TVD bound")
+    }
+  }
 }

@@ -104,7 +104,10 @@ object PlanDump {
     // round 12: the heap-take top-N join composite, the pair-dedup +
     // distinct-agg supplier count, and the cross-multiplied
     // global-mean anti-join
-    "q_tpch_q3", "q_tpch_q16", "q_tpch_q22")
+    "q_tpch_q3", "q_tpch_q16", "q_tpch_q22",
+    // round 12: the shared-exchange Kruskal-Wallis rank windows and
+    // the checkpoint-fed dense TVD grid
+    "q_kruskal", "q_t_closeness")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
