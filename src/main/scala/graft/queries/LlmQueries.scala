@@ -382,6 +382,69 @@ object LlmQueries {
           col("max_bigram_cnt") * 10 > col("total_bigrams"))
     },
 
+    // L92 — the full published within-doc repetition battery (Rae et
+    // al. 2021 app. A1.1 rows 4–9, completing q_repetition's top-bigram
+    // share): per document, for n = 3 and n = 4, the top-n-gram token
+    // share and the duplicate-n-gram fraction (n-gram instances beyond
+    // the first occurrence of their type — the order-free exact form of
+    // "fraction of text inside repeated n-grams"), in integer ppm
+    // divisions. Both profiles come from the scan-side NgramStats
+    // codegen expression, so the whole battery is a straight projection
+    // over the parquet scan — zero shuffles at any corpus size (the
+    // q_gopher_rules shape; the explode + double-groupBy alternative
+    // shuffles every n-gram occurrence).
+    "q_repetition_full" -> Q(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') t
+        |  FROM documents),
+        |g3 AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 1)),
+        |    i -> array_to_string(t[i:i+2], ' '))) g
+        |  FROM toks),
+        |c3 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) cnt
+        |  FROM g3 GROUP BY 1, 2),
+        |r3 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) total_3,
+        |    CAST(count(*) AS BIGINT) distinct_3,
+        |    CAST(max(cnt) AS BIGINT) max_cnt_3
+        |  FROM c3 GROUP BY 1),
+        |g4 AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 3, 1)),
+        |    i -> array_to_string(t[i:i+3], ' '))) g
+        |  FROM toks),
+        |c4 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) cnt
+        |  FROM g4 GROUP BY 1, 2),
+        |r4 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) total_4,
+        |    CAST(count(*) AS BIGINT) distinct_4,
+        |    CAST(max(cnt) AS BIGINT) max_cnt_4
+        |  FROM c4 GROUP BY 1)
+        |SELECT r3.doc_id, total_3, distinct_3, max_cnt_3,
+        |  (1000000 * max_cnt_3) // total_3 AS top3_ppm,
+        |  (1000000 * (total_3 - distinct_3)) // total_3 AS dup3_ppm,
+        |  total_4, distinct_4, max_cnt_4,
+        |  (1000000 * max_cnt_4) // total_4 AS top4_ppm,
+        |  (1000000 * (total_4 - distinct_4)) // total_4 AS dup4_ppm
+        |FROM r3 JOIN r4 ON r4.doc_id = r3.doc_id""".stripMargin) {
+      (s, dir) =>
+      val d = table(s, dir, "documents")
+      val st3 = graft.functions.NgramStats(d("text"), 3)
+      val st4 = graft.functions.NgramStats(d("text"), 4)
+      d.select(d("doc_id"),
+          st3.getField("total").as("total_3"),
+          st3.getField("distinct").as("distinct_3"),
+          st3.getField("max_cnt").as("max_cnt_3"),
+          st4.getField("total").as("total_4"),
+          st4.getField("distinct").as("distinct_4"),
+          st4.getField("max_cnt").as("max_cnt_4"))
+        .withColumn("top3_ppm",
+          expr("(1000000 * max_cnt_3) div total_3"))
+        .withColumn("dup3_ppm",
+          expr("(1000000 * (total_3 - distinct_3)) div total_3"))
+        .withColumn("top4_ppm",
+          expr("(1000000 * max_cnt_4) div total_4"))
+        .withColumn("dup4_ppm",
+          expr("(1000000 * (total_4 - distinct_4)) div total_4"))
+    },
+
     // Sequence packing for pretraining: assign each doc a (shard, seq_id,
     // seq_offset) in fixed token-budget sequences (budget 2048), greedy in
     // deterministic doc_id order within content-addressed shards. The
@@ -1712,6 +1775,92 @@ object LlmQueries {
           coalesce(col("deg"), lit(0L)).as("n_out"))
     },
 
+    // L89 — label-propagation communities over the kNN document graph
+    // (the community-detection companion to q_dedup_clusters'
+    // connected components and q_pagerank's authority: CC merges
+    // anything touching, LPA splits a connected blob into its DENSE
+    // neighborhoods — the duplicate-family vs topic-community
+    // distinction). Three SYNCHRONOUS majority-vote rounds over the
+    // symmetrized q_knn_graph edge set, seeded with each node's own
+    // id; the vote is exact integer counting with the deterministic
+    // (count desc, label asc) tie-break (max count, then min label —
+    // two aggregates, no float, no RNG), so the 3-round fixed point is
+    // bit-identical on both engines and the DuckDB oracle unrolls the
+    // same rounds as CTEs (the q_pagerank discipline). Scale: the
+    // symmetric edge set is checkpointed once; each round is one
+    // edge⋈label join + two (node, label)-keyed partial aggs, label
+    // table checkpointed per round (the CC/BPE driver-loop precedent).
+    "q_label_prop" -> Q(
+      s"""WITH $duckShingles,
+        |$duckMinhashBands,
+        |knn_cand AS (
+        |  SELECT DISTINCT l.doc_id a, r.doc_id b
+        |  FROM mh_banded l JOIN mh_banded r
+        |    ON l.band = r.band AND l.bkey = r.bkey
+        |    AND l.doc_id <> r.doc_id),
+        |scored AS (
+        |  SELECT c.a doc_id, c.b nbr_id,
+        |    (CAST(len(list_intersect(ba.sh, bb.sh)) AS BIGINT) * 1000000)
+        |      // CAST(len(ba.sh) + len(bb.sh)
+        |        - len(list_intersect(ba.sh, bb.sh)) AS BIGINT) jac_ppm
+        |  FROM knn_cand c
+        |  JOIN base ba ON ba.doc_id = c.a
+        |  JOIN base bb ON bb.doc_id = c.b),
+        |rr AS (
+        |  SELECT doc_id, nbr_id,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY jac_ppm DESC, nbr_id) rnk
+        |  FROM scored),
+        |edges AS (SELECT doc_id src, nbr_id dst FROM rr WHERE rnk <= 5),
+        |e2 AS (SELECT src, dst FROM edges
+        |       UNION SELECT dst, src FROM edges),
+        |nodes AS (SELECT DISTINCT src AS id FROM e2),
+        |l0 AS (SELECT id, id AS lbl FROM nodes),
+        |c1 AS (SELECT e2.src AS id, l.lbl, CAST(count(*) AS BIGINT) c
+        |  FROM e2 JOIN l0 l ON l.id = e2.dst GROUP BY 1, 2),
+        |m1 AS (SELECT id, CAST(max(c) AS BIGINT) mc FROM c1 GROUP BY 1),
+        |l1 AS (SELECT c1.id, CAST(min(c1.lbl) AS BIGINT) lbl
+        |  FROM c1 JOIN m1 ON m1.id = c1.id AND c1.c = m1.mc GROUP BY 1),
+        |c2 AS (SELECT e2.src AS id, l.lbl, CAST(count(*) AS BIGINT) c
+        |  FROM e2 JOIN l1 l ON l.id = e2.dst GROUP BY 1, 2),
+        |m2 AS (SELECT id, CAST(max(c) AS BIGINT) mc FROM c2 GROUP BY 1),
+        |l2 AS (SELECT c2.id, CAST(min(c2.lbl) AS BIGINT) lbl
+        |  FROM c2 JOIN m2 ON m2.id = c2.id AND c2.c = m2.mc GROUP BY 1),
+        |c3 AS (SELECT e2.src AS id, l.lbl, CAST(count(*) AS BIGINT) c
+        |  FROM e2 JOIN l2 l ON l.id = e2.dst GROUP BY 1, 2),
+        |m3 AS (SELECT id, CAST(max(c) AS BIGINT) mc FROM c3 GROUP BY 1),
+        |l3 AS (SELECT c3.id, CAST(min(c3.lbl) AS BIGINT) lbl
+        |  FROM c3 JOIN m3 ON m3.id = c3.id AND c3.c = m3.mc GROUP BY 1),
+        |cs AS (SELECT lbl, CAST(count(*) AS BIGINT) community_size
+        |  FROM l3 GROUP BY 1)
+        |SELECT l3.id AS doc_id, l3.lbl AS community, cs.community_size
+        |FROM l3 JOIN cs ON cs.lbl = l3.lbl""".stripMargin) { (s, dir) =>
+      val g0 = Dedup.knnGraph(table(s, dir, "documents"),
+          "doc_id", "text", k = 5)
+        .select(col("doc_id").as("src"), col("nbr_id").as("dst"))
+      // the symmetric edge set feeds all three vote rounds — ONE graph
+      // build (EAGER CHECKPOINT DISCIPLINE, ops/llm/Dedup.scala)
+      val e2 = g0
+        .union(g0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(true)
+      var lbl = e2.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+      for (_ <- 1 to 3) {
+        val cnts = e2.join(lbl, e2("dst") === lbl("id"))
+          .groupBy(e2("src").as("nid"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+        val mx = cnts.groupBy("nid").agg(max("c").as("mc"))
+        lbl = cnts.join(mx, "nid").filter(col("c") === col("mc"))
+          .groupBy("nid").agg(min("lbl").as("lbl"))
+          .select(col("nid").as("id"), col("lbl"))
+          .localCheckpoint(true)
+      }
+      val cs = lbl.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+      lbl.join(broadcast(cs), "lbl")
+        .select(col("id").as("doc_id"), col("lbl").as("community"),
+          col("community_size"))
+    },
+
     // L79 — Gini concentration of token mass across documents per
     // source (the corpus-balance audit: is a source's token budget
     // spread evenly or dominated by a few giant documents? — the
@@ -2272,6 +2421,73 @@ object LlmQueries {
         .filter(col("rnk") <= 5)
         .withColumn("cond_permille", expr("(cnt * 1000) div head_cnt"))
         .select("head", "bigram", "cnt", "head_cnt", "rnk", "cond_permille")
+    },
+
+    // L91 — interpolated Kneser–Ney bigram probabilities (the canonical
+    // LM smoothing, completing the family: q_surprisal's unigram MLE →
+    // q_ngram_lm's conditional MLE → q_freq_spectrum's Good–Turing →
+    // THIS, the smoother production n-gram LMs actually ship). The
+    // float hazard is engineered out by choosing the discount D = 3/4
+    // and clearing denominators: for an OBSERVED bigram c ≥ 1 the
+    // discounted term max(c−D, 0) = c−3/4 is always positive, so
+    // p_KN(w|u) = (c−3/4)/c(u) + (3/4)·N1+(u•)/c(u) · N1+(•w)/B
+    // multiplies out to the exact integer
+    //   num = (4c − 3)·B + 3·N1+(u•)·N1+(•w)   over   den = 4·c(u)·B,
+    // and the ppm value is integer division — Σ_w p(w|u) = 1 holds
+    // EXACTLY in this arithmetic (Σnum = den; the spec pins it). All
+    // counts derive from ONE bigram-type table (checkpointed for its
+    // four consumers); context/continuation tables broadcast back; the
+    // output is the top-200 bigrams under a (cnt desc, bigram) total
+    // order — TakeOrderedAndProject-bounded at any corpus size.
+    // BIGINT-safe while 1e6·4·c·B < 2⁶³ (c·B ≲ 2.3e12; beyond:
+    // DECIMAL(38), the X51 pattern).
+    "q_kneser_ney" -> Q(
+      """WITH toks AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') t
+        |  FROM documents),
+        |big AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1])) bigram
+        |  FROM toks WHERE len(t) >= 2),
+        |c AS (SELECT bigram, split_part(bigram, ' ', 1) head,
+        |    split_part(bigram, ' ', 2) tail,
+        |    CAST(count(*) AS BIGINT) cnt
+        |  FROM big GROUP BY 1, 2, 3),
+        |hd AS (SELECT head, CAST(sum(cnt) AS BIGINT) cu,
+        |    CAST(count(*) AS BIGINT) n1u
+        |  FROM c GROUP BY 1),
+        |tl AS (SELECT tail, CAST(count(*) AS BIGINT) n1w
+        |  FROM c GROUP BY 1),
+        |b AS (SELECT CAST(count(*) AS BIGINT) bt FROM c)
+        |SELECT c.bigram, c.cnt, hd.cu, hd.n1u, tl.n1w,
+        |  (1000000 * ((4 * c.cnt - 3) * b.bt + 3 * hd.n1u * tl.n1w))
+        |    // (4 * hd.cu * b.bt) AS p_kn_ppm
+        |FROM c JOIN hd ON hd.head = c.head
+        |JOIN tl ON tl.tail = c.tail, b
+        |ORDER BY c.cnt DESC, c.bigram
+        |LIMIT 200""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val c = d.select(explode(TextOps.shingleStream(d("text"), 2))
+          .as("bigram"))
+        .filter(col("bigram").contains(" "))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .withColumn("head", substring_index(col("bigram"), " ", 1))
+        .withColumn("tail", substring_index(col("bigram"), " ", -1))
+        // 4 consumers: contexts, continuations, the type total, and
+        // the probe (EAGER CHECKPOINT DISCIPLINE, ops/llm/Dedup.scala)
+        .localCheckpoint(true)
+      val hd = c.groupBy("head")
+        .agg(sum("cnt").as("cu"), count(lit(1)).as("n1u"))
+      val tl = c.groupBy("tail").agg(count(lit(1)).as("n1w"))
+      val b = c.agg(count(lit(1)).as("bt"))
+      c.join(broadcast(hd), "head").join(broadcast(tl), "tail")
+        .crossJoin(broadcast(b))
+        .select(col("bigram"), col("cnt"), col("cu"), col("n1u"),
+          col("n1w"),
+          expr("(1000000 * ((4 * cnt - 3) * bt + 3 * n1u * n1w))" +
+            " div (4 * cu * bt)").as("p_kn_ppm"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(200)
     },
 
     // TF-IDF per (doc, term): integer tf/df plus the classic

@@ -166,7 +166,11 @@ class DeterminismSpec extends SparkSpec {
       "q_tpch_q3", "q_tpch_q16", "q_tpch_q22",
       // round 12: the shared-exchange rank/tie windows and the dense
       // integer TVD grid must be partition-independent
-      "q_kruskal", "q_t_closeness")
+      "q_kruskal", "q_t_closeness",
+      // round 12: the 3-round majority-vote fixed point, the cleared-
+      // denominator KN arithmetic + top-200 cut, and the scan-side
+      // n-gram profiles
+      "q_label_prop", "q_kneser_ney", "q_repetition_full")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -148,7 +148,10 @@ class EmptyTablesSpec extends SparkSpec {
     "q_tpch_q3", "q_tpch_q16", "q_tpch_q22",
     // round 12: the rank test over empty events and the TVD audit
     // over an empty corpus
-    "q_kruskal", "q_t_closeness")
+    "q_kruskal", "q_t_closeness",
+    // round 12: community vote, KN smoothing, and repetition profiles
+    // over an empty corpus
+    "q_label_prop", "q_kneser_ney", "q_repetition_full")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

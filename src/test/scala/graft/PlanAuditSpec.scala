@@ -1556,6 +1556,40 @@ class PlanAuditSpec extends SparkSpec {
       s"no cartesian product allowed:\n$p")
   }
 
+  test("q_label_prop: final vote reads checkpoints, sizes broadcast") {
+    // the symmetric edge set and every vote round are checkpointed —
+    // nothing in the final plan re-reads the corpus or re-runs a round
+    val p = plan("q_label_prop")
+    assert(!p.contains("FileScan"),
+      s"edge set and vote rounds must be checkpointed:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"community sizes must broadcast back:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+  }
+
+  test("q_kneser_ney: marginals broadcast; top-200 is a heap take") {
+    val p = plan("q_kneser_ney")
+    assert(!p.contains("FileScan"),
+      s"the bigram-type table must be checkpointed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-200 cut must be a heap take:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"context/continuation marginals must broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row type total must arrive as a broadcast:\n$p")
+  }
+
+  test("q_repetition_full: the battery is a pure projection") {
+    // both NgramStats profiles are scan-side codegen expressions —
+    // zero exchanges, zero joins at any corpus size
+    val p = plan("q_repetition_full")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"one corpus scan only:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"the battery must not shuffle or join:\n$p")
+  }
+
   test("q_rolling_actives: window-day contributions explode map-side") {
     val p = plan("q_rolling_actives")
     assert(!p.contains("FileScan"),

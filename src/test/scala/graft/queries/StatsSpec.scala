@@ -1301,4 +1301,120 @@ class StatsSpec extends SparkSpec {
       assert(maxT >= 0L && maxT <= 1000000L, s"$lang TVD bound")
     }
   }
+
+  test("q_label_prop: 3 vote rounds match a plain-Scala propagation") {
+    val edges = graft.ops.llm.Dedup
+      .knnGraph(Tables.table(spark, sf0001, "documents"),
+        "doc_id", "text", k = 5)
+      .select("doc_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sym = (edges ++ edges.map(e => (e._2, e._1))).distinct
+    val nbrs = sym.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var lbl: Map[Long, Long] = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lbl = nbrs.map { case (v, ns) =>
+        val votes = ns.groupBy(lbl).map { case (l, xs) =>
+          l -> xs.length }
+        val mc = votes.values.max
+        v -> votes.filter(_._2 == mc).keys.min
+      }
+    }
+    val sizes = lbl.values.groupBy(identity).map { case (l, xs) =>
+      l -> xs.size.toLong }
+    val got = SparkEntry.queries("q_label_prop")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == lbl.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("community") == lbl(id), s"doc $id label")
+      assert(r.getAs[Long]("community_size") == sizes(lbl(id)),
+        s"doc $id community size")
+    }
+    // LPA refines, never coarsens past, the connected components:
+    // every community is inside one component, so there are at least
+    // as many communities as components among the covered nodes
+    assert(sizes.size >= 1)
+  }
+
+  test("q_kneser_ney: probabilities sum to exactly 1 per context") {
+    // the whole point of the D=3/4 integer form: Σ_w num(u,w) = den(u)
+    // EXACTLY — verified over the full (uncut) bigram table in BigInt,
+    // plus value parity for the served top-200 rows
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select("text").collect().map(_.getString(0))
+    val bigrams = docs.flatMap { t =>
+      val toks = t.trim.toLowerCase.split("\\s+")
+      if (toks.length >= 2) toks.sliding(2).map(_.mkString(" "))
+      else Iterator.empty
+    }
+    val c = bigrams.groupBy(identity).map { case (g, xs) =>
+      g -> xs.length.toLong }
+    val heads = c.groupBy(_._1.split(" ")(0))
+    val cu = heads.map { case (h, m) => h -> m.values.sum }
+    val n1u = heads.map { case (h, m) => h -> m.size.toLong }
+    val n1w = c.keys.groupBy(_.split(" ")(1)).map { case (w, xs) =>
+      w -> xs.size.toLong }
+    val bt = c.size.toLong
+    def num(g: String): BigInt = {
+      val Array(h, w) = g.split(" ")
+      BigInt(4 * c(g) - 3) * bt + BigInt(3) * n1u(h) * n1w(w)
+    }
+    // the conservation law runs over the WHOLE vocabulary: observed
+    // continuations carry (4c−3)·B + 3·n1u·n1w, unseen ones only the
+    // smoothing mass 3·n1u·n1w — together they total exactly 4·cu·B
+    cu.keys.foreach { h =>
+      val den = BigInt(4) * cu(h) * bt
+      val seen = heads(h).keySet.map(_.split(" ")(1))
+      // iterator, not Set.map — equal num values must not collapse
+      val tot = heads(h).keysIterator.map(num).sum +
+        n1w.collect { case (w, nw) if !seen(w) =>
+          BigInt(3) * n1u(h) * nw }.sum
+      assert(tot == den, s"context '$h' mass: $tot != $den")
+    }
+    val got = SparkEntry.queries("q_kneser_ney")(spark, sf0001).collect()
+    assert(got.nonEmpty && got.length <= 200)
+    got.foreach { r =>
+      val g = r.getAs[String]("bigram")
+      val Array(h, w) = g.split(" ")
+      assert(r.getAs[Long]("cnt") == c(g), s"'$g' count")
+      assert(r.getAs[Long]("cu") == cu(h) && r.getAs[Long]("n1u") ==
+        n1u(h) && r.getAs[Long]("n1w") == n1w(w), s"'$g' marginals")
+      val ppm = (BigInt(1000000) * num(g)) / (BigInt(4) * cu(h) * bt)
+      assert(r.getAs[Long]("p_kn_ppm") == ppm.toLong, s"'$g' p_KN")
+    }
+  }
+
+  test("q_repetition_full: n-gram profiles match plain-Scala counting") {
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def profile(t: String, n: Int): (Long, Long, Long) = {
+      val toks = t.trim.toLowerCase.split("\\s+", -1)
+      val grams =
+        if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSeq
+        else Seq(toks.mkString(" "))
+      val counts = grams.groupBy(identity).map(_._2.length.toLong)
+      (grams.length.toLong, counts.size.toLong, counts.max)
+    }
+    val got = SparkEntry.queries("q_repetition_full")(spark, sf0001)
+      .collect()
+    assert(got.length == docs.length)
+    val byId = docs.toMap
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (t3, d3, m3) = profile(byId(id), 3)
+      val (t4, d4, m4) = profile(byId(id), 4)
+      assert(r.getAs[Long]("total_3") == t3 &&
+        r.getAs[Long]("distinct_3") == d3 &&
+        r.getAs[Long]("max_cnt_3") == m3, s"doc $id 3-gram profile")
+      assert(r.getAs[Long]("total_4") == t4 &&
+        r.getAs[Long]("distinct_4") == d4 &&
+        r.getAs[Long]("max_cnt_4") == m4, s"doc $id 4-gram profile")
+      assert(r.getAs[Long]("top3_ppm") == 1000000L * m3 / t3 &&
+        r.getAs[Long]("dup3_ppm") == 1000000L * (t3 - d3) / t3 &&
+        r.getAs[Long]("top4_ppm") == 1000000L * m4 / t4 &&
+        r.getAs[Long]("dup4_ppm") == 1000000L * (t4 - d4) / t4,
+        s"doc $id ppm shares")
+    }
+  }
 }

@@ -107,7 +107,10 @@ object PlanDump {
     "q_tpch_q3", "q_tpch_q16", "q_tpch_q22",
     // round 12: the shared-exchange Kruskal-Wallis rank windows and
     // the checkpoint-fed dense TVD grid
-    "q_kruskal", "q_t_closeness")
+    "q_kruskal", "q_t_closeness",
+    // round 12: the checkpointed vote rounds, the broadcast-marginal
+    // KN table, and the projection-only repetition battery
+    "q_label_prop", "q_kneser_ney", "q_repetition_full")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
