@@ -1099,5 +1099,77 @@ object ExtendedQueries {
         |FROM e GROUP BY 1""".stripMargin) { (s, dir) =>
       graft.streaming.StreamingPipeline.streamQuarantine(s, dir)
     },
+
+    // X86 — grid-bucketed spatial radius self-join: all user pairs
+    // within planar distance r = 100, the geospatial join pattern
+    // (geohash / S2-cell bucketing) this suite lacked. Coordinates are
+    // synthesized deterministically from a sha256 of the user key onto
+    // a 1000×1000 grid (the q_seq_pack digest-slice idiom — a LINEAR
+    // map like id·c mod 1000 is a rank-1 lattice whose points are
+    // maximally SEPARATED and yields zero close pairs; the digest
+    // breaks the structure), replayed verbatim by the oracle. The
+    // operator itself is exact integer arithmetic: cell = coord div r,
+    // candidates come from the ×9 neighbor-cell expansion of the probe
+    // side equi-joined on the cell key (cell size = r guarantees
+    // completeness: |Δx| ≤ r ⇒ cell delta ∈ {−1,0,1}; a pair co-buckets
+    // at exactly ONE offset, so no dedup shuffle), and the verify
+    // predicate is integer squared distance — never the quadratic cross
+    // join, never a float. Scale: the explode is map-side below the one
+    // (cell) exchange; hot cells are bounded by geometry (cell area ~
+    // r²), the skew analogue of the kNN bucket cap. Output (a, b,
+    // dist2) with a < b, pair-sized.
+    "q_grid_join" -> Q(
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |p AS (SELECT user_id,
+        |    CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 8))
+        |      ::UBIGINT % 1000 AS BIGINT) AS x,
+        |    CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 9, 8))
+        |      ::UBIGINT % 1000 AS BIGINT) AS y
+        |  FROM u),
+        |l AS (SELECT user_id, x, y,
+        |    x // 100 AS cx, y // 100 AS cy FROM p),
+        |probe AS (SELECT user_id, x, y, cx + dx.o AS jx, cy + dy.o AS jy
+        |  FROM l,
+        |    (SELECT unnest([-1, 0, 1]) AS o) dx,
+        |    (SELECT unnest([-1, 0, 1]) AS o) dy),
+        |cand AS (SELECT a.user_id ua, a.x ax, a.y ay,
+        |    b.user_id ub, b.x bx, b.y by2
+        |  FROM probe a JOIN l b ON b.cx = a.jx AND b.cy = a.jy
+        |  WHERE a.user_id < b.user_id)
+        |SELECT ua AS user_a, ub AS user_b,
+        |  CAST((ax - bx) * (ax - bx) + (ay - by2) * (ay - by2) AS BIGINT)
+        |    AS dist2
+        |FROM cand
+        |WHERE (ax - bx) * (ax - bx) + (ay - by2) * (ay - by2) <= 10000"""
+        .stripMargin) { (s, dir) =>
+      def coord(off: Int) =
+        (expr(s"cast(conv(substr(sha2(cast(user_id as string), 256), " +
+          s"$off, 8), 16, 10) as bigint)") % 1000).as(
+          if (off == 1) "x" else "y")
+      val p = table(s, dir, "events")
+        .select(col("user_id")).distinct()
+        .select(col("user_id"), coord(1), coord(9))
+        .select(col("user_id"), col("x"), col("y"),
+          expr("x div 100").as("cx"), expr("y div 100").as("cy"))
+        // 2 consumers: the ×9 probe expansion and the build side
+        .localCheckpoint(true)
+      val offs = array((-1 to 1).map(lit): _*)
+      val probe = p
+        .withColumn("dx", explode(offs))
+        .withColumn("dy", explode(offs))
+        .select(col("user_id").as("ua"), col("x").as("ax"),
+          col("y").as("ay"), (col("cx") + col("dx")).as("jx"),
+          (col("cy") + col("dy")).as("jy"))
+      val build = p.select(col("user_id").as("ub"), col("x").as("bx"),
+        col("y").as("by2"), col("cx"), col("cy"))
+      val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by2")) * (col("ay") - col("by2"))
+      probe.join(build,
+          col("cx") === col("jx") && col("cy") === col("jy") &&
+            col("ua") < col("ub"))
+        .filter(d2 <= 10000)
+        .select(col("ua").as("user_a"), col("ub").as("user_b"),
+          d2.cast("long").as("dist2"))
+    },
   )
 }

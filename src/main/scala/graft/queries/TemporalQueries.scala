@@ -664,5 +664,64 @@ object TemporalQueries {
           .select("day", "n_new", "n_active", "n_events", "cum_users",
             "cum_events")
     },
+
+    // X87 — interval-overlap concurrency: peak simultaneous sessions
+    // per day (the capacity-planning operator: license seats, server
+    // slots, support load). The classic boundary sweep — each (user,
+    // day) session interval emits +1 at its start and −1 at its end,
+    // the running sum over the day's boundary stream IS the live
+    // concurrency, and its max is the answer — re-expressed as ONE
+    // day-partitioned window pass (never a t×t self-join). The
+    // boundary total order (t, delta desc, user_id) is deterministic
+    // AND encodes the closed-interval tie rule: a start at time t
+    // sorts before an end at t, so touching sessions count as
+    // overlapping on both engines identically. Exact integer µs
+    // throughout. Scale: intervals are one (user, day) shuffle; the
+    // sweep shuffles two boundary rows per interval on the day key —
+    // change-sized, and the skew bound is boundaries-per-day.
+    "q_concurrency" -> Q(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |iv AS (SELECT user_id, day, min(tsu) AS s, max(tsu) AS en
+        |  FROM e GROUP BY 1, 2),
+        |b AS (SELECT day, s AS t, CAST(1 AS BIGINT) AS delta, user_id
+        |    FROM iv
+        |  UNION ALL
+        |  SELECT day, en, CAST(-1 AS BIGINT), user_id FROM iv),
+        |r AS (SELECT day,
+        |    CAST(sum(delta) OVER (PARTITION BY day
+        |      ORDER BY t, delta DESC, user_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS conc
+        |  FROM b),
+        |mx AS (SELECT day, CAST(max(conc) AS BIGINT) AS max_concurrent
+        |  FROM r GROUP BY 1),
+        |ns AS (SELECT day, CAST(count(*) AS BIGINT) AS n_sessions
+        |  FROM iv GROUP BY 1)
+        |SELECT CAST(ns.day AS BIGINT) AS day, ns.n_sessions,
+        |  mx.max_concurrent
+        |FROM ns JOIN mx ON mx.day = ns.day""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val iv = ev
+        .select(col("user_id"), expr("ts div 1000").as("tsu"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy("user_id", "day")
+        .agg(min("tsu").as("s"), max("tsu").as("en"))
+        // 3 consumers: both boundary legs and the session count
+        .localCheckpoint(true)
+      val b = iv.select(col("day"), col("s").as("t"),
+          lit(1L).as("delta"), col("user_id"))
+        .unionByName(iv.select(col("day"), col("en").as("t"),
+          lit(-1L).as("delta"), col("user_id")))
+      val w = Window.partitionBy("day")
+        .orderBy(col("t"), col("delta").desc, col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mx = b.withColumn("conc", sum("delta").over(w))
+        .groupBy("day").agg(max("conc").as("max_concurrent"))
+      val ns = iv.groupBy("day").agg(count(lit(1)).as("n_sessions"))
+      ns.join(broadcast(mx), "day")
+        .select(col("day"), col("n_sessions"), col("max_concurrent"))
+    },
   )
 }

@@ -170,7 +170,10 @@ class DeterminismSpec extends SparkSpec {
       // round 12: the 3-round majority-vote fixed point, the cleared-
       // denominator KN arithmetic + top-200 cut, and the scan-side
       // n-gram profiles
-      "q_label_prop", "q_kneser_ney", "q_repetition_full")
+      "q_label_prop", "q_kneser_ney", "q_repetition_full",
+      // round 12: the cell-offset candidate join and the boundary
+      // sweep's (t, delta, user) total order
+      "q_grid_join", "q_concurrency")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

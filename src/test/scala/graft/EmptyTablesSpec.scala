@@ -151,7 +151,10 @@ class EmptyTablesSpec extends SparkSpec {
     "q_kruskal", "q_t_closeness",
     // round 12: community vote, KN smoothing, and repetition profiles
     // over an empty corpus
-    "q_label_prop", "q_kneser_ney", "q_repetition_full")
+    "q_label_prop", "q_kneser_ney", "q_repetition_full",
+    // round 12: the spatial radius join and the concurrency sweep
+    // over empty events
+    "q_grid_join", "q_concurrency")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

@@ -1590,6 +1590,32 @@ class PlanAuditSpec extends SparkSpec {
       s"the battery must not shuffle or join:\n$p")
   }
 
+  test("q_grid_join: neighbor-cell expansion stays an equi-join") {
+    // the ×9 offset explode is map-side below the cell-key join; the
+    // radius predicate must never degrade the join to a cartesian or
+    // nested-loop plan
+    val p = plan("q_grid_join")
+    assert(!p.contains("FileScan"),
+      s"the coordinate table must be checkpointed:\n$p")
+    assert(p.contains("Generate explode"),
+      s"the offset expansion must be a Generate:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the cell join must stay an equi-join:\n$p")
+  }
+
+  test("q_concurrency: one sweep window over checkpointed intervals") {
+    val p = plan("q_concurrency")
+    assert(!p.contains("FileScan"),
+      s"the interval table must be checkpointed:\n$p")
+    assert(p.contains("Window"),
+      s"the boundary sweep must be a window pass:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the day-sized peak table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+  }
+
   test("q_rolling_actives: window-day contributions explode map-side") {
     val p = plan("q_rolling_actives")
     assert(!p.contains("FileScan"),

@@ -1384,6 +1384,61 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_grid_join: grid candidates are complete vs brute force") {
+    // the completeness claim (cell size = r ⇒ neighbor cells cover the
+    // radius) proved against the quadratic scan at sf0.01
+    val ids = Tables.table(spark, "/root/testdata/sf0.01", "events")
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    def coord(id: Long, off: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(off - 1, off + 7), 16) % 1000
+    }
+    val pts = ids.map(id => id -> (coord(id, 1), coord(id, 9))).toMap
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      dx = pts(a)._1 - pts(b)._1; dy = pts(a)._2 - pts(b)._2
+      if dx * dx + dy * dy <= 10000
+    } yield (a, b) -> (dx * dx + dy * dy)).toMap
+    val got = SparkEntry.queries("q_grid_join")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(got.length == brute.size, "grid join must equal brute force")
+    got.foreach { r =>
+      val k = (r.getAs[Long]("user_a"), r.getAs[Long]("user_b"))
+      assert(brute.get(k).contains(r.getAs[Long]("dist2")),
+        s"pair $k distance")
+    }
+  }
+
+  test("q_concurrency: boundary sweep matches a plain-Scala sweep") {
+    val ev = Tables.table(spark, sf0001, "events")
+      .selectExpr("user_id", "ts div 1000 AS tsu",
+        "(ts div 1000) div 86400000000 AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._3).map { case (day, es) =>
+      val iv = es.groupBy(_._1).map { case (u, xs) =>
+        (u, xs.map(_._2).min, xs.map(_._2).max) }.toSeq
+      val bounds = iv.flatMap { case (u, s, e) =>
+        Seq((s, 1L, u), (e, -1L, u)) }
+        .sortBy { case (t, d, u) => (t, -d, u) }
+      var cur = 0L; var mx = 0L
+      bounds.foreach { case (_, d, _) =>
+        cur += d; if (cur > mx) mx = cur }
+      day -> ((iv.size.toLong, mx))
+    }
+    val got = SparkEntry.queries("q_concurrency")(spark, sf0001)
+      .collect()
+    assert(got.nonEmpty && got.length == expected.size)
+    got.foreach { r =>
+      val (n, mx) = expected(r.getAs[Long]("day"))
+      assert(r.getAs[Long]("n_sessions") == n)
+      assert(r.getAs[Long]("max_concurrent") == mx)
+      // peak concurrency never exceeds the day's session count
+      assert(mx >= 1L && mx <= n)
+    }
+  }
+
   test("q_repetition_full: n-gram profiles match plain-Scala counting") {
     val docs = Tables.table(spark, sf0001, "documents")
       .select("doc_id", "text").collect()

@@ -110,7 +110,10 @@ object PlanDump {
     "q_kruskal", "q_t_closeness",
     // round 12: the checkpointed vote rounds, the broadcast-marginal
     // KN table, and the projection-only repetition battery
-    "q_label_prop", "q_kneser_ney", "q_repetition_full")
+    "q_label_prop", "q_kneser_ney", "q_repetition_full",
+    // round 12: the neighbor-cell spatial join and the boundary-sweep
+    // concurrency window
+    "q_grid_join", "q_concurrency")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
