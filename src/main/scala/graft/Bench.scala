@@ -139,6 +139,8 @@ object Bench {
       graft.queries.SharedBases.jaccardPairs(spark, sfDir) }
     timedBase("dbscan_roles") {
       graft.queries.SharedBases.dbscanRoles(spark, sfDir) }
+    timedBase("knn_edges") {
+      graft.queries.SharedBases.knnEdges(spark, sfDir) }
     // q_pipeline_incremental's 24-hourly-file fixture (r7 verdict #1):
     // built HERE, timed, so the query's own timer measures the glob
     // read + two incremental runs instead of 24-way small-file write

@@ -1745,11 +1745,11 @@ object LlmQueries {
         |  CAST(coalesce(deg.deg, 0) AS BIGINT) AS n_out
         |FROM r5 LEFT JOIN deg ON deg.src = r5.id""".stripMargin) {
       (s, dir) =>
-      val g = Dedup.knnGraph(table(s, dir, "documents"),
-          "doc_id", "text", k = 5)
+      val g = SharedBases.knnEdges(s, dir)
         .select(col("doc_id").as("src"), col("nbr_id").as("dst"))
         // the edge set feeds deg, nodes, and five join rounds — ONE
-        // graph build (EAGER CHECKPOINT DISCIPLINE, ops/llm/Dedup.scala)
+        // graph build (EAGER CHECKPOINT DISCIPLINE, ops/llm/Dedup.scala),
+        // served from the shared kNN base (SharedBases.knnEdges)
         .localCheckpoint(true)
       val deg = g.groupBy("src").agg(count(lit(1)).as("deg"))
       val edges = g.join(deg, "src").localCheckpoint(true)
@@ -1835,11 +1835,11 @@ object LlmQueries {
         |  FROM l3 GROUP BY 1)
         |SELECT l3.id AS doc_id, l3.lbl AS community, cs.community_size
         |FROM l3 JOIN cs ON cs.lbl = l3.lbl""".stripMargin) { (s, dir) =>
-      val g0 = Dedup.knnGraph(table(s, dir, "documents"),
-          "doc_id", "text", k = 5)
+      val g0 = SharedBases.knnEdges(s, dir)
         .select(col("doc_id").as("src"), col("nbr_id").as("dst"))
       // the symmetric edge set feeds all three vote rounds — ONE graph
-      // build (EAGER CHECKPOINT DISCIPLINE, ops/llm/Dedup.scala)
+      // build (EAGER CHECKPOINT DISCIPLINE, ops/llm/Dedup.scala),
+      // served from the shared kNN base (SharedBases.knnEdges)
       val e2 = g0
         .union(g0.select(col("dst").as("src"), col("src").as("dst")))
         .distinct().localCheckpoint(true)
@@ -2182,8 +2182,8 @@ object LlmQueries {
         |  SELECT e.dst, cc.rep FROM cc, edges e WHERE cc.node = e.src)
         |SELECT node AS doc_id, CAST(min(rep) AS BIGINT) AS rep
         |FROM cc GROUP BY node""".stripMargin) { (s, dir) =>
-      val g = Dedup.knnGraph(table(s, dir, "documents"),
-        "doc_id", "text", k = 5)
+      // edge set served from the shared kNN base (SharedBases.knnEdges)
+      val g = SharedBases.knnEdges(s, dir)
       val e = g.select(col("doc_id").as("a"), col("nbr_id").as("b"))
       val mutual = e.intersect(e.select(col("b").as("a"), col("a").as("b")))
         .filter(col("a") < col("b"))

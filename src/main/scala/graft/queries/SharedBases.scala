@@ -166,6 +166,29 @@ object SharedBases {
     }
   }
 
+  /** The k=5 Jaccard kNN document graph at the declared-family
+    * parameters — the edge set three graph consumers (q_pagerank's
+    * rank iteration, q_label_prop's vote rounds, q_knn_clusters'
+    * mutual-CC) previously each rebuilt from scratch; their operator
+    * identity is the DOWNSTREAM computation, so the shared build moves
+    * ~1.5 s × 3 of identical mining into one billed base line
+    * (q_knn_graph itself keeps building its own graph: it IS the
+    * audited graph-build operator and its plan evidence must stay a
+    * real end-to-end pipeline).
+    */
+  def knnEdges(s: SparkSession, dir: String): DataFrame = synchronized {
+    val fp = fingerprint(s, dir)
+    val k = s"knn_edges:$dir@$fp"
+    cache.get(k) match {
+      case Some(e) if alive(s, e) => e.df
+      case _ =>
+        dropPrefix(s, s"knn_edges:$dir@")
+        val g = Dedup.knnGraph(
+          Tables.table(s, dir, "documents"), "doc_id", "text", k = 5)
+        put(s, k, g).df
+    }
+  }
+
   /** Cross-session persistence: write the MinHash index behind the
     * shared bases as bucketed metastore tables (`<prefix>_bands` on
     * (band, bkey), `<prefix>_base` on doc) — exactly the
