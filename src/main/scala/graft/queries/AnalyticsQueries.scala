@@ -1598,6 +1598,138 @@ object AnalyticsQueries {
           round(lit(1000000) * (h / corr)).cast("long").as("h_micro"))
     },
 
+    // X88 — sample-ratio-mismatch detection (the experiment-platform
+    // sanity gate that runs BEFORE q_ab_test/q_welch are believed: a
+    // 50/50 assignment whose realized unit counts are skewed means the
+    // bucketing is broken and every downstream stat is invalid). Per
+    // day, the assigned UNITS (distinct active users, not events) per
+    // arm; the 2-cell equal-expected chi-square collapses to
+    // (n1−n0)²/(n1+n0) — EXACT integer with the micro scaling as
+    // integer division, no doubles anywhere; flagged at the χ²(1) 5%
+    // critical value. One (day, user) dedup shuffle + a day rollup.
+    "q_srm" -> Q(
+      """WITH u AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+        |    user_id
+        |  FROM events),
+        |c AS (SELECT day,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) n1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) n0
+        |  FROM u GROUP BY 1)
+        |SELECT CAST(day AS BIGINT) AS day, n1, n0,
+        |  (1000000 * (n1 - n0) * (n1 - n0)) // (n1 + n0) AS srm_micro,
+        |  CAST(CASE WHEN (1000000 * (n1 - n0) * (n1 - n0))
+        |      // (n1 + n0) > 3841459 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS srm_flag
+        |FROM c WHERE n1 + n0 > 0""".stripMargin) { (s, dir) =>
+      val u = table(s, dir, "events")
+        .select(expr("(ts div 1000) div 86400000000").as("day"),
+          col("user_id"))
+        .distinct()
+      val c = u.groupBy("day")
+        .agg(sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L))
+            .as("n1"),
+          sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L))
+            .as("n0"))
+      val srm = expr(
+        "(1000000 * (n1 - n0) * (n1 - n0)) div (n1 + n0)")
+      c.filter(col("n1") + col("n0") > 0)
+        .select(col("day"), col("n1"), col("n0"),
+          srm.as("srm_micro"),
+          when(srm > 3841459L, 1L).otherwise(0L).as("srm_flag"))
+    },
+
+    // X89 — CUPED variance reduction (Deng et al. 2013 — the
+    // experimentation-platform staple next to X51's chi-square and
+    // X71's t-test): each user's pre-period activity is the covariate,
+    // θ = cov(pre, post)/var(pre) fitted GLOBALLY, and each arm reports
+    // its adjusted mean post − θ·(pre − global pre mean). The period
+    // cut is the corpus's own day midpoint (a 1-row broadcast of
+    // integer min/max — the q_calibration observed-range shape); user
+    // sums are exact integer millis; the five sufficient statistics
+    // (n, Σx, Σy, Σxx, Σxy) are order-free BIGINT sums (safe to ~5e7
+    // millis/user × 1.5k users; beyond: DECIMAL(38), X51 pattern); θ
+    // and the adjusted means derive with mirrored double promotion
+    // (the q_welch/q_corr_exact discipline), micro-quantized. The
+    // degenerate var(pre) ≤ 0 case is filtered by the same mirrored
+    // test on both engines.
+    "q_cuped" -> Q(
+      """WITH bounds AS (SELECT
+        |    (min(epoch_us(ts) // 86400000000)
+        |      + max(epoch_us(ts) // 86400000000)) // 2 AS cut
+        |  FROM events),
+        |e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 1000) AS BIGINT) x
+        |  FROM events),
+        |u AS (SELECT user_id, user_id % 2 AS arm,
+        |    CAST(sum(CASE WHEN day < cut THEN x ELSE 0 END)
+        |      AS BIGINT) pre,
+        |    CAST(sum(CASE WHEN day >= cut THEN x ELSE 0 END)
+        |      AS BIGINT) post
+        |  FROM e, bounds GROUP BY 1, 2),
+        |g AS (SELECT CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(pre) AS BIGINT) sx, CAST(sum(post) AS BIGINT) sy,
+        |    CAST(sum(pre * pre) AS BIGINT) sxx,
+        |    CAST(sum(pre * post) AS BIGINT) sxy
+        |  FROM u),
+        |a AS (SELECT arm, CAST(count(*) AS BIGINT) n_a,
+        |    CAST(sum(pre) AS BIGINT) sx_a,
+        |    CAST(sum(post) AS BIGINT) sy_a
+        |  FROM u GROUP BY 1)
+        |SELECT arm, n_a,
+        |  CAST(round(1000000 * (CAST(sy_a AS DOUBLE) / n_a)) AS BIGINT)
+        |    AS mean_post_micro,
+        |  CAST(round(1000000 * ((CAST(n AS DOUBLE) * sxy
+        |      - CAST(sx AS DOUBLE) * sy)
+        |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)))
+        |    AS BIGINT) AS theta_micro,
+        |  CAST(round(1000000 * (CAST(sy_a AS DOUBLE) / n_a
+        |    - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |      * (CAST(sx_a AS DOUBLE) / n_a - CAST(sx AS DOUBLE) / n)))
+        |    AS BIGINT) AS adj_mean_micro
+        |FROM a, g
+        |WHERE CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+        |  AND n_a > 0""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val bounds = ev
+        .selectExpr("(ts div 1000) div 86400000000 AS d")
+        .agg(expr("(min(d) + max(d)) div 2").as("cut"))
+      val e = ev.select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        round(col("value") * 1000).cast("long").as("x"))
+      val u = e.crossJoin(broadcast(bounds))
+        .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+        .agg(sum(when(col("day") < col("cut"), col("x")).otherwise(0L))
+            .as("pre"),
+          sum(when(col("day") >= col("cut"), col("x")).otherwise(0L))
+            .as("post"))
+        // 2 consumers: the global moments and the per-arm sums
+        .localCheckpoint(true)
+      val g = u.agg(count(lit(1)).as("n"), sum("pre").as("sx"),
+        sum("post").as("sy"), sum(col("pre") * col("pre")).as("sxx"),
+        sum(col("pre") * col("post")).as("sxy"))
+      val a = u.groupBy("arm").agg(count(lit(1)).as("n_a"),
+        sum("pre").as("sx_a"), sum("post").as("sy_a"))
+      val nD = col("n").cast("double")
+      val varPre = nD * col("sxx") -
+        col("sx").cast("double") * col("sx")
+      val theta = (nD * col("sxy") -
+        col("sx").cast("double") * col("sy")) / varPre
+      val meanPost = col("sy_a").cast("double") / col("n_a")
+      val adj = meanPost - theta *
+        (col("sx_a").cast("double") / col("n_a") -
+          col("sx").cast("double") / col("n"))
+      a.crossJoin(broadcast(g))
+        .filter(varPre > 0 && col("n_a") > 0)
+        .select(col("arm"), col("n_a"),
+          round(lit(1000000) * meanPost).cast("long")
+            .as("mean_post_micro"),
+          round(lit(1000000) * theta).cast("long").as("theta_micro"),
+          round(lit(1000000) * adj).cast("long").as("adj_mean_micro"))
+    },
+
     // Dual-rule sessionization: 12h gap AND a 24h max-duration cap (the
     // GA4-style pair) — 426 of 3292 gap sessions at sf0.01 exceed the cap
     // and split. Whole computation rides the one per-key exchange.

@@ -1775,6 +1775,104 @@ object LlmQueries {
           coalesce(col("deg"), lit(0L)).as("n_out"))
     },
 
+    // L93 — HITS hubs & authorities over the kNN document graph (the
+    // directed companion to q_pagerank: on a top-k similarity graph the
+    // asymmetry is real — a hub's shingles reach many docs' top-5, an
+    // authority sits in many top-5s — and the two scores answer
+    // different curation questions). Two mutual-reinforcement rounds in
+    // EXACT INTEGER micro units, the q_pagerank unrolled-recurrence
+    // discipline applied to the two-vector fixed point: a' = Σ h(in),
+    // renormalized to (1e6·a') div max(a') with the max as a 1-row
+    // broadcast (HITS diverges without per-round normalization — the
+    // max-norm is the integer-exact choice; the conventional L2 norm
+    // would put a sqrt inside the recurrence), then h' = Σ a''(out),
+    // same treatment. The DuckDB oracle unrolls the identical rounds.
+    // Scale: edge set from the shared kNN base, checkpointed once; each
+    // half-round is one edge⋈score join + key partial agg + a 1-row
+    // max broadcast; score tables checkpointed per round.
+    "q_hits" -> Q(
+      s"""WITH $duckShingles,
+        |$duckMinhashBands,
+        |knn_cand AS (
+        |  SELECT DISTINCT l.doc_id a, r.doc_id b
+        |  FROM mh_banded l JOIN mh_banded r
+        |    ON l.band = r.band AND l.bkey = r.bkey
+        |    AND l.doc_id <> r.doc_id),
+        |scored AS (
+        |  SELECT c.a doc_id, c.b nbr_id,
+        |    (CAST(len(list_intersect(ba.sh, bb.sh)) AS BIGINT) * 1000000)
+        |      // CAST(len(ba.sh) + len(bb.sh)
+        |        - len(list_intersect(ba.sh, bb.sh)) AS BIGINT) jac_ppm
+        |  FROM knn_cand c
+        |  JOIN base ba ON ba.doc_id = c.a
+        |  JOIN base bb ON bb.doc_id = c.b),
+        |rr AS (
+        |  SELECT doc_id, nbr_id,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY jac_ppm DESC, nbr_id) rnk
+        |  FROM scored),
+        |edges AS (SELECT doc_id src, nbr_id dst FROM rr WHERE rnk <= 5),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges
+        |          UNION SELECT DISTINCT dst FROM edges),
+        |h0 AS (SELECT id, CAST(1000000 AS BIGINT) v FROM nodes),
+        |a1r AS (SELECT e.dst id, CAST(sum(h.v) AS BIGINT) s
+        |  FROM edges e JOIN h0 h ON h.id = e.src GROUP BY 1),
+        |a1m AS (SELECT CAST(max(s) AS BIGINT) m FROM a1r),
+        |a1 AS (SELECT n.id,
+        |    CAST(coalesce((1000000 * r.s) // a1m.m, 0) AS BIGINT) v
+        |  FROM nodes n LEFT JOIN a1r r ON r.id = n.id, a1m),
+        |h1r AS (SELECT e.src id, CAST(sum(a.v) AS BIGINT) s
+        |  FROM edges e JOIN a1 a ON a.id = e.dst GROUP BY 1),
+        |h1m AS (SELECT CAST(max(s) AS BIGINT) m FROM h1r),
+        |h1 AS (SELECT n.id,
+        |    CAST(coalesce((1000000 * r.s) // h1m.m, 0) AS BIGINT) v
+        |  FROM nodes n LEFT JOIN h1r r ON r.id = n.id, h1m),
+        |a2r AS (SELECT e.dst id, CAST(sum(h.v) AS BIGINT) s
+        |  FROM edges e JOIN h1 h ON h.id = e.src GROUP BY 1),
+        |a2m AS (SELECT CAST(max(s) AS BIGINT) m FROM a2r),
+        |a2 AS (SELECT n.id,
+        |    CAST(coalesce((1000000 * r.s) // a2m.m, 0) AS BIGINT) v
+        |  FROM nodes n LEFT JOIN a2r r ON r.id = n.id, a2m),
+        |h2r AS (SELECT e.src id, CAST(sum(a.v) AS BIGINT) s
+        |  FROM edges e JOIN a2 a ON a.id = e.dst GROUP BY 1),
+        |h2m AS (SELECT CAST(max(s) AS BIGINT) m FROM h2r),
+        |h2 AS (SELECT n.id,
+        |    CAST(coalesce((1000000 * r.s) // h2m.m, 0) AS BIGINT) v
+        |  FROM nodes n LEFT JOIN h2r r ON r.id = n.id, h2m)
+        |SELECT a2.id AS doc_id, a2.v AS auth_micro, h2.v AS hub_micro
+        |FROM a2 JOIN h2 ON h2.id = a2.id""".stripMargin) { (s, dir) =>
+      val edges = SharedBases.knnEdges(s, dir)
+        .select(col("doc_id").as("src"), col("nbr_id").as("dst"))
+        // feeds all four half-rounds — checkpointed once
+        .localCheckpoint(true)
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id")))
+        .distinct().localCheckpoint(true)
+      def halfRound(score: org.apache.spark.sql.DataFrame,
+                    from: String, to: String) = {
+        val r = edges
+          .join(score.withColumnRenamed("id", "jid"),
+            col(from) === col("jid"))
+          .groupBy(col(to).as("rid")).agg(sum("v").as("s"))
+        val m = r.agg(max("s").as("m"))
+        nodes.join(r, col("id") === col("rid"), "left")
+          .crossJoin(broadcast(m))
+          .select(col("id"),
+            coalesce(expr("(1000000 * s) div m"), lit(0L)).as("v"))
+          .localCheckpoint(true)
+      }
+      var a = nodes.select(col("id"), lit(1000000L).as("v"))
+      var h = a
+      for (_ <- 1 to 2) {
+        a = halfRound(h, "src", "dst")
+        h = halfRound(a, "dst", "src")
+      }
+      a.withColumnRenamed("v", "auth_micro")
+        .join(h.withColumnRenamed("v", "hub_micro"), "id")
+        .select(col("id").as("doc_id"), col("auth_micro"),
+          col("hub_micro"))
+    },
+
     // L89 — label-propagation communities over the kNN document graph
     // (the community-detection companion to q_dedup_clusters'
     // connected components and q_pagerank's authority: CC merges
@@ -3222,6 +3320,42 @@ object LlmQueries {
         r.getField("width").as("new_width"),
         r.getField("height").as("new_height"),
         r.getField("pixels_sha").as("pixels_sha"))
+    },
+
+    // L13b promoted — the batched per-partition decode as a
+    // hash-checked gate query (previously spec-only): the heavy-init
+    // inference shape — ONE decoder instance per partition, rows fed in
+    // batches — run over real binary payloads (the first 48 chars of
+    // each doc as UTF-8 bytes; the cap bounds the oracle's per-char
+    // fold, the Spark side is payload-size-agnostic). The stub
+    // decoder's feature is a rolling 31-hash over the payload bytes
+    // with Java-long wraparound; the oracle replays it as a HUGEINT
+    // modular fold (acc·31+b mod 2⁶⁴, signed two's-complement at the
+    // end). Byte stream == char stream because the corpus is ASCII —
+    // pinned in MultimodalSpec (the events-user_id sentinel precedent);
+    // non-ASCII corpora would diverge at the oracle only, never in the
+    // engine. Scale: mapPartitions is the ONE legitimate imperative
+    // drop-out in the repo (codec contexts are heavy); everything else
+    // is a projection — no shuffle at any corpus size.
+    "q_multimodal_decode" -> Q(
+      """WITH m AS (SELECT doc_id AS media_id, substr(text, 1, 48) AS t
+        |  FROM documents),
+        |f AS (SELECT media_id, CAST(len(t) AS BIGINT) n_bytes,
+        |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(generate_series(1, len(t)),
+        |        i -> CAST(ord(substr(t, i, 1)) AS HUGEINT))),
+        |      (acc, x) -> (acc * 31 + x)
+        |        % 18446744073709551616::HUGEINT) AS facc
+        |  FROM m)
+        |SELECT media_id, n_bytes,
+        |  CAST(CASE WHEN facc >= 9223372036854775808::HUGEINT
+        |    THEN facc - 18446744073709551616::HUGEINT
+        |    ELSE facc END AS BIGINT) AS feature
+        |FROM f""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val media = d.select(d("doc_id").cast("long").as("media_id"),
+        substring(d("text"), 1, 48).cast("binary").as("payload"))
+      Multimodal.decodePartitioned(media)
     },
 
     // L49 — quality-weighted corpus subsampling WITHOUT replacement
