@@ -173,7 +173,12 @@ class DeterminismSpec extends SparkSpec {
       "q_label_prop", "q_kneser_ney", "q_repetition_full",
       // round 12: the cell-offset candidate join and the boundary
       // sweep's (t, delta, user) total order
-      "q_grid_join", "q_concurrency")
+      "q_grid_join", "q_concurrency",
+      // round 13 (r12 boundary queries): the order-free CUPED
+      // sufficient statistics, the max-normalized HITS half-rounds,
+      // the (day, user)-dedup SRM cells, and the per-partition
+      // byte-fold decode
+      "q_cuped", "q_hits", "q_srm", "q_multimodal_decode")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

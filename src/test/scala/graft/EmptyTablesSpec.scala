@@ -154,7 +154,10 @@ class EmptyTablesSpec extends SparkSpec {
     "q_label_prop", "q_kneser_ney", "q_repetition_full",
     // round 12: the spatial radius join and the concurrency sweep
     // over empty events
-    "q_grid_join", "q_concurrency")
+    "q_grid_join", "q_concurrency",
+    // round 13 (r12 boundary queries): CUPED and SRM over empty
+    // events; HITS and the batched decode over an empty corpus
+    "q_cuped", "q_srm", "q_hits", "q_multimodal_decode")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

@@ -1648,6 +1648,66 @@ class PlanAuditSpec extends SparkSpec {
       s"nothing may shuffle after the checkpointed spectrum:\n$p")
   }
 
+  test("q_cuped: moments read the checkpointed user table; g broadcasts") {
+    // the (user, arm, pre, post) table feeds TWO consumers (global
+    // moments + per-arm sums) — checkpointed once, so the plan reads
+    // only checkpoint blocks; the 1-row sufficient-statistics table
+    // arrives as a broadcast, never a shuffle join
+    val p = plan("q_cuped")
+    assert(!p.contains("FileScan"),
+      s"the user pre/post table must be checkpointed:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row moments table must broadcast:\n$p")
+    assert(p.contains("partial_sum"),
+      s"arm sums must combine map-side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join over a 2-row arm table:\n$p")
+  }
+
+  test("q_hits: checkpointed half-rounds; the final join never rebuilds") {
+    // the q_pagerank discipline applied to the two-vector fixed point:
+    // edges + both score tables are checkpointed per half-round, so
+    // the final auth x hub join must contain no FileScan and no
+    // candidate-generation machinery; the node x node closing join is
+    // correctly a shuffle join (node tables don't broadcast at scale)
+    val p = plan("q_hits")
+    assert(!p.contains("FileScan"),
+      s"scores must be checkpointed before the closing join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+    assert(!p.contains("Generate"),
+      s"no shingle/band machinery may survive into the final plan:\n$p")
+  }
+
+  test("q_srm: one scan, the dedup and rollup are the only exchanges") {
+    // distinct (day, user) units then the day rollup: the dedup's
+    // partial aggregate combines map-side below its exchange, the
+    // day-keyed rollup rides a second; nothing else may shuffle and
+    // no join machinery exists
+    val p = plan("q_srm")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"SRM must be single-scan:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"exactly the (day,user) dedup + day rollup exchanges expected:\n$p")
+    assert(!p.contains("Join"), s"no join machinery expected:\n$p")
+    assert(p.contains("partial_sum"),
+      s"arm counts must combine map-side:\n$p")
+  }
+
+  test("q_multimodal_decode: one scan feeding mapPartitions, no shuffle") {
+    // the ONE legitimate imperative drop-out: a per-partition decoder
+    // instance over a scan-side projection — payloads must never
+    // shuffle, join, or aggregate
+    val p = plan("q_multimodal_decode")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"one corpus scan only:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"the decode must be a per-partition batch operator:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("HashAggregate"),
+      s"payloads must never shuffle:\n$p")
+  }
+
   test("global guard: no declared query's plan is O(data) in literals") {
     // One cheap sweep over the ENTIRE registry (r10 verdict #6): a
     // typedlit-style literal blow-up anywhere — a path map, a collected

@@ -73,6 +73,43 @@ class MultimodalSpec extends SparkSpec {
     assert(created <= 2, s"decoder must init once per partition ($created)")
   }
 
+  test("ASCII sentinel: decode prefix is byte==char at the gate SFs") {
+    // q_multimodal_decode's DuckDB oracle folds CHARS (ord over
+    // substr) while the engine folds BYTES; the two agree iff the
+    // 48-char decode prefix is pure ASCII. Pin that corpus property at
+    // both gate scale factors (the events-user_id sentinel precedent)
+    // so a non-ASCII testdata rewrite fails HERE instead of silently
+    // diverging at the oracle only.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val nonAscii = graft.Tables.table(spark, dir, "documents")
+        .filter(length(substring(col("text"), 1, 48)) =!=
+          octet_length(substring(col("text"), 1, 48).cast("binary")))
+        .count()
+      assert(nonAscii == 0,
+        s"$dir: $nonAscii docs whose decode prefix is not ASCII — " +
+          "the q_multimodal_decode oracle char-fold no longer equals " +
+          "the engine byte-fold")
+    }
+  }
+
+  test("non-ASCII payload: the byte fold diverges from a char fold") {
+    // documents WHY the sentinel matters: on a 2-byte UTF-8 char the
+    // engine's byte fold and the oracle's char fold differ — the
+    // divergence lives in the oracle only, never in the engine
+    val m = Multimodal.fromText(
+      Seq((1L, "héllo")).toDF("doc_id", "text"), "doc_id", "text")
+    val (_, n, f) = m.select(col("media_id"), col("payload"))
+      .transform(Multimodal.decodePartitioned(_))
+      .as[(Long, Long, Long)].collect().head
+    val bytes = "héllo".getBytes("UTF-8")
+    var acc = 0L
+    bytes.foreach(b => acc = acc * 31 + (b & 0xff))
+    assert(n == bytes.length.toLong && f == acc)
+    var charAcc = 0L
+    "héllo".foreach(c => charAcc = charAcc * 31 + c.toLong)
+    assert(f != charAcc, "byte fold must differ from the char fold here")
+  }
+
   private implicit class ToMap2b(rows: Array[(Long, Long, Long)]) {
     def toMap2b: Map[Long, (Long, Long)] =
       rows.map { case (id, n, f) => id -> (n, f) }.toMap

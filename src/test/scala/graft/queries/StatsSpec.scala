@@ -1472,4 +1472,121 @@ class StatsSpec extends SparkSpec {
         s"doc $id ppm shares")
     }
   }
+
+  test("q_srm: unit cells and chi-square match a plain-Scala 2-cell") {
+    val units = Tables.table(spark, sf0001, "events")
+      .selectExpr("(ts div 1000) div 86400000000 AS day", "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val expected = units.groupBy(_._1).flatMap { case (day, us) =>
+      val n1 = us.count(_._2 % 2 == 1).toLong
+      val n0 = us.count(_._2 % 2 == 0).toLong
+      if (n1 + n0 > 0) {
+        val srm = 1000000L * (n1 - n0) * (n1 - n0) / (n1 + n0)
+        Some(day -> ((n1, n0, srm, if (srm > 3841459L) 1L else 0L)))
+      } else None
+    }
+    val got = SparkEntry.queries("q_srm")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val day = r.getAs[Long]("day")
+      val (n1, n0, srm, flag) = expected(day)
+      assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n0") == n0,
+        s"day $day cells")
+      assert(r.getAs[Long]("srm_micro") == srm, s"day $day chi-square")
+      assert(r.getAs[Long]("srm_flag") == flag, s"day $day flag")
+      // the 2-cell equal-expected chi-square is non-negative and zero
+      // iff the arms balance exactly
+      assert(srm >= 0 && (srm == 0) == (n1 == n0), s"day $day law")
+    }
+  }
+
+  test("q_cuped: theta and adjusted means match plain-Scala moments") {
+    val ev = Tables.table(spark, sf0001, "events")
+      .selectExpr("(ts div 1000) div 86400000000 AS day", "user_id",
+        "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r0(r.getDouble(2) * 1000)))
+    val days = ev.map(_._1)
+    val cut = Math.floorDiv(days.min + days.max, 2L)
+    val users = ev.groupBy(_._2).map { case (uid, es) =>
+      (uid % 2,
+        es.filter(_._1 < cut).map(_._3).sum,
+        es.filter(_._1 >= cut).map(_._3).sum)
+    }.toSeq
+    // global sufficient statistics, the exact expression order of the
+    // query's mirrored double promotion
+    val n = users.length.toLong
+    val sx = users.map(_._2).sum; val sy = users.map(_._3).sum
+    val sxx = users.map(u => u._2 * u._2).sum
+    val sxy = users.map(u => u._2 * u._3).sum
+    val varPre = n.toDouble * sxx - sx.toDouble * sx
+    assert(varPre > 0, "fixture must have pre-period variance")
+    val theta = (n.toDouble * sxy - sx.toDouble * sy) / varPre
+    val expected = users.groupBy(_._1).map { case (arm, us) =>
+      val nA = us.length.toLong
+      val sxA = us.map(_._2).sum; val syA = us.map(_._3).sum
+      val meanPost = syA.toDouble / nA
+      val adj = meanPost -
+        theta * (sxA.toDouble / nA - sx.toDouble / n)
+      arm -> ((nA, r0(1000000 * meanPost), r0(1000000 * theta),
+        r0(1000000 * adj)))
+    }
+    val got = SparkEntry.queries("q_cuped")(spark, sf0001).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val arm = r.getAs[Long]("arm")
+      val (nA, mp, th, adj) = expected(arm)
+      assert(r.getAs[Long]("n_a") == nA, s"arm $arm units")
+      assert(r.getAs[Long]("mean_post_micro") == mp, s"arm $arm mean")
+      assert(r.getAs[Long]("theta_micro") == th, s"arm $arm theta")
+      assert(r.getAs[Long]("adj_mean_micro") == adj,
+        s"arm $arm adjusted mean")
+    }
+    // CUPED invariant: the unit-weighted adjusted means recombine to
+    // the global post mean (the adjustment is mean-preserving)
+    val gotMap = got.map(r => r.getAs[Long]("arm") ->
+      (r.getAs[Long]("n_a"), r.getAs[Long]("adj_mean_micro"))).toMap
+    val pooled = gotMap.values.map { case (nA, a) => nA * a }.sum /
+      gotMap.values.map(_._1).sum
+    val globalPost = r0(1000000 * (sy.toDouble / n))
+    assert(math.abs(pooled - globalPost) <= 2L,
+      "adjusted means must recombine to the global post mean")
+  }
+
+  test("q_hits: two mutual-reinforcement rounds match plain Scala") {
+    val edges = graft.ops.llm.Dedup
+      .knnGraph(Tables.table(spark, sf0001, "documents"),
+        "doc_id", "text", k = 5)
+      .select("doc_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    // halfRound(score keyed by `from`, summed onto `to`), max-norm in
+    // integer micro units — the query's exact arithmetic
+    def half(score: Map[Long, Long], fromSrc: Boolean): Map[Long, Long] = {
+      val sums = edges
+        .groupBy(e => if (fromSrc) e._2 else e._1)
+        .map { case (t, es) =>
+          t -> es.map(e => score(if (fromSrc) e._1 else e._2)).sum }
+      val m = sums.values.max
+      nodes.map(v =>
+        v -> sums.get(v).map(s => 1000000L * s / m).getOrElse(0L)).toMap
+    }
+    var a: Map[Long, Long] = nodes.map(_ -> 1000000L).toMap
+    var h = a
+    for (_ <- 1 to 2) {
+      a = half(h, fromSrc = true)
+      h = half(a, fromSrc = false)
+    }
+    val got = SparkEntry.queries("q_hits")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.length == nodes.length)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("auth_micro") == a(id), s"doc $id authority")
+      assert(r.getAs[Long]("hub_micro") == h(id), s"doc $id hub")
+    }
+    // max-norm law: each vector's max is exactly 1e6 after each round
+    assert(a.values.max == 1000000L && h.values.max == 1000000L)
+  }
 }

@@ -113,7 +113,11 @@ object PlanDump {
     "q_label_prop", "q_kneser_ney", "q_repetition_full",
     // round 12: the neighbor-cell spatial join and the boundary-sweep
     // concurrency window
-    "q_grid_join", "q_concurrency")
+    "q_grid_join", "q_concurrency",
+    // round 13 (r12 boundary queries): the checkpoint-fed CUPED
+    // moments, the checkpointed HITS half-rounds, the one-exchange SRM
+    // rollup, and the mapPartitions decode projection
+    "q_cuped", "q_hits", "q_srm", "q_multimodal_decode")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
