@@ -131,6 +131,19 @@ object Bench {
       }
       baseDetail(name) = (System.nanoTime() - t0) / 1e9
     }
+    // Cross-sweep warm start (r12 verdict #7): hydrate the five memo
+    // bases from the fingerprint-keyed snapshot store when this
+    // testdata was already swept by a previous bench JVM — the builds
+    // below then hit the memo and cost ~0, the production "load the
+    // index, don't rebuild it" shape. A cold sweep builds as before
+    // and snapshots at the end. SPARK_GRAFT_NO_WARM=1 forces the cold
+    // path (honest cold-build measurement).
+    val noWarm = sys.env.get("SPARK_GRAFT_NO_WARM").contains("1")
+    var warmBases = 0
+    if (!noWarm) timedBase("warm_load") {
+      warmBases = graft.queries.SharedBases.warmStart(spark, sfDir)
+        .count(_._2)
+    }
     timedBase("minhash_pairs") {
       graft.queries.SharedBases.minhashPairs(spark, sfDir) }
     timedBase("minhash_sigs") {
@@ -162,6 +175,10 @@ object Bench {
     // corpus staging writes bill here.
     timedBase("fixture_stream") {
       graft.queries.StreamStaging.prebuild(spark, sfDir) }
+    // one-off snapshot write of any base the store was missing (warm
+    // sweeps skip it structurally — everything already present)
+    if (!noWarm) timedBase("snapshot") {
+      graft.queries.SharedBases.snapshot(spark, sfDir) }
     val baseBuild = (System.nanoTime() - tBase) / 1e9
     canary("post_base_build")
 
@@ -288,7 +305,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(results)},""" +
         s""""run1":${qsJson(run1.toSeq)},""" +
         s""""errors":${errsJson(160)},"retried":$retr,""" +
-        f""""shared_base_build":$baseBuild%.3f,"base_build_detail":$baseDet,""" +
+        f""""shared_base_build":$baseBuild%.3f,"shared_base_warm":$warmBases,""" +
+        s""""base_build_detail":$baseDet,""" +
         f""""canary":${qsJson(canaries.toSeq)},"canary_skew":$canarySkew%.2f,""" +
         f""""baseline_status":"$baselineStatus","sf":"$sfDir"}"""
     // The file is the LOSSLESS artifact; stdout is the driver contract —

@@ -124,14 +124,16 @@ object Ivf {
     * assignment and probe sides; the corpus shuffles once, on cell id,
     * into the probe join; TopK is two-phase WindowGroupLimit.
     */
-  def int8TopKExact(vectors: DataFrame, queries: DataFrame, k: Int,
-                    nClusters: Int = 16, nprobe: Int = 4): DataFrame = {
+  /** Digest-seeded int8 coarse quantizer from a prepared codes table
+    * (id, cv): the `nClusters` vectors with the smallest sha256(id)
+    * digests, with their integer squared norms. Shared by the batch
+    * search ([[int8TopKExact]]) and the streaming index maintenance
+    * ([[int8Quantizer]]) so the two can never drift.
+    */
+  private def seededCentroids(codes: DataFrame,
+                              nClusters: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val v = Similarity.int8Codes(vectors)
-      .select(col("id"), col("codes").cast("array<double>").as("cv"),
-        col("maxabs_micro").as("mxv"))
-      .localCheckpoint(true) // branches: seeds + assignment
-    val cents = v
+    codes
       .withColumn("_h", sha2(col("id").cast("string"), 256))
       .orderBy(col("_h")).limit(nClusters)
       .select(row_number().over(w.orderBy(col("_h"))).as("cid"),
@@ -140,16 +142,57 @@ object Ivf {
       // 0 too, so the clamp only avoids 0/0 without moving any score
       .withColumn("cn2", greatest(
         Similarity.dot(col("cc"), col("cc")).cast("long"), lit(1L)))
-    def cellScore(codes: Column): Column = {
-      val d = Similarity.dot(codes, col("cc")).cast("long")
-      (d * abs(d)).cast("double") / col("cn2")
-    }
-    val assigned = v.join(broadcast(cents))
+  }
+
+  private def cellScore(codes: Column): Column = {
+    val d = Similarity.dot(codes, col("cc")).cast("long")
+    (d * abs(d)).cast("double") / col("cn2")
+  }
+
+  /** Exact int8 cell assignment of a prepared codes table (id, cv, mxv)
+    * against a (cid, cc, cn2) centroid table: sign-preserving dot²/|c|²
+    * affinity, ties on cid. The centroid table broadcasts — assignment
+    * never shuffles the vectors.
+    */
+  private def int8AssignExact(codes: DataFrame,
+                              cents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    codes.join(broadcast(cents))
       .withColumn("_s", cellScore(col("cv")))
       .withColumn("_r", row_number().over(
         w.partitionBy(col("id")).orderBy(col("_s").desc, col("cid"))))
       .filter(col("_r") === 1)
       .select(col("cid"), col("id"), col("cv"), col("mxv"))
+  }
+
+  private def int8Prep(vectors: DataFrame): DataFrame =
+    Similarity.int8Codes(vectors)
+      .select(col("id"), col("codes").cast("array<double>").as("cv"),
+        col("maxabs_micro").as("mxv"))
+
+  /** The persisted-quantizer half of the streaming IVF maintenance:
+    * (cid, cc, cn2) built once from the accumulated corpus. Callers
+    * checkpoint it and hand it to [[int8CellIds]] per delta batch.
+    */
+  def int8Quantizer(vectors: DataFrame, nClusters: Int = 16): DataFrame =
+    seededCentroids(int8Prep(vectors), nClusters)
+
+  /** Delta assignment against a persisted quantizer: (id, cid) for each
+    * incoming vector — per-row deterministic (independent of how rows
+    * batch), which is what makes the streaming drain equal the batch
+    * replay bit-for-bit.
+    */
+  def int8CellIds(vectors: DataFrame, cents: DataFrame): DataFrame =
+    int8AssignExact(int8Prep(vectors), cents)
+      .select(col("id"), col("cid"))
+
+  def int8TopKExact(vectors: DataFrame, queries: DataFrame, k: Int,
+                    nClusters: Int = 16, nprobe: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val v = int8Prep(vectors)
+      .localCheckpoint(true) // branches: seeds + assignment
+    val cents = seededCentroids(v, nClusters)
+    val assigned = int8AssignExact(v, cents)
     val q = Similarity.int8Codes(queries)
       .select(col("id").as("qid"), col("codes").cast("array<double>")
         .as("cq"), col("maxabs_micro").as("mxq"))

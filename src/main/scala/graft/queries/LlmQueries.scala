@@ -3027,6 +3027,50 @@ object LlmQueries {
         nClusters = 16, nprobe = 4)
     },
 
+    // L94 — streaming IVF index maintenance: the emb8 staged source
+    // drained with AvailableNow (2 files per trigger → ≥4 real
+    // micro-batches), each batch delta-assigned to the PERSISTED
+    // digest-seeded int8 quantizer (q_similarity_ivf_exact's
+    // integer-exact scheme — the two share the seeding/affinity code)
+    // and appended as (vec_id, cid) facts — the streaming companion to
+    // L12c's batch assignment, matching X12k's persisted-index ingest
+    // pattern: per-trigger cost O(delta × nClusters), nothing
+    // corpus-sized touched, no refit. Assignment is per-row
+    // deterministic, so the oracle replays BATCH assignment over the
+    // accumulated corpus: the hash certifies that arrival order and
+    // batch composition cannot move any vector's cell.
+    "q_stream_ivf_assign" -> Q(
+      """WITH c AS (
+        |  SELECT vec_id id,
+        |    CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(v,
+        |        x -> CAST(greatest(-127, floor(x * 127 / mx)) AS BIGINT))
+        |      END codes
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] v,
+        |          list_aggregate(list_transform(embedding::DOUBLE[],
+        |            x -> abs(x)), 'max') mx
+        |        FROM embeddings)),
+        |cents AS (
+        |  SELECT row_number() OVER (ORDER BY sha256(CAST(id AS VARCHAR)))
+        |      AS cid, codes cc,
+        |    greatest(CAST(list_sum(list_transform(
+        |      generate_series(1, len(codes)),
+        |      i -> codes[i] * codes[i])) AS BIGINT), 1) cn2
+        |  FROM c ORDER BY sha256(CAST(id AS VARCHAR)) LIMIT 16),
+        |ass AS (
+        |  SELECT id, cid FROM (
+        |    SELECT n.cid, c.id, row_number() OVER (
+        |        PARTITION BY c.id ORDER BY
+        |          CAST(d * abs(d) AS DOUBLE) / n.cn2 DESC, n.cid) rr
+        |    FROM c, cents n, LATERAL (SELECT CAST(list_sum(list_transform(
+        |      generate_series(1, len(c.codes)),
+        |      i -> c.codes[i] * n.cc[i])) AS BIGINT) AS d) dd)
+        |  WHERE rr = 1)
+        |SELECT id AS vec_id, CAST(cid AS BIGINT) AS cid
+        |FROM ass""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamingPipeline.streamIvfAssign(s, dir)
+    },
+
     // Bit-deterministic LSH ANN — the hash-verified twin of
     // q_similarity_ann (what q_similarity_ivf_exact is to
     // q_similarity_ivf): int8 codes, INTEGER hyperplanes from an LCG

@@ -267,4 +267,88 @@ object SharedBases {
             n = 3, num = 8, den = 10)).df
       }
     }
+
+  // ---- cross-sweep snapshot store (r12 verdict #7) -------------------
+
+  /** The five expensive memo bases with the table whose fingerprint
+    * keys each (the builders' own key discipline). The snapshot is a
+    * MATERIALIZED VIEW of the memo: the rows written are exactly the
+    * rows the cold build produced and [[put]] registered, so a warm
+    * sweep's consumers are row-identical by construction — the
+    * bucketed-INDEX route for cross-session re-MINING (new corpus
+    * deltas against a stored index) is [[persistIndex]] /
+    * [[persistJaccardBase]]; this store answers the cheaper question
+    * "same corpus, next sweep" without re-mining at all.
+    */
+  private val snapshotBases: Seq[(String, String)] = Seq(
+    "mh_pairs" -> "documents.parquet",
+    "mh_sigs" -> "documents.parquet",
+    "jac_pairs" -> "documents.parquet",
+    "knn_edges" -> "documents.parquet",
+    "dbscan" -> "embeddings.parquet")
+
+  private def md5Hex(v: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Store layout: tmpdir/graft_sb_store/<dir-hash>/<name>@<table-fp>.
+    * The fingerprint in the leaf name makes staleness structural — a
+    * regenerated corpus simply misses the store and rebuilds cold; the
+    * snapshot writer evicts older generations of the same base so
+    * repeated regenerations don't accumulate pair-table copies.
+    * Deliberately NOT pid-scoped: the point is reuse across bench JVMs
+    * on the same testdata.
+    */
+  private def storePath(dir: String, name: String,
+                        fp: String): java.nio.file.Path =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_sb_store", md5Hex(dir).take(12), s"$name@$fp")
+
+  /** Hydrate the memo from the snapshot store where fingerprints match
+    * (cheap parquet load instead of re-mining); returns name → warm so
+    * the caller can publish which path paid. A base already live in the
+    * memo counts as warm. Misses are left for the normal cold builders.
+    */
+  def warmStart(s: SparkSession, dir: String): Map[String, Boolean] =
+    synchronized {
+      snapshotBases.map { case (name, tableFile) =>
+        val fp = fingerprint(s, dir, tableFile)
+        val key = s"$name:$dir@$fp"
+        val warm = cache.get(key).exists(alive(s, _)) || {
+          val p = storePath(dir, name, fp)
+          java.nio.file.Files.exists(p.resolve("_SUCCESS")) && {
+            dropPrefix(s, s"$name:$dir@")
+            put(s, key, s.read.parquet(p.toString))
+            true
+          }
+        }
+        name -> warm
+      }.toMap
+    }
+
+  /** Write every live memo base missing from the store (the cold
+    * sweep's closing step — the build itself was already billed to the
+    * named base phases; this bills only the one-off snapshot write).
+    */
+  def snapshot(s: SparkSession, dir: String): Unit = synchronized {
+    snapshotBases.foreach { case (name, tableFile) =>
+      val fp = fingerprint(s, dir, tableFile)
+      cache.get(s"$name:$dir@$fp").filter(alive(s, _)).foreach { e =>
+        val p = storePath(dir, name, fp)
+        if (!java.nio.file.Files.exists(p.resolve("_SUCCESS"))) {
+          val parent = p.getParent
+          if (java.nio.file.Files.exists(parent)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.list(parent).iterator.asScala.toSeq
+              .filter(_.getFileName.toString.startsWith(s"$name@"))
+              .foreach(graft.util.Fs.deleteRecursively)
+          }
+          // pair/role tables are key-table-sized (never corpus-sized);
+          // a handful of files keeps the warm load scan cheap
+          e.df.coalesce(4).write.mode("overwrite").parquet(p.toString)
+        }
+      }
+    }
+  }
 }

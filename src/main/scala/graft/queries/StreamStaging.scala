@@ -28,7 +28,9 @@ import graft.Tables
   *    pinning just makes batch composition deterministic);
   *  - events8sentinel: events8range_mtime plus the watermark-heartbeat
   *    sentinel row in the last slice (append-mode sessionize);
-  *  - cdc8: the deterministic CDC change feed, 8 random files.
+  *  - cdc8: the deterministic CDC change feed, 8 random files;
+  *  - emb8: embeddings, 8 random files (per-row cell assignment — no
+  *    event-time semantics, arrival order irrelevant).
   */
 private[graft] object StreamStaging {
 
@@ -71,6 +73,7 @@ private[graft] object StreamStaging {
     */
   private def sourceTable(kind: String): String = kind match {
     case "events8range" | "events8sentinel" => "events.parquet"
+    case "emb8"                             => "embeddings.parquet"
     case _                                  => "documents.parquet"
   }
 
@@ -121,6 +124,10 @@ private[graft] object StreamStaging {
           case "cdc8" =>
             MaintenanceQueries.cdcChangesFor(s, sfDir)
               .repartition(8).write.mode("overwrite").parquet(dest)
+          case "emb8" =>
+            // per-row assignment — arrival order irrelevant, like docs8
+            Tables.table(s, sfDir, "embeddings")
+              .repartition(8).write.mode("overwrite").parquet(dest)
           case other =>
             throw new IllegalArgumentException(s"unknown kind $other")
         }
@@ -133,6 +140,6 @@ private[graft] object StreamStaging {
     * first streaming entry's timer).
     */
   def prebuild(s: SparkSession, sfDir: String): Unit =
-    Seq("docs8", "events8range", "events8sentinel", "cdc8")
+    Seq("docs8", "events8range", "events8sentinel", "cdc8", "emb8")
       .foreach(dir(s, sfDir, _))
 }

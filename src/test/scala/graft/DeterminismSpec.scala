@@ -178,7 +178,10 @@ class DeterminismSpec extends SparkSpec {
       // sufficient statistics, the max-normalized HITS half-rounds,
       // the (day, user)-dedup SRM cells, and the per-partition
       // byte-fold decode
-      "q_cuped", "q_hits", "q_srm", "q_multimodal_decode")
+      "q_cuped", "q_hits", "q_srm", "q_multimodal_decode",
+      // round 13: the per-row streaming cell assignment (batching and
+      // partitioning must not move any vector's cell)
+      "q_stream_ivf_assign")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -157,7 +157,9 @@ class EmptyTablesSpec extends SparkSpec {
     "q_grid_join", "q_concurrency",
     // round 13 (r12 boundary queries): CUPED and SRM over empty
     // events; HITS and the batched decode over an empty corpus
-    "q_cuped", "q_srm", "q_hits", "q_multimodal_decode")
+    "q_cuped", "q_srm", "q_hits", "q_multimodal_decode",
+    // round 13: the streaming cell assignment over empty embeddings
+    "q_stream_ivf_assign")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

@@ -133,6 +133,35 @@ class SharedBasesSpec extends SparkSpec {
       "stored-base pairs must be row-identical to the in-session base")
   }
 
+  test("snapshot store: a warm start serves row-identical bases") {
+    // cold memo builds, snapshot to the store, drop everything, then
+    // warm-start: the hydrated bases must be row-identical and the
+    // warm flags must report the stored ones as served
+    val coldPairs = SharedBases.minhashPairs(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val coldEdges = SharedBases.knnEdges(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    SharedBases.snapshot(spark, sf0001)
+    SharedBases.invalidateAll(spark)
+    val warm = SharedBases.warmStart(spark, sf0001)
+    assert(warm("mh_pairs") && warm("knn_edges"),
+      s"stored bases must hydrate warm: $warm")
+    val warmPairs = SharedBases.minhashPairs(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val warmEdges = SharedBases.knnEdges(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    assert(warmPairs == coldPairs,
+      "warm-served minhash pairs must be row-identical")
+    assert(warmEdges == coldEdges,
+      "warm-served knn edges must be row-identical")
+    // the warm load is a store read, not a re-mine: the memo entry's
+    // lineage must not touch the corpus text
+    val plan = SharedBases.minhashPairs(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("documents.parquet"),
+      s"warm base must come from the store, not a corpus rescan:\n$plan")
+  }
+
   test("invalidateAll clears the retained set and unpersists the bases") {
     SharedBases.jaccardPairs(spark, sf0001)
     assert(!SharedBases.retainedRddIds.isEmpty)

@@ -615,6 +615,29 @@ class StreamingSpec extends SparkSpec {
       "streamed per-batch asof must equal the single-pass batch asof")
   }
 
+  test("streamIvfAssign: delta assignment equals the batch replay") {
+    import org.apache.spark.sql.functions._
+    val dir = sf0001
+    val got = StreamingPipeline.streamIvfAssign(spark, dir)
+      .as[(Long, Long)].collect()
+    val emb = graft.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+    val cents = graft.ops.llm.Ivf.int8Quantizer(emb, nClusters = 16)
+    val expected = graft.ops.llm.Ivf.int8CellIds(emb, cents)
+      .select(col("id").cast("long"), col("cid").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    // every vector assigned EXACTLY once (no duplicate appends across
+    // replayed batches) and to the same cell the batch replay picks
+    assert(got.length == expected.size)
+    assert(got.map(_._1).distinct.length == got.length,
+      "a vector must be assigned exactly once")
+    got.foreach { case (id, cid) =>
+      assert(expected(id) == cid, s"vec $id cell")
+    }
+    // the quantizer must actually route to multiple cells at this SF
+    assert(got.map(_._2).distinct.length > 1)
+  }
+
   test("streamQuarantine: per-batch rule tagging equals the batch split") {
     import org.apache.spark.sql.functions._
     val dir = sf0001
