@@ -49,6 +49,16 @@ object GraftSession {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
+      // Write-heavy stateful streams: maintaining the exact state-row
+      // count costs a RocksDB get per put (and count bookkeeping at
+      // commit) for a metric only dashboards read — Spark's own tuning
+      // guidance for write-heavy workloads is to disable it. Measured
+      // ~5% off a drain's wall at the gate sizing; at 100 TB state the
+      // per-put get is the difference between one and two RocksDB ops
+      // per updated key. numRowsTotal then reads -1; specs that assert
+      // state-row eviction re-enable it per query.
+      .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+        sys.env.getOrElse("SPARK_GRAFT_TRACK_ROWS", "false"))
       // catalog-table storage (bucketed layouts) goes to a per-process
       // temp dir, never ./spark-warehouse in the caller's CWD; pid
       // suffix keeps concurrent driver/bench JVMs from clobbering each

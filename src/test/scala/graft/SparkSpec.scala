@@ -52,6 +52,10 @@ object SparkSpec {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
       "true")
+    // mirror GraftSession: row-count tracking off (write-heavy tuning);
+    // the eviction spec re-enables it around its own query
+    .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+      "false")
     .config("spark.sql.warehouse.dir", warehouseDir)
     .getOrCreate()
 }

@@ -216,6 +216,13 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import scala.jdk.CollectionConverters._
     def ts(s: String) = Timestamp.valueOf(s)
+    // this spec ASSERTS on numRowsTotal, so re-enable the row-count
+    // tracking the session disables (write-heavy tuning) for the
+    // duration of this one query
+    val trackKey =
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+    val trackOld = spark.conf.get(trackKey)
+    spark.conf.set(trackKey, "true")
     val mem = MemoryStream[(Long, Timestamp)]
     val out = StreamingPipeline.dedupWithinWatermark(
       mem.toDF().toDF("event_id", "ts"), Seq("event_id"))
@@ -241,7 +248,12 @@ class StreamingSpec extends SparkSpec {
       val finalRows = q.lastProgress.stateOperators.head.numRowsTotal
       assert(finalRows < 100,
         s"watermark must evict the 1000 expired keys, state=$finalRows rows")
-    } finally q.stop()
+      assert(finalRows >= 0,
+        "row tracking must be ON here or the eviction check is vacuous")
+    } finally {
+      q.stop()
+      spark.conf.set(trackKey, trackOld)
+    }
   }
 
   test("incremental ingest dedup: batches mine pairs vs the growing corpus") {
@@ -444,12 +456,20 @@ class StreamingSpec extends SparkSpec {
     // progress metrics: the state store must hold strictly fewer rows
     // than the total windows emitted (evicted windows live only in the
     // sink), or eviction never engaged and state grows with the run
+    // numRowsTotal needs the row-count tracking the session disables
+    // (write-heavy tuning) — re-enable it for this one drain
+    val trackKey =
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+    val trackOld = spark.conf.get(trackKey)
+    spark.conf.set(trackKey, "true")
     var maxState = -1L
-    val got = StreamingPipeline.streamWindowUpdate(spark, sf0001,
-      onFinish = q => {
-        maxState = q.recentProgress.flatMap(_.stateOperators)
-          .map(_.numRowsTotal).foldLeft(0L)(math.max)
-      }).count()
+    val got =
+      try StreamingPipeline.streamWindowUpdate(spark, sf0001,
+        onFinish = q => {
+          maxState = q.recentProgress.flatMap(_.stateOperators)
+            .map(_.numRowsTotal).foldLeft(0L)(math.max)
+        }).count()
+      finally spark.conf.set(trackKey, trackOld)
     assert(maxState > 0, "no state metrics captured")
     assert(maxState < got,
       s"state never evicted: peak state rows $maxState >= $got output rows")
