@@ -1240,6 +1240,396 @@ object AnalyticsQueries {
           sum("bal_cents").as("totacctbal_cents"))
     },
 
+    // X90 — TPC-H Q7 shape: volume shipping between two nations — the
+    // BIDIRECTIONAL nation-pair filter (supp→cust AND cust→supp) over
+    // a five-table star, the classic "trade between A and B by year"
+    // report. Both nation dims filter to the pair BEFORE broadcasting,
+    // so the supplier/customer sides shrink to the two nations'
+    // members; revenue is the exact Q5 integer form. Scale: the only
+    // fact-fact exchange is orders⋈lineitem on the order key; dims
+    // broadcast post-filter; output ≤ 2 pairs × years.
+    "q_tpch_q7" -> Q(
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (1000 - CAST(round(l_discount * 1000) AS BIGINT)))
+        |    AS BIGINT) AS revenue_ppm_cents
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val pair = Seq("NATION_18", "NATION_19")
+      val n = table(s, dir, "nation")
+        .filter(col("n_name").isin(pair: _*))
+      val sup = table(s, dir, "supplier")
+        .join(n.select(col("n_nationkey"), col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val c = table(s, dir, "customer")
+        .join(n.select(col("n_nationkey").as("nk2"),
+            col("n_name").as("cust_nation")),
+          col("c_nationkey") === col("nk2"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+      val rev = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(1000L) - round(col("l_discount") * 1000).cast("long"))
+      l.join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(c), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(rev).as("revenue_ppm_cents"))
+    },
+
+    // X91 — TPC-H Q8 shape: national market share — the share of one
+    // supplier nation in a region's PROMO-part revenue per year. The
+    // numerator rides the SAME rollup as the denominator (a
+    // conditional sum, never a second pass), and the share is ONE
+    // mirrored double division of two exact integer sums (the
+    // q_welch/ks_ppm discipline — identical promotion on both
+    // engines). Scale: parts/customers filter before broadcasting; one
+    // fact-fact exchange; output year-sized.
+    "q_tpch_q8" -> Q(
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(round(1000000 * CAST(sum(CASE WHEN s_nat = 'NATION_5'
+        |      THEN rev ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(rev) AS DOUBLE)) AS BIGINT) AS mkt_share_ppm
+        |FROM (
+        |  SELECT o_orderdate, n1.n_name AS s_nat,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (1000 - CAST(round(l_discount * 1000) AS BIGINT)) AS rev
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n2.n_regionkey
+        |    AND r_name = 'ASIA'
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n1 ON n1.n_nationkey = s_nationkey)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val p = table(s, dir, "part").filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val n2 = table(s, dir, "nation")
+        .select(col("n_nationkey").as("nk2"), col("n_regionkey"))
+      val r = table(s, dir, "region").filter(col("r_name") === "ASIA")
+      val cust = table(s, dir, "customer")
+        .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val n1 = table(s, dir, "nation")
+        .select(col("n_nationkey").as("nk1"), col("n_name").as("s_nat"))
+      val sup = table(s, dir, "supplier")
+        .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+        .select(col("s_suppkey"), col("s_nat"))
+      val l = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val rev = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(1000L) - round(col("l_discount") * 1000).cast("long"))
+      l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          col("s_nat"), rev.as("rev"))
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_items"),
+          round(lit(1000000) *
+            sum(when(col("s_nat") === "NATION_5", col("rev"))
+              .otherwise(0L)).cast("double") /
+            sum(col("rev")).cast("double")).cast("long")
+            .as("mkt_share_ppm"))
+    },
+
+    // X92 — TPC-H Q9 shape: product-type profit by nation and year.
+    // The schema has no partsupp/supplycost, so cost is modeled as 80%
+    // of the part's retail price per unit — the ADAPTATION is declared
+    // (like X70's), the SHAPE is Q9's: a name-pattern part filter, a
+    // six-way join, and a profit expression mixing revenue and cost
+    // terms that can go NEGATIVE (the sign behavior Q1-style sums
+    // never exercise). Exact integers: both terms are cents×permille
+    // (revenue cents·(1000−md); cost qty·retail_cents·800). Scale:
+    // parts filter then broadcast; one fact-fact exchange; output
+    // nation×year.
+    "q_tpch_q9" -> Q(
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (1000 - CAST(round(l_discount * 1000) AS BIGINT))
+        |    - CAST(round(l_quantity) AS BIGINT)
+        |      * CAST(round(p_retailprice * 100) AS BIGINT) * 800)
+        |    AS BIGINT) AS profit_ppm_cents
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val p = table(s, dir, "part")
+        .filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val n = table(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = table(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val l = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      val profit = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(1000L) - round(col("l_discount") * 1000).cast("long")) -
+        round(col("l_quantity")).cast("long") *
+        round(col("p_retailprice") * 100).cast("long") * lit(800L)
+      l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(profit).as("profit_ppm_cents"))
+    },
+
+    // X93 — TPC-H Q12 shape (adapted: no l_shipmode column, so the
+    // grouping key is the shipping-DELAY bucket instead): per delay
+    // bucket, how many line items belong to critical-priority orders
+    // vs not — Q12's "did slow shipping hit the urgent orders?"
+    // question with the same two-conditional-counts-over-one-join
+    // shape. Day arithmetic is exact integer µs on both engines; one
+    // fact-fact exchange on the order key, output 3 buckets.
+    "q_tpch_q12" -> Q(
+      """SELECT CASE
+        |    WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 'late'
+        |    WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY THEN 'slow'
+        |    ELSE 'fast' END AS ship_bucket,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val l = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      val bucket = when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"), "late")
+        .when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 30 DAYS"), "slow")
+        .otherwise("fast")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      o.join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(bucket.as("ship_bucket"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+    },
+
+    // X94 — TPC-H Q14 shape: promotion revenue share per month — the
+    // conditional-share-of-a-rollup pattern (one pass, numerator as a
+    // filtered sum inside the same aggregate) on a broadcast part
+    // join; the share is the one mirrored double division of exact
+    // integer sums. Output month-sized.
+    "q_tpch_q14" -> Q(
+      """SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate)
+        |    AS BIGINT) AS ym,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(round(1000000 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN rev ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(rev) AS DOUBLE)) AS BIGINT) AS promo_share_ppm
+        |FROM (
+        |  SELECT l_shipdate, p_type,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (1000 - CAST(round(l_discount * 1000) AS BIGINT)) AS rev
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val p = table(s, dir, "part")
+        .select(col("p_partkey"), col("p_type"))
+      val l = table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+      val rev = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(1000L) - round(col("l_discount") * 1000).cast("long"))
+      l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .select((year(col("l_shipdate")) * 100 +
+            month(col("l_shipdate"))).cast("long").as("ym"),
+          col("p_type"), rev.as("rev"))
+        .groupBy("ym")
+        .agg(count(lit(1)).as("n_items"),
+          round(lit(1000000) *
+            sum(when(col("p_type") === "PROMO", col("rev"))
+              .otherwise(0L)).cast("double") /
+            sum(col("rev")).cast("double")).cast("long")
+            .as("promo_share_ppm"))
+    },
+
+    // X95 — TPC-H Q17 shape: small-quantity-order revenue — the
+    // correlated average decorrelated as an aggregate join-back (the
+    // q_tpch_q2 argmin discipline applied to a threshold): per part,
+    // line items below 20% of that part's average quantity. The 0.2·avg
+    // cut is decided by exact integer cross-multiplication
+    // 5·qty·cnt < sum_qty — no division, no doubles, no ties to break.
+    // Scale: the per-part (sum, cnt) aggregate is one map-side-combining
+    // exchange, the join-back shuffles on the part key (at 100 TB both
+    // sides co-locate if lineitem is bucketed by l_partkey); output
+    // brand-sized.
+    "q_tpch_q17" -> Q(
+      """WITH q AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |      AS sum_qty,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_brand,
+        |  CAST(count(*) AS BIGINT) AS n_small,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS small_rev_cents
+        |FROM lineitem
+        |JOIN q ON q.l_partkey = lineitem.l_partkey
+        |JOIN part ON p_partkey = lineitem.l_partkey
+        |WHERE 5 * CAST(round(l_quantity) AS BIGINT) * cnt < sum_qty
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val l = table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"))
+      val q = l.groupBy(col("l_partkey").as("qk"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+      val p = table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      l.join(q, col("qk") === col("l_partkey"))
+        .filter(lit(5L) * round(col("l_quantity")).cast("long") *
+          col("cnt") < col("sum_qty"))
+        .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_small"),
+          sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("small_rev_cents"))
+    },
+
+    // X96 — TPC-H Q19 shape: disjunctive multi-branch predicates — the
+    // OR-of-conjunctions filter engines must NOT degrade to a
+    // cartesian: the partkey equality is common to every branch, so
+    // the join stays equi and the branch disjunction evaluates as a
+    // residual (here surfaced as a branch TAG so the output carries
+    // one row per branch instead of Q19's single scalar). All
+    // predicates are exact integer comparisons. Scale: one broadcast
+    // part join; branch evaluation is scan-side.
+    "q_tpch_q19" -> Q(
+      """SELECT branch, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (1000 - CAST(round(l_discount * 1000) AS BIGINT)))
+        |    AS BIGINT) AS revenue_ppm_cents
+        |FROM (
+        |  SELECT CASE
+        |      WHEN p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |        AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11
+        |        THEN 'b1'
+        |      WHEN p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |        AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20
+        |        THEN 'b2'
+        |      WHEN p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |        AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30
+        |        THEN 'b3'
+        |      END AS branch,
+        |    l_extendedprice, l_discount
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey)
+        |WHERE branch IS NOT NULL
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val p = table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val l = table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      val qty = round(col("l_quantity")).cast("long")
+      val branch = when(col("p_brand") === "Brand#1" &&
+          col("p_size").between(1, 5) && qty.between(1L, 11L), "b1")
+        .when(col("p_brand") === "Brand#2" &&
+          col("p_size").between(1, 10) && qty.between(10L, 20L), "b2")
+        .when(col("p_brand") === "Brand#3" &&
+          col("p_size").between(1, 15) && qty.between(20L, 30L), "b3")
+      val rev = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(1000L) - round(col("l_discount") * 1000).cast("long"))
+      l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .select(branch.as("branch"), rev.as("rev"))
+        .filter(col("branch").isNotNull)
+        .groupBy("branch")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("rev")).as("revenue_ppm_cents"))
+    },
+
+    // X97 — TPC-H Q20 shape (adapted: no partsupp/availqty, so the
+    // "surplus stock" gate becomes a shipped-volume gate): suppliers
+    // who moved more than 1.2× the average supplier's volume of
+    // blue-named parts in 1996 — the semi-join CHAIN (part filter →
+    // per-supplier fact rollup → volume gate → supplier/nation
+    // lookup) Q20 exists to exercise. The gate is SCALE-INVARIANT
+    // (the X77/X82 lesson: a fixed unit threshold returns zero rows
+    // at one SF and everything at another) and decided by exact
+    // integer cross-multiplication qty·10·n > 12·total against the
+    // 1-row broadcast (total, n) off the SAME rollup — checkpointed
+    // once for its two consumers. Scale: the name-filtered part set
+    // broadcasts into the fact scan, the rollup is one map-side-
+    // combining exchange on the supplier key, the name lookup
+    // broadcasts AFTER the gate (supplier-sized, like X74's).
+    "q_tpch_q20" -> Q(
+      """WITH g AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |      AS qty
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey AND p_name LIKE '%blue%'
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(qty) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS n FROM g)
+        |SELECT n_name, s_name, qty
+        |FROM g, t
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE qty * 10 * n > 12 * total""".stripMargin) {
+      (s, dir) =>
+      val p = table(s, dir, "part")
+        .filter(col("p_name").like("%blue%"))
+        .select(col("p_partkey"))
+      val l = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >=
+            to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val g = l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("qty"))
+        // 2 consumers: the global (total, n) and the gate probe
+        .localCheckpoint(true)
+      val t = g.agg(sum("qty").as("total"), count(lit(1)).as("n"))
+      val n = table(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = table(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      g.crossJoin(broadcast(t))
+        .filter(col("qty") * 10L * col("n") > lit(12L) * col("total"))
+        .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+        .select(col("n_name"), col("s_name"), col("qty"))
+    },
+
     // X78 — exact rolling active users (DAU / trailing-7-day WAU /
     // stickiness): the engagement triple every product dashboard
     // leads with. Exact distinct-over-sliding-window without window

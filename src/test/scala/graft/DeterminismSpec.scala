@@ -181,7 +181,13 @@ class DeterminismSpec extends SparkSpec {
       "q_cuped", "q_hits", "q_srm", "q_multimodal_decode",
       // round 13: the per-row streaming cell assignment (batching and
       // partitioning must not move any vector's cell)
-      "q_stream_ivf_assign")
+      "q_stream_ivf_assign",
+      // round 13: the TPC-H completion batch — bidirectional pair
+      // filter, single-rollup shares, signed profit sums, delay
+      // buckets, cross-multiplied avg cut, residual disjunction, and
+      // the scale-invariant volume gate
+      "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q12",
+      "q_tpch_q14", "q_tpch_q17", "q_tpch_q19", "q_tpch_q20")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -51,9 +51,11 @@ class EmptyTablesSpec extends SparkSpec {
       StructField("c_acctbal", DoubleType))))
     write("part", StructType(Seq(
       StructField("p_partkey", LongType),
+      StructField("p_name", StringType),
       StructField("p_brand", StringType),
       StructField("p_type", StringType),
-      StructField("p_size", IntegerType))))
+      StructField("p_size", IntegerType),
+      StructField("p_retailprice", DoubleType))))
     write("nation", StructType(Seq(
       StructField("n_nationkey", LongType),
       StructField("n_name", StringType),
@@ -159,7 +161,10 @@ class EmptyTablesSpec extends SparkSpec {
     // events; HITS and the batched decode over an empty corpus
     "q_cuped", "q_srm", "q_hits", "q_multimodal_decode",
     // round 13: the streaming cell assignment over empty embeddings
-    "q_stream_ivf_assign")
+    "q_stream_ivf_assign",
+    // round 13: the TPC-H completion batch over empty facts/dims
+    "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q12",
+    "q_tpch_q14", "q_tpch_q17", "q_tpch_q19", "q_tpch_q20")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

@@ -1708,6 +1708,112 @@ class PlanAuditSpec extends SparkSpec {
       s"payloads must never shuffle:\n$p")
   }
 
+  test("q_tpch_q7: nation filter pushed to the scans; dims broadcast") {
+    // the bidirectional pair filter must reach both nation scans as a
+    // pushed IN predicate (broadcasting an unfiltered dim then
+    // filtering would widen every build side)
+    val p = plan("q_tpch_q7")
+    assert(p.contains("In(n_name"),
+      s"the nation-pair filter must push into the scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"filtered dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+    assert(p.contains("partial_sum"),
+      s"revenue must combine map-side:\n$p")
+  }
+
+  test("q_tpch_q8: share rides ONE rollup; filtered dims broadcast") {
+    // numerator and denominator are conditional sums in the SAME
+    // aggregate — exactly one year-keyed exchange, never a second pass
+    val p = plan("q_tpch_q8")
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused")) == 1,
+      s"one rollup exchange only:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+    assert(p.contains("partial_sum"),
+      s"revenue sums must combine map-side:\n$p")
+  }
+
+  test("q_tpch_q9: profit terms stay scan-side below the rollup") {
+    val p = plan("q_tpch_q9")
+    assert(p.contains("BroadcastHashJoin"),
+      s"name-filtered parts must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+    assert(p.contains("partial_sum"),
+      s"profit must combine map-side:\n$p")
+  }
+
+  test("q_tpch_q12: both conditional counts ride one fact-fact join") {
+    val p = plan("q_tpch_q12")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 2,
+      s"orders + lineitem scan exactly once each:\n$p")
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused")) <= 2,
+      s"only the join/rollup exchanges expected:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+    assert(p.contains("partial_sum"),
+      s"both priority counts must combine map-side:\n$p")
+  }
+
+  test("q_tpch_q14: promo share is one scan-pair, one exchange") {
+    val p = plan("q_tpch_q14")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 2,
+      s"lineitem + part scan exactly once each:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the part dim must broadcast:\n$p")
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused")) == 1,
+      s"one month-rollup exchange only:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join over the part dim:\n$p")
+  }
+
+  test("q_tpch_q17: the avg cut is a cross-multiplied join predicate") {
+    // the decorrelated per-part aggregate joins back with the
+    // 5·qty·cnt < sum_qty predicate INSIDE the join — no division
+    // anywhere in the plan, no cartesian
+    val p = plan("q_tpch_q17")
+    assert(p.contains("* 5") || p.contains("5 *"),
+      s"the 0.2-avg cut must be cross-multiplied:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the join-back must stay keyed:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the per-part aggregate must combine map-side:\n$p")
+  }
+
+  test("q_tpch_q19: disjunctive branches stay a residual on the equi-join") {
+    // the OR-of-conjunctions must NOT degrade the partkey join to a
+    // nested-loop: one equi hash join with the CASE as residual
+    val p = plan("q_tpch_q19")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the partkey join must stay equi:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the disjunction must not degrade the join:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 2,
+      s"lineitem + part scan exactly once each:\n$p")
+  }
+
+  test("q_tpch_q20: the volume gate reads the checkpointed rollup") {
+    // the per-supplier rollup feeds the global (total, n) AND the gate
+    // probe — checkpointed once; the 1-row total broadcasts; only the
+    // supplier/nation lookups scan parquet
+    val p = plan("q_tpch_q20")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the global volume must arrive as a 1-row broadcast:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the supplier rollup must be checkpointed:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 2,
+      s"only the supplier + nation lookups scan parquet:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+  }
+
   test("global guard: no declared query's plan is O(data) in literals") {
     // One cheap sweep over the ENTIRE registry (r10 verdict #6): a
     // typedlit-style literal blow-up anywhere — a path map, a collected

@@ -117,7 +117,10 @@ object PlanDump {
     // round 13 (r12 boundary queries): the checkpoint-fed CUPED
     // moments, the checkpointed HITS half-rounds, the one-exchange SRM
     // rollup, and the mapPartitions decode projection
-    "q_cuped", "q_hits", "q_srm", "q_multimodal_decode")
+    "q_cuped", "q_hits", "q_srm", "q_multimodal_decode",
+    // round 13: the TPC-H completion batch
+    "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q12",
+    "q_tpch_q14", "q_tpch_q17", "q_tpch_q19", "q_tpch_q20")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
