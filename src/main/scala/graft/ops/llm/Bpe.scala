@@ -99,6 +99,61 @@ object Bpe {
     merges.toList
   }
 
+  /** The scale form of [[train]] (r13 verdict #7): the per-iteration
+    * argmax stays a 1-row DATAFRAME instead of a driver collect — the
+    * merge is applied by broadcast-joining that row into the word state
+    * and deriving the replace pattern from the pair COLUMN, so the
+    * driver never sees a pair string and the whole k-merge chain is one
+    * lazy plan materialized by a single action (the caller's). At k=3
+    * this removes the 3 sequential driver round-trips; at a real 30k-
+    * merge run the driver-loop cost drops from 30k job submissions to
+    * one, with the per-iteration persist (materialized on first touch,
+    * within the one action) keeping the chain O(k) work instead of
+    * O(k²) state rebuilds. Lineage still grows with k, so a production
+    * trainer additionally cuts it every ~50 iterations (localCheckpoint)
+    * — at the declared k the pure-persist chain is the honest shape.
+    *
+    * Row-identical to [[train]] (BpeSpec asserts it) and replayed by the
+    * SAME unrolled-CTE oracle. An exhausted pair table (k beyond the
+    * available merges) emits no row for those iterations — the 1-row
+    * argmax frame is empty and the left-joined merge is a no-op — which
+    * matches the while-loop's break in [[train]].
+    *
+    * State pinning uses LAZY localCheckpoint instead of train()'s
+    * explicit persist/unpersist pairs: each iteration's word state is
+    * one shared RDD materialized by whichever branch of the final union
+    * touches it first and reused by the rest, and its lifetime is tied
+    * to the returned plan (GC'd with it) instead of a driver-side
+    * bookkeeping loop.
+    */
+  def trainChained(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    var st = wordState(docs, textCol)
+    val iters = (1 to k).map { it =>
+      // lazy localCheckpoint: materialized (once) by whichever branch
+      // of the final union touches it first, then reused by the rest —
+      // the cache discipline of train() without driver round-trips
+      st = st.localCheckpoint(false)
+      val best = pairCounts(st)
+        .orderBy(col("cnt").desc, col("pr").asc).limit(1)
+      // apply the argmax without collecting it: 1-row broadcast
+      // left-join (empty argmax → pr NULL → state passes through,
+      // the while-loop-exhausted case of train())
+      val b = broadcast(best.select(col("pr").as("_mpr")))
+      st = st.join(b, lit(true), "left")
+        .withColumn("s", when(col("_mpr").isNull, col("s")).otherwise(
+          replace(col("s"),
+            concat(lit(" "), replace(col("_mpr"), lit(" "), lit("  ")),
+              lit(" ")),
+            concat(lit(" "), replace(col("_mpr"), lit(" "), lit("")),
+              lit(" ")))))
+        .drop("_mpr")
+      best.select(lit(it).as("it"), col("pr").as("pair"),
+        col("cnt").cast("long").as("cnt"))
+    }
+    iters.reduce(_ union _)
+  }
+
   /** Re-apply already-learned merges as a PURE lineage (no checkpoint,
     * no extra job): one corpus pass through the word aggregation, then
     * `k` chained literal replaces. The form a tokenization-serving pass

@@ -3673,6 +3673,28 @@ object LlmQueries {
         .toDF("it", "pair", "cnt")
     },
 
+    // L56c — the SCALE form of the BPE trainer (r13 verdict #7): the
+    // per-iteration argmax stays a 1-row DataFrame broadcast-joined into
+    // the word state instead of a driver collect, so the k-merge chain is
+    // ONE lazy plan and one action — no per-merge driver round-trips (the
+    // train() loop's declared 30k-merge boundary). Same unrolled-CTE
+    // oracle as q_bpe_train: the hash certifies the two trainers
+    // equivalent.
+    "q_bpe_train_chained" -> Q(
+      raw"""WITH $duckBpeBase,
+        |${bpeIterSql(1)},
+        |${bpeIterSql(2)},
+        |${bpeIterSql(3)}
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INTEGER) AS it, pr AS pair,
+        |    CAST(cnt AS BIGINT) AS cnt FROM b1
+        |  UNION ALL SELECT CAST(2 AS INTEGER), pr, CAST(cnt AS BIGINT)
+        |    FROM b2
+        |  UNION ALL SELECT CAST(3 AS INTEGER), pr, CAST(cnt AS BIGINT)
+        |    FROM b3)""".stripMargin) { (s, dir) =>
+      Bpe.trainChained(table(s, dir, "documents"), "text", 3)
+    },
+
     // L56b — apply the learned merges back to the corpus: the
     // tokenization-serving pass. A PURE lineage (no checkpoint): one
     // corpus pass through the word aggregation, three chained literal

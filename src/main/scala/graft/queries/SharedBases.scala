@@ -305,31 +305,66 @@ object SharedBases {
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       "graft_sb_store", md5Hex(dir).take(12), s"$name@$fp")
 
+  /** The bases that are built AND consumed as a pair: [[minhashBoth]]
+    * only serves from the memo when both mh_pairs and mh_sigs are alive,
+    * so hydration must treat them atomically — a torn store (interrupted
+    * snapshot) serving one of the two would publish a warm count the
+    * consumers never actually benefit from.
+    */
+  private val pairedBases = Set("mh_pairs", "mh_sigs")
+
   /** Hydrate the memo from the snapshot store where fingerprints match
     * (cheap parquet load instead of re-mining); returns name → warm so
     * the caller can publish which path paid. A base already live in the
     * memo counts as warm. Misses are left for the normal cold builders.
+    *
+    * Robustness (r13 ADVICE): a failed store read (concurrent eviction,
+    * torn files) falls back to the cold builder instead of propagating;
+    * the mh_pairs/mh_sigs pair is hydrated all-or-nothing so the
+    * published warm count matches what [[minhashBoth]] will serve.
     */
   def warmStart(s: SparkSession, dir: String): Map[String, Boolean] =
     synchronized {
-      snapshotBases.map { case (name, tableFile) =>
+      def hydrate(name: String, tableFile: String): Boolean = {
         val fp = fingerprint(s, dir, tableFile)
         val key = s"$name:$dir@$fp"
-        val warm = cache.get(key).exists(alive(s, _)) || {
+        cache.get(key).exists(alive(s, _)) || {
           val p = storePath(dir, name, fp)
-          java.nio.file.Files.exists(p.resolve("_SUCCESS")) && {
-            dropPrefix(s, s"$name:$dir@")
-            put(s, key, s.read.parquet(p.toString))
-            true
-          }
+          java.nio.file.Files.exists(p.resolve("_SUCCESS")) &&
+            (try {
+              dropPrefix(s, s"$name:$dir@")
+              put(s, key, s.read.parquet(p.toString))
+              true
+            } catch { case _: Exception => false })
         }
-        name -> warm
+      }
+      val raw = snapshotBases.map { case (name, tableFile) =>
+        name -> hydrate(name, tableFile)
       }.toMap
+      val pairWarm = pairedBases.forall(raw)
+      if (!pairWarm)
+        // drop any half-hydrated member: minhashBoth cannot serve a
+        // single, and a lingering entry would hold a retained RDD that
+        // the cold rebuild then replaces anyway
+        pairedBases.foreach(n => dropPrefix(s, s"$n:$dir@"))
+      raw.map { case (n, w) =>
+        n -> (if (pairedBases(n)) pairWarm else w)
+      }
     }
 
   /** Write every live memo base missing from the store (the cold
     * sweep's closing step — the build itself was already billed to the
     * named base phases; this bills only the one-off snapshot write).
+    *
+    * Concurrency (r13 ADVICE): the store is deliberately shared across
+    * bench JVMs, so the write is staged to a dot-prefixed temp sibling
+    * and atomically renamed into the fingerprinted path — two concurrent
+    * cold sweeps both passing the existence check race the RENAME, not
+    * the data: the loser discards its staging dir and keeps the winner,
+    * and a warm reader can never observe a half-written generation.
+    * Older generations are evicted only AFTER the rename lands (and
+    * never the staging dirs of in-flight writers — they are dot-prefixed
+    * so the `name@` eviction filter skips them structurally).
     */
   def snapshot(s: SparkSession, dir: String): Unit = synchronized {
     snapshotBases.foreach { case (name, tableFile) =>
@@ -337,16 +372,32 @@ object SharedBases {
       cache.get(s"$name:$dir@$fp").filter(alive(s, _)).foreach { e =>
         val p = storePath(dir, name, fp)
         if (!java.nio.file.Files.exists(p.resolve("_SUCCESS"))) {
-          val parent = p.getParent
-          if (java.nio.file.Files.exists(parent)) {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.list(parent).iterator.asScala.toSeq
-              .filter(_.getFileName.toString.startsWith(s"$name@"))
-              .foreach(graft.util.Fs.deleteRecursively)
+          val tmp = p.getParent.resolve(
+            s".staging-${p.getFileName}-${ProcessHandle.current.pid}")
+          try {
+            // pair/role tables are key-table-sized (never corpus-sized);
+            // a handful of files keeps the warm load scan cheap
+            e.df.coalesce(4).write.mode("overwrite").parquet(tmp.toString)
+            try {
+              java.nio.file.Files.move(tmp, p,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.list(p.getParent).iterator.asScala.toSeq
+                .filter(q => q != p &&
+                  q.getFileName.toString.startsWith(s"$name@"))
+                .foreach(graft.util.Fs.deleteRecursively)
+            } catch {
+              // lost the race (or the fs refused the atomic move):
+              // keep the winner's generation, discard ours
+              case _: java.io.IOException =>
+                graft.util.Fs.deleteRecursively(tmp)
+            }
+          } catch {
+            case ex: Exception =>
+              graft.util.Fs.deleteRecursively(tmp)
+              System.err.println(
+                s"[shared-bases] snapshot of $name skipped: ${ex.getMessage}")
           }
-          // pair/role tables are key-table-sized (never corpus-sized);
-          // a handful of files keeps the warm load scan cheap
-          e.df.coalesce(4).write.mode("overwrite").parquet(p.toString)
         }
       }
     }

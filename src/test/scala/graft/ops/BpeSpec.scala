@@ -42,6 +42,27 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(docs, "text", 3).isEmpty)
   }
 
+  test("trainChained is row-identical to train (the no-collect scale form)") {
+    val docs = Seq((1L, "aa aa ab"), (2L, "low lower lowest"),
+      (3L, "aa low ab")).toDF("doc_id", "text")
+    val looped = Bpe.train(docs, "text", 4)
+    val chained = Bpe.trainChained(docs, "text", 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(chained == looped,
+      "the 1-row-DataFrame argmax chain must replay the driver loop exactly")
+  }
+
+  test("trainChained past pair exhaustion emits only the available merges") {
+    // one single-char word: it1 merges (a </w>); afterwards the state is
+    // one token per word, the pair table is empty, and iterations 2..3
+    // must emit nothing (train()'s break), not fail
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    val rows = Bpe.trainChained(docs, "text", 3).collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1, "a </w>", 1L)))
+  }
+
   test("train leaves no pinned RDDs behind") {
     val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
     val before = spark.sparkContext.getPersistentRDDs.keySet

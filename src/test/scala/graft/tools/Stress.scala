@@ -124,15 +124,25 @@ object Stress {
             sha2(col("text"), 256).as("k"))
         val out = graft.streaming.StreamingPipeline
           .dedupWithinWatermark(ev, Seq("k"))
-        val q = out.writeStream.format("memory").queryName("wstress")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .option("checkpointLocation", s"$root/ckpt")
-          .start()
-        q.awaitTermination()
-        val stateRows = q.recentProgress.flatMap(_.stateOperators)
-          .lastOption.map(_.numRowsTotal).getOrElse(-1L)
-        println(s"    stream_dedup_watermark: final state rows = $stateRows")
-        val n = spark.table("wstress").count()
+        // the flat-state evidence below asserts on numRowsTotal, which
+        // GraftSession's write-heavy tuning disables (reads -1 otherwise);
+        // re-enable the row-count tracking for this one query, as
+        // StreamingSpec does
+        val trackKey =
+          "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+        val trackOld = spark.conf.get(trackKey)
+        spark.conf.set(trackKey, "true")
+        val n = try {
+          val q = out.writeStream.format("memory").queryName("wstress")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", s"$root/ckpt")
+            .start()
+          q.awaitTermination()
+          val stateRows = q.recentProgress.flatMap(_.stateOperators)
+            .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+          println(s"    stream_dedup_watermark: final state rows = $stateRows")
+          spark.table("wstress").count()
+        } finally spark.conf.set(trackKey, trackOld)
         spark.sql("DROP TABLE IF EXISTS wstress")
         n
       }),
