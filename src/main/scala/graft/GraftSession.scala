@@ -82,9 +82,35 @@ object GraftSession {
         java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
           s"graft-warehouse-${ProcessHandle.current.pid}").toString)
 
-  /** Local session (tests, Verify/Bench, standalone CLI). */
-  def local(appName: String, cores: Int): SparkSession =
-    builder(appName, cores).master(s"local[$cores]")
+  /** Local session (tests, Verify/Bench, standalone CLI).
+    *
+    * Scratch space (`spark.local.dir` — shuffle files, block-manager
+    * disk blocks, RocksDB working dirs) goes to tmpfs when available:
+    * it is ephemeral by definition and the single-box bench showed the
+    * interval-join drains paying ~20% of their wall to /tmp disk I/O
+    * for files that never outlive the JVM. Local-mode-only by design —
+    * a real cluster's resource manager owns executor local dirs
+    * (YARN/K8s override `spark.local.dir`), and at 100 TB scratch
+    * belongs on provisioned disks, not RAM. Honored only if the caller
+    * hasn't already routed it (SPARK_LOCAL_DIRS / spark.local.dir).
+    */
+  def local(appName: String, cores: Int): SparkSession = {
+    val b = builder(appName, cores).master(s"local[$cores]")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val routed = sys.env.contains("SPARK_LOCAL_DIRS") ||
+      sys.props.contains("spark.local.dir")
+    if (!routed && java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm)) {
+      // per-pid subdir: Spark creates and deletes its own spark-*/
+      // blockmgr-* dirs inside on stop; the pid scope keeps concurrent
+      // driver/bench JVMs apart (same discipline as the warehouse dir)
+      val scratch = shm.resolve(
+        s"graft-local-${ProcessHandle.current.pid}")
+      java.nio.file.Files.createDirectories(scratch)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.util.Fs.deleteRecursively(scratch)))
+      b.config("spark.local.dir", scratch.toString).getOrCreate()
+    } else b.getOrCreate()
+  }
 }

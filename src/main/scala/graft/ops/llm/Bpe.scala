@@ -102,16 +102,12 @@ object Bpe {
   /** The scale form of [[train]] (r13 verdict #7): the per-iteration
     * argmax stays a 1-row DATAFRAME instead of a driver collect — the
     * merge is applied by broadcast-joining that row into the word state
-    * and deriving the replace pattern from the pair COLUMN, so the
-    * driver never sees a pair string and the whole k-merge chain is one
-    * lazy plan materialized by a single action (the caller's). At k=3
-    * this removes the 3 sequential driver round-trips; at a real 30k-
-    * merge run the driver-loop cost drops from 30k job submissions to
-    * one, with the per-iteration persist (materialized on first touch,
-    * within the one action) keeping the chain O(k) work instead of
-    * O(k²) state rebuilds. Lineage still grows with k, so a production
-    * trainer additionally cuts it every ~50 iterations (localCheckpoint)
-    * — at the declared k the pure-persist chain is the honest shape.
+    * and deriving the replace pattern from the pair COLUMN, so the pair
+    * string NEVER crosses to the driver. [[train]] pays a sequential
+    * `limit(1).collect()` + plan-resubmit round-trip per merge (the
+    * declared 30k-merge boundary); here each iteration is one eager
+    * vocab-table checkpoint job and the merge table itself is a single
+    * final action over the unioned 1-row argmax frames.
     *
     * Row-identical to [[train]] (BpeSpec asserts it) and replayed by the
     * SAME unrolled-CTE oracle. An exhausted pair table (k beyond the
@@ -119,21 +115,18 @@ object Bpe {
     * argmax frame is empty and the left-joined merge is a no-op — which
     * matches the while-loop's break in [[train]].
     *
-    * State pinning uses LAZY localCheckpoint instead of train()'s
-    * explicit persist/unpersist pairs: each iteration's word state is
-    * one shared RDD materialized by whichever branch of the final union
-    * touches it first and reused by the rest, and its lifetime is tied
-    * to the returned plan (GC'd with it) instead of a driver-side
-    * bookkeeping loop.
+    * State pinning is EAGER localCheckpoint, per the repo-wide checkpoint
+    * discipline (CheckpointRaceSpec: a lazily-checkpointed base with
+    * concurrent consumers — exactly this union's branches plus the AQE
+    * broadcast futures — can hit the r9 lock-order-inversion deadlock
+    * inside Spark). The eager job also truncates lineage every
+    * iteration, so the chain stays O(k) work and O(1) plan depth at any
+    * k — what a real 30k-merge trainer needs.
     */
   def trainChained(docs: DataFrame, textCol: String, k: Int): DataFrame = {
-    val spark = docs.sparkSession
     var st = wordState(docs, textCol)
     val iters = (1 to k).map { it =>
-      // lazy localCheckpoint: materialized (once) by whichever branch
-      // of the final union touches it first, then reused by the rest —
-      // the cache discipline of train() without driver round-trips
-      st = st.localCheckpoint(false)
+      st = st.localCheckpoint()
       val best = pairCounts(st)
         .orderBy(col("cnt").desc, col("pr").asc).limit(1)
       // apply the argmax without collecting it: 1-row broadcast

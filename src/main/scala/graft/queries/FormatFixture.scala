@@ -16,11 +16,10 @@ import graft.Tables
   * delimiter, schema drift, or partition-column loss changes the hash.
   *
   * Same lifecycle contract as [[IncrFixture]]: one deterministic
-  * destination per (source dir, format) under
-  * `$tmpdir/graft_fmt_fixture/<md5(dir)>/<format>`, written once per
-  * (dir, documents-fingerprint) with mode=overwrite — re-runs reuse
-  * instead of leaking — and the whole root is deleted by a JVM shutdown
-  * hook. Bench builds these in the TIMED shared-base phase so the
+  * destination per (source dir, format, documents-fingerprint) in the
+  * cross-JVM [[StagingStore]] — re-runs and later sweeps reuse the
+  * landed generation; a regenerated corpus misses structurally and
+  * rebuilds. Bench builds these in the TIMED shared-base phase so the
   * per-query timer measures the scan, not fixture setup.
   */
 private[graft] object FormatFixture {
@@ -37,15 +36,6 @@ private[graft] object FormatFixture {
 
   private val cache = scala.collection.mutable.HashMap.empty[String, String]
 
-  private val root = java.nio.file.Paths.get(
-    System.getProperty("java.io.tmpdir"), "graft_fmt_fixture")
-
-  private lazy val registerCleanup: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(root)))
-
-  private def deleteTree(p: java.nio.file.Path): Unit =
-    graft.util.Fs.deleteRecursively(p)
-
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -60,12 +50,9 @@ private[graft] object FormatFixture {
     */
   def path(s: SparkSession, dir: String, format: String): String =
     synchronized {
-      val key = s"$dir@$format@${SharedBases.fingerprint(s, dir)}"
-      cache.getOrElseUpdate(key, {
-        cache.keys.filter(_.startsWith(s"$dir@$format@")).toSeq
-          .foreach(cache.remove)
-        registerCleanup
-        val dest = root.resolve(md5(dir)).resolve(format).toString
+      val fp = SharedBases.fingerprint(s, dir)
+      cache.getOrElseUpdate(s"$dir@$format@$fp", {
+        StagingStore.getOrBuild(dir, s"fmt_$format", fp) { dest =>
         val d = docs(s, dir)
         format match {
           case "csv" =>
@@ -88,7 +75,7 @@ private[graft] object FormatFixture {
             d.write.mode("overwrite").partitionBy("lang").parquet(dest)
           case other => sys.error(s"unknown fixture format: $other")
         }
-        dest
+        }
       })
     }
 

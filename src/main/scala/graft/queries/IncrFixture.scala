@@ -18,16 +18,15 @@ import graft.Tables
   * flag a rerun did not clear), and (b) leaked a full text copy of the
   * corpus to /tmp per sweep/determinism run. Now:
   *
-  *  - ONE deterministic destination per source dir
-  *    (`$tmpdir/graft_incr_fixture/<md5(dir)>`), written with
-  *    mode=overwrite — re-runs reuse the path instead of leaking;
-  *  - memoized per (dir, documents fingerprint): a rewritten documents
-  *    table misses the memo and rebuilds, same staleness contract as
+  *  - ONE deterministic destination per (source dir, documents
+  *    fingerprint) in the [[StagingStore]] — re-runs AND later JVMs
+  *    reuse the landed generation instead of leaking or re-splitting;
+  *    a rewritten documents table misses structurally (fingerprint in
+  *    the leaf name) and rebuilds, same staleness contract as
   *    [[SharedBases]];
-  *  - the whole fixture root is deleted by a JVM shutdown hook, so no
-  *    `graft_*` dirs survive a sweep or `sbt test` (single-writer
-  *    assumption: two JVMs benching the same dir concurrently would
-  *    race the overwrite — the driver runs bench/verify sequentially);
+  *  - concurrent writers race the store's atomic rename, never the
+  *    data (the r13 ADVICE discipline); older generations are evicted
+  *    when a new fingerprint lands, bounding what survives in tmpdir;
   *  - the returned path list keeps only the `h=` partitions that EXIST:
   *    `pmod(doc_id, 24)` residues can be sparse on tiny/sparse-id
   *    corpora, and a hard-coded 24-path list would make
@@ -42,35 +41,23 @@ private[graft] object IncrFixture {
 
   private val cache = scala.collection.mutable.HashMap.empty[String, Seq[String]]
 
-  private val root = java.nio.file.Paths.get(
-    System.getProperty("java.io.tmpdir"), "graft_incr_fixture")
-
-  private lazy val registerCleanup: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(root)))
-
-  private def deleteTree(p: java.nio.file.Path): Unit =
-    graft.util.Fs.deleteRecursively(p)
-
-  private def md5(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-
   /** Existing `h=` partition paths of the fixture for `dir`, building it
     * on first use per (dir, documents-fingerprint). Newlines are
     * flattened before the file write so file lines == table rows and the
-    * parquet-side oracle sees the identical corpus.
+    * parquet-side oracle sees the identical corpus. The layout persists
+    * across JVMs via [[StagingStore]] (r14) — a later sweep of the same
+    * testdata reuses the landed 24-file generation instead of
+    * re-splitting the corpus.
     */
   def paths(s: SparkSession, dir: String): Seq[String] = synchronized {
-    val key = s"$dir@${SharedBases.fingerprint(s, dir)}"
-    cache.getOrElseUpdate(key, {
-      cache.keys.filter(_.startsWith(s"$dir@")).toSeq.foreach(cache.remove)
-      registerCleanup
-      val dest = root.resolve(md5(dir)).toString
-      Tables.table(s, dir, "documents")
-        .select(pmod(col("doc_id"), lit(24)).cast("int").as("h"),
-          regexp_replace(col("text"), "[\\r\\n]+", " ").as("value"))
-        .write.partitionBy("h").mode("overwrite").text(dest)
+    val fp = SharedBases.fingerprint(s, dir)
+    cache.getOrElseUpdate(s"$dir@$fp", {
+      val dest = StagingStore.getOrBuild(dir, "incr24", fp) { tmp =>
+        Tables.table(s, dir, "documents")
+          .select(pmod(col("doc_id"), lit(24)).cast("int").as("h"),
+            regexp_replace(col("text"), "[\\r\\n]+", " ").as("value"))
+          .write.partitionBy("h").mode("overwrite").text(tmp)
+      }
       val fs = new org.apache.hadoop.fs.Path(dest)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       (0 until 24).map(h => s"$dest/h=$h")

@@ -36,18 +36,6 @@ private[graft] object StreamStaging {
 
   private val cache = scala.collection.mutable.HashMap.empty[String, String]
 
-  private val root = java.nio.file.Paths.get(
-    System.getProperty("java.io.tmpdir"), "graft_stream_staging")
-
-  private lazy val registerCleanup: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      graft.util.Fs.deleteRecursively(root)))
-
-  private def md5(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-
   private def events(s: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.table(s, sfDir, "events")
     ev.select(ev("user_id"), ev("event_id"),
@@ -78,60 +66,54 @@ private[graft] object StreamStaging {
   }
 
   /** The staged directory for `kind` over `sfDir`, building on first use
-    * per testdata fingerprint (a regenerated corpus re-stages).
+    * per testdata fingerprint (a regenerated corpus re-stages). Layouts
+    * persist across JVMs via [[StagingStore]] (r14): a later bench or
+    * verify sweep of the same testdata reuses the landed generation
+    * instead of re-copying the corpus; mtime pinning happens in the
+    * staging dir BEFORE the atomic rename, and survives it, so a reused
+    * generation's batch order is identical to the builder's.
     */
   def dir(s: SparkSession, sfDir: String, kind: String): String =
     synchronized {
-      val key = s"$kind:$sfDir@" +
-        SharedBases.fingerprint(s, sfDir, sourceTable(kind))
-      cache.getOrElseUpdate(key, {
-        // evict stale generations of this (kind, sfDir) — remove both
-        // the cache entry AND its staged directory (repeated corpus
-        // regenerations would otherwise accumulate corpus-sized copies
-        // under tmpdir until the JVM shutdown hook runs)
-        cache.keys.filter(_.startsWith(s"$kind:$sfDir@")).toSeq
-          .foreach { stale =>
-            cache.remove(stale)
-            graft.util.Fs.deleteRecursively(root.resolve(md5(stale)))
+      val fp = SharedBases.fingerprint(s, sfDir, sourceTable(kind))
+      cache.getOrElseUpdate(s"$kind:$sfDir@$fp", {
+        StagingStore.getOrBuild(sfDir, s"stream_$kind", fp) { dest =>
+          kind match {
+            case "docs8" =>
+              Tables.table(s, sfDir, "documents")
+                .repartition(8).write.mode("overwrite").parquet(dest)
+            case "events8range" =>
+              events(s, sfDir).repartitionByRange(8, col("ts"))
+                .write.mode("overwrite").parquet(dest)
+              pinMtimes(s, dest)
+            case "events8sentinel" =>
+              val ev = events(s, sfDir)
+              val gapUs = 43_200_000_000L
+              val maxRow = ev.agg(max(unix_micros(col("ts")))).head()
+              // empty events: no sessions exist — stage the (empty) table
+              // without a sentinel instead of NPE-ing on the null max
+              val withSentinel =
+                if (maxRow.isNullAt(0)) ev
+                else ev.unionByName(s.range(1).select(
+                  lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+                  timestamp_micros(
+                    lit(maxRow.getLong(0) + gapUs + 7_200_000_000L))
+                    .as("ts"),
+                  lit("__sentinel__").as("event_type")))
+              withSentinel.repartitionByRange(8, col("ts"))
+                .write.mode("overwrite").parquet(dest)
+              pinMtimes(s, dest)
+            case "cdc8" =>
+              MaintenanceQueries.cdcChangesFor(s, sfDir)
+                .repartition(8).write.mode("overwrite").parquet(dest)
+            case "emb8" =>
+              // per-row assignment — arrival order irrelevant, like docs8
+              Tables.table(s, sfDir, "embeddings")
+                .repartition(8).write.mode("overwrite").parquet(dest)
+            case other =>
+              throw new IllegalArgumentException(s"unknown kind $other")
           }
-        registerCleanup
-        val dest = root.resolve(md5(key)).toString
-        kind match {
-          case "docs8" =>
-            Tables.table(s, sfDir, "documents")
-              .repartition(8).write.mode("overwrite").parquet(dest)
-          case "events8range" =>
-            events(s, sfDir).repartitionByRange(8, col("ts"))
-              .write.mode("overwrite").parquet(dest)
-            pinMtimes(s, dest)
-          case "events8sentinel" =>
-            val ev = events(s, sfDir)
-            val gapUs = 43_200_000_000L
-            val maxRow = ev.agg(max(unix_micros(col("ts")))).head()
-            // empty events: no sessions exist — stage the (empty) table
-            // without a sentinel instead of NPE-ing on the null max
-            val withSentinel =
-              if (maxRow.isNullAt(0)) ev
-              else ev.unionByName(s.range(1).select(
-                lit(-1L).as("user_id"), lit(-1L).as("event_id"),
-                timestamp_micros(
-                  lit(maxRow.getLong(0) + gapUs + 7_200_000_000L))
-                  .as("ts"),
-                lit("__sentinel__").as("event_type")))
-            withSentinel.repartitionByRange(8, col("ts"))
-              .write.mode("overwrite").parquet(dest)
-            pinMtimes(s, dest)
-          case "cdc8" =>
-            MaintenanceQueries.cdcChangesFor(s, sfDir)
-              .repartition(8).write.mode("overwrite").parquet(dest)
-          case "emb8" =>
-            // per-row assignment — arrival order irrelevant, like docs8
-            Tables.table(s, sfDir, "embeddings")
-              .repartition(8).write.mode("overwrite").parquet(dest)
-          case other =>
-            throw new IllegalArgumentException(s"unknown kind $other")
         }
-        dest
       })
     }
 

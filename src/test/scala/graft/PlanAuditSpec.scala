@@ -1814,6 +1814,92 @@ class PlanAuditSpec extends SparkSpec {
       s"no cartesian product allowed:\n$p")
   }
 
+  test("q_pipeline_incremental: run-1 state feeds run 2 from the cache") {
+    // r13 verdict #1 guard: the flagship loop's second incrementalRun
+    // must consume run 1's merged state through its persist
+    // (InMemoryTableScan), never by re-executing run 1's lineage — a
+    // dropped persist would silently double the text scans and the
+    // driver-sweep time without changing the hash.
+    val df = SparkEntry.queries("q_pipeline_incremental")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      s"merged state must be served from the persisted cache:\n$p")
+    // the persisted run-1 state must sit INSIDE run 2's cached merge
+    // plan: the inner InMemoryRelation printout carries run 1's union,
+    // so both runs' states are pinned and neither re-executes the other
+    assert(p.linesIterator.count(_.contains("InMemoryRelation")) >= 2,
+      s"expected run-1 AND run-2 states persisted (nested relations):\n$p")
+  }
+
+  test("fact-fact join under a hot key: AQE splits the skewed partition") {
+    // r13 verdict #4. The TPC-H audits above pin broadcast/equi SHAPES,
+    // but the orders⋈lineitem class is the one join family that shuffles
+    // BOTH sides at 100 TB — where a hot order key (one customer's
+    // million-line order, one viral prefix) turns a reducer into the
+    // stage straggler. The 100×-scale insurance is runtime skew split:
+    // AQE rewrites the SMJ to read the oversized partition as several
+    // mapper-range slices, duplicating the matching rows of the other
+    // side. Pin that behavior on a skewed fixture shaped like
+    // orders⋈lineitem, at test-sized thresholds (the production
+    // defaults — 256 MB / 5× median — are the same mechanism; only the
+    // constants differ per deployment), and pin the RESULT too: the
+    // split must not duplicate or drop joined rows.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, count, length, lit, sum}
+    val tuned = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force both-side shuffle
+      "spark.sql.adaptive.skewJoin.enabled" -> "true", // pin against drift
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768")
+    val saved = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // lineitem side: one hot order key carrying 60k lines of
+      // HIGH-ENTROPY payload (sha2 per row — a constant pad compresses
+      // to nothing in the shuffle files and the byte-based skew
+      // detector never fires), spread over 8 map tasks so the skew
+      // reader has mapper boundaries to slice at, plus a 500-key
+      // uniform tail
+      import org.apache.spark.sql.functions.sha2
+      val lineitem = ((1 to 60000).map(i => (1L, i.toLong)) ++
+        (1 to 20000).map(i => ((i % 500 + 2).toLong, i.toLong)))
+        .toDF("l_orderkey", "seq")
+        .select(col("l_orderkey"),
+          concat(sha2(col("seq").cast("string"), 256),
+            sha2(concat(col("seq").cast("string"), lit("b")), 256))
+            .as("l_pay"))
+        .repartition(8)
+      val orders = (1 to 501).map(i => (i.toLong, s"prio_${i % 5}"))
+        .toDF("o_orderkey", "o_priority")
+      val agg = lineitem
+        .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+        .groupBy("o_priority")
+        .agg(count(lit(1)).as("n_lines"), sum(length(col("l_pay"))).as("bytes"))
+      val rows = agg.collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // correctness under the split: hot key 1 → prio_1 gets its 60000
+      // lines exactly once, plus the tail keys ≡ 1 (mod 5)
+      val tailPer = (2 to 501).map(k => k -> (1 to 20000)
+        .count(i => i % 500 + 2 == k)).toMap
+      val expected = (1 to 501).groupBy(k => s"prio_${k % 5}")
+        .map { case (p, ks) => p -> ks.map(k =>
+          if (k == 1) 60000L else tailPer(k).toLong).sum }
+      assert(rows.view.mapValues(_._1).toMap == expected,
+        s"skew-split join changed the aggregate: $rows")
+      val p = agg.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"),
+        s"expected a final adaptive plan:\n$p")
+      val finalP = p.split("Initial Plan")(0)
+      assert(finalP.contains("SortMergeJoin"),
+        s"fixture must exercise the both-side-shuffle join class:\n$finalP")
+      assert(finalP.contains("skew=true"),
+        s"AQE did not mark the hot partition's join as skew-handled:\n$finalP")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("global guard: no declared query's plan is O(data) in literals") {
     // One cheap sweep over the ENTIRE registry (r10 verdict #6): a
     // typedlit-style literal blow-up anywhere — a path map, a collected

@@ -120,7 +120,10 @@ object PlanDump {
     "q_cuped", "q_hits", "q_srm", "q_multimodal_decode",
     // round 13: the TPC-H completion batch
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q12",
-    "q_tpch_q14", "q_tpch_q17", "q_tpch_q19", "q_tpch_q20")
+    "q_tpch_q14", "q_tpch_q17", "q_tpch_q19", "q_tpch_q20",
+    // round 14: the no-collect BPE trainer (one plan, k chained
+    // broadcast-argmax merges, zero driver round-trips)
+    "q_bpe_train_chained")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
