@@ -777,4 +777,93 @@ object Similarity {
     labeled.unionByName(noise)
       .select(col("id").as("vec_id"), col("role"), col("cluster"))
   }
+
+  /** Binary (sign-bit) quantization — the 32× compression tier below
+    * int8 (L30): one bit per dimension, set iff the component is > 0,
+    * packed into ceil(dim/32) 32-bit words carried as longs. Word w
+    * holds dims [32w+1, 32w+32] with dim 32w+i at bit i−1, i.e.
+    * word = Σ 2^(i−1)·[v_{32w+i} > 0] — a pure integer both engines
+    * compute literally (the packing never touches a sign bit of the
+    * long, so no overflow anywhere). Per-row projection, zero shuffle.
+    * Output: (id, words array<long> of length ceil(dim/32)).
+    */
+  def binaryCodes(vectors: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim % 32 == 0, s"dim must pack whole 32-bit words, got $dim")
+    val v = vectors.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<double>").as("vec"))
+    val words = (0 until dim / 32).map { w =>
+      // fold dims 32w+32 .. 32w+1 as acc*2 + bit = Σ bit_i · 2^(i−1)
+      aggregate(sequence(lit(32), lit(1), lit(-1)), lit(0L),
+        (acc, i) => acc * 2 +
+          when(element_at(col("vec"), lit(32 * w) + i) > lit(0d), 1L)
+            .otherwise(0L))
+    }
+    v.select(col("id"), array(words: _*).as("words"))
+  }
+
+  /** Hamming distance between two packed-word arrays (see
+    * [[binaryCodes]]): Σ popcount(a_w XOR b_w).
+    */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Binary-code top-k: exact Hamming-distance ranking over the packed
+    * sign bits — the coarse scan of a two-stage binary ANN, and (unlike
+    * the LSH/IVF sketch entries) fully hash-certifiable: the codes, the
+    * distances, and the (dist asc, id asc) ranking are all integers a
+    * SQL oracle replays bit-for-bit.
+    *
+    * Scale shape: codes are dim/8 bytes per row (32× below float32), the
+    * query side broadcasts, the corpus streams once computing XOR+popcount
+    * scan-side, and the top-k is the two-phase WindowGroupLimit — each map
+    * task ships k rows per query, never its scan. Output:
+    * (qid, id, rnk, dist).
+    */
+  def hammingTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+      dim: Int = 64): DataFrame = {
+    val v = binaryCodes(vectors, dim).select(col("id"), col("words"))
+    val q = binaryCodes(queries, dim)
+      .select(col("id").as("qid"), col("words").as("qwords"))
+    val scored = v.join(broadcast(q), col("id") =!= col("qid"))
+      .withColumn("dist", hammingDist(col("words"), col("qwords")))
+    graft.ops.TopK(scored, Seq("qid"), -scored("dist"), Seq(scored("id")),
+        k)
+      .select(col("qid"), col("id"), col("rnk"), col("dist"))
+  }
+
+  /** Two-stage binary ANN whose END-TO-END result is still exact-integer
+    * deterministic: a Hamming shortlist over the packed sign bits
+    * ([[hammingTopK]], `shortlist` candidates per query, ties on id) is
+    * reranked by the exact micro-integer dot product
+    * Σ round(q_i·10⁶)·round(c_i·10⁶) — both stages are literal integer
+    * rules, so a SQL oracle replays the shortlist AND the rerank and the
+    * full pipeline hash-matches (the property the LSH/IVF production
+    * variants give up for speed).
+    *
+    * Scale shape: stage 1 is the 32×-compressed broadcast scan above;
+    * stage 2 touches only |Q|·shortlist rows — the tiny shortlist
+    * broadcasts back onto the corpus (equi-join on id), so full-precision
+    * vectors are read once and only for candidates. Products ≤ 10¹²·dim
+    * and sums ≤ 64·10¹² sit far inside both long and exact-double range.
+    * Output: (qid, id, rnk, dist, score).
+    */
+  def hammingRerank(vectors: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int, dim: Int = 64): DataFrame = {
+    val coarse = hammingTopK(vectors, queries, shortlist, dim)
+      .select(col("qid"), col("id"), col("dist"))
+    def micro(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.toDF("id", "vec").select(col("id").as(idAs),
+        transform(col("vec").cast("array<double>"),
+          x => round(x * 1e6).cast("long")).as(vecAs))
+    val scored = micro(vectors, "id", "mv")
+      .join(broadcast(coarse), "id")
+      .join(broadcast(micro(queries, "qid", "qmv")), "qid")
+      .withColumn("score",
+        aggregate(zip_with(col("mv"), col("qmv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+    graft.ops.TopK(scored, Seq("qid"), scored("score"), Seq(scored("id")),
+        k)
+      .select(col("qid"), col("id"), col("rnk"), col("dist"), col("score"))
+  }
 }

@@ -2873,6 +2873,76 @@ object LlmQueries {
       Similarity.int8TopK(e, e.filter(col("vec_id") < 10), 5)
     },
 
+    // L30c — binary sign quantization + exact Hamming top-k: the 32×
+    // compression tier below int8. Codes, XOR-popcount distances and the
+    // (dist asc, id asc) ranking are all literal integers, so unlike the
+    // LSH/IVF sketches this search is fully hash-certified. DuckDB packs
+    // the same 32-bit words (1 << (i-1), no sign-bit contact) and xors
+    // them with bit_count.
+    "q_similarity_hamming" -> Q(
+      """WITH e AS (SELECT vec_id id, embedding::DOUBLE[] v
+        |           FROM embeddings),
+        |b AS (SELECT id, list_transform(generate_series(0, 1), w ->
+        |        CAST(list_sum(list_transform(generate_series(1, 32),
+        |          i -> CASE WHEN v[32*w+i] > 0
+        |               THEN (1::BIGINT << (i-1)) ELSE 0 END)) AS BIGINT))
+        |        AS wv
+        |      FROM e),
+        |q AS (SELECT id qid, wv qw FROM b WHERE id < 10),
+        |s AS (SELECT q.qid, b.id,
+        |        CAST(list_sum(list_transform(generate_series(1, 2),
+        |          j -> bit_count(xor(b.wv[j], q.qw[j])))) AS BIGINT)
+        |          AS dist
+        |      FROM b, q WHERE b.id <> q.qid),
+        |r AS (SELECT qid, id, dist, row_number() OVER (
+        |        PARTITION BY qid ORDER BY dist, id) rnk FROM s)
+        |SELECT qid, id, CAST(rnk AS INTEGER) AS rnk, dist
+        |FROM r WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      Similarity.hammingTopK(e, e.filter(col("vec_id") < 10), 5)
+    },
+
+    // L30d — two-stage binary ANN, end-to-end hash-certified: Hamming
+    // shortlist (20 candidates/query, ties on id) reranked by the exact
+    // micro-integer dot product. The first ANN composition in the suite
+    // whose FULL pipeline — coarse codes, shortlist boundary, rerank
+    // scores — the oracle replays bit-for-bit (the LSH/IVF production
+    // entries certify only their exact twins).
+    "q_similarity_hamming_rerank" -> Q(
+      """WITH e AS (SELECT vec_id id, embedding::DOUBLE[] v
+        |           FROM embeddings),
+        |b AS (SELECT id, list_transform(generate_series(0, 1), w ->
+        |        CAST(list_sum(list_transform(generate_series(1, 32),
+        |          i -> CASE WHEN v[32*w+i] > 0
+        |               THEN (1::BIGINT << (i-1)) ELSE 0 END)) AS BIGINT))
+        |        AS wv
+        |      FROM e),
+        |q AS (SELECT id qid, wv qw FROM b WHERE id < 10),
+        |s AS (SELECT q.qid, b.id,
+        |        CAST(list_sum(list_transform(generate_series(1, 2),
+        |          j -> bit_count(xor(b.wv[j], q.qw[j])))) AS BIGINT)
+        |          AS dist
+        |      FROM b, q WHERE b.id <> q.qid),
+        |r AS (SELECT qid, id, dist, row_number() OVER (
+        |        PARTITION BY qid ORDER BY dist, id) rnk FROM s),
+        |m AS (SELECT id, list_transform(v,
+        |        x -> CAST(round(x * 1000000) AS BIGINT)) mv FROM e),
+        |s2 AS (SELECT r.qid, r.id, r.dist,
+        |         CAST(list_sum(list_transform(generate_series(1, 64),
+        |           i -> cm.mv[i] * qm.mv[i])) AS BIGINT) AS score
+        |       FROM r, m cm, m qm
+        |       WHERE r.rnk <= 20 AND cm.id = r.id AND qm.id = r.qid),
+        |r2 AS (SELECT qid, id, dist, score, row_number() OVER (
+        |         PARTITION BY qid ORDER BY score DESC, id) rnk FROM s2)
+        |SELECT qid, id, CAST(rnk AS INTEGER) AS rnk, dist, score
+        |FROM r2 WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      Similarity.hammingRerank(e, e.filter(col("vec_id") < 10), 5,
+        shortlist = 20)
+    },
+
     "q_centroid" -> Q(
       """SELECT label, dim,
         |  CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT)

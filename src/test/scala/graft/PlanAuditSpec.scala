@@ -309,6 +309,28 @@ class PlanAuditSpec extends SparkSpec {
       s"top-k must be two-phase:\n$p")
   }
 
+  test("q_similarity_hamming: coarse scan broadcasts, two-phase top-k") {
+    val p = plan("q_similarity_hamming")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k must be two-phase:\n$p")
+  }
+
+  test("q_similarity_hamming_rerank: both stages broadcast — the corpus " +
+      "never shuffles") {
+    val p = plan("q_similarity_hamming_rerank")
+    // stage 1 broadcasts the queries, stage 2 broadcasts the shortlist
+    // back onto the full-precision vectors: the only exchanges are the
+    // top-k windows' (both WindowGroupLimit two-phase) — no sort-merge
+    // join may drag the corpus through a join shuffle
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side must not shuffle into a join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k must be two-phase:\n$p")
+  }
+
   test("q_substring_dup: digests shuffle once (window), no join-back") {
     val p = plan("q_substring_dup")
     val exchanges = p.linesIterator

@@ -423,4 +423,88 @@ class SimilaritySpec extends SparkSpec {
     // ANN never returns a pair that brute force scores below its own top-5
     // unless bucketing excluded better candidates (allowed by design).
   }
+
+  test("binary codes: sign bits land at the documented positions") {
+    import spark.implicits._
+    // dim 64 → 2 words; bits are 1-indexed within a word at 2^(i-1).
+    // Vector A: positive at dims 1 and 33 → words (1, 1).
+    // Vector B: positive at dims 32 and 64 → words (2^31, 2^31) — the top
+    // bit of each 32-bit word, the packing's overflow edge.
+    // Vector C: all zero → (0, 0) (zero is NOT positive).
+    def vec(hot: Set[Int]) =
+      (1 to 64).map(i => if (hot(i)) 1.0 else if (i % 2 == 0) -0.5 else 0.0)
+    val df = Seq(
+      (1L, vec(Set(1, 33))), (2L, vec(Set(32, 64))), (3L, Seq.fill(64)(0.0)))
+      .toDF("id", "vec")
+    val got = Similarity.binaryCodes(df).as[(Long, Seq[Long])]
+      .collect().toMap
+    assert(got(1L) == Seq(1L, 1L))
+    assert(got(2L) == Seq(1L << 31, 1L << 31))
+    assert(got(3L) == Seq(0L, 0L))
+  }
+
+  test("hamming top-k: distances exact, self-free, deterministic reruns") {
+    val queries = embeddings.filter(col("vec_id") < 10)
+    def run() = Similarity.hammingTopK(embeddings, queries, 5)
+    val res = run().as[(Long, Long, Int, Long)].collect()
+    assert(res.length == 50, "5 rows per query")
+    assert(res.forall { case (q, i, _, _) => q != i })
+    // rank order is (dist asc, id asc): dist non-decreasing in rank
+    res.groupBy(_._1).values.foreach { g =>
+      val d = g.sortBy(_._3).map(_._4)
+      assert(d.zip(d.drop(1)).forall { case (a, b) => a <= b },
+        "distance must be non-decreasing in rank")
+    }
+    // distances match a plain-Scala popcount over the same sign rule
+    val packed = embeddings.collect().map { r =>
+      val v = r.getSeq[Double](1)
+      val words = (0 until 2).map { w =>
+        (1 to 32).foldLeft(0L)((acc, i) =>
+          acc | (if (v(32 * w + i - 1) > 0) 1L << (i - 1) else 0L))
+      }
+      r.getLong(0) -> words
+    }.toMap
+    res.foreach { case (q, i, _, d) =>
+      val expect = packed(q).zip(packed(i))
+        .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+      assert(d == expect, s"dist($q,$i) = $d, scala says $expect")
+    }
+    assert(run().as[(Long, Long, Int, Long)].collect().toSet == res.toSet,
+      "rerun must be bit-identical")
+  }
+
+  test("hamming rerank: shortlist-contained, exact micro scores, recall") {
+    val queries = embeddings.filter(col("vec_id") < 10)
+    val res = Similarity.hammingRerank(embeddings, queries, 5,
+        shortlist = 20).as[(Long, Long, Int, Long, Long)].collect()
+    assert(res.length == 50, "5 rows per query")
+    assert(res.forall { case (q, i, _, _, _) => q != i })
+    // stage-2 winners must come from the stage-1 shortlist
+    val shortlist = Similarity.hammingTopK(embeddings, queries, 20)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(res.forall { case (q, i, _, _, _) => shortlist((q, i)) },
+      "rerank emitted a row outside its shortlist")
+    // micro-dot scores match plain Scala exactly (the oracle property)
+    // HALF_UP like Spark/DuckDB round() — math.round floors half cases
+    // toward +inf, which diverges on negative exact halves
+    val micro = embeddings.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Double](1)
+        .map(x => java.math.BigDecimal.valueOf(x * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+        .toArray
+    }.toMap
+    res.foreach { case (q, i, _, _, s) =>
+      val expect = micro(q).zip(micro(i)).map { case (a, b) => a * b }.sum
+      assert(s == expect, s"score($q,$i) = $s, scala says $expect")
+    }
+    // end-to-end recall vs the exact full-precision ranking: 1 bit/dim +
+    // a 20-candidate shortlist must beat half of exact top-5 on these
+    // near-random vectors (floor measured; real clustered corpora sit
+    // far higher)
+    val exact = Similarity.bruteForceTopK(embeddings, queries, 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val got = res.map(r => (r._1, r._2)).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.3, s"hamming-rerank recall $recall below floor")
+  }
 }

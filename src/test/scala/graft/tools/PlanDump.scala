@@ -123,7 +123,10 @@ object PlanDump {
     "q_tpch_q14", "q_tpch_q17", "q_tpch_q19", "q_tpch_q20",
     // round 14: the no-collect BPE trainer (one plan, k chained
     // broadcast-argmax merges, zero driver round-trips)
-    "q_bpe_train_chained")
+    "q_bpe_train_chained",
+    // round 14: the binary-quantization tier — XOR+popcount broadcast
+    // scan and the shortlist-broadcast two-stage rerank
+    "q_similarity_hamming", "q_similarity_hamming_rerank")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
