@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.llm.Dedup
+
+/** Distributed minimum-spanning-forest (Borůvka) and the single-linkage
+  * hierarchical clustering it enables.
+  *
+  * Borůvka is THE shuffle-friendly MST algorithm: every round each
+  * component picks its cheapest outgoing edge (one keyed aggregate),
+  * the picked edges merge components (one connected-components pass on
+  * the COMPONENT graph — at most one edge per component, so it is
+  * forest-sized, never corpus-sized), and the component count at least
+  * halves, so the loop is O(log V) rounds of linear work. No
+  * priority queue, no sequential edge scan — Kruskal and Prim do not
+  * distribute; Borůvka is nothing but groupBy/join.
+  *
+  * Weight ties are broken by the total order (w, a, b), which makes the
+  * forest deterministic under any partitioning. The DOWNSTREAM result is
+  * tie-break-invariant anyway: for every threshold t, the connected
+  * components of {forest edges with w ≤ t} equal the components of
+  * {graph edges with w ≤ t} — the classic single-linkage/MST
+  * equivalence — which is exactly what lets an O(log V)-round forest
+  * 1000× smaller than the graph answer EVERY dendrogram cut, and what
+  * the DuckDB oracle verifies from the direct definition.
+  */
+object Mst {
+
+  /** Checkpoint a loop-carried frame AND reset its Catalyst stats.
+    * Borůvka nests iteration (rounds × CC contraction), and
+    * size-in-bytes estimates compound multiplicatively through joins
+    * across checkpoints — geometric digit growth that turns stats
+    * visits into minutes of BigInteger math after a few rounds (see
+    * Bridge.resetStats). The estimate is meaningless for these frames;
+    * AQE re-plans from real runtime sizes.
+    */
+  private def ckpt(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.Bridge.resetStats(df.localCheckpoint(true))
+
+  /** Minimum spanning forest of an undirected weighted graph.
+    *
+    * @param edges (a: long, b: long, w: long) with a < b, no self loops,
+    *              one row per undirected edge
+    * @return the forest subset of `edges`, same columns
+    */
+  def boruvka(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val e0 = ckpt(edges.select(col("a"), col("b"), col("w")))
+    // node -> component label, init: every node its own component
+    var labels = ckpt(e0.select(col("a").as("node"))
+      .union(e0.select(col("b").as("node")))
+      .distinct()
+      .withColumn("comp", col("node")))
+    var forest = ckpt(e0.filter(lit(false)))
+    var round = 0
+    var crossing = 1L
+    while (crossing > 0L && round < maxRounds) {
+      round += 1
+      // edges whose endpoints sit in different components
+      val cross = e0
+        .join(labels.select(col("node").as("a"), col("comp").as("ca")),
+          "a")
+        .join(labels.select(col("node").as("b"), col("comp").as("cb")),
+          "b")
+        .filter(col("ca") =!= col("cb"))
+        .localCheckpoint(true) // per-round scratch; freed next round
+      crossing = cross.count()
+      if (crossing > 0L) {
+        // each component's cheapest outgoing edge under the (w, a, b)
+        // total order — min(struct) keeps the whole edge in one agg
+        val cand = cross
+          .select(col("ca").as("comp"), col("w"), col("a"), col("b"),
+            col("cb").as("other"))
+          .unionByName(cross.select(col("cb").as("comp"), col("w"),
+            col("a"), col("b"), col("ca").as("other")))
+        val picked = cand.groupBy("comp")
+          .agg(min(struct(col("w"), col("a"), col("b"),
+            col("comp").as("self"), col("other"))).as("m"))
+          .select(col("m.a").as("a"), col("m.b").as("b"),
+            col("m.w").as("w"), col("m.self").as("ca"),
+            col("m.other").as("cb"))
+          // the same edge picked from both of its components appears
+          // twice (once per direction) — one forest row per edge
+          .groupBy("a", "b", "w")
+          .agg(min("ca").as("ca"), max("cb").as("cb"))
+          .localCheckpoint(true) // per-round scratch; feeds 2 consumers
+        forest = ckpt(forest
+          .unionByName(picked.select(col("a"), col("b"), col("w"))))
+        // contract: the picked edges link components; their connected
+        // components (component-graph-sized — ≤ 1 edge per component)
+        // become the next round's labels
+        val merged = Dedup.connectedComponents(
+          picked.select(col("ca").as("a"), col("cb").as("b")))
+        labels = ckpt(labels
+          .join(merged.select(col("node").as("comp"), col("rep")),
+            Seq("comp"), "left")
+          .select(col("node"), coalesce(col("rep"), col("comp"))
+            .as("comp")))
+      }
+    }
+    require(crossing == 0L,
+      s"boruvka did not converge in $maxRounds rounds")
+    forest
+  }
+
+  /** Single-linkage clustering at each of `cuts` thresholds, computed
+    * once from the minimum spanning forest: the components of
+    * {forest edges w ≤ t} are provably the components of
+    * {graph edges w ≤ t}, so one O(log V) forest build answers every
+    * dendrogram level with a forest-sized (≤ V−1 edges) CC each — the
+    * graph's full edge set is scanned exactly once, by the MST build.
+    *
+    * @return (cut: long, node: long, rep: long) — rep is the component's
+    *         min node id; nodes isolated at a cut keep rep = node
+    */
+  def singleLinkage(edges: DataFrame, cuts: Seq[Long]): DataFrame = {
+    val forest = ckpt(boruvka(edges))
+    val nodes = ckpt(edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node")))
+      .distinct())
+    cuts.map { t =>
+      val cc = Dedup.connectedComponents(
+        forest.filter(col("w") <= t).select(col("a"), col("b")))
+      nodes.join(cc, Seq("node"), "left")
+        .select(lit(t).as("cut"), col("node"),
+          coalesce(col("rep"), col("node")).as("rep"))
+    }.reduce(_ unionByName _)
+  }
+}

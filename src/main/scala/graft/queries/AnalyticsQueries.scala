@@ -1630,6 +1630,187 @@ object AnalyticsQueries {
         .select(col("n_name"), col("s_name"), col("qty"))
     },
 
+    // X98 — TPC-H Q1 shape: the pricing summary report, the canonical
+    // one-scan multi-aggregate. Literally the cheapest plan possible:
+    // one map-side-combining exchange into a 6-group rollup (returnflag
+    // × linestatus), the shipdate cut pushed into the parquet scan as a
+    // DataFilter, and every money sum exact integer (cents / cents ×
+    // (1000 − disc-millis) "milli-cents" — BIGINT-safe to ~10⁶ cents ×
+    // 10³ × ~10⁹ rows per group; beyond, DECIMAL(38) per the X51
+    // pattern). The averages ride the sums as one exact integer
+    // cross-division (ppm), so no float ever enters the aggregate.
+    "q_tpch_q1" -> Q(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (1000 - CAST(round(l_discount * 1000) AS BIGINT)))
+        |    AS BIGINT) AS sum_disc_mcents,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  (1000000 * CAST(sum(CAST(round(l_quantity) AS BIGINT))
+        |    AS BIGINT)) // count(*) AS avg_qty_ppm
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val dmill = lit(1000L) - round(col("l_discount") * 1000).cast("long")
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <=
+          to_timestamp(lit("1998-09-02 00:00:00")))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("l_quantity")).cast("long").as("qty"),
+          cents.as("cents"), (cents * dmill).as("disc_mcents"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("qty").as("sum_qty"),
+          sum("cents").as("sum_base_cents"),
+          sum("disc_mcents").as("sum_disc_mcents"),
+          count(lit(1)).as("n_items"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          col("sum_base_cents"), col("sum_disc_mcents"), col("n_items"),
+          expr("(1000000 * sum_qty) div n_items").as("avg_qty_ppm"))
+    },
+
+    // X99 — TPC-H Q6 shape: the forecasting-revenue-change scan, the
+    // benchmark's pure PREDICATE-PUSHDOWN probe — three independent
+    // range cuts (shipdate window, discount band, quantity ceiling) all
+    // pushed to the parquet scan, no join, a year-sized rollup. The
+    // discount band compares on the exact per-row MILLIS integer
+    // (round(d·1000) ∈ [50,70]) rather than raw double literals — 0.05
+    // has no exact binary representation, and an engine-boundary ≥ on
+    // the raw double is exactly the hash-drift class SURVEY §5.2.1
+    // bans. Grouped by ship year (the forecast axis) so the empty-input
+    // contract stays 0-rows (a global agg would emit a NULL row).
+    "q_tpch_q6" -> Q(
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * CAST(round(l_discount * 1000) AS BIGINT)) AS BIGINT)
+        |    AS revenue_mcents,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |  AND CAST(round(l_discount * 1000) AS BIGINT) BETWEEN 50 AND 70
+        |  AND l_quantity < 24
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val dmill = round(col("l_discount") * 1000).cast("long")
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >=
+            to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1999-01-01 00:00:00")) &&
+          col("l_quantity") < 24)
+        .filter(dmill >= 50L && dmill <= 70L)
+        .groupBy(year(col("l_shipdate")).cast("long").as("o_year"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") * dmill)
+            .as("revenue_mcents"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // X100 — TPC-H Q10 shape: returned-item reporting — the top-20
+    // problem customers by revenue lost to returns in one order
+    // quarter. The scale lesson is join ORDER off selectivity: the
+    // quarter cut shrinks orders ~26× so the FILTERED orders side
+    // broadcasts into the returnflag-filtered fact scan (no fact-fact
+    // exchange at all, unlike Q5 — both cuts arrive scan-side as
+    // DataFilters), the rollup groups on the customer key, and the
+    // customer/nation decoration broadcasts AFTER the rollup
+    // (one row per returning customer, never per line item). The
+    // top-20 cut is a TakeOrderedAndProject heap take (the X65/Q3
+    // lesson — never a global sort), totally ordered by (revenue desc,
+    // custkey asc) so the LIMIT is deterministic under any
+    // partitioning. acctbal joins as exact integer cents.
+    "q_tpch_q10" -> Q(
+      """WITH rev AS (
+        |  SELECT c_custkey, c_name, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+        |    n_name,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (1000 - CAST(round(l_discount * 1000) AS BIGINT)))
+        |      AS BIGINT) AS revenue_mcents
+        |  FROM customer
+        |  JOIN orders ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-04-01'
+        |    AND l_returnflag = 'R'
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT * FROM rev
+        |ORDER BY revenue_mcents DESC, c_custkey LIMIT 20""".stripMargin) {
+      (s, dir) =>
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") >=
+            to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-04-01 00:00:00")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = table(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"))
+      val rev = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(1000L) - round(col("l_discount") * 1000).cast("long"))
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"),
+          col("c_nationkey"))
+      val n = table(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(rev).as("revenue_mcents"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("acctbal_cents"), col("n_name"), col("revenue_mcents"))
+        .orderBy(col("revenue_mcents").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+
+    // X101 — TPC-H Q15 shape: top supplier — the classic
+    // aggregate-then-argmax-against-your-own-max view. Same skeleton as
+    // Q11/Q20's global gate: ONE quarter-filtered per-supplier rollup,
+    // checkpointed for its two consumers (the 1-row max and the equality
+    // probe), the max arriving as a broadcast crossJoin — the rollup is
+    // never re-executed and never re-shuffled, and the supplier-name
+    // decoration broadcasts after the cut (winner-sized). Ties (two
+    // suppliers at the max) are all emitted, exactly as the spec's
+    // view-equality form demands; revenue is exact integer milli-cents
+    // so "equal to max" is a true integer equality in both engines.
+    "q_tpch_q15" -> Q(
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (1000 - CAST(round(l_discount * 1000) AS BIGINT)))
+        |      AS BIGINT) AS total_rev_mcents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1),
+        |m AS (SELECT CAST(max(total_rev_mcents) AS BIGINT) AS mx FROM r)
+        |SELECT s_suppkey, s_name, total_rev_mcents
+        |FROM r, m
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_rev_mcents = mx""".stripMargin) { (s, dir) =>
+      val rev = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(1000L) - round(col("l_discount") * 1000).cast("long"))
+      val r = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >=
+            to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-04-01 00:00:00")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(rev).as("total_rev_mcents"))
+        // 2 consumers: the 1-row max and the equality probe
+        .localCheckpoint(true)
+      val m = r.agg(max("total_rev_mcents").as("mx"))
+      val sup = table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))
+      r.crossJoin(broadcast(m))
+        .filter(col("total_rev_mcents") === col("mx"))
+        .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_mcents"))
+    },
+
     // X78 — exact rolling active users (DAU / trailing-7-day WAU /
     // stickiness): the engagement triple every product dashboard
     // leads with. Exact distinct-over-sliding-window without window

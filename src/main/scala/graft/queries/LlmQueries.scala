@@ -2289,6 +2289,103 @@ object LlmQueries {
         .select(col("node").as("doc_id"), col("rep"))
     },
 
+    // L95 — single-linkage hierarchical clustering via a distributed
+    // Borůvka minimum spanning forest (ops/Mst.scala): the dendrogram
+    // view the flat CC family (q_dedup_clusters, q_knn_clusters) cannot
+    // give — THREE linkage levels (near-identical / close / any-link,
+    // dist_ppm = 1e6 − jaccard_ppm ≤ 25k/50k/999k) from ONE pass over
+    // the edge set. Why MST and not three CC runs over the graph: the
+    // forest is ≤ V−1 edges regardless of |E|, and the MST/single-
+    // linkage equivalence (components of {forest w ≤ t} == components
+    // of {graph w ≤ t}, any tie-break) means every additional cut costs
+    // a forest-sized CC, not a graph-sized one — at 100 TB the weighted
+    // pair graph is billions of edges and the forest is corpus-sized.
+    // Borůvka itself is O(log V) rounds of groupBy/join (each component
+    // min-picks its cheapest outgoing edge under the (w, a, b) total
+    // order, picked edges contract by a component-graph-sized CC) — no
+    // sequential Kruskal scan, no Prim heap. The oracle verifies from
+    // the DIRECT definition (three recursive-CTE CCs over the
+    // thresholded graph), so the equivalence theorem is itself under
+    // test; the edge substrate is the symmetrized top-5 Jaccard kNN
+    // graph served from the shared base (SB1).
+    "q_single_linkage" -> Q(
+      s"""WITH RECURSIVE $duckShingles,
+        |$duckMinhashBands,
+        |knn_cand AS (
+        |  SELECT DISTINCT l.doc_id a, r.doc_id b
+        |  FROM mh_banded l JOIN mh_banded r
+        |    ON l.band = r.band AND l.bkey = r.bkey
+        |    AND l.doc_id <> r.doc_id),
+        |scored AS (
+        |  SELECT c.a doc_id, c.b nbr_id,
+        |    CAST(len(list_intersect(ba.sh, bb.sh)) AS INTEGER) inter,
+        |    CAST(len(ba.sh) + len(bb.sh)
+        |      - len(list_intersect(ba.sh, bb.sh)) AS INTEGER) uni
+        |  FROM knn_cand c
+        |  JOIN base ba ON ba.doc_id = c.a
+        |  JOIN base bb ON bb.doc_id = c.b),
+        |topk AS (
+        |  SELECT doc_id, nbr_id,
+        |    (CAST(inter AS BIGINT) * 1000000) // uni jac FROM (
+        |    SELECT doc_id, nbr_id, inter, uni,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY (CAST(inter AS BIGINT) * 1000000) // uni DESC,
+        |          nbr_id) rnk
+        |    FROM scored) WHERE rnk <= 5),
+        |sym AS (
+        |  SELECT least(doc_id, nbr_id) a, greatest(doc_id, nbr_id) b,
+        |    1000000 - max(jac) w
+        |  FROM topk GROUP BY 1, 2),
+        |nodes AS (
+        |  SELECT DISTINCT a AS node FROM (
+        |    SELECT a FROM sym UNION ALL SELECT b FROM sym) t(a)),
+        |e1 AS (
+        |  SELECT a src, b dst FROM sym WHERE w <= 25000
+        |  UNION ALL SELECT b, a FROM sym WHERE w <= 25000),
+        |cc1 AS (
+        |  SELECT DISTINCT src AS node, src AS rep FROM e1
+        |  UNION
+        |  SELECT e.dst, cc1.rep FROM cc1, e1 e WHERE cc1.node = e.src),
+        |e2 AS (
+        |  SELECT a src, b dst FROM sym WHERE w <= 50000
+        |  UNION ALL SELECT b, a FROM sym WHERE w <= 50000),
+        |cc2 AS (
+        |  SELECT DISTINCT src AS node, src AS rep FROM e2
+        |  UNION
+        |  SELECT e.dst, cc2.rep FROM cc2, e2 e WHERE cc2.node = e.src),
+        |e3 AS (
+        |  SELECT a src, b dst FROM sym WHERE w <= 999000
+        |  UNION ALL SELECT b, a FROM sym WHERE w <= 999000),
+        |cc3 AS (
+        |  SELECT DISTINCT src AS node, src AS rep FROM e3
+        |  UNION
+        |  SELECT e.dst, cc3.rep FROM cc3, e3 e WHERE cc3.node = e.src)
+        |SELECT CAST(25000 AS BIGINT) AS cut, n.node AS doc_id,
+        |  CAST(coalesce(c.rep, n.node) AS BIGINT) AS rep
+        |FROM nodes n LEFT JOIN (
+        |  SELECT node, min(rep) rep FROM cc1 GROUP BY 1) c
+        |  ON c.node = n.node
+        |UNION ALL
+        |SELECT CAST(50000 AS BIGINT), n.node,
+        |  CAST(coalesce(c.rep, n.node) AS BIGINT)
+        |FROM nodes n LEFT JOIN (
+        |  SELECT node, min(rep) rep FROM cc2 GROUP BY 1) c
+        |  ON c.node = n.node
+        |UNION ALL
+        |SELECT CAST(999000 AS BIGINT), n.node,
+        |  CAST(coalesce(c.rep, n.node) AS BIGINT)
+        |FROM nodes n LEFT JOIN (
+        |  SELECT node, min(rep) rep FROM cc3 GROUP BY 1) c
+        |  ON c.node = n.node""".stripMargin) { (s, dir) =>
+      val g = SharedBases.knnEdges(s, dir)
+      val sym = g.select(least(col("doc_id"), col("nbr_id")).as("a"),
+          greatest(col("doc_id"), col("nbr_id")).as("b"), col("jac_ppm"))
+        .groupBy("a", "b")
+        .agg((lit(1000000L) - max("jac_ppm")).as("w"))
+      graft.ops.Mst.singleLinkage(sym, Seq(25000L, 50000L, 999000L))
+        .select(col("cut"), col("node").as("doc_id"), col("rep"))
+    },
+
     // L71 — reciprocal-rank fusion of two retrieval rankers (the
     // standard hybrid-search ensemble, Cormack et al. 2009): the
     // Jaccard k-NN graph (symmetric near-dup view) fused with the

@@ -27,4 +27,30 @@ object Bridge {
     ExpressionUtils.column(
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
         df.queryExecution.analyzed))
+
+  /** Re-wrap a MATERIALIZED DataFrame (localCheckpoint'ed — actions on
+    * the result re-run its physical plan, so the input must be a cheap
+    * stable scan) as a fresh LogicalRDD carrying DEFAULT stats.
+    *
+    * Why this exists: Catalyst's size-in-bytes estimator multiplies
+    * child sizes at every join (SizeInBytesOnlyStatsPlanVisitor), and
+    * checkpointing PRESERVES the estimate (LogicalRDD
+    * rewriteStatsAndConstraints). An iterative algorithm whose
+    * loop-carried frame goes through joins each round therefore
+    * compounds the estimate multiplicatively per round — and with
+    * NESTED iteration (Borůvka rounds each running a CC contraction
+    * loop) the BigInt's digit count grows geometrically until a single
+    * stats visit burns minutes in ToomCook multiplication (observed:
+    * MstSpec hung 15+ min inside BigInteger.multiply under
+    * rewriteStatsAndConstraints). Dropping to default stats at the
+    * loop's checkpoint boundary caps the magnitude; the estimate was
+    * meaningless for these frames anyway, and AQE re-plans from REAL
+    * runtime sizes at execution.
+    */
+  def resetStats(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cls = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cls.internalCreateDataFrame(df.queryExecution.toRdd, df.schema)
+  }
 }

@@ -187,7 +187,15 @@ class DeterminismSpec extends SparkSpec {
       // buckets, cross-multiplied avg cut, residual disjunction, and
       // the scale-invariant volume gate
       "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q12",
-      "q_tpch_q14", "q_tpch_q17", "q_tpch_q19", "q_tpch_q20")
+      "q_tpch_q14", "q_tpch_q17", "q_tpch_q19", "q_tpch_q20",
+      // round 14: the TPC-H literal-number completion — one-scan
+      // rollups, the broadcast-ordered Q10 top-20 total order, and the
+      // Q15 integer max-equality ties
+      "q_tpch_q1", "q_tpch_q6", "q_tpch_q10", "q_tpch_q15",
+      // round 14: the Borůvka forest's (w, a, b) total order makes the
+      // picked edge set — and so every dendrogram cut — partitioning-
+      // invariant
+      "q_single_linkage")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

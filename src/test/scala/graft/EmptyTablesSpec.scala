@@ -37,6 +37,7 @@ class EmptyTablesSpec extends SparkSpec {
       StructField("l_extendedprice", DoubleType),
       StructField("l_discount", DoubleType),
       StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
       StructField("l_shipdate", TimestampType))))
     write("events", StructType(Seq(
       StructField("event_id", LongType),
@@ -46,6 +47,7 @@ class EmptyTablesSpec extends SparkSpec {
       StructField("value", DoubleType))))
     write("customer", StructType(Seq(
       StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
       StructField("c_nationkey", LongType),
       StructField("c_mktsegment", StringType),
       StructField("c_acctbal", DoubleType))))
@@ -164,7 +166,14 @@ class EmptyTablesSpec extends SparkSpec {
     "q_stream_ivf_assign",
     // round 13: the TPC-H completion batch over empty facts/dims
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q12",
-    "q_tpch_q14", "q_tpch_q17", "q_tpch_q19", "q_tpch_q20")
+    "q_tpch_q14", "q_tpch_q17", "q_tpch_q19", "q_tpch_q20",
+    // round 14: the TPC-H literal-number completion (Q1/Q6 are grouped
+    // aggregates precisely so an empty fact yields 0 groups, not a
+    // NULL-sum row)
+    "q_tpch_q1", "q_tpch_q6", "q_tpch_q10", "q_tpch_q15",
+    // round 14: an empty corpus has no kNN edges, so the forest, the
+    // node set, and every cut are empty
+    "q_single_linkage")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

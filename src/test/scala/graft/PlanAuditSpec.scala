@@ -1836,6 +1836,74 @@ class PlanAuditSpec extends SparkSpec {
       s"no cartesian product allowed:\n$p")
   }
 
+  test("q_tpch_q1: one scan, one exchange, the shipdate cut pushed down") {
+    // the pricing summary is the cheapest plan in the book: map-side
+    // partials into a 6-group rollup, nothing else — any join, second
+    // exchange, or unpushed filter is a regression
+    val p = plan("q_tpch_q1")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"exactly one lineitem scan:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      == 1, s"exactly one rollup exchange:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the sums must combine map-side:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("DataFilters") &&
+      l.contains("l_shipdate")),
+      s"the shipdate cut must reach the scan:\n$p")
+    assert(!p.contains("Join"), s"Q1 has no join:\n$p")
+  }
+
+  test("q_tpch_q6: all three range cuts evaluate scan-side, no join") {
+    // the pushdown probe: shipdate window + quantity ceiling + discount
+    // band must all arrive as DataFilters on the one lineitem scan
+    val p = plan("q_tpch_q6")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"exactly one lineitem scan:\n$p")
+    val scanLine = p.linesIterator.find(_.contains("DataFilters"))
+      .getOrElse(fail(s"no DataFilters line:\n$p"))
+    Seq("l_shipdate", "l_quantity", "l_discount").foreach { c =>
+      assert(scanLine.contains(c),
+        s"the $c cut must evaluate scan-side:\n$p")
+    }
+    assert(!p.contains("Join"), s"Q6 has no join:\n$p")
+  }
+
+  test("q_tpch_q10: quarter-cut orders broadcast; top-20 is a heap take") {
+    // join order off selectivity: the filtered orders side must
+    // broadcast into the fact scan (never a fact-fact exchange), the
+    // decoration joins broadcast after the rollup, and the limit plans
+    // as TakeOrderedAndProject
+    val p = plan("q_tpch_q10")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 must be a heap take:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 3,
+      s"orders, customer, and nation must all broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no fact-fact shuffle join allowed — orders is quarter-sized:\n$p")
+    assert(!p.contains("Sort "),
+      s"no global sort of the rollup allowed:\n$p")
+  }
+
+  test("q_tpch_q15: the max gate reads the checkpointed rollup") {
+    // the per-supplier rollup feeds the 1-row max AND the equality
+    // probe — checkpointed once; the max broadcasts; only the supplier
+    // name lookup scans parquet. Catalyst rewrites the crossJoin +
+    // equality filter into an equi BroadcastHashJoin ON the equality
+    // key (strictly better than the BNLJ the X77-family gates get —
+    // their cuts are inequalities, this one is `= max`), so the pin
+    // accepts either broadcast form.
+    val p = plan("q_tpch_q15")
+    assert(p.contains("BroadcastHashJoin [total_rev_mcents") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the global max must arrive as a 1-row broadcast:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the supplier rollup must be checkpointed:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"only the supplier name lookup scans parquet:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+  }
+
   test("q_pipeline_incremental: run-1 state feeds run 2 from the cache") {
     // r13 verdict #1 guard: the flagship loop's second incrementalRun
     // must consume run 1's merged state through its persist

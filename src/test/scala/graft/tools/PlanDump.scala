@@ -126,7 +126,15 @@ object PlanDump {
     "q_bpe_train_chained",
     // round 14: the binary-quantization tier — XOR+popcount broadcast
     // scan and the shortlist-broadcast two-stage rerank
-    "q_similarity_hamming", "q_similarity_hamming_rerank")
+    "q_similarity_hamming", "q_similarity_hamming_rerank",
+    // round 14: the TPC-H literal-number completion — the Q1 one-scan
+    // rollup, the Q6 triple-pushdown probe, the Q10 broadcast-ordered
+    // heap take, and the Q15 checkpointed max gate
+    "q_tpch_q1", "q_tpch_q6", "q_tpch_q10", "q_tpch_q15",
+    // round 14: the Borůvka single-linkage cuts (the visible plan is
+    // the final union of forest-sized CC joins over the checkpointed
+    // forest — the O(log V) build rounds execute eagerly before it)
+    "q_single_linkage")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
