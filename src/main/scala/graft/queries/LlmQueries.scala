@@ -3091,6 +3091,40 @@ object LlmQueries {
         .select(col("id").as("vec_id"), col("proj"))
     },
 
+    // L96 — Johnson–Lindenstrauss random projection (64 → 16 dims): the
+    // DATA-FREE reduction next to PCA's data-driven one. The ±1 sign
+    // matrix derives from an integer hash of (dim_in, dim_out) — no
+    // training pass, no broadcast state, nothing to fit or version —
+    // so the whole reduction is a stateless scan-side projection that
+    // runs at read speed with ZERO shuffles at any corpus size
+    // (PlanAuditSpec pins one scan, no exchange before the explode).
+    // All-integer (1e-4-quantized coords × ±1 signs), so unlike a float
+    // matrix multiply the output is fully hash-certified; JlSpec pins
+    // the distance-preservation property the projection exists for.
+    "q_random_projection" -> Q(
+      """WITH xq AS (
+        |  SELECT vec_id AS id, u.i AS i,
+        |    CAST(round(embedding[u.i]::DOUBLE * 10000) AS BIGINT) AS x
+        |  FROM embeddings,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+        |    AS i) u),
+        |js AS (SELECT unnest(generate_series(0, 15)) AS j),
+        |sgn AS (
+        |  SELECT i, j, 1 - 2 * (((
+        |      (xor(z0, z0 >> 15) * 626627473) % 4294967296) >> 12) % 2)
+        |    AS s
+        |  FROM (SELECT xq.i AS i, js.j AS j,
+        |      ((xq.i - 1) * 2654435761 + js.j * 2245822519)
+        |        % 4294967296 AS z0
+        |    FROM (SELECT DISTINCT i FROM xq) xq, js))
+        |SELECT id AS vec_id, CAST(j AS BIGINT) AS j,
+        |  CAST(sum(x * s) AS BIGINT) AS proj
+        |FROM xq JOIN sgn USING (i) GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+      Jl.randomProjection(table(s, dir, "embeddings"), "vec_id",
+        "embedding", outDims = 16)
+    },
+
     // L84 — ORACLE-EXACT Lloyd k-means (k=8, 3 rounds) over the
     // embeddings: the full clustering iteration behind the IVF cell
     // build (whose one-round k-means-lite ships as the rows-only

@@ -195,7 +195,10 @@ class DeterminismSpec extends SparkSpec {
       // round 14: the Borůvka forest's (w, a, b) total order makes the
       // picked edge set — and so every dendrogram cut — partitioning-
       // invariant
-      "q_single_linkage")
+      "q_single_linkage",
+      // round 14: the JL projection is a pure per-row integer fold —
+      // trivially partitioning-invariant, pinned anyway
+      "q_random_projection")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -173,7 +173,9 @@ class EmptyTablesSpec extends SparkSpec {
     "q_tpch_q1", "q_tpch_q6", "q_tpch_q10", "q_tpch_q15",
     // round 14: an empty corpus has no kNN edges, so the forest, the
     // node set, and every cut are empty
-    "q_single_linkage")
+    "q_single_linkage",
+    // round 14: a per-row projection of zero rows is zero rows
+    "q_random_projection")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

@@ -1360,6 +1360,18 @@ class PlanAuditSpec extends SparkSpec {
       s"consuming the 64-row component must not shuffle:\n$p")
   }
 
+  test("q_random_projection: a stateless scan — no exchange, no join") {
+    // the data-free JL reduction has NO trained state to join against:
+    // the whole query must be one embeddings scan + generator, with
+    // zero exchanges and zero joins of any kind
+    val p = plan("q_random_projection")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"exactly one embeddings scan:\n$p")
+    assert(!p.contains("Exchange"),
+      s"a stateless projection must not shuffle or broadcast:\n$p")
+    assert(!p.contains("Join"), s"nothing to join against:\n$p")
+  }
+
   test("q_pca_project: one scan; component and means reach it broadcast") {
     // projections are scan-side dot products: one corpus scan, the
     // 1-row mean/component arrays arrive via broadcast, and nothing

@@ -134,7 +134,9 @@ object PlanDump {
     // round 14: the Borůvka single-linkage cuts (the visible plan is
     // the final union of forest-sized CC joins over the checkpointed
     // forest — the O(log V) build rounds execute eagerly before it)
-    "q_single_linkage")
+    "q_single_linkage",
+    // round 14: the stateless JL projection (one scan, zero exchanges)
+    "q_random_projection")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
