@@ -506,6 +506,23 @@ object Dedup {
     * InferWindowGroupLimit needs to map-side-limit the cap itself —
     * plan-asserted in PlanAuditSpec).
     */
+  /** Undirected distinct LSH candidate pairs (a < b): the banded bucket
+    * self-join the near-dup family mines, exposed as a graph substrate
+    * for whole-graph analytics (k-core). Same hot-bucket cap as
+    * knnGraph — candidate volume is Σ|bucket|·min(|bucket|, cap),
+    * never n².
+    */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, bands: Int = 4,
+                     maxBucket: Int = 4096): DataFrame = {
+    val (_, _, banded) = minhashBands(df, idCol, textCol, n, bands, Nil)
+    knnCandidates(banded, maxBucket)
+      .select(least(col("a"), col("b")).as("na"),
+        greatest(col("a"), col("b")).as("nb"))
+      .distinct()
+      .select(col("na").as("a"), col("nb").as("b"))
+  }
+
   private[llm] def knnCandidates(banded: DataFrame,
                                  maxBucket: Int): DataFrame = {
     require(maxBucket >= 1, "maxBucket must be at least 1")

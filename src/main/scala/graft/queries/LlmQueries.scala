@@ -2386,6 +2386,52 @@ object LlmQueries {
         .select(col("cut"), col("node").as("doc_id"), col("rep"))
     },
 
+    // L97 — 2-core of the LSH candidate graph (ops/KCore.scala): the
+    // cohesion cut that separates true duplicate CLUSTERS (nodes held
+    // by ≥2 near-dup edges each) from incidental one-edge bridges —
+    // the graph-analytics family's last missing view next to CC /
+    // PageRank / HITS / label-prop / triangles / MST. Each peel round
+    // is one (edges ⋈ alive ⋈ alive) keyed degree agg + filter — pure
+    // equi-joins, no windows, no driver state; the round count is
+    // FIXED at 4 (observed peel depth 2 at both gate SFs + 2 spare;
+    // peeling is monotone and idempotent at the fixpoint, KCoreSpec
+    // pins both) so the oracle unrolls the identical recurrence as
+    // four CTE rounds. Substrate: Dedup.candidatePairs — the banded
+    // bucket self-join with the knnGraph hot-bucket cap, so the edge
+    // set is Σ|bucket|·min(|bucket|, cap) at any corpus size.
+    "q_kcore" -> Q(
+      s"""WITH $duckShingles,
+        |$duckMinhashBands,
+        |cand AS (
+        |  SELECT DISTINCT least(l.doc_id, r.doc_id) a,
+        |    greatest(l.doc_id, r.doc_id) b
+        |  FROM mh_banded l JOIN mh_banded r
+        |    ON l.band = r.band AND l.bkey = r.bkey
+        |    AND l.doc_id <> r.doc_id),
+        |edges0 AS (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),
+        |a0 AS (SELECT DISTINCT a AS node FROM edges0),
+        |a1 AS (SELECT e.a AS node FROM edges0 e
+        |  JOIN a0 x ON x.node = e.a JOIN a0 y ON y.node = e.b
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |a2 AS (SELECT e.a AS node FROM edges0 e
+        |  JOIN a1 x ON x.node = e.a JOIN a1 y ON y.node = e.b
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |a3 AS (SELECT e.a AS node FROM edges0 e
+        |  JOIN a2 x ON x.node = e.a JOIN a2 y ON y.node = e.b
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |a4 AS (SELECT e.a AS node FROM edges0 e
+        |  JOIN a3 x ON x.node = e.a JOIN a3 y ON y.node = e.b
+        |  GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT e.a AS doc_id, CAST(count(*) AS BIGINT) AS deg_core
+        |FROM edges0 e
+        |JOIN a4 x ON x.node = e.a JOIN a4 y ON y.node = e.b
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.candidatePairs(table(s, dir, "documents"),
+        "doc_id", "text")
+      graft.ops.KCore.peel(pairs, k = 2, rounds = 4)
+        .select(col("node").as("doc_id"), col("deg_core"))
+    },
+
     // L71 — reciprocal-rank fusion of two retrieval rankers (the
     // standard hybrid-search ensemble, Cormack et al. 2009): the
     // Jaccard k-NN graph (symmetric near-dup view) fused with the

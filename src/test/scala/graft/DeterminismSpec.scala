@@ -198,7 +198,10 @@ class DeterminismSpec extends SparkSpec {
       "q_single_linkage",
       // round 14: the JL projection is a pure per-row integer fold —
       // trivially partitioning-invariant, pinned anyway
-      "q_random_projection")
+      "q_random_projection",
+      // round 14: the peel recurrence is a pure set fixpoint — the
+      // alive set after each round is partitioning-independent
+      "q_kcore")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

@@ -175,7 +175,10 @@ class EmptyTablesSpec extends SparkSpec {
     // node set, and every cut are empty
     "q_single_linkage",
     // round 14: a per-row projection of zero rows is zero rows
-    "q_random_projection")
+    "q_random_projection",
+    // round 14: an empty corpus has no candidate edges, so every peel
+    // round and the core report are empty
+    "q_kcore")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

@@ -1372,6 +1372,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"nothing to join against:\n$p")
   }
 
+  test("q_kcore: the degree report reads checkpoints; equi-joins only") {
+    // the peel rounds execute eagerly during construction; the visible
+    // plan is the final (edges ⋈ alive ⋈ alive) degree rollup — every
+    // join an equi-join on node ids, nothing re-derives the corpus
+    val p = plan("q_kcore")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the peel must read its checkpointed state:\n$p")
+    assert(!p.contains("FileScan"),
+      s"nothing re-derives the corpus past the checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"peel joins must stay equi-joins:\n$p")
+    assert(!p.contains("Window"), s"no window in the peel:\n$p")
+  }
+
   test("q_pca_project: one scan; component and means reach it broadcast") {
     // projections are scan-side dot products: one corpus scan, the
     // 1-row mean/component arrays arrive via broadcast, and nothing

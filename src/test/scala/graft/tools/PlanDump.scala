@@ -136,7 +136,10 @@ object PlanDump {
     // forest — the O(log V) build rounds execute eagerly before it)
     "q_single_linkage",
     // round 14: the stateless JL projection (one scan, zero exchanges)
-    "q_random_projection")
+    "q_random_projection",
+    // round 14: the k-core peel (the visible plan is the final
+    // degree report over the checkpointed alive set and edge list)
+    "q_kcore")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
