@@ -201,7 +201,10 @@ class DeterminismSpec extends SparkSpec {
       "q_random_projection",
       // round 14: the peel recurrence is a pure set fixpoint — the
       // alive set after each round is partitioning-independent
-      "q_kcore")
+      "q_kcore",
+      // round 14: content-addressed assignment + min-label CC — both
+      // partitioning-invariant by construction
+      "q_leakage_split")
 
   private def diff(qs: Seq[String], dir: String): Unit = {
     val conf = "spark.sql.shuffle.partitions"

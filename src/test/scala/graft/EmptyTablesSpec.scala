@@ -178,7 +178,9 @@ class EmptyTablesSpec extends SparkSpec {
     "q_random_projection",
     // round 14: an empty corpus has no candidate edges, so every peel
     // round and the core report are empty
-    "q_kcore")
+    "q_kcore",
+    // round 14: no docs, no assignments, no leak rows
+    "q_leakage_split")
 
   test("document queries return empty results on an empty corpus") {
     docQueries.foreach { q =>

@@ -1387,6 +1387,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window in the peel:\n$p")
   }
 
+  test("q_leakage_split: audit reads checkpointed assignments, no scan") {
+    // the pair base is memoized and the rep/assignment tables are
+    // checkpointed — the visible plan is counts + two pair-sized leak
+    // joins, with no corpus re-derivation and no cartesian
+    val p = plan("q_leakage_split")
+    assert(p.contains("Scan ExistingRDD"),
+      s"assignments must be served from their checkpoints:\n$p")
+    assert(!p.contains("FileScan"),
+      s"nothing re-derives the corpus past the shared base:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"leak audits must stay equi-joins:\n$p")
+    assert(!p.contains("Window"), s"no window in the audit:\n$p")
+  }
+
   test("q_pca_project: one scan; component and means reach it broadcast") {
     // projections are scan-side dot products: one corpus scan, the
     // 1-row mean/component arrays arrive via broadcast, and nothing

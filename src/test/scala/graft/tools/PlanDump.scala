@@ -139,7 +139,10 @@ object PlanDump {
     "q_random_projection",
     // round 14: the k-core peel (the visible plan is the final
     // degree report over the checkpointed alive set and edge list)
-    "q_kcore")
+    "q_kcore",
+    // round 14: the leakage-safe split audit (two content-addressed
+    // assignments + pair-sized leak joins over the checkpointed reps)
+    "q_leakage_split")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS_r5.md")
