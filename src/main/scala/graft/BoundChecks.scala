@@ -33,7 +33,12 @@ import org.apache.spark.sql.functions._
   *    (nprobe/nClusters = 0.25 for IVF; (planes+1)/2^planes ≈ 0.035
   *    expected for 8-plane multi-probe LSH) — i.e. the bucketing adds
   *    value over random probing; the artifact records the measured
-  *    recall so the lift is visible.
+  *    recall so the lift is visible;
+  *  - q_kcore: not an approximation bound but an ORACLE-VALIDITY
+  *    precondition (r14 ADVICE) — the capped-candidate family's DuckDB
+  *    twins mine LSH buckets uncapped, so the number of buckets at/over
+  *    the Spark-side cap must be 0 for the hash compare to be
+  *    meaningful; measured by Dedup.bucketCapAudit on the same corpus.
   */
 object BoundChecks {
 
@@ -121,6 +126,20 @@ object BoundChecks {
       "q_pq_search" -> { () =>
         val r = recallVsBrute(dump, "q_pq_search")
         Bound("recall_at_5", r, 0.8, r >= 0.8)
+      },
+      // Not a sketch bound but the same artifact-certification shape
+      // (r14 ADVICE): the capped-candidate family's oracles (q_kcore,
+      // q_single_linkage, the kNN-graph tier) mine LSH buckets UNCAPPED
+      // while the Spark side samples inside buckets over maxBucket =
+      // 4096 — the engines agree only while no bucket reaches the cap.
+      // This measures that precondition on the corpus the round actually
+      // hashed: buckets at/over the cap must be 0, so a capped bucket
+      // fails bounds.json loudly instead of reading as an unexplained
+      // hash mismatch.
+      "q_kcore" -> { () =>
+        val n = graft.ops.llm.Dedup.bucketCapAudit(
+          Tables.table(spark, sfDir, "documents"), "doc_id", "text")
+        Bound("lsh_buckets_at_cap", n.toDouble, 0.0, n == 0L)
       })
     checks.collect {
       case (name, mk)

@@ -89,9 +89,16 @@ object Mst {
           .unionByName(picked.select(col("a"), col("b"), col("w"))))
         // contract: the picked edges link components; their connected
         // components (component-graph-sized — ≤ 1 edge per component)
-        // become the next round's labels
+        // become the next round's labels. STRICT convergence with a
+        // 64-round pointer-jump budget (covers diameters to ~2^64, i.e.
+        // any physical graph): a weight-monotone chain makes this
+        // picked-edge graph a PATH, and a silently-unconverged label
+        // table here leaves one merged component under two labels — the
+        // merging edge is then re-picked next round and the forest gains
+        // a duplicate row (r14 ADVICE). Loud beats wrong.
         val merged = Dedup.connectedComponents(
-          picked.select(col("ca").as("a"), col("cb").as("b")))
+          picked.select(col("ca").as("a"), col("cb").as("b")),
+          maxIter = 64, strict = true)
         labels = ckpt(labels
           .join(merged.select(col("node").as("comp"), col("rep")),
             Seq("comp"), "left")
@@ -115,13 +122,19 @@ object Mst {
     *         min node id; nodes isolated at a cut keep rep = node
     */
   def singleLinkage(edges: DataFrame, cuts: Seq[Long]): DataFrame = {
+    require(cuts.nonEmpty,
+      "singleLinkage needs at least one cut threshold")
     val forest = ckpt(boruvka(edges))
     val nodes = ckpt(edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node")))
       .distinct())
     cuts.map { t =>
+      // a thresholded FOREST can be a maximal-diameter path, so the cut
+      // CCs get the same strict 64-round pointer-jump budget as the
+      // Borůvka contraction (default 20 covers only ~2^20 diameters)
       val cc = Dedup.connectedComponents(
-        forest.filter(col("w") <= t).select(col("a"), col("b")))
+        forest.filter(col("w") <= t).select(col("a"), col("b")),
+        maxIter = 64, strict = true)
       nodes.join(cc, Seq("node"), "left")
         .select(lit(t).as("cut"), col("node"),
           coalesce(col("rep"), col("node")).as("rep"))

@@ -543,6 +543,26 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /** Audit of the hot-bucket-cap assumption the capped candidate family's
+    * ORACLES rely on (r14 ADVICE): the DuckDB twins of q_kcore /
+    * q_single_linkage / the kNN-graph tier mine LSH buckets UNCAPPED,
+    * while the Spark side samples partners inside buckets over
+    * `maxBucket` — the two engines diverge exactly when a (band, bkey)
+    * bucket reaches the cap. This measures that precondition directly:
+    * the number of buckets at or over the cap in the corpus's banding
+    * (0 on all gate data; organic buckets are orders of magnitude below
+    * the cap). Verify promotes it into bounds.json via BoundChecks so a
+    * capped bucket fails the artifact loudly instead of surfacing as an
+    * unexplained hash mismatch.
+    */
+  def bucketCapAudit(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, bands: Int = 4,
+                     maxBucket: Int = 4096): Long = {
+    val (_, _, banded) = minhashBands(df, idCol, textCol, n, bands, Nil)
+    banded.groupBy("band", "bkey").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") >= maxBucket).count()
+  }
+
   /** Sparse TF-IDF cosine k-NN graph — the classic sparse-retrieval
     * ranker (lexical term vectors, idf-weighted) served as a bounded
     * ANN graph: [[knnCandidates]]' capped LSH-bucket front-end proposes
@@ -1140,8 +1160,21 @@ object Dedup {
     * iteration count (the standard Spark iterative-algorithm pattern).
     * Components from near-dup pairs have tiny diameters, so convergence
     * is a handful of iterations.
+    *
+    * Pointer jumping doubles the propagated distance per round, so
+    * `maxIter` rounds cover component diameters up to ~2^maxIter — the
+    * default 20 is unreachable for near-dup graphs (mostly cliques), but
+    * a caller feeding ADVERSARIAL long-chain topology (Borůvka's
+    * contraction graph under a weight-monotone path) must pass a larger
+    * budget AND `strict = true`: a silently-unconverged label table is a
+    * correctness bug downstream (duplicate forest edges, split clusters),
+    * not a perf knob (r14 ADVICE, Mst.boruvka).
+    *
+    * @param strict throw instead of returning when the label fixpoint was
+    *               not reached within `maxIter` rounds
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          strict: Boolean = false): DataFrame = {
     // Materialize the pair list FIRST, eagerly: the edges union reads it
     // twice (once per direction), and lazy-checkpointed branches race to
     // compute the same partitions — without this the entire pair-mining
@@ -1216,6 +1249,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (strict && !converged(curSum, prevSum))
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          "(component diameter exceeds the pointer-jump budget); raise " +
+          "maxIter")
     labels
   }
 }

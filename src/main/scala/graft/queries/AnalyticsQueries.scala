@@ -1789,8 +1789,9 @@ object AnalyticsQueries {
         |  GROUP BY 1),
         |m AS (SELECT CAST(max(total_rev_mcents) AS BIGINT) AS mx FROM r)
         |SELECT s_suppkey, s_name, total_rev_mcents
-        |FROM r, m
+        |FROM r
         |JOIN supplier ON s_suppkey = l_suppkey
+        |CROSS JOIN m
         |WHERE total_rev_mcents = mx""".stripMargin) { (s, dir) =>
       val rev = round(col("l_extendedprice") * 100).cast("long") *
         (lit(1000L) - round(col("l_discount") * 1000).cast("long"))

@@ -2308,6 +2308,11 @@ object LlmQueries {
     // thresholded graph), so the equivalence theorem is itself under
     // test; the edge substrate is the symmetrized top-5 Jaccard kNN
     // graph served from the shared base (SB1).
+    // CAP ASSUMPTION: the oracle's knn_cand CTE is the UNCAPPED bucket
+    // self-join while the Spark side rides knnCandidates' maxBucket
+    // cap — the divergence precondition (any bucket at/over 4096) is
+    // measured per Verify run by the q_kcore BoundChecks entry
+    // (Dedup.bucketCapAudit over the same documents banding).
     "q_single_linkage" -> Q(
       s"""WITH RECURSIVE $duckShingles,
         |$duckMinhashBands,
@@ -2399,6 +2404,15 @@ object LlmQueries {
     // four CTE rounds. Substrate: Dedup.candidatePairs — the banded
     // bucket self-join with the knnGraph hot-bucket cap, so the edge
     // set is Σ|bucket|·min(|bucket|, cap) at any corpus size.
+    // CAP ASSUMPTION (r14 ADVICE): the oracle's `cand` CTE mines the
+    // bucket self-join UNCAPPED — the two engines agree only while no
+    // (band, bkey) bucket reaches candidatePairs' maxBucket = 4096.
+    // That precondition is MEASURED, not assumed: BoundChecks promotes
+    // Dedup.bucketCapAudit (buckets at/over cap, must be 0) into
+    // bounds.json on every Verify run, so a capped bucket turns the
+    // artifact red instead of surfacing as a bare hash mismatch. The
+    // same audit covers q_single_linkage and the kNN-graph tier, which
+    // share this front-end.
     "q_kcore" -> Q(
       s"""WITH $duckShingles,
         |$duckMinhashBands,

@@ -49,4 +49,26 @@ class KCoreSpec extends SparkSpec {
   test("empty input yields an empty core") {
     assert(core(Seq.empty, 2, 4).isEmpty)
   }
+
+  test("peelAudited certifies the fixpoint at the gate parameterization") {
+    // the deep-chain fixture (peel depth 3): at the gate's spare-round
+    // style provisioning the last two alive counts are EQUAL — the
+    // monotone-shrink fixpoint certificate (r14 verdict #6) — and an
+    // under-provisioned run is visibly still shrinking, never silent.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (5L, 1L), (6L, 5L), (7L, 6L)).toDF("a", "b")
+    val full = KCore.peelAudited(edges, k = 2, rounds = 5)
+    assert(full.aliveCounts == Seq(6L, 5L, 4L, 3L, 3L, 3L))
+    assert(full.atFixpoint)
+    val starved = KCore.peelAudited(edges, k = 2, rounds = 2)
+    assert(!starved.atFixpoint, "a still-shrinking peel must not certify")
+    // rounds = 0 has nothing to certify
+    assert(!KCore.peelAudited(edges, k = 2, rounds = 0).atFixpoint)
+  }
+
+  test("invalid arguments fail fast") {
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    intercept[IllegalArgumentException] { KCore.peel(edges, 0, 4) }
+    intercept[IllegalArgumentException] { KCore.peel(edges, 2, -1) }
+  }
 }

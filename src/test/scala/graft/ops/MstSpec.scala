@@ -117,4 +117,25 @@ class MstSpec extends SparkSpec {
     assert(Mst.boruvka(e).count() == 0L)
     assert(Mst.singleLinkage(e, Seq(10L)).count() == 0L)
   }
+
+  test("an empty cut list fails fast with a descriptive message") {
+    val e = Seq((1L, 2L, 3L)).toDF("a", "b", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Mst.singleLinkage(e, Seq.empty)
+    }
+    assert(ex.getMessage.contains("at least one cut"))
+  }
+
+  test("boruvka on a weight-monotone chain (the contraction worst case)") {
+    // edge i-(i+1) with strictly increasing weights: round 1 pairs up
+    // neighbors and the picked-edge contraction graph is itself a long
+    // PATH — the shape the r14 ADVICE flagged as the silent-label risk.
+    // The whole chain IS the MST, so any dropped/duplicated forest row
+    // shows immediately; strict CC now guarantees loud-or-right.
+    val n = 257L
+    val chain = (1L until n).map(i => (i, i + 1, i)).toDF("a", "b", "w")
+    val f = Mst.boruvka(chain).as[(Long, Long, Long)].collect()
+    assert(f.length == (n - 1).toInt, "chain forest must keep every edge")
+    assert(f.distinct.length == f.length, "duplicate forest row")
+  }
 }

@@ -151,6 +151,22 @@ class DedupSpec extends SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connected components: strict mode is loud on a starved budget") {
+    // a 64-node path needs ~log2(64) pointer-jump rounds; maxIter = 1
+    // cannot converge — strict must THROW (r14 ADVICE: a silently
+    // unconverged label table corrupts Borůvka's contraction), while the
+    // default lenient mode returns the partial labels as before.
+    val path = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, maxIter = 1, strict = true)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and with the real budget strict converges to the single component
+    val cc = Dedup.connectedComponents(path, maxIter = 64, strict = true)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet == Set(1L) && cc.size == 64)
+  }
+
   test("tokenChunks: full non-overlapping windows only, short docs empty") {
     val d = Seq((1L, "a b c d e f g"), (2L, "a b")).toDF("doc_id", "text")
     val out = d.select(d("doc_id"),
