@@ -239,27 +239,48 @@ object Bench {
     // isolation). Any query outside its committed gate tolerance is run
     // ONCE more and the (first, rerun) pair published in "retried" — a
     // genuine regression is slow on the rerun too, a GC hit is not. The
-    // HEADLINE "value"/"queries" numbers are always the FIRST measurement
-    // (symmetric, unbiased); the rerun is evidence for whoever applies a
-    // retry policy downstream, never folded into the headline. Skipped
-    // when SPARK_GRAFT_REPEAT>1 (the median is already robust).
+    // headline then publishes min(first, rerun) for these (see the
+    // folding block below); the raw pair stays lossless in "retried".
+    // Eligibility mirrors tools/bench_gate.py's two tiers (r14 verdict
+    // #7): tier 1 = t > 1.5x median AND excess > 2s (the historical
+    // rule); tier 2 = t > 2x median with NO absolute floor, so sub-2s
+    // queries become auditable — the gate's relative-only tier is safe
+    // against the +-1-1.5s ambient noise ONLY because of this rerun
+    // fold (a tier-2 gate flag means BOTH runs exceeded 2x).
+    // q_pipeline_incremental audits at a tighter 1.75x (r14 verdict #5:
+    // the flagship loop's structural guard). Retries are capped at 40 a
+    // sweep — far above the observed worst case (14, r14 calibration) —
+    // so a pathologically loaded host cannot double the sweep; the cap
+    // being HIT is itself published (retry_budget_exhausted).
+    // Skipped when SPARK_GRAFT_REPEAT>1 (the median is already robust).
     //
     // Baseline file contract: must parse as JSON and its "sf" must match
     // this run's sfDir, else the audit pass is skipped and the reason is
     // published in "baseline_status" — a stale/mismatched baseline must
     // not silently change which queries get audited.
-    val (baselines, baselineStatus): (Map[String, Double], String) =
+    val (baselines, baselineStatus, driftJson)
+        : (Map[String, Double], String, String) =
       try {
         import org.json4s._
         import org.json4s.jackson.JsonMethods
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_BASELINE.json")), "UTF-8")
         val j = JsonMethods.parse(txt)
+        // cross-round drift (r14 verdict #1): computed at rebase time by
+        // tools/make_baseline.py on MEDIANS vs the frozen r13 anchor
+        // (single-run values are never drift evidence — r14 calibration:
+        // 25 spurious single-run flags vs 1 median flag), republished
+        // verbatim here so the round's BENCH artifact carries it.
+        val drift = j \ "drift_vs_r13" match {
+          case JNothing => """{"status":"absent_from_baseline"}"""
+          case v => JsonMethods.compact(JsonMethods.render(v))
+        }
         val bsf = j \ "sf" match {
           case JString(s) => s
           case _ => ""
         }
-        if (bsf != sfDir) (Map.empty[String, Double], s"sf_mismatch:$bsf")
+        if (bsf != sfDir)
+          (Map.empty[String, Double], s"sf_mismatch:$bsf", drift)
         else {
           val qs = j \ "queries" match {
             case JObject(fields) => fields.collect {
@@ -268,19 +289,27 @@ object Bench {
             }.toMap
             case _ => Map.empty[String, Double]
           }
-          (qs, if (qs.isEmpty) "empty" else "ok")
+          (qs, if (qs.isEmpty) "empty" else "ok", drift)
         }
       } catch {
         case _: java.nio.file.NoSuchFileException =>
-          (Map.empty, "absent")
+          (Map.empty, "absent", """{"status":"no_baseline"}""")
         case e: Throwable =>
-          (Map.empty, s"parse_error:${e.getClass.getSimpleName}")
+          (Map.empty, s"parse_error:${e.getClass.getSimpleName}",
+            """{"status":"parse_error"}""")
       }
+    // two-tier retry eligibility — mirror of tools/bench_gate.py
+    def retryEligible(name: String, t: Double, b: Double): Boolean = {
+      val rel = if (name == "q_pipeline_incremental") 1.75 else 2.0
+      (t > 1.5 * b && t - b > 2.0) || t > rel * b
+    }
     val retried = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    var retryBudget = 40
     if (repeat == 1) results.foreach { case (name, t) =>
       baselines.get(name) match {
         case Some(b) if !errors.contains(name) &&
-            t > 1.5 * b && t - b > 2.0 =>
+            retryEligible(name, t, b) && retryBudget > 0 =>
+          retryBudget -= 1
           val t0 = System.nanoTime()
           val ok = try { run(name); true }
             catch { case _: Throwable => false }
@@ -331,6 +360,8 @@ object Bench {
         f""""shared_base_build":$baseBuild%.3f,"shared_base_warm":$warmBases,""" +
         s""""base_build_detail":$baseDet,""" +
         f""""canary":${qsJson(canaries.toSeq)},"canary_skew":$canarySkew%.2f,""" +
+        s""""drift_vs_r13":$driftJson,""" +
+        s""""retry_budget_exhausted":${retryBudget == 0},""" +
         f""""baseline_status":"$baselineStatus","sf":"$sfDir"}"""
     // The file is the LOSSLESS artifact; stdout is the driver contract —
     // and the driver's capture keeps only the last ~2000 chars of stdout
@@ -342,6 +373,15 @@ object Bench {
     // messages shorten before queries drop. Every omitted detail is in
     // BENCH_FULL.json.
     val budget = 1800
+    // stdout carries only the drift FLAG COUNT (the full section is in
+    // BENCH_FULL.json) — null when the baseline predates the anchor
+    val driftFlags: String = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parseOpt(driftJson).map(v => v \ "n_flags").collect {
+        case JInt(n) => n.toString
+      }.getOrElse("null")
+    }
     def stdoutLine(top: Int, errCap: Int): String = {
       val byTime = headline.sortBy { case (k, v) => (-v, k) }
       val kept = byTime.take(top).sortBy(_._1)
@@ -350,6 +390,7 @@ object Bench {
         s""""n_queries":${results.size},"queries_omitted":$omitted,""" +
         s""""errors":${errsJson(errCap)},"n_errors":${errors.size},""" +
         f""""shared_base_build":$baseBuild%.3f,"baseline_status":"$baselineStatus",""" +
+        s""""drift_vs_r13_flags":$driftFlags,""" +
         f""""canary_skew":$canarySkew%.2f,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     }
     val candidates = Iterator((results.size, 80), (results.size, 40),

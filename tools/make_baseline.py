@@ -1,32 +1,117 @@
 #!/usr/bin/env python3
 """Regenerate BENCH_BASELINE.json from a full SPARK_GRAFT_REPEAT=3 sweep's
 BENCH_FULL-format output (per-query medians + shared_base_build).
-Usage: python3 tools/make_baseline.py <sweep-json> [note-suffix]
+Usage: python3 tools/make_baseline.py <sweep-json> [note-suffix] [round]
+
+Cross-round drift anchor (r14 verdict #1): BENCH_BASELINE.json is rebased
+every round, so by itself it can only catch WITHIN-round regressions —
+slow cross-round drift would be invisible by construction. The rebase
+therefore also compares the fresh medians against BENCH_ANCHOR_r13.json
+(a verbatim, never-rebased copy of BENCH_BASELINE.json @ commit 7c607f0,
+the round-13 close) and embeds the result as "drift_vs_r13": per-query
+ratio flags at > 1.5x the frozen median with a 0.3s absolute excess floor
+(3-run medians of sub-0.3s queries still wobble by tens of ms; the floor
+keeps 0.05s -> 0.09s from reading as drift while letting every query that
+matters flag). Known, investigated flags are listed in EXPLAINED with
+their evidence so the artifact distinguishes "understood" from "new".
+Drift is defined on MEDIANS against the anchor — never on the driver's
+single-run values, whose +-1s ambient noise exceeds the signal
+(measured round 14: 25 spurious single-run flags vs 1 median flag).
 """
 import json
+import os
 import sys
 
-src = json.load(open(sys.argv[1]))
-suffix = sys.argv[2] if len(sys.argv) > 2 else ""
-queries = src["queries"]
-assert src.get("errors") in (None, {}), f"sweep had errors: {src.get('errors')}"
-base = {
-    "note": (
-        "3-run per-query medians at sf0.1, local[32], single full "
-        "SPARK_GRAFT_REPEAT=3 sweep in one JVM (same protocol as the "
-        "driver bench); gate = tools/bench_gate.py (flag when t > 1.5x "
-        "median AND t - median > 2.0s)." + (" " + suffix if suffix else "")
-    ),
-    "single_run_total_ref": round(
-        sum(queries.values()) + src.get("shared_base_build", 0.0), 6),
-    "single_run_note": (
-        "sum of 3-run per-query medians + shared_base_build"),
-    "produced_round": int(sys.argv[3]) if len(sys.argv) > 3 else None,
-    "sf": src.get("sf", "/root/testdata/sf0.1"),
-    "repeat": 3,
-    "shared_base_build": src.get("shared_base_build"),
-    "queries": dict(sorted(queries.items())),
+DRIFT_RATIO = 1.5
+DRIFT_ABS_FLOOR = 0.3  # seconds
+
+# Investigated drift flags: name -> short evidence-backed explanation.
+# An entry here still appears in the artifact (as "explained"), it just
+# doesn't count as an UNEXPLAINED flag. Keep this list short and honest.
+EXPLAINED = {
+    # Controlled A/B (round 15, ROUND15_NOTES.md): the r13 COMMIT's own
+    # code (worktree @ 7c607f0), measured on today's host with the same
+    # isolated REPEAT=5 protocol, reads 0.507s vs HEAD's 0.468s — the
+    # delta against the frozen 0.289 median is host drift (the r13
+    # rebase sweep ran under more favorable conditions), not engine
+    # drift; HEAD is FASTER than r13 code like-for-like. Same control
+    # covers the q_seasonality/q_normalize/q_user_growth near-flags
+    # (r13 code today: 0.361/0.150/0.857 vs HEAD 0.267/0.117/0.678).
+    "q_t_closeness": (
+        "host drift, not engine drift: r13-commit code measured today = "
+        "0.507s vs HEAD 0.468s (isolated REPEAT=5 A/B, ROUND15_NOTES)"),
 }
-json.dump(base, open("BENCH_BASELINE.json", "w"), indent=1)
-print(f"wrote BENCH_BASELINE.json: {len(queries)} queries, "
-      f"total_ref {base['single_run_total_ref']:.1f}s")
+
+
+def drift_section(queries, anchor_path="BENCH_ANCHOR_r13.json"):
+    if not os.path.exists(anchor_path):
+        return {"error": f"{anchor_path} missing"}
+    anchor = json.load(open(anchor_path))["queries"]
+    overlap = sorted(set(anchor) & set(queries))
+    flags, explained = {}, {}
+    for n in overlap:
+        a, c = anchor[n], queries[n]
+        if c > DRIFT_RATIO * a and c - a > DRIFT_ABS_FLOOR:
+            entry = {"r13": round(a, 3), "now": round(c, 3),
+                     "ratio": round(c / a, 2)}
+            if n in EXPLAINED:
+                entry["why"] = EXPLAINED[n]
+                explained[n] = entry
+            else:
+                flags[n] = entry
+    ratios = sorted(queries[n] / anchor[n] for n in overlap)
+    return {
+        "anchor": ("BENCH_ANCHOR_r13.json == BENCH_BASELINE.json "
+                   "@ 7c607f0 (round-13 close), never rebased"),
+        "rule": (f"flag when median > {DRIFT_RATIO}x frozen r13 median "
+                 f"and excess > {DRIFT_ABS_FLOOR}s"),
+        "n_overlap": len(overlap),
+        "median_ratio": round(ratios[len(ratios) // 2], 3),
+        "total_r13": round(sum(anchor[n] for n in overlap), 1),
+        "total_now": round(sum(queries[n] for n in overlap), 1),
+        "n_flags": len(flags),
+        "flags": flags,
+        "explained": explained,
+    }
+
+
+def main():
+    src = json.load(open(sys.argv[1]))
+    suffix = sys.argv[2] if len(sys.argv) > 2 else ""
+    queries = src["queries"]
+    assert src.get("errors") in (None, {}), \
+        f"sweep had errors: {src.get('errors')}"
+    drift = drift_section(queries)
+    base = {
+        "note": (
+            "3-run per-query medians at sf0.1, local[32], single full "
+            "SPARK_GRAFT_REPEAT=3 sweep in one JVM (same protocol as the "
+            "driver bench); gate = tools/bench_gate.py (flag when t > 1.5x "
+            "median AND t - median > 2.0s, or t > 2x median relative-only "
+            "on the min-folded headline)." + (" " + suffix if suffix else "")
+        ),
+        "single_run_total_ref": round(
+            sum(queries.values()) + src.get("shared_base_build", 0.0), 6),
+        "single_run_note": (
+            "sum of 3-run per-query medians + shared_base_build"),
+        "produced_round": int(sys.argv[3]) if len(sys.argv) > 3 else None,
+        "sf": src.get("sf", "/root/testdata/sf0.1"),
+        "repeat": 3,
+        "shared_base_build": src.get("shared_base_build"),
+        "drift_vs_r13": drift,
+        "queries": dict(sorted(queries.items())),
+    }
+    json.dump(base, open("BENCH_BASELINE.json", "w"), indent=1)
+    nf = drift.get("n_flags")
+    print(f"wrote BENCH_BASELINE.json: {len(queries)} queries, "
+          f"total_ref {base['single_run_total_ref']:.1f}s; "
+          f"drift_vs_r13: {nf} unexplained flag(s), "
+          f"{len(drift.get('explained', {}))} explained")
+    if drift.get("flags"):
+        for n, e in drift["flags"].items():
+            print(f"  DRIFT {n}: r13 {e['r13']}s -> {e['now']}s "
+                  f"({e['ratio']}x) — investigate or explain")
+
+
+if __name__ == "__main__":
+    main()
