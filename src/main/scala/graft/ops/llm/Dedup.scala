@@ -587,10 +587,16 @@ object Dedup {
     * beyond that, rescale the idf quantum.
     *
     * Scale shape: the candidate join is the capped bucket equi-join
-    * (never corpus×corpus); the pair scoring joins explode each pair
-    * only by its OWN terms (pair×terms-of-a rows, equi-matched to b's
-    * postings); norms ride one partial-agg'd doc-key shuffle; the
-    * top-k cut is the two-phase WindowGroupLimit.
+    * (never corpus×corpus); pair scoring is SCAN-SIDE — each doc's
+    * postings are packed once into a term-sorted (t, w) array, pairs
+    * fetch the two payloads by doc-key joins, and a codegen sorted-merge
+    * dot ([[graft.functions.SparseDot]]) scores each pair in one
+    * O(|a|+|b|) pass. This is the same packed-payload shape as the
+    * containment/edit siblings — the earlier pair×term explosion
+    * (a (doc, term) shuffle + pair re-aggregation) grew 230× at 128×
+    * replication while the siblings grew 62–85×; the packed form
+    * removes that intermediate entirely. Norms ride the same packing
+    * aggregate; the top-k cut is the two-phase WindowGroupLimit.
     * Output: (doc_id, nbr_id, rnk, cos_micro).
     */
   def tfidfKnnGraph(df: DataFrame, idCol: String, textCol: String, k: Int,
@@ -605,30 +611,37 @@ object Dedup {
     // corpus size folded in as a 1-row broadcast aggregate (the
     // q_scalar_subquery shape) — no driver-side count action
     val n1 = df.agg(count(lit(1)).as("n_docs"))
-    // the weight table feeds FOUR plan branches (both sides of the pair
-    // join and both norm lookups) — without a checkpoint the tf/df/N
-    // subtree re-scans and re-shuffles the corpus four times (EAGER
-    // CHECKPOINT DISCIPLINE above; the q_dbscan_ann lesson)
-    val wts = tf.join(dfreq, "term")
+    // one packed row per doc — the term-sorted postings array the
+    // sorted-merge dot consumes, plus the squared norm off the same
+    // aggregate. The packed table feeds BOTH sides of the pair join —
+    // without a checkpoint the tf/df/N subtree re-scans and re-shuffles
+    // the corpus per branch (EAGER CHECKPOINT DISCIPLINE above; the
+    // q_dbscan_ann lesson)
+    val packed = tf.join(dfreq, "term")
       .crossJoin(broadcast(n1))
       .select(col("doc"), col("term"),
         (col("tf") * round(lit(10000) *
             log(col("n_docs").cast("double") / col("df").cast("double")))
           .cast("long")).as("wt"))
       .filter(col("wt") =!= 0)
+      .groupBy("doc")
+      .agg(sort_array(collect_list(struct(col("term").as("t"),
+          col("wt").as("w")))).as("ent"),
+        sum(col("wt") * col("wt")).as("n2"))
       .localCheckpoint(true)
-    val norms = wts.groupBy("doc")
-      .agg(sum(col("wt") * col("wt")).as("n2"))
-      .localCheckpoint(true)
-    val dots = cand
-      .join(wts.select(col("doc").as("a"), col("term"),
-        col("wt").as("wa")), "a")
-      .join(wts.select(col("doc").as("b"), col("term"),
-        col("wt").as("wb")), Seq("b", "term"))
-      .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("dot"))
-    val scored = dots
-      .join(norms.select(col("doc").as("a"), col("n2").as("na2")), "a")
-      .join(norms.select(col("doc").as("b"), col("n2").as("nb2")), "b")
+    val scored = cand
+      .join(packed.select(col("doc").as("a"), col("ent").as("ea"),
+        col("n2").as("na2")), "a")
+      .join(packed.select(col("doc").as("b"), col("ent").as("eb"),
+        col("n2").as("nb2")), "b")
+      .select(col("a"), col("b"),
+        graft.functions.SparseDot(col("ea"), col("eb")).as("dot"),
+        col("na2"), col("nb2"))
+      // weights are strictly positive (ln(N/df) > 0 after the wt != 0
+      // cut), so dot != 0 ⟺ the docs share a term — exactly the rows
+      // the postings-join formulation produced (its inner (b, term)
+      // match dropped no-overlap pairs before ranking)
+      .filter(col("dot") =!= 0)
       .select(col("a").as("doc_id"), col("b").as("nbr_id"),
         round(lit(1000000) * col("dot").cast("double") /
             (sqrt(col("na2").cast("double")) *

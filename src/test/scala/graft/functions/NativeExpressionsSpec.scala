@@ -67,6 +67,54 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(tiny(0)._1 == tiny(1)._1) // normalization applied
   }
 
+  test("SparseDot matches the HOF map-lookup form on corpus postings") {
+    // packed postings: the exact builder tfidfKnnGraph uses
+    val d = graft.Tables.table(spark, sf0001, "documents").limit(120)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("w"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("t"), col("w")))).as("ent"))
+    val pairs = d.select(col("doc_id").as("a"), col("ent").as("ea"))
+      .join(d.select(col("doc_id").as("b"), col("ent").as("eb")),
+        col("a") < col("b"))
+    // reference: per-entry map lookup (interpreted, O(|a|·|b|)) — the
+    // form the sorted-merge expression replaces
+    val hof = aggregate(col("ea"), lit(0L), (acc, e) =>
+      acc + e.getField("w") *
+        coalesce(map_from_entries(col("eb"))(e.getField("t")), lit(0L)))
+    val diff = pairs
+      .select((graft.functions.SparseDot(col("ea"), col("eb")) - hof)
+        .as("d"))
+      .agg(max(abs(col("d")))).as[Long].head()
+    assert(diff == 0L, s"max |native-hof| = $diff (must be identical)")
+    // edges: empty, disjoint, partial overlap, null input
+    val tiny = Seq(
+      (Seq(("a", 2L), ("b", 3L)), Seq(("a", 5L), ("c", 7L))),
+      (Seq.empty[(String, Long)], Seq(("a", 1L))),
+      (Seq(("x", 4L)), Seq(("y", 9L))),
+      (Seq(("a", 1L), ("b", 2L), ("c", 3L)),
+        Seq(("a", 10L), ("b", 20L), ("c", 30L))))
+      .toDF("ea", "eb")
+      .select(transform(col("ea"), e =>
+          struct(e.getField("_1").as("t"), e.getField("_2").as("w")))
+        .as("ea"),
+        transform(col("eb"), e =>
+          struct(e.getField("_1").as("t"), e.getField("_2").as("w")))
+        .as("eb"))
+    val got = tiny
+      .select(graft.functions.SparseDot(col("ea"), col("eb")))
+      .as[Long].collect().toSeq
+    assert(got == Seq(10L, 0L, 0L, 140L))
+    val nul = Seq((null, Seq(("a", 1L)))).toDF("ea0", "eb0")
+      .select(col("ea0").cast("array<struct<t:string,w:long>>").as("ea"),
+        transform(col("eb0"), e =>
+          struct(e.getField("_1").as("t"), e.getField("_2").as("w")))
+        .as("eb"))
+      .select(graft.functions.SparseDot(col("ea"), col("eb")))
+      .as[Option[Long]].head()
+    assert(nul.isEmpty, "null input must yield null")
+  }
+
   test("NgramStats matches the explode+groupBy form") {
     val d = graft.Tables.table(spark, sf0001, "documents").limit(200)
       .select(col("doc_id"), col("text"))
