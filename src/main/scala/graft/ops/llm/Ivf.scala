@@ -186,13 +186,34 @@ object Ivf {
     int8AssignExact(int8Prep(vectors), cents)
       .select(col("id"), col("cid"))
 
-  def int8TopKExact(vectors: DataFrame, queries: DataFrame, k: Int,
-                    nClusters: Int = 16, nprobe: Int = 4): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+  /** The two tables that ARE the int8 IVF index — the digest-seeded
+    * quantizer (cid, cc, cn2) and the corpus cell assignments
+    * (cid, id, cv, mxv). Persist both — the assignments bucketed on
+    * cid, the probe-join key, via `Sinks.writeBucketed` — and a later
+    * session serves [[int8TopKFromIndex]] without re-coding or
+    * re-assigning the corpus: the production "load the index, don't
+    * rebuild it" contract the MinHash tier already has
+    * (`Dedup.minhashIndex`).
+    */
+  def int8Index(vectors: DataFrame,
+                nClusters: Int = 16): (DataFrame, DataFrame) = {
     val v = int8Prep(vectors)
       .localCheckpoint(true) // branches: seeds + assignment
     val cents = seededCentroids(v, nClusters)
-    val assigned = int8AssignExact(v, cents)
+    (cents, int8AssignExact(v, cents))
+  }
+
+  /** IVF search served ENTIRELY from a stored index — row-identical to
+    * [[int8TopKExact]] on the corpus the index was built from
+    * (spec-asserted): queries int8-code live, probe the broadcast
+    * quantizer for their `nprobe` best cells, and score only those
+    * cells' STORED code rows. When the assignments table was written
+    * bucketed on cid, the probe join reads pre-bucketed scans.
+    */
+  def int8TopKFromIndex(cents: DataFrame, assigned: DataFrame,
+                        queries: DataFrame, k: Int,
+                        nprobe: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
     val q = Similarity.int8Codes(queries)
       .select(col("id").as("qid"), col("codes").cast("array<double>")
         .as("cq"), col("maxabs_micro").as("mxq"))
@@ -209,5 +230,11 @@ object Ivf {
     graft.ops.TopK(scored, Seq("qid"), scored("score"),
         Seq(scored("id")), k)
       .select(col("qid"), col("id"), col("rnk"), col("score"))
+  }
+
+  def int8TopKExact(vectors: DataFrame, queries: DataFrame, k: Int,
+                    nClusters: Int = 16, nprobe: Int = 4): DataFrame = {
+    val (cents, assigned) = int8Index(vectors, nClusters)
+    int8TopKFromIndex(cents, assigned, queries, k, nprobe)
   }
 }

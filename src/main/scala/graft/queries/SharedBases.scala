@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
@@ -251,6 +252,108 @@ object SharedBases {
                             prefix: String = "graft_sb_jac",
                             num: Int = 8, den: Int = 10): DataFrame =
     Dedup.ngramJaccardPairsFromIndex(s.table(s"${prefix}_base"), num, den)
+
+  /** Cross-session persistence for the dense-ANN tier — the
+    * [[persistIndex]] recipe applied to IVF: the digest-seeded int8
+    * quantizer (cid, cc, cn2) and the corpus cell assignments
+    * (cid, id, cv, mxv) of `Ivf.int8Index` written as bucketed
+    * metastore tables, the assignments bucketed on cid (the probe-join
+    * key). A later session calls [[ivfTopKFromStore]] and searches
+    * row-identically to `Ivf.int8TopKExact` without re-coding or
+    * re-assigning the corpus — at 100 TB the assignment pass is the
+    * corpus-sized cost, so loading it is the whole point of an index.
+    */
+  def persistIvfIndex(s: SparkSession, dir: String,
+                      prefix: String = "graft_sb_ivf",
+                      nClusters: Int = 16): (String, String) = {
+    val (cents, cells) = graft.ops.llm.Ivf.int8Index(
+      Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>")),
+      nClusters)
+    val centsT = s"${prefix}_cents"
+    val cellsT = s"${prefix}_cells"
+    graft.io.Sinks.writeBucketed(cells, cellsT, buckets = 4,
+      keys = Seq("cid"))
+    graft.io.Sinks.writeBucketed(cents, centsT, buckets = 1,
+      keys = Seq("cid"))
+    (centsT, cellsT)
+  }
+
+  /** IVF top-k served from the STORED index tables of
+    * [[persistIvfIndex]] — row-identical to `Ivf.int8TopKExact` on the
+    * corpus the index was built from (spec-asserted).
+    */
+  def ivfTopKFromStore(s: SparkSession, queries: DataFrame, k: Int,
+                       nprobe: Int = 4,
+                       prefix: String = "graft_sb_ivf"): DataFrame =
+    graft.ops.llm.Ivf.int8TopKFromIndex(s.table(s"${prefix}_cents"),
+      s.table(s"${prefix}_cells"), queries, k, nprobe)
+
+  /** Cross-session persistence for the PQ tier: the per-subspace
+    * codebooks (sub, code, cvec) and the one-byte code table
+    * (id, sub, code) of `Pq.fitCodebooks`/`Pq.encode` written as
+    * bucketed metastore tables on (sub, code) — the ADC lookup-join
+    * key. Codebook fitting is the Lloyd-iteration cost and encoding is
+    * the corpus-sized pass; a later session serves
+    * [[pqRefineFromStore]] paying neither. Gate-family parameters
+    * (m=8, k=64, iters=1) are the defaults so the stored index is
+    * bit-compatible with q_pq_refine.
+    */
+  def persistPqIndex(s: SparkSession, dir: String,
+                     prefix: String = "graft_sb_pq", m: Int = 8,
+                     k: Int = 64, iters: Int = 1): (String, String) = {
+    val vecs = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .toDF("id", "vec")
+    val books = graft.ops.llm.Pq.fitCodebooks(vecs, m, k, iters)
+    val codes = graft.ops.llm.Pq.encode(vecs, books, m)
+    val booksT = s"${prefix}_books"
+    val codesT = s"${prefix}_codes"
+    graft.io.Sinks.writeBucketed(books, booksT, buckets = 1,
+      keys = Seq("sub", "code"))
+    graft.io.Sinks.writeBucketed(codes, codesT, buckets = 4,
+      keys = Seq("sub", "code"))
+    (booksT, codesT)
+  }
+
+  /** PQ ADC-shortlist + exact-integer refine served from the STORED
+    * codebook/code tables of [[persistPqIndex]] — row-identical to
+    * `Pq.refineTopKInt` at the same parameters (spec-asserted). The
+    * full vectors are re-read only for the refine rescoring, which by
+    * construction touches shortlist × queries rows, never the corpus.
+    */
+  def pqRefineFromStore(s: SparkSession, dir: String, queries: DataFrame,
+                        k: Int, shortlist: Int, m: Int = 8,
+                        prefix: String = "graft_sb_pq"): DataFrame = {
+    val vecs = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .toDF("id", "vec")
+    graft.ops.llm.Pq.refineTopKInt(vecs, s.table(s"${prefix}_codes"),
+      s.table(s"${prefix}_books"), queries, m, k, shortlist)
+  }
+
+  /** The digest-seeded int8 IVF quantizer over `embeddings`, hydrated
+    * from the cross-JVM [[StagingStore]] when a landed generation
+    * matches the table fingerprint — what `streamIvfAssign` routes new
+    * vectors by: the first session pays the corpus coding pass, every
+    * later drain of the same testdata loads `nClusters` rows. The
+    * seeding is deterministic, so the stored and rebuilt tables are
+    * identical and serving warm cannot move a hash; a regenerated
+    * embeddings table misses structurally (fingerprint in the leaf
+    * name) and rebuilds.
+    */
+  def ivfQuantizer(s: SparkSession, dir: String,
+                   nClusters: Int = 16): DataFrame = {
+    val fp = fingerprint(s, dir, "embeddings.parquet")
+    val path = StagingStore.getOrBuild(dir, s"ivf_quantizer_$nClusters",
+      fp) { dest =>
+      graft.ops.llm.Ivf.int8Quantizer(
+        Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>")),
+        nClusters).coalesce(1).write.parquet(dest)
+    }
+    s.read.parquet(path)
+  }
 
   /** Verified exact-Jaccard pairs (a, b, inter, uni) over `documents`
     * at the declared-family parameters.

@@ -497,10 +497,13 @@ object StreamingPipeline {
     * that equality is exactly what the gate hash certifies.
     */
   def streamIvfAssign(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.table(spark, sfDir, "embeddings")
-    val cents = graft.ops.llm.Ivf.int8Quantizer(
-        emb.select(col("vec_id"),
-          col("embedding").cast("array<double>")), nClusters = 16)
+    // hydrated from the fingerprint-keyed store (SharedBases.
+    // ivfQuantizer): the first session builds + stages the quantizer,
+    // later drains of the same corpus load 16 rows — the "load the
+    // index, don't rebuild it" production shape; determinism of the
+    // digest seeding keeps the stored and rebuilt tables identical
+    val cents = graft.queries.SharedBases
+      .ivfQuantizer(spark, sfDir, nClusters = 16)
       .localCheckpoint(true) // one quantizer serves every micro-batch
     drainAppend(spark,
       graft.queries.StreamStaging.dir(spark, sfDir, "emb8"), "ivfassign",

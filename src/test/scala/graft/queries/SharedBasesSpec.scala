@@ -113,6 +113,91 @@ class SharedBasesSpec extends SparkSpec {
       "q_dedup_clusters served from the store must match")
   }
 
+  test("persisted IVF index: a NEW session searches row-identical from the store") {
+    import org.apache.spark.sql.functions._
+    val prefix = "graft_sb_ivf_roundtrip"
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_cents")
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_cells")
+    val e = graft.Tables.table(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+    val expected = graft.ops.llm.Ivf.int8TopKExact(e,
+        e.filter(col("vec_id") < 10), k = 5, nClusters = 16, nprobe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(expected.nonEmpty)
+    // session 1 persists the index; "restart": only the tables survive
+    SharedBases.persistIvfIndex(spark, sf0001, prefix)
+    SharedBases.invalidateAll(spark)
+    val s2 = spark.newSession()
+    val q2 = graft.Tables.table(s2, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .filter(col("vec_id") < 10)
+    val got = SharedBases.ivfTopKFromStore(s2, q2, k = 5, nprobe = 4,
+      prefix = prefix)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains(s"${prefix}_cells") &&
+      plan.contains(s"${prefix}_cents"),
+      s"store tables must feed the search:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"cell scans must use their bucketing:\n$plan")
+    // the corpus is served from the store: embeddings.parquet appears
+    // ONLY as the (pruned) query-side scan, never as a corpus rescan
+    val corpusScans = plan.linesIterator
+      .count(l => l.contains("FileScan") && l.contains("embeddings.parquet"))
+    assert(corpusScans == 1,
+      s"expected 1 query-side scan, got $corpusScans:\n$plan")
+    assert(got.collect().map(_.toString).sorted.toSeq == expected,
+      "store-served IVF search must be row-identical to the direct build")
+  }
+
+  test("persisted PQ index: a NEW session refines row-identical from the store") {
+    import org.apache.spark.sql.functions._
+    val prefix = "graft_sb_pq_roundtrip"
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_books")
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_codes")
+    val vecs = graft.Tables.table(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .toDF("id", "vec")
+    val books = graft.ops.llm.Pq.fitCodebooks(vecs, m = 8, k = 64,
+      iters = 1)
+    val codes = graft.ops.llm.Pq.encode(vecs, books, m = 8)
+    val expected = graft.ops.llm.Pq.refineTopKInt(vecs, codes, books,
+        vecs.filter(col("id") < 10), m = 8, k = 5, shortlist = 40)
+      .collect().map(_.toString).sorted.toSeq
+    assert(expected.nonEmpty)
+    SharedBases.persistPqIndex(spark, sf0001, prefix)
+    SharedBases.invalidateAll(spark)
+    val s2 = spark.newSession()
+    val q2 = graft.Tables.table(s2, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .toDF("id", "vec").filter(col("id") < 10)
+    val got = SharedBases.pqRefineFromStore(s2, sf0001, q2, k = 5,
+      shortlist = 40, m = 8, prefix = prefix)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains(s"${prefix}_codes") &&
+      plan.contains(s"${prefix}_books"),
+      s"store tables must feed the ADC stage:\n$plan")
+    assert(got.collect().map(_.toString).sorted.toSeq == expected,
+      "store-served PQ refine must be row-identical to the direct build")
+  }
+
+  test("ivfQuantizer: staged generation equals the direct build") {
+    import org.apache.spark.sql.functions._
+    val direct = graft.ops.llm.Ivf.int8Quantizer(
+        graft.Tables.table(spark, sf0001, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>")),
+        nClusters = 16)
+      .collect().map(_.toString).sorted.toSeq
+    // first call may build + stage; second call must serve the landed
+    // generation (cross-JVM store) — both must equal the direct build
+    val first = SharedBases.ivfQuantizer(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val second = SharedBases.ivfQuantizer(spark.newSession(), sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    assert(first == direct && second == direct,
+      "staged quantizer must be identical to the direct build")
+    assert(direct.size == 16)
+  }
+
   test("persisted jaccard base: a NEW session mines row-identical from the store") {
     val prefix = "graft_sb_jac_roundtrip"
     spark.sql(s"DROP TABLE IF EXISTS ${prefix}_base")
