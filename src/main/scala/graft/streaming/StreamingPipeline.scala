@@ -760,9 +760,9 @@ object StreamingPipeline {
       build: DataFrame => DataFrame): DataFrame = {
     val ckpt = ephemeralCheckpointDir(prefix)
     val outRoot =
-      java.nio.file.Files.createTempDirectory(s"graft-stream-$prefix-out")
+      ephemeralDir(s"$prefix-out")
     val outDir = outRoot.resolve("facts").toString
-    val srcSchema = spark.read.parquet(stagedDir).schema
+    val srcSchema = stagedSchema(spark, stagedDir)
     var started: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
     val restoreSp = pushStatePartitions(spark, statePartitions)
     try {
@@ -825,7 +825,7 @@ object StreamingPipeline {
     val name = s"graft_stream_${prefix}_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = ephemeralCheckpointDir(prefix)
-    val srcSchema = spark.read.parquet(stagedDir).schema
+    val srcSchema = stagedSchema(spark, stagedDir)
     var started: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
     val restoreSp = pushStatePartitions(spark, statePartitions)
     try {
@@ -882,14 +882,39 @@ object StreamingPipeline {
     * restart story — points checkpointLocation at durable storage and
     * pays the sync; that trade is per-deployment, not baked in here.
     */
-  private def ephemeralCheckpointDir(prefix: String): java.nio.file.Path = {
+  private def ephemeralCheckpointDir(prefix: String): java.nio.file.Path =
+    ephemeralDir(s"$prefix-ckpt")
+
+  /** tmpfs-backed temp dir (fallback: java.io.tmpdir) for the drains'
+    * EPHEMERAL scratch — checkpoints, merge-sink state, append-fact
+    * spools. All are deleted in the caller's `finally` and never outlive
+    * the call; the merge-sink state in particular is READ AND REWRITTEN
+    * every trigger, so parking it on disk bills real I/O to scratch by
+    * contract (the same r13 profile argument that moved the checkpoints).
+    * A production deployment's sink is a durable table and pays its
+    * placement deliberately.
+    */
+  private def ephemeralDir(tag: String): java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     if (java.nio.file.Files.isDirectory(shm) &&
         java.nio.file.Files.isWritable(shm))
-      java.nio.file.Files.createTempDirectory(shm, s"graft-$prefix-ckpt")
+      java.nio.file.Files.createTempDirectory(shm, s"graft-$tag")
     else
-      java.nio.file.Files.createTempDirectory(s"graft-stream-$prefix-ckpt")
+      java.nio.file.Files.createTempDirectory(s"graft-stream-$tag")
   }
+
+  /** Source schema for a staged fixture dir, memoized per dir: every
+    * drain start was paying a listing + parquet-footer read for a schema
+    * that is immutable once staged (the StagingStore generations are
+    * content-addressed — a re-staged corpus lands at a NEW path, so a
+    * path-keyed memo can never serve a stale schema).
+    */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+  private def stagedSchema(spark: SparkSession,
+                           stagedDir: String): org.apache.spark.sql.types.StructType =
+    schemaMemo.computeIfAbsent(stagedDir,
+      d => spark.read.parquet(d).schema)
 
   /** Set shuffle partitions for a drain, returning the restore thunk. */
   private def pushStatePartitions(spark: SparkSession, n: Int): () => Unit = {
@@ -963,11 +988,12 @@ object StreamingPipeline {
     */
   def streamWindowUpdate(spark: SparkSession, sfDir: String,
       onFinish: org.apache.spark.sql.streaming.StreamingQuery => Unit =
-        _ => ()): DataFrame = {
+        _ => (),
+      statePartitions: Int = defaultStatePartitions): DataFrame = {
     drainUpdateMerge(spark,
       graft.queries.StreamStaging.dir(spark, sfDir, "events8range"),
       "window_upd", Seq("window_start", "event_type"),
-      onFinish = onFinish) {
+      onFinish = onFinish, statePartitions = statePartitions) {
       st =>
         st.withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
@@ -1205,9 +1231,9 @@ object StreamingPipeline {
       build: DataFrame => DataFrame): DataFrame = {
     val ckpt = ephemeralCheckpointDir(prefix)
     val sinkRoot =
-      java.nio.file.Files.createTempDirectory(s"graft-stream-$prefix-sink")
+      ephemeralDir(s"$prefix-sink")
     val sinkPath = sinkRoot.resolve("state").toString
-    val srcSchema = spark.read.parquet(stagedDir).schema
+    val srcSchema = stagedSchema(spark, stagedDir)
     var started: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
     val restoreSp = pushStatePartitions(spark, statePartitions)
     try {
