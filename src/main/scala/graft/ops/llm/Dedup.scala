@@ -629,11 +629,20 @@ object Dedup {
           col("wt").as("w")))).as("ent"),
         sum(col("wt") * col("wt")).as("n2"))
       .localCheckpoint(true)
+    // shuffle_hash on the packed lookups: the doc-key joins ship the
+    // packed postings payloads, and the default sort-merge strategy
+    // SORTS the pair×payload stream on the join key — at 128×
+    // replication that sort OOMs on rows it never needed ordered. A
+    // shuffled-hash join builds the (bounded, one-row-per-doc) packed
+    // side per partition and streams the pairs unsorted; at gate scale
+    // AQE still promotes the small build side to broadcast, so the
+    // production plan shape (broadcast lookups, PlanAuditSpec) is
+    // unchanged.
     val scored = cand
       .join(packed.select(col("doc").as("a"), col("ent").as("ea"),
-        col("n2").as("na2")), "a")
+        col("n2").as("na2")).hint("shuffle_hash"), "a")
       .join(packed.select(col("doc").as("b"), col("ent").as("eb"),
-        col("n2").as("nb2")), "b")
+        col("n2").as("nb2")).hint("shuffle_hash"), "b")
       .select(col("a"), col("b"),
         graft.functions.SparseDot(col("ea"), col("eb")).as("dot"),
         col("na2"), col("nb2"))
