@@ -907,14 +907,20 @@ object StreamingPipeline {
     * drain start was paying a listing + parquet-footer read for a schema
     * that is immutable once staged (the StagingStore generations are
     * content-addressed — a re-staged corpus lands at a NEW path, so a
-    * path-keyed memo can never serve a stale schema).
+    * path-keyed memo can never serve a stale schema). Only store paths
+    * are memoized: the ad-hoc drain overload stages into plain temp
+    * dirs, which are deleted after the call and whose names could in
+    * principle recycle under a different dataset — those pay the one
+    * footer read instead of risking a stale hit.
     */
   private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.types.StructType]()
   private def stagedSchema(spark: SparkSession,
                            stagedDir: String): org.apache.spark.sql.types.StructType =
-    schemaMemo.computeIfAbsent(stagedDir,
-      d => spark.read.parquet(d).schema)
+    if (stagedDir.contains("graft_stage_store"))
+      schemaMemo.computeIfAbsent(stagedDir,
+        d => spark.read.parquet(d).schema)
+    else spark.read.parquet(stagedDir).schema
 
   /** Set shuffle partitions for a drain, returning the restore thunk. */
   private def pushStatePartitions(spark: SparkSession, n: Int): () => Unit = {
