@@ -117,4 +117,19 @@ object SparseDot {
     */
   def apply(a: Column, b: Column): Column =
     Bridge.column(SparseDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** THE builder for [[SparseDot]] inputs — an AGGREGATE column packing
+    * (term, weight) rows into the sorted/unique postings array the
+    * sorted-merge contract requires. `sort_array` over
+    * `struct(t, w)` sorts by `t` first in the same binary UTF8 order the
+    * merge compares with, and uniqueness holds because callers aggregate
+    * from a per-(doc, term) frame. Funnel all packing through this
+    * (instead of hand-rolling the sort) so a future caller cannot feed
+    * the merge an unsorted array and read an undercounted dot as a
+    * mysteriously-wrong score.
+    */
+  def packPostings(term: Column, wt: Column): Column = {
+    import org.apache.spark.sql.functions.{collect_list, sort_array, struct}
+    sort_array(collect_list(struct(term.as("t"), wt.as("w"))))
+  }
 }

@@ -164,4 +164,22 @@ object Sinks {
       .option("kafka.bootstrap.servers", brokers)
       .option("topic", topic).save()
 
+  /** S5: document-store sink shape — one JSON document per row, written
+    * as JSON-lines. This is the sandbox-complete half of the reference's
+    * MongoDB sink (`approach 3 cli instructions.txt:43-46`; the connector
+    * is commented out even in the reference's own pom.xml:30-34): the
+    * input frame is the TYPED document built by `ops.JsonPack.document`
+    * (`{group, completions: [{query, frequency}...], last_updated}`), and
+    * each row serializes to exactly the document a Mongo connector write
+    * would insert. A real deployment swaps this call for
+    * `df.write.format("mongodb")` with the SAME frame — the document
+    * layout, not the wire protocol, is what the engine owns; SinksSpec
+    * round-trips it through `spark.read.json` to certify the layout.
+    */
+  def documentSink(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+  }
+
 }

@@ -37,4 +37,30 @@ object JsonPack {
           df(freq).as("frequency")))),
         e => struct(e.getField("query").as("query"),
                     e.getField("frequency").as("frequency")))).as(out))
+
+  /** S5 document frame — the reference's MongoDB collection record
+    * (`reports-steps/steps.docx` schema; `IncrementalAutocomplete.java:
+    * 126-133` builds the same fields for the JDBC fallback): one TYPED
+    * document per group, `(group, completions: array<struct<query,
+    * frequency>>, last_updated)`, completions in rank order. Unlike
+    * [[nested]] (which emits the completions array pre-serialized as a
+    * JSON string for the SQL/JDBC surface), this keeps the array TYPED —
+    * exactly the frame a document-store connector consumes: a real
+    * deployment hands it to the Mongo Spark connector unchanged, and the
+    * sandbox writes it as JSON-lines via `Sinks.documentSink` (no broker/
+    * mongod exists here; the document layout is what the spec certifies).
+    * `lastUpdated` is caller-supplied rather than `current_timestamp()`
+    * so tests and replays are deterministic.
+    */
+  def document(df: DataFrame, group: String, rankCol: String, query: String,
+               freq: String, lastUpdated: org.apache.spark.sql.Column,
+               out: String = "completions"): DataFrame =
+    df.groupBy(df(group))
+      .agg(transform(
+        sort_array(collect_list(struct(
+          df(rankCol).as("r"), df(query).as("query"),
+          df(freq).as("frequency")))),
+        e => struct(e.getField("query").as("query"),
+                    e.getField("frequency").as("frequency"))).as(out))
+      .withColumn("last_updated", lastUpdated)
 }

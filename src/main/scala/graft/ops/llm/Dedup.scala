@@ -625,8 +625,8 @@ object Dedup {
           .cast("long")).as("wt"))
       .filter(col("wt") =!= 0)
       .groupBy("doc")
-      .agg(sort_array(collect_list(struct(col("term").as("t"),
-          col("wt").as("w")))).as("ent"),
+      .agg(graft.functions.SparseDot.packPostings(
+          col("term"), col("wt")).as("ent"),
         sum(col("wt") * col("wt")).as("n2"))
       .localCheckpoint(true)
     // shuffle_hash on the packed lookups: the doc-key joins ship the

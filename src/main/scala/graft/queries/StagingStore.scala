@@ -26,6 +26,22 @@ package graft.queries
   */
 private[graft] object StagingStore {
 
+  /** The store root all generations live under. */
+  private[graft] val root: java.nio.file.Path =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stage_store")
+
+  /** True iff `p` is a path INSIDE the store — the real marker consumers
+    * (e.g. StreamingPipeline's schema memo) should key immutability
+    * decisions on, instead of a substring match that any ad-hoc temp dir
+    * could accidentally satisfy. Normalized prefix compare, not string
+    * `contains`.
+    */
+  private[graft] def isStorePath(p: String): Boolean =
+    try java.nio.file.Paths.get(p).toAbsolutePath.normalize
+      .startsWith(root.toAbsolutePath.normalize)
+    catch { case _: java.nio.file.InvalidPathException => false }
+
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -33,8 +49,7 @@ private[graft] object StagingStore {
 
   private def genPath(dir: String, kind: String,
                       fp: String): java.nio.file.Path =
-    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_stage_store", md5(dir).take(12), s"$kind@$fp")
+    root.resolve(md5(dir).take(12)).resolve(s"$kind@$fp")
 
   /** The staged directory for (dir, kind, fp), building via `write`
     * (given the path to produce, including `_SUCCESS` — every Spark

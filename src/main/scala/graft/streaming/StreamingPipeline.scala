@@ -795,6 +795,11 @@ object StreamingPipeline {
           schema)
       } else {
         val facts = spark.read.parquet(outDir)
+        // result-sized by contract (gate-harness-only rehydration): the
+        // fact table is the entry's RESULT — the driver hashes every row
+        // anyway — collected here only so the temp spool can be deleted.
+        // Production appends land in a durable table and are never
+        // driver-resident.
         val rows = facts.collect()
         spark.createDataFrame(java.util.Arrays.asList(rows: _*),
           facts.schema)
@@ -842,6 +847,9 @@ object StreamingPipeline {
       started = Some(q)
       q.awaitTermination()
       val sink = spark.table(name)
+      // result-sized by contract: the memory sink holds exactly the
+      // entry's final state (already driver-resident by the sink's own
+      // design); copied off so the temp view can be dropped
       val rows = sink.collect()
       val sinkSchema = sink.schema
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), sinkSchema)
@@ -893,11 +901,24 @@ object StreamingPipeline {
     * contract (the same r13 profile argument that moved the checkpoints).
     * A production deployment's sink is a durable table and pays its
     * placement deliberately.
+    *
+    * tmpfs is used only with HEADROOM (r15 ADVICE): unlike checkpoints,
+    * the sink/spool scratch is data-sized, and a small /dev/shm (e.g.
+    * Docker's 64 MB default) would ENOSPC a drain mid-run — so the mount
+    * must have at least [[shmMinFreeBytes]] usable, and
+    * `GRAFT_NO_SHM_SCRATCH=1` opts out entirely (both fall back to
+    * java.io.tmpdir).
     */
+  private[graft] val shmMinFreeBytes: Long = 1L << 30 // 1 GiB
   private def ephemeralDir(tag: String): java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isDirectory(shm) &&
-        java.nio.file.Files.isWritable(shm))
+    val usable =
+      try java.nio.file.Files.getFileStore(shm).getUsableSpace
+      catch { case _: java.io.IOException => 0L }
+    if (!sys.env.get("GRAFT_NO_SHM_SCRATCH").contains("1") &&
+        java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm) &&
+        usable >= shmMinFreeBytes)
       java.nio.file.Files.createTempDirectory(shm, s"graft-$tag")
     else
       java.nio.file.Files.createTempDirectory(s"graft-stream-$tag")
@@ -908,19 +929,28 @@ object StreamingPipeline {
     * that is immutable once staged (the StagingStore generations are
     * content-addressed — a re-staged corpus lands at a NEW path, so a
     * path-keyed memo can never serve a stale schema). Only store paths
-    * are memoized: the ad-hoc drain overload stages into plain temp
+    * are memoized — decided by `StagingStore.isStorePath` (a normalized
+    * prefix compare against the real store root, r15 ADVICE), not a
+    * substring match: the ad-hoc drain overload stages into plain temp
     * dirs, which are deleted after the call and whose names could in
     * principle recycle under a different dataset — those pay the one
-    * footer read instead of risking a stale hit.
+    * footer read instead of risking a stale hit. The memo is bounded:
+    * before inserting past 64 entries, paths whose generations were
+    * evicted from disk are dropped (generations are re-landed at new
+    * fingerprint paths, so long sessions would otherwise grow the map
+    * monotonically).
     */
   private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.types.StructType]()
   private def stagedSchema(spark: SparkSession,
                            stagedDir: String): org.apache.spark.sql.types.StructType =
-    if (stagedDir.contains("graft_stage_store"))
+    if (graft.queries.StagingStore.isStorePath(stagedDir)) {
+      if (schemaMemo.size > 64)
+        schemaMemo.keySet.removeIf(p =>
+          !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
       schemaMemo.computeIfAbsent(stagedDir,
         d => spark.read.parquet(d).schema)
-    else spark.read.parquet(stagedDir).schema
+    } else spark.read.parquet(stagedDir).schema
 
   /** Set shuffle partitions for a drain, returning the restore thunk. */
   private def pushStatePartitions(spark: SparkSession, n: Int): () => Unit = {
@@ -1310,6 +1340,10 @@ object StreamingPipeline {
           built.schema)
       else {
         val fin = spark.read.parquet(sinkPath).drop("pfx")
+        // result-sized by contract (gate-harness-only rehydration): the
+        // sink table IS the entry's result — collected only to outlive
+        // the temp dir's deletion below. A production sink is a durable
+        // partitioned table; nothing there is ever driver-resident.
         val rows = fin.collect()
         spark.createDataFrame(java.util.Arrays.asList(rows: _*), fin.schema)
       }

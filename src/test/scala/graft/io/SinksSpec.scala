@@ -235,6 +235,43 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("documentSink: Mongo-document layout round-trips (S5)") {
+    // No mongod exists in the sandbox; the connector boundary is the
+    // write format only — the DOCUMENT layout (steps.docx: {prefix,
+    // completions: [{query, frequency}...], last_updated}) is what the
+    // engine owns, so this round-trips exactly that. JsonPack.document
+    // keeps the completions array TYPED (unlike `nested`, which
+    // pre-serializes it for the SQL surface), so the JSON reader must
+    // recover the array-of-struct shape, rank order, and every field.
+    val ranked = Seq(
+      ("ho", 1L, "how", 3L), ("ho", 2L, "hot", 1L), ("ca", 1L, "cat", 5L))
+      .toDF("prefix", "rnk", "query", "frequency")
+    val docs = graft.ops.JsonPack.document(ranked, "prefix", "rnk",
+      "query", "frequency", lit("2024-01-01T00:00:00Z"))
+    val dir = graft.TempDirs.create("graft-docsink") + "/out"
+    Sinks.documentSink(docs, dir)
+    // raw lines: one self-contained JSON document per line (the record a
+    // connector insert would carry), nested array intact
+    val lines = spark.read.text(dir).as[String].collect().toSeq
+    assert(lines.size == 2)
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+    // structured read-back: schema + rank order + values
+    val back = spark.read.json(dir)
+    assert(back.columns.sorted.toSeq ==
+      Seq("completions", "last_updated", "prefix"))
+    val ho = back.filter(col("prefix") === "ho")
+      .select(expr("transform(completions, c -> c.query)"),
+        expr("transform(completions, c -> c.frequency)"),
+        col("last_updated"))
+      .as[(Seq[String], Seq[Long], String)].head()
+    assert(ho == ((Seq("how", "hot"), Seq(3L, 1L),
+      "2024-01-01T00:00:00Z")))
+    val ca = back.filter(col("prefix") === "ca")
+      .select(expr("transform(completions, c -> c.query)"))
+      .as[Seq[String]].head()
+    assert(ca == Seq("cat"))
+  }
+
   test("ZOrder.bucket: NULL values, NULL bounds, constant columns pin to 0") {
     // degenerate inputs must not produce NaN/NULL buckets (or engine-
     // divergent clamping) — they pin to bucket 0 pre-division

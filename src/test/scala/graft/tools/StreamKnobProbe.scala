@@ -30,25 +30,28 @@ object StreamKnobProbe {
       println(f"[knob] $label%-40s ${ts.map(t => f"$t%.2f").mkString(" ")}" +
         f"  min=${ts.min}%.2f med=${ts.sorted.apply(2)}%.2f")
     }
+    // teardown restores the PRE-TRIAL conf value (r15 ADVICE), not a
+    // hardcoded default — a drifted session default would otherwise skew
+    // every later trial
+    def confTrial(label: String, key: String, value: String): Unit = {
+      val before = spark.conf.getOption(key)
+      trial(label) { spark.conf.set(key, value) } {
+        before match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    }
     trial("baseline (8 parts, changelog, lz4)") {} {}
     trial("parts=4", parts = 4) {} {}
     trial("parts=2", parts = 2) {} {}
-    trial("changelog OFF") {
-      spark.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+    confTrial("changelog OFF",
+      "spark.sql.streaming.stateStore.rocksdb." +
         "changelogCheckpointing.enabled", "false")
-    } {
-      spark.conf.set("spark.sql.streaming.stateStore.rocksdb." +
-        "changelogCheckpointing.enabled", "true")
-    }
-    trial("hdfs-backed provider") {
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state." +
-          "HDFSBackedStateStoreProvider")
-    } {
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state." +
-          "RocksDBStateStoreProvider")
-    }
+    confTrial("hdfs-backed provider",
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "HDFSBackedStateStoreProvider")
     trial("baseline again (drift check)") {} {}
     println("[knob] done")
     spark.stop()
