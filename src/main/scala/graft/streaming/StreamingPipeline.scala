@@ -785,16 +785,18 @@ object StreamingPipeline {
       q.awaitTermination()
       val outPath = new org.apache.hadoop.fs.Path(outDir)
       val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+      // the spool's schema is the build's own output schema — known
+      // without touching a footer (plan analysis only, no job)
+      val outSchema = perBatch(build(spark.read.schema(srcSchema)
+        .parquet(stagedDir))).schema
       if (!fs.exists(outPath)) {
         // zero batches emitted facts (empty source): an empty frame
         // with the build's schema
-        val schema = perBatch(build(spark.read.schema(srcSchema)
-          .parquet(stagedDir))).schema
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          schema)
+          outSchema)
       } else {
-        val facts = spark.read.parquet(outDir)
+        val facts = spark.read.schema(outSchema).parquet(outDir)
         // result-sized by contract (gate-harness-only rehydration): the
         // fact table is the entry's RESULT — the driver hashes every row
         // anyway — collected here only so the temp spool can be deleted.
@@ -960,6 +962,17 @@ object StreamingPipeline {
     () => spark.conf.set(key, old)
   }
 
+  /** Set a session conf for one drain, returning the restore thunk. */
+  private def pushConf(spark: SparkSession, key: String,
+                       value: String): () => Unit = {
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    () => old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** X12p — the 100 TB shape of `q_stream_dedup`: the SAME exact-dedup
     * aggregation run in UPDATE output mode, each micro-batch's changed
     * digests MERGE-d into a digest-prefix-partitioned parquet sink table
@@ -1029,7 +1042,12 @@ object StreamingPipeline {
     drainUpdateMerge(spark,
       graft.queries.StreamStaging.dir(spark, sfDir, "events8range"),
       "window_upd", Seq("window_start", "event_type"),
-      onFinish = onFinish, statePartitions = statePartitions) {
+      onFinish = onFinish, statePartitions = statePartitions,
+      // update mode: the zero-data flush batch emits nothing here
+      // (measured: batch 4 arrives with mask = 0) — skip its ~0.5 s of
+      // pure state-store machinery; the hash-matched oracle certifies
+      // the equivalence every run
+      noDataBatch = false) {
       st =>
         st.withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
@@ -1263,7 +1281,8 @@ object StreamingPipeline {
                        outputMode: String = "update",
                        onFinish: org.apache.spark.sql.streaming.StreamingQuery
                          => Unit = _ => (),
-                       statePartitions: Int = defaultStatePartitions)(
+                       statePartitions: Int = defaultStatePartitions,
+                       noDataBatch: Boolean = true)(
       build: DataFrame => DataFrame): DataFrame = {
     val ckpt = ephemeralCheckpointDir(prefix)
     val sinkRoot =
@@ -1272,6 +1291,17 @@ object StreamingPipeline {
     val srcSchema = stagedSchema(spark, stagedDir)
     var started: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
     val restoreSp = pushStatePartitions(spark, statePartitions)
+    // UPDATE-mode drains may opt out of the trailing zero-data
+    // micro-batch: it exists to let watermark advancement EMIT
+    // finalized results (append mode) / EVICT state — in update mode
+    // every row was already emitted when its group changed, the batch
+    // arrives empty (mask = 0, measured), and the eviction buys nothing
+    // for state that dies with the drain. Append-mode drains must keep
+    // it (the sentinel-flush discipline rides that final batch).
+    val restoreNdb =
+      if (noDataBatch) () => ()
+      else pushConf(spark,
+        "spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       // the staged dir is the memoized StreamStaging fixture (or the
       // overload's per-call temp dir): time-ordered kinds carry PINNED
@@ -1286,25 +1316,47 @@ object StreamingPipeline {
         .outputMode(outputMode)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val sp = batch.sparkSession
+          def phase[T](tag: String)(body: => T): T = {
+            sp.sparkContext.setJobDescription(s"graft-sink:$tag")
+            try body finally sp.sparkContext.setJobDescription(null)
+          }
           // eager checkpoint: the batch Dataset is only valid inside this
-          // callback, and it feeds two branches (touched-prefix collect +
-          // both merge sides) — see "EAGER CHECKPOINT DISCIPLINE"
-          val upd = batch
-            .withColumn("pfx",
-              pmod(xxhash64(keyCols.map(col): _*), lit(16L)))
-            .localCheckpoint(true)
+          // callback, and it feeds two branches (touched-prefix discovery
+          // + both merge sides) — see "EAGER CHECKPOINT DISCIPLINE".
+          // The touched-prefix set and the emptiness check ride the SAME
+          // job as the checkpoint via Observation (a bit_or over
+          // 1L<<pfx — exact because pfx < 16): they each used to be
+          // their own Spark job (distinct+collect, isEmpty), i.e. 2 of
+          // the 5 per-trigger sink jobs; at ~4-5 triggers × ~8 update
+          // drains that fixed machinery was ~20% of the streaming
+          // family's sink overhead (r16; the r15 verdict's amortization
+          // item).
+          val obs = new org.apache.spark.sql.Observation()
+          val upd = phase("ckpt") {
+            batch
+              .withColumn("pfx",
+                pmod(xxhash64(keyCols.map(col): _*), lit(16L)))
+              .observe(obs,
+                coalesce(bit_or(expr("shiftleft(1L, cast(pfx as int))")),
+                  lit(0L)).as("mask"))
+              .localCheckpoint(true)
+          }
+          val mask = obs.get("mask").asInstanceOf[Long]
           // append-mode batches can legitimately emit nothing (no key
-          // finalized this trigger) — writing the empty frame would leave
-          // a part-less parquet dir the next batch cannot re-read
-          if (!upd.isEmpty) {
-          val touched =
-            upd.select("pfx").distinct().collect().map(_.getLong(0)).toSeq
+          // finalized this trigger; mask 0 ⟺ zero rows) — writing the
+          // empty frame would leave a part-less parquet dir the next
+          // batch cannot re-read
+          if (mask != 0L) {
+          val touched = (0 until 16).filter(i => (mask & (1L << i)) != 0)
+            .map(_.toLong)
           val existing =
             if (new java.io.File(sinkPath).exists())
-              sp.read.parquet(sinkPath).filter(col("pfx").isin(touched: _*))
-                // partition-dir values read back as IntegerType; align
-                // order AND type with upd before the union
-                .withColumn("pfx", col("pfx").cast("long"))
+              // explicit schema (upd's own — pfx declared LONG, so the
+              // partition column needs no cast): the schema-less read was
+              // paying a footer-inference job per trigger for a layout
+              // this loop itself wrote
+              sp.read.schema(upd.schema).parquet(sinkPath)
+                .filter(col("pfx").isin(touched: _*))
                 .select(upd.columns.map(col): _*)
             else sp.createDataFrame(
               sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], upd.schema)
@@ -1312,15 +1364,45 @@ object StreamingPipeline {
           // every shuffle partition holds rows of ~all prefixes and the
           // write emits O(shuffle.partitions × prefixes) small files per
           // batch — repartitioned, each touched partition gets ONE file
-          // (the compaction discipline a production MERGE sink keeps)
-          val merged = existing
-            .join(upd.select(keyCols.map(col): _*), keyCols, "left_anti")
-            .unionByName(upd)
-            .repartition(math.max(touched.size, 1), col("pfx"))
-            .localCheckpoint(true)
-          merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("pfx").parquet(sinkPath)
+          // (the compaction discipline a production MERGE sink keeps).
+          //
+          // ONE job for merge+write (r16, the r15 verdict's amortization
+          // item): the merged frame is written to a STAGING sibling and
+          // the touched pfx= dirs are swapped in driver-side — the write
+          // job reads sinkPath (the existing side) while writing a
+          // different path, so the lineage-cutting localCheckpoint that
+          // existed only to dodge the read-overwrite conflict (and its
+          // whole extra pass over the merged rows) is gone. Same merged
+          // bytes, same final pfx= layout, same idempotent replay
+          // (replace-by-key re-merges to the identical partition); the
+          // swap is the overwriteSafely staging discipline scoped to
+          // partition dirs. A production MERGE sink is a durable table
+          // whose commit protocol does exactly this swap transactionally.
+          val stage = s"$sinkPath.stage"
+          phase("merge+write") {
+            existing
+              .join(upd.select(keyCols.map(col): _*), keyCols, "left_anti")
+              .unionByName(upd)
+              .repartition(touched.size, col("pfx"))
+              .write.mode("overwrite").partitionBy("pfx").parquet(stage)
+          }
+          val sinkDir = new java.io.File(sinkPath)
+          sinkDir.mkdirs()
+          touched.foreach { i =>
+            val dst = new java.io.File(sinkDir, s"pfx=$i")
+            val src = new java.io.File(stage, s"pfx=$i")
+            // a touched prefix always has staged rows (mask ⟸ upd rows);
+            // the guard keeps a hypothetical miss from deleting data
+            if (!src.exists())
+              throw new java.io.IOException(
+                s"touched prefix missing from stage: $src")
+            graft.util.Fs.deleteRecursively(dst.toPath)
+            if (!src.renameTo(dst))
+              throw new java.io.IOException(
+                s"sink partition swap failed: $src -> $dst")
+          }
+          graft.util.Fs.deleteRecursively(
+            java.nio.file.Paths.get(stage))
           }
         }
         .option("checkpointLocation", ckpt.toString)
@@ -1339,7 +1421,14 @@ object StreamingPipeline {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           built.schema)
       else {
-        val fin = spark.read.parquet(sinkPath).drop("pfx")
+        // explicit schema (the aggregation's own + the LONG pfx column
+        // the sink layout adds) — same footer-inference cut as the
+        // per-trigger existing read
+        val sinkSchema = new org.apache.spark.sql.types.StructType(
+          built.schema.fields :+ org.apache.spark.sql.types.StructField(
+            "pfx", org.apache.spark.sql.types.LongType))
+        val fin = spark.read.schema(sinkSchema).parquet(sinkPath)
+          .drop("pfx")
         // result-sized by contract (gate-harness-only rehydration): the
         // sink table IS the entry's result — collected only to outlive
         // the temp dir's deletion below. A production sink is a durable
@@ -1349,6 +1438,7 @@ object StreamingPipeline {
       }
     } finally {
       restoreSp()
+      restoreNdb()
       started.foreach(q => try q.stop()
         catch { case _: Exception => () })
       Seq(ckpt, sinkRoot).foreach(graft.util.Fs.deleteRecursively)
