@@ -293,6 +293,54 @@ object Similarity {
       .select(col("qid"), col("id"), col("rnk"), col("score"))
   }
 
+  /** L99 — Matryoshka prefix-dimension retrieval: the int8 search run
+    * over only the FIRST `dims` components of each embedding. MRL-style
+    * models (Kusupati et al. 2022, "Matryoshka Representation Learning";
+    * the truncatable-embedding serving pattern) pack coarse semantics
+    * into the vector prefix, so a store can index 16 of 64 dims — a 4×
+    * compression axis ORTHOGONAL to precision (int8, L30) and sign-bits
+    * (Hamming, L30c) — and search it at 4× less dot-product work per
+    * candidate. The quantization scale comes from the PREFIX slice
+    * (max-abs over the kept dims), exactly what a store holding only
+    * the prefix can compute. Same exact-integer scoring discipline as
+    * [[int8TopK]]: ranking is bit-deterministic and oracle-replayable.
+    */
+  def prefixTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                 dims: Int = 16): DataFrame = {
+    def cut(df: DataFrame): DataFrame = df.toDF("id", "vec")
+      .select(col("id"), slice(col("vec"), 1, dims).as("vec"))
+    int8TopK(cut(vectors), cut(queries), k)
+  }
+
+  /** L99b — two-stage Matryoshka search: prefix-dim shortlist (cheap,
+    * [[prefixTopK]]) reranked by the exact full-dimension int8 score —
+    * the truncate-then-rerank production shape (the dimensional sibling
+    * of [[hammingRerank]]'s precision ladder). Both the shortlist
+    * BOUNDARY (score desc, id asc — a total order) and the rerank
+    * scores are exact integers, so the full pipeline is
+    * hash-certifiable end to end. Candidate volume after stage 1 is
+    * |queries|·shortlist — the only rows full-width codes are ever
+    * fetched for, which is the point at corpus scale: the 4×-smaller
+    * prefix index streams, the full vectors serve point lookups.
+    */
+  def prefixRerank(vectors: DataFrame, queries: DataFrame, k: Int,
+                   dims: Int = 16, shortlist: Int = 20): DataFrame = {
+    val cand = prefixTopK(vectors, queries, shortlist, dims)
+      .select(col("qid"), col("id"))
+    val v = int8Codes(vectors)
+      .select(col("id"), col("codes").cast("array<double>").as("cv"),
+        col("maxabs_micro").as("mxv"))
+    val q = int8Codes(queries)
+      .select(col("id").as("qid"),
+        col("codes").cast("array<double>").as("cq"),
+        col("maxabs_micro").as("mxq"))
+    val scored = cand.join(v, "id").join(broadcast(q), "qid")
+      .withColumn("score",
+        dot(col("cq"), col("cv")).cast("long") * col("mxq") * col("mxv"))
+    graft.ops.TopK(scored, Seq("qid"), scored("score"), Seq(scored("id")), k)
+      .select(col("qid"), col("id"), col("rnk"), col("score"))
+  }
+
   /** Deterministic random hyperplanes: `planes` rows of `dim` components in
     * [-1, 1), from a fixed seed. Returned as a literal nested array column —
     * broadcast by value inside the plan.

@@ -3198,6 +3198,98 @@ object LlmQueries {
         shortlist = 20)
     },
 
+    // L99 — Matryoshka prefix-dimension retrieval (Kusupati et al.
+    // 2022): the int8 search over only the FIRST 16 of 64 dims — the
+    // dimensional compression axis next to precision (int8) and
+    // sign-bits (Hamming). Scale comes from the prefix slice (what a
+    // store holding only the prefix can compute); scoring is the same
+    // exact-integer discipline, so the DuckDB oracle replays the
+    // ranking bit-for-bit.
+    "q_similarity_prefix" -> Q(
+      """WITH e AS (SELECT vec_id id, (embedding::DOUBLE[])[1:16] v
+        |           FROM embeddings),
+        |c AS (
+        |  SELECT id,
+        |    CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(v,
+        |        x -> CAST(greatest(-127, floor(x * 127 / mx)) AS BIGINT))
+        |      END codes,
+        |    CAST(floor(mx * 1000000) AS BIGINT) mxm
+        |  FROM (SELECT id, v, list_aggregate(list_transform(v,
+        |          x -> abs(x)), 'max') mx FROM e)),
+        |q AS (SELECT id qid, codes qc, mxm qm FROM c WHERE id < 10),
+        |s AS (SELECT q.qid, c.id,
+        |        CAST(list_sum(list_transform(
+        |          generate_series(1, len(c.codes)),
+        |          i -> c.codes[i] * q.qc[i])) AS BIGINT) * q.qm * c.mxm
+        |          AS score
+        |      FROM c, q WHERE c.id <> q.qid),
+        |r AS (SELECT qid, id, score, row_number() OVER (
+        |        PARTITION BY qid ORDER BY score DESC, id) rnk FROM s)
+        |SELECT qid, id, CAST(rnk AS INTEGER) AS rnk, score
+        |FROM r WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+      Similarity.prefixTopK(e, e.filter(col("vec_id") < 10), 5, dims = 16)
+    },
+
+    // L99b — two-stage Matryoshka search, end-to-end hash-certified:
+    // 16-dim int8 shortlist (top 20, ties on id — a total order, so the
+    // boundary is deterministic) reranked by the exact full-dimension
+    // int8 score. The dimensional sibling of q_similarity_hamming_rerank:
+    // the 4x-smaller prefix index streams, full-width codes serve only
+    // |queries|x20 point lookups.
+    "q_similarity_prefix_rerank" -> Q(
+      """WITH ef AS (SELECT vec_id id, embedding::DOUBLE[] vf
+        |            FROM embeddings),
+        |e AS (SELECT id, vf[1:16] v FROM ef),
+        |c AS (
+        |  SELECT id,
+        |    CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(v,
+        |        x -> CAST(greatest(-127, floor(x * 127 / mx)) AS BIGINT))
+        |      END codes,
+        |    CAST(floor(mx * 1000000) AS BIGINT) mxm
+        |  FROM (SELECT id, v, list_aggregate(list_transform(v,
+        |          x -> abs(x)), 'max') mx FROM e)),
+        |cf AS (
+        |  SELECT id,
+        |    CASE WHEN mx = 0 THEN list_transform(vf, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(vf,
+        |        x -> CAST(greatest(-127, floor(x * 127 / mx)) AS BIGINT))
+        |      END codes,
+        |    CAST(floor(mx * 1000000) AS BIGINT) mxm
+        |  FROM (SELECT id, vf, list_aggregate(list_transform(vf,
+        |          x -> abs(x)), 'max') mx FROM ef)),
+        |q AS (SELECT id qid, codes qc, mxm qm FROM c WHERE id < 10),
+        |s AS (SELECT q.qid, c.id,
+        |        CAST(list_sum(list_transform(
+        |          generate_series(1, len(c.codes)),
+        |          i -> c.codes[i] * q.qc[i])) AS BIGINT) * q.qm * c.mxm
+        |          AS score
+        |      FROM c, q WHERE c.id <> q.qid),
+        |short AS (SELECT qid, id FROM (
+        |    SELECT qid, id, row_number() OVER (
+        |      PARTITION BY qid ORDER BY score DESC, id) rnk FROM s)
+        |  WHERE rnk <= 20),
+        |qf AS (SELECT id qid, codes qc, mxm qm FROM cf WHERE id < 10),
+        |s2 AS (SELECT short.qid, short.id,
+        |         CAST(list_sum(list_transform(
+        |           generate_series(1, len(cv.codes)),
+        |           i -> cv.codes[i] * qf.qc[i])) AS BIGINT)
+        |           * qf.qm * cv.mxm AS score
+        |       FROM short, cf cv, qf
+        |       WHERE cv.id = short.id AND qf.qid = short.qid),
+        |r2 AS (SELECT qid, id, score, row_number() OVER (
+        |         PARTITION BY qid ORDER BY score DESC, id) rnk FROM s2)
+        |SELECT qid, id, CAST(rnk AS INTEGER) AS rnk, score
+        |FROM r2 WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+      Similarity.prefixRerank(e, e.filter(col("vec_id") < 10), 5,
+        dims = 16, shortlist = 20)
+    },
+
     "q_centroid" -> Q(
       """SELECT label, dim,
         |  CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT)

@@ -195,6 +195,42 @@ class SimilaritySpec extends SparkSpec {
         s"${(refined diff exact) ++ (exact diff refined)}")
   }
 
+  test("Matryoshka prefix rerank: full-dims/full-shortlist reduces to " +
+    "exact int8 top-k; prefix-16 recall beats chance") {
+    val queries = embeddings.filter(col("vec_id") < 10)
+    // dims = full width AND shortlist >= corpus => both stages are
+    // provably lossless, so the pipeline must reduce to the exact int8
+    // ranking — the property q_similarity_prefix_rerank's oracle then
+    // hash-checks per row at the real (16, 20) operating point
+    val reduced = Similarity.prefixRerank(embeddings, queries, 5,
+        dims = 64, shortlist = 1000000)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val exact = Similarity.int8TopK(embeddings, queries, 5)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(reduced == exact,
+      s"prefixRerank(64, full) must equal exact int8 top-k; diff=" +
+        s"${(reduced diff exact) ++ (exact diff reduced)}")
+    // the 16-dim prefix ranking must carry real signal: recall@5 vs the
+    // full-dim exact ranking far above the ~5/N ≈ 0.025 chance floor.
+    // The synthetic embeddings spread signal uniformly across dims (a
+    // real MRL model front-loads it into the prefix), so the floor here
+    // is the uniform-signal regime's (measured 0.14), not a trained
+    // model's — the operator assumes nothing about either.
+    val prefix = Similarity.prefixTopK(embeddings, queries, 5, dims = 16)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val full = exact.map(r => (r._1, r._2))
+    val recall = prefix.intersect(full).size.toDouble / full.size
+    assert(recall >= 0.08, s"prefix-16 recall@5 too low: $recall")
+    // deterministic reruns (the shortlist boundary is a total order)
+    val rerun = Similarity.prefixRerank(embeddings, queries, 5,
+        dims = 16, shortlist = 20)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val rerun2 = Similarity.prefixRerank(embeddings, queries, 5,
+        dims = 16, shortlist = 20)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(rerun == rerun2, "prefix rerank not deterministic")
+  }
+
   test("PQ: 8-byte codes, ADC recall vs brute force, stable encoding") {
     // L2-normalize first: ADC approximates the DOT product, so unit
     // vectors make it a cosine approximation (faiss inner-product recipe)

