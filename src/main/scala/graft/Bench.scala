@@ -326,13 +326,21 @@ object Bench {
     // actually clears most of them and the canary_rel field says when
     // it did not.
     val miniFloor = if (canaryQ.nonEmpty) canaryQ.values.min else 0.025
+    // Aggregate wait budget (5 min across the whole sweep): a
+    // pathologically loaded host must not be able to stretch the sweep
+    // by 40 retries x 30s of waiting — once the budget is spent,
+    // reruns proceed immediately and canary_rel says they ran hot.
+    var quietWaitBudgetNs = 300L * 1000000000L
     def awaitQuiet(): Double = {
       var c = miniCanary()
-      val deadline = System.nanoTime() + 30L * 1000000000L
+      val t0 = System.nanoTime()
+      val deadline = t0 + math.min(30L * 1000000000L, quietWaitBudgetNs)
       while (c > 1.3 * miniFloor && System.nanoTime() < deadline) {
         Thread.sleep(2000)
         c = miniCanary()
       }
+      quietWaitBudgetNs = math.max(0L,
+        quietWaitBudgetNs - (System.nanoTime() - t0))
       c
     }
     // (first, rerun, canary-at-rerun relative to the sweep's quiet floor)

@@ -907,6 +907,56 @@ object LlmQueries {
         .select(col("node").as("doc_id"), col("rep"))
     },
 
+    // L103 — soft-dedup repeat weighting (r16; the data-constrained
+    // recipe of Muennighoff et al. 2023): instead of DROPPING
+    // near-duplicates, keep every copy and down-weight it by its
+    // cluster size — weight_ppm = 1e6 div |cluster| — so each near-dup
+    // family contributes ~one document's worth of gradient mass while
+    // no text is lost (the right trade when data, not compute, is the
+    // binding constraint). Pure composition over the shared pair base:
+    // CC clusters → cluster sizes → left-join back to the corpus
+    // (singletons weight 1e6). Exact integers end to end.
+    "q_dup_weights" -> Q(
+      s"""WITH RECURSIVE $duckShingles,
+        |tok AS (SELECT doc_id, unnest(sh) g FROM base),
+        |sizes AS (SELECT doc_id, len(sh) n_ FROM base),
+        |inter AS (
+        |  SELECT l.doc_id a, r.doc_id b, CAST(count(*) AS INTEGER) inter
+        |  FROM tok l JOIN tok r ON l.g = r.g AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i.a, i.b FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.a
+        |  JOIN sizes sb ON sb.doc_id = i.b
+        |  WHERE i.inter * 10 >= (sa.n_ + sb.n_ - i.inter) * 8),
+        |edges AS (
+        |  SELECT a src, b dst FROM pairs
+        |  UNION ALL SELECT b, a FROM pairs),
+        |cc AS (
+        |  SELECT DISTINCT src AS node, src AS rep FROM edges
+        |  UNION
+        |  SELECT e.dst, cc.rep FROM cc, edges e WHERE cc.node = e.src),
+        |reps AS (SELECT node, CAST(min(rep) AS BIGINT) rep FROM cc
+        |         GROUP BY node),
+        |csz AS (SELECT rep, CAST(count(*) AS BIGINT) csize FROM reps
+        |        GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(csize, 1) AS BIGINT) AS csize,
+        |  CAST(1000000 // coalesce(csize, 1) AS BIGINT) AS weight_ppm
+        |FROM documents d
+        |LEFT JOIN reps r ON r.node = d.doc_id
+        |LEFT JOIN csz c ON c.rep = r.rep""".stripMargin) { (s, dir) =>
+      val cc = Dedup.connectedComponents(SharedBases.jaccardPairs(s, dir))
+      val sizes = cc.groupBy("rep").agg(count(lit(1)).as("csize"))
+      table(s, dir, "documents").select(col("doc_id"))
+        .join(cc.select(col("node").as("doc_id"), col("rep")),
+          Seq("doc_id"), "left")
+        .join(sizes, Seq("rep"), "left")
+        .select(col("doc_id"),
+          coalesce(col("csize"), lit(1L)).as("csize"),
+          expr("1000000 div coalesce(csize, 1)").as("weight_ppm"))
+    },
+
     // The end of the dedup pipeline: documents that SURVIVE near-dup
     // removal (docs not in any pair, plus each cluster's min-id
     // representative).
@@ -1665,6 +1715,117 @@ object LlmQueries {
         |FROM rr WHERE rnk <= 5""".stripMargin) { (s, dir) =>
       Dedup.tfidfKnnGraph(table(s, dir, "documents"),
         "doc_id", "text", k = 5)
+    },
+
+    // L100 — contrastive hard-negative mining (r16): for each anchor
+    // document, the k lexically-CLOSEST documents that are NOT its
+    // near-duplicates — exactly what contrastive/embedding training
+    // mines (positives = near-dups, hard negatives = high-similarity
+    // non-dups; easy negatives are useless, duplicates are poison).
+    // Scoring is the exact-integer TF-IDF cosine of L73 over packed
+    // postings + the codegen SparseDot; anchors are query-sized and
+    // BROADCAST, so the corpus postings stream once with no pair
+    // shuffle (the q_similarity brute shape — at 100 TB the anchor
+    // batch is the mining batch). The positive-exclusion anti-join
+    // rides the shared exact-Jaccard pair base (SharedBases — the
+    // persisted dedup index, threshold 0.8 like the dedup family).
+    "q_hard_negatives" -> Q(
+      s"""WITH $duckShingles,
+        |stok AS (SELECT doc_id, unnest(sh) g FROM base),
+        |sizes AS (SELECT doc_id, len(sh) n_ FROM base),
+        |inter AS (
+        |  SELECT l.doc_id a, r.doc_id b, CAST(count(*) AS INTEGER) inter
+        |  FROM stok l JOIN stok r ON l.g = r.g AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2),
+        |posp AS (
+        |  SELECT i.a pa, i.b pb FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.a
+        |  JOIN sizes sb ON sb.doc_id = i.b
+        |  WHERE i.inter * 10 >= (sa.n_ + sb.n_ - i.inter) * 8),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\\s+')) term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf
+        |       FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) df
+        |        FROM tok GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) n_docs FROM documents),
+        |wts AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * CAST(round(10000 * ln(CAST(n_docs AS DOUBLE)
+        |      / CAST(df AS DOUBLE))) AS BIGINT) wt
+        |  FROM tf JOIN dfq ON tf.term = dfq.term, nd),
+        |w2 AS (SELECT * FROM wts WHERE wt <> 0),
+        |norms AS (SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) n2
+        |          FROM w2 GROUP BY 1),
+        |dots AS (
+        |  SELECT qa.doc_id a, wb.doc_id b,
+        |    CAST(sum(qa.wt * wb.wt) AS BIGINT) dot
+        |  FROM w2 qa JOIN w2 wb
+        |    ON wb.term = qa.term AND wb.doc_id <> qa.doc_id
+        |  WHERE qa.doc_id < 5
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.a, d.b,
+        |    CAST(round(1000000 * CAST(d.dot AS DOUBLE)
+        |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))))
+        |      AS BIGINT) cos_micro
+        |  FROM dots d
+        |  JOIN norms na ON na.doc_id = d.a
+        |  JOIN norms nb ON nb.doc_id = d.b
+        |  WHERE d.dot <> 0),
+        |negs AS (
+        |  SELECT s.* FROM scored s
+        |  WHERE NOT EXISTS (SELECT 1 FROM posp p
+        |    WHERE p.pa = least(s.a, s.b) AND p.pb = greatest(s.a, s.b))),
+        |rr AS (
+        |  SELECT a, b, cos_micro, row_number() OVER (
+        |    PARTITION BY a ORDER BY cos_micro DESC, b) rnk FROM negs)
+        |SELECT a AS anchor_id, b AS neg_id, CAST(rnk AS INTEGER) AS rnk,
+        |  cos_micro
+        |FROM rr WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val tok = d.select(col("doc_id").as("doc"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      val tf = tok.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+      val dfq = tok.groupBy("term").agg(countDistinct("doc").as("df"))
+      val n1 = d.agg(count(lit(1)).as("n_docs"))
+      val w = tf.join(dfq, "term").crossJoin(broadcast(n1))
+        .select(col("doc"), col("term"),
+          (col("tf") * round(lit(10000) *
+              log(col("n_docs").cast("double") / col("df").cast("double")))
+            .cast("long")).as("wt"))
+        .filter(col("wt") =!= 0)
+      // packed once; anchors broadcast — corpus streams, no pair shuffle
+      val packed = w.groupBy("doc")
+        .agg(graft.functions.SparseDot.packPostings(
+            col("term"), col("wt")).as("ent"),
+          sum(col("wt") * col("wt")).as("n2"))
+        .localCheckpoint(true)
+      val anchors = packed.filter(col("doc") < 5)
+        .select(col("doc").as("a"), col("ent").as("ea"),
+          col("n2").as("na2"))
+      val scored = packed.join(broadcast(anchors), col("doc") =!= col("a"))
+        .select(col("a"), col("doc").as("b"),
+          graft.functions.SparseDot(col("ea"), col("ent")).as("dot"),
+          col("na2"), col("n2").as("nb2"))
+        // weights strictly positive => dot != 0 <=> term overlap (the
+        // oracle's inner term join row set, the L73 argument)
+        .filter(col("dot") =!= 0)
+        .select(col("a"), col("b"),
+          round(lit(1000000) * col("dot").cast("double") /
+              (sqrt(col("na2").cast("double")) *
+               sqrt(col("nb2").cast("double"))))
+            .cast("long").as("cos_micro"))
+      val pos = SharedBases.jaccardPairs(s, dir)
+        .select(col("a").as("pa"), col("b").as("pb"))
+      val negs = scored.join(pos,
+        least(col("a"), col("b")) === col("pa") &&
+          greatest(col("a"), col("b")) === col("pb"), "left_anti")
+      graft.ops.TopK(negs, Seq("a"), negs("cos_micro"), Seq(negs("b")), 5)
+        .select(col("a").as("anchor_id"), col("b").as("neg_id"),
+          col("rnk"), col("cos_micro"))
     },
 
     // L78 — PageRank document authority over the kNN similarity graph

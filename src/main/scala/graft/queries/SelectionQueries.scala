@@ -502,6 +502,45 @@ object SelectionQueries {
     // mirrored double division, micro-quantized; the degenerate
     // denominator (both raters constant) is filtered by the same exact
     // test on both engines. Scale: output is source-count-sized.
+    // L101 — Wilson lower-bound source ranking (r16): rank each
+    // (lang, source) slice by the LOWER confidence bound of its
+    // quality-pass rate instead of the raw proportion — the
+    // small-sample correction every "which sources do we trust"
+    // decision needs (a 3/3 source must NOT outrank a 95/100 one; the
+    // raw rate says it does, the Wilson bound says otherwise). z = 2
+    // (the 2-sigma bound) keeps the algebra rational: with z² = 4,
+    // LB = (x + 2 − 2·√(x(n−x)/n + 1)) / (n + 4) — one sqrt of a
+    // fixed-order double expression, one mirrored division,
+    // micro-quantized (the q_kappa float discipline), so both engines
+    // produce the identical BIGINT.
+    "q_wilson" -> Q(
+      """WITH g AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+        |      AS BIGINT) x
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, source, n, x,
+        |  CAST(round(1000000 *
+        |    (CAST(x AS DOUBLE) + 2 - 2 * sqrt(
+        |      CAST(x * (n - x) AS DOUBLE) / CAST(n AS DOUBLE) + 1))
+        |    / CAST(n + 4 AS DOUBLE)) AS BIGINT) AS wilson_micro
+        |FROM g
+        |ORDER BY wilson_micro DESC, lang, source""".stripMargin) {
+      (s, dir) =>
+      val d = table(s, dir, "documents")
+      val g = d.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_chars") >= 300, 1L).otherwise(0L)).as("x"))
+      g.select(col("lang"), col("source"), col("n"), col("x"),
+          round(lit(1000000) *
+              (col("x").cast("double") + lit(2) - lit(2) *
+                sqrt((col("x") * (col("n") - col("x"))).cast("double") /
+                  col("n").cast("double") + lit(1))) /
+              (col("n") + lit(4)).cast("double"))
+            .cast("long").as("wilson_micro"))
+        .orderBy(col("wilson_micro").desc, col("lang"), col("source"))
+    },
+
     "q_kappa" -> Q(
       """WITH occ AS (
         |  SELECT doc_id, source, lang,
