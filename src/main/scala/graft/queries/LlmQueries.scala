@@ -1818,9 +1818,16 @@ object LlmQueries {
               (sqrt(col("na2").cast("double")) *
                sqrt(col("nb2").cast("double"))))
             .cast("long").as("cos_micro"))
+      // exclusion set pre-filtered to pairs TOUCHING an anchor (every
+      // scored pair has one, so the anti-join result is unchanged) and
+      // broadcast — anchor-count-sized, so at corpus scale the pair
+      // base never shuffles into this query
       val pos = SharedBases.jaccardPairs(s, dir)
         .select(col("a").as("pa"), col("b").as("pb"))
-      val negs = scored.join(pos,
+        .join(broadcast(anchors.select(col("a").as("aid"))),
+          col("pa") === col("aid") || col("pb") === col("aid"),
+          "left_semi")
+      val negs = scored.join(broadcast(pos),
         least(col("a"), col("b")) === col("pa") &&
           greatest(col("a"), col("b")) === col("pb"), "left_anti")
       graft.ops.TopK(negs, Seq("a"), negs("cos_micro"), Seq(negs("b")), 5)

@@ -331,6 +331,48 @@ class PlanAuditSpec extends SparkSpec {
       s"top-k must be two-phase:\n$p")
   }
 
+  test("q_similarity_prefix: queries broadcast, two-phase top-k") {
+    val p = plan("q_similarity_prefix")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k must be two-phase:\n$p")
+  }
+
+  test("q_similarity_prefix_rerank: both stages broadcast — the corpus " +
+      "never shuffles") {
+    // stage 1 broadcasts the prefix-dim queries, stage 2 broadcasts the
+    // shortlist/query codes back onto the corpus codes — same contract
+    // as the hamming rerank: no sort-merge join may drag the corpus
+    // through a join shuffle, and both top-k cuts are two-phase
+    val p = plan("q_similarity_prefix_rerank")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side must not shuffle into a join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k must be two-phase:\n$p")
+  }
+
+  test("q_hard_negatives: checkpointed postings, broadcast anchors, " +
+      "no corpus pair shuffle") {
+    // the packed postings table is eager-checkpointed before the
+    // anchor fan-out (the q_tfidf_knn discipline), the anchor side and
+    // the positive-pair exclusion both broadcast, and the top-k is
+    // two-phase — so the final plan reads checkpoint blocks only and
+    // the corpus never shuffles into a join
+    val p = plan("q_hard_negatives")
+    assert(!p.contains("FileScan"),
+      s"postings must be checkpointed before fan-out:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no sort-merge machinery expected:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"anchor side must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k must be two-phase:\n$p")
+  }
+
   test("q_substring_dup: digests shuffle once (window), no join-back") {
     val p = plan("q_substring_dup")
     val exchanges = p.linesIterator
