@@ -10,10 +10,17 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, 
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-document character-histogram profile in ONE pass:
-  * `struct(n_chars, distinct, sum_sq)` over the code points of the input
-  * string — the base facts for character-diversity quality signals
-  * (Gini impurity, distinct-char ratio) without materializing one row per
-  * character.
+  * `struct(n_chars, distinct, sum_sq, h_micro)` over the code points of
+  * the input string — the base facts for character-diversity quality
+  * signals (Gini impurity, distinct-char ratio, Shannon entropy) without
+  * materializing one row per character.
+  *
+  * `h_micro` is the Shannon entropy in integer micro-nats under the
+  * repo's float-entropy discipline (q_user_entropy / q_info_gain): each
+  * char's −1e6·p·ln p term is HALF_UP-rounded to a long INDEPENDENTLY
+  * (matching Spark/DuckDB `round(double)`) and the longs summed — an
+  * order-free integer sum, so the hashmap iteration order here and the
+  * GROUP BY order in the oracle cannot diverge.
   *
   * Semantically identical to exploding the string into 1-char substrings
   * and aggregating `count(*), count(DISTINCT ch), sum(cnt*cnt)` (the
@@ -36,7 +43,8 @@ case class CharHistStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("n_chars", LongType, nullable = false),
     StructField("distinct", LongType, nullable = false),
-    StructField("sum_sq", LongType, nullable = false)))
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("h_micro", LongType, nullable = false)))
   override def prettyName: String = "graft_char_hist"
 
   def compute(u: UTF8String): InternalRow = {
@@ -51,12 +59,20 @@ case class CharHistStats(child: Expression) extends UnaryExpression {
       i += Character.charCount(cp)
     }
     var ss = 0L
+    var h = 0L
     val it = counts.values().iterator()
     while (it.hasNext) {
       val c = it.next()
       ss += c * c
+      if (n > 0) {
+        val pr = c.toDouble / n.toDouble
+        // one term per distinct char, rounded like SQL round(double)
+        // (HALF_UP) BEFORE summing — order-free integer entropy
+        h += java.math.BigDecimal.valueOf(-1000000.0 * pr * math.log(pr))
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      }
     }
-    new GenericInternalRow(Array[Any](n, counts.size.toLong, ss))
+    new GenericInternalRow(Array[Any](n, counts.size.toLong, ss, h))
   }
 
   override protected def nullSafeEval(input: Any): Any =

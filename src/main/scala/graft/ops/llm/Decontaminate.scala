@@ -42,6 +42,30 @@ object Decontaminate {
       .select("doc_id").distinct()
   }
 
+  /** Graded decontamination (the partial-overlap policy of the PaLM /
+    * GPT-3 appendices): per train doc, how many of its DISTINCT n-gram
+    * shingles appear in the probe set, plus the ppm fraction. `viaJoin`
+    * is the binary drop decision; this is the dirtiness SCORE that lets
+    * a pipeline drop above a threshold and keep light-touch docs (a doc
+    * quoting one test sentence is salvageable; a verbatim copy is not).
+    * Same scale shape as `viaJoin`: probe shingles distinct + broadcast,
+    * ONE exploded corpus shingle stream, one doc-keyed count — linear in
+    * the corpus; clean docs surface with n_dirty = 0 (left join, they
+    * never vanish).
+    */
+  def dirtiness(train: DataFrame, probes: DataFrame, idCol: String,
+                textCol: String, n: Int): DataFrame = {
+    val probeShingles = shingled(probes, idCol, textCol, n)
+      .select("g").distinct().withColumn("hit", lit(1L))
+    shingled(train, idCol, textCol, n)
+      .join(broadcast(probeShingles), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_dirty"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dirty"),
+        expr("n_dirty * 1000000 div n_shingles").as("dirty_ppm"))
+  }
+
   /** Bloom-prefiltered exact path: same result as `viaJoin`, join input
     * reduced to bloom candidates. `estItems`/`numBits` size the filter
     * (see object doc).

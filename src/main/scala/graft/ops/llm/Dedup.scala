@@ -901,6 +901,19 @@ object Dedup {
     dupProfile(df.select(df(idCol).as("doc"),
       explode(TextOps.tokenChunks(df(textCol), w)).as("u")), "chunks")
 
+  /** Content-defined-chunking duplication stats: same corpus-wide
+    * occurrence profile as [[chunkDupStats]], but segmented by
+    * [[TextOps.cdcChunks]] (rolling-hash boundaries, FastCDC-style) —
+    * a copy with tokens inserted/deleted re-aligns at the next content
+    * boundary, so shared blocks keep matching where fixed-width chunks
+    * all shift out of phase. Same scale shape: chunk text sha256'd at
+    * the scan, ONE digest-partitioned window, per-doc rollup.
+    */
+  def cdcDupStats(df: DataFrame, idCol: String,
+                  textCol: String): DataFrame =
+    dupProfile(df.select(df(idCol).as("doc"),
+      explode(graft.functions.CdcChunks(df(textCol))).as("u")), "chunks")
+
   /** Shared duplication-profile back half (chunkDupStats and
     * substringDupStats differ only in the segmentation): sha256 the
     * segment AT THE SCAN (segment text never shuffles), count occurrences

@@ -58,6 +58,40 @@ object TextOps {
     transform(idx, i => concat_ws(" ", slice(toks, (i - 1) * w + 1, lit(w))))
   }
 
+  /** Content-defined chunks (the FastCDC/rsync idea at token granularity):
+    * a chunk boundary falls AFTER token j whenever the sha256 of the
+    * ≤3-token window ending at j starts with hex '0' (P = 1/16 → mean
+    * chunk ≈ 16 tokens, min 1). Boundaries depend only on LOCAL content,
+    * never on position — insert a token at the doc head and every
+    * downstream boundary re-aligns to the same content, so chunk digests
+    * survive offset shifts that break fixed-width chunking
+    * ([[tokenChunks]]) entirely (CdcSpec pins exactly this contrast).
+    *
+    * REFERENCE FORM ONLY (the WordShingles precedent): this composed-HOF
+    * version documents the semantics and mirrors the DuckDB oracle
+    * shape, but interpreted lambda nesting re-evaluates the whole cut
+    * pipeline per chunk element — O(chunks × tokens) sha256 per row.
+    * Production path is [[graft.functions.CdcChunks]], the one-pass
+    * codegen expression (CdcSpec pins the equivalence); NOTE the same
+    * `sequence(1, 0)` descending-range guard as [[tokenChunks]].
+    */
+  def cdcChunks(c: Column): Column = {
+    val toks = tokens(c)
+    val n = size(toks)
+    val cutIdx = when(n >= 2,
+      filter(sequence(lit(1), n - 1), j =>
+        substring(sha2(concat_ws(" ",
+          slice(toks, greatest(j - 2, lit(1)), least(j, lit(3)))),
+          256), 1, 1) === "0"))
+      .otherwise(array().cast("array<int>"))
+    val starts = concat(array(lit(1)), transform(cutIdx, j => j + 1))
+    transform(sequence(lit(1), size(starts)), k =>
+      concat_ws(" ", slice(toks, element_at(starts, k),
+        when(k < size(starts),
+          element_at(starts, k + 1) - element_at(starts, k))
+          .otherwise(n - element_at(starts, k) + 1))))
+  }
+
   /** Count of regex matches in `c` (full-match group). Patterns must stay in
     * the RE2-compatible subset so the DuckDB oracle agrees with Java regex.
     */

@@ -359,6 +359,35 @@ object ExtendedQueries {
         "doc_id", "text", n = 3)
     },
 
+    // L14c — graded decontamination (r16): q_contamination is the binary
+    // drop decision; this is the PaLM/GPT-3-appendix dirtiness SCORE —
+    // per corpus doc, how many of its distinct 3-gram shingles appear in
+    // the probe set, as count + ppm fraction, so a pipeline can drop
+    // above a threshold and keep light-touch docs (one quoted test
+    // sentence is salvageable; a verbatim copy is not). Probe shingles
+    // broadcast, ONE corpus shingle stream, one doc-keyed count (linear);
+    // clean docs surface with n_dirty = 0 via left join — the hash
+    // certifies the zeros too, not just the hits.
+    "q_contamination_frac" -> Q(
+      s"""WITH $duckShinglesExt,
+        |probe AS (
+        |  SELECT DISTINCT unnest(sh) g FROM base WHERE doc_id < 5),
+        |tr AS (
+        |  SELECT doc_id, unnest(sh) g FROM base WHERE doc_id >= 5),
+        |sc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) n_shingles,
+        |    CAST(count(*) FILTER (WHERE g IN (SELECT g FROM probe))
+        |      AS BIGINT) n_dirty
+        |  FROM tr GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_dirty,
+        |  n_dirty * 1000000 // n_shingles AS dirty_ppm
+        |FROM sc""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      Decontaminate.dirtiness(
+        d.filter(col("doc_id") >= 5), d.filter(col("doc_id") < 5),
+        "doc_id", "text", n = 3)
+    },
+
     // Same decontamination semantics, bloom-prefiltered: the corpus
     // shingle stream is cut to bloom candidates (true hits + FPs) before
     // the exact semi-join, so the join input shrinks by orders of

@@ -33,6 +33,82 @@ object LlmQueries {
       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks
       |        FROM documents))""".stripMargin
 
+  /** DuckDB CTE chain (assumes `base` + `mh_banded` in scope) replaying
+    * the 3-round synchronous LPA of `lpa3` verbatim: symmetrized kNN
+    * edge set `e2`, self-seeded labels, each round = neighbor-label
+    * counts → (count desc, label asc) tie-broken argmax. One definition
+    * shared by q_label_prop and q_modularity so a vote fix reaches both
+    * oracles. Yields `e2(src, dst)` and `l3(id, lbl)`.
+    */
+  private val duckLpa3 =
+    """knn_cand AS (
+      |  SELECT DISTINCT l.doc_id a, r.doc_id b
+      |  FROM mh_banded l JOIN mh_banded r
+      |    ON l.band = r.band AND l.bkey = r.bkey
+      |    AND l.doc_id <> r.doc_id),
+      |scored AS (
+      |  SELECT c.a doc_id, c.b nbr_id,
+      |    (CAST(len(list_intersect(ba.sh, bb.sh)) AS BIGINT) * 1000000)
+      |      // CAST(len(ba.sh) + len(bb.sh)
+      |        - len(list_intersect(ba.sh, bb.sh)) AS BIGINT) jac_ppm
+      |  FROM knn_cand c
+      |  JOIN base ba ON ba.doc_id = c.a
+      |  JOIN base bb ON bb.doc_id = c.b),
+      |rr AS (
+      |  SELECT doc_id, nbr_id,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY jac_ppm DESC, nbr_id) rnk
+      |  FROM scored),
+      |edges AS (SELECT doc_id src, nbr_id dst FROM rr WHERE rnk <= 5),
+      |e2 AS (SELECT src, dst FROM edges
+      |       UNION SELECT dst, src FROM edges),
+      |nodes AS (SELECT DISTINCT src AS id FROM e2),
+      |l0 AS (SELECT id, id AS lbl FROM nodes),
+      |c1 AS (SELECT e2.src AS id, l.lbl, CAST(count(*) AS BIGINT) c
+      |  FROM e2 JOIN l0 l ON l.id = e2.dst GROUP BY 1, 2),
+      |m1 AS (SELECT id, CAST(max(c) AS BIGINT) mc FROM c1 GROUP BY 1),
+      |l1 AS (SELECT c1.id, CAST(min(c1.lbl) AS BIGINT) lbl
+      |  FROM c1 JOIN m1 ON m1.id = c1.id AND c1.c = m1.mc GROUP BY 1),
+      |c2 AS (SELECT e2.src AS id, l.lbl, CAST(count(*) AS BIGINT) c
+      |  FROM e2 JOIN l1 l ON l.id = e2.dst GROUP BY 1, 2),
+      |m2 AS (SELECT id, CAST(max(c) AS BIGINT) mc FROM c2 GROUP BY 1),
+      |l2 AS (SELECT c2.id, CAST(min(c2.lbl) AS BIGINT) lbl
+      |  FROM c2 JOIN m2 ON m2.id = c2.id AND c2.c = m2.mc GROUP BY 1),
+      |c3 AS (SELECT e2.src AS id, l.lbl, CAST(count(*) AS BIGINT) c
+      |  FROM e2 JOIN l2 l ON l.id = e2.dst GROUP BY 1, 2),
+      |m3 AS (SELECT id, CAST(max(c) AS BIGINT) mc FROM c3 GROUP BY 1),
+      |l3 AS (SELECT c3.id, CAST(min(c3.lbl) AS BIGINT) lbl
+      |  FROM c3 JOIN m3 ON m3.id = c3.id AND c3.c = m3.mc GROUP BY 1)"""
+      .stripMargin
+
+  /** Spark twin of [[duckLpa3]]: 3 synchronous majority-vote rounds over
+    * the symmetrized [[SharedBases.knnEdges]] set, self-seeded, exact
+    * integer counting with the (count desc, label asc) tie-break.
+    * Returns (e2, labels) — BOTH eagerly checkpointed (multi-branch
+    * consumers; see ops/llm/Dedup.scala "EAGER CHECKPOINT DISCIPLINE").
+    */
+  private def lpa3(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val g0 = SharedBases.knnEdges(s, dir)
+      .select(col("doc_id").as("src"), col("nbr_id").as("dst"))
+    val e2 = g0
+      .union(g0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var lbl = e2.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to 3) {
+      val cnts = e2.join(lbl, e2("dst") === lbl("id"))
+        .groupBy(e2("src").as("nid"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val mx = cnts.groupBy("nid").agg(max("c").as("mc"))
+      lbl = cnts.join(mx, "nid").filter(col("c") === col("mc"))
+        .groupBy("nid").agg(min("lbl").as("lbl"))
+        .select(col("nid").as("id"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    (e2, lbl)
+  }
+
   /** DuckDB CTE chain replaying Pca.component verbatim: integer 1e-4
     * quantization → truncating per-dim means → centered coords →
     * covariance (scatter // n) → `rounds` unrolled power-iteration
@@ -216,6 +292,41 @@ object LlmQueries {
         TextOps.regexCount(d("text"), "[0-9]").as("digit_cnt"),
         (toks.between(10, 5000) && punct * 10 <= length(d("text")))
           .as("is_quality"))
+    },
+
+    // L7c — term-blocklist filter (r16): the C4 "bad-words" document
+    // gate (Raffel et al. 2020 §2.2 drop any doc containing a listed
+    // term; the list here is a neutral stand-in — the operator is the
+    // list-driven gate, not the list). Per doc: token total, blocked
+    // OCCURRENCE count (C4 counts any hit, not distinct terms), ppm
+    // rate, and the keep flag — emitted per rule-battery convention so
+    // attrition is auditable, clean docs never vanish. Scan-side HOF
+    // filter over the per-doc token array against a tiny literal list
+    // (O(tokens·|list|) per row, no shuffle beyond the rollup, nothing
+    // ever explodes); at a real 100 TB run the list rides a broadcast
+    // variable into the same scan-side membership test.
+    "q_blocklist" -> Q(
+      """SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, t -> t IN ('dup', 'slow')))
+        |    AS BIGINT) AS n_blocked,
+        |  CAST(len(list_filter(toks, t -> t IN ('dup', 'slow')))
+        |    AS BIGINT) * 1000000
+        |    // CAST(len(toks) AS BIGINT) AS blocked_ppm,
+        |  len(list_filter(toks, t -> t IN ('dup', 'slow'))) = 0 AS keep
+        |FROM (SELECT doc_id,
+        |        string_split_regex(lower(trim(text)), '\s+') toks
+        |      FROM documents)""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val blk = Seq("dup", "slow")
+      val hits = size(filter(TextOps.tokens(d("text")),
+        t => t.isin(blk: _*)))
+      d.select(d("doc_id"),
+        size(TextOps.tokens(d("text"))).cast("long").as("n_tokens"),
+        hits.cast("long").as("n_blocked"))
+        .select(col("doc_id"), col("n_tokens"), col("n_blocked"),
+          expr("n_blocked * 1000000 div n_tokens").as("blocked_ppm"),
+          (col("n_blocked") === 0).as("keep"))
     },
 
     // L82 — the Gopher quality-rule battery (Rae et al. 2021, app. A1.1):
@@ -1285,6 +1396,93 @@ object LlmQueries {
         w = 10)
     },
 
+    // L104 — chunk-dedup APPLICATION (r16): q_para_dedup profiles the
+    // duplication, this executes the removal decision — global
+    // FIRST-OCCURRENCE-wins at 10-token-chunk granularity (the Lee et
+    // al. 2022 exact-dedup policy applied blockwise: later copies of a
+    // chunk are dropped wherever they appear, across documents or
+    // within one). Occurrence order is the scalar key doc_id·10⁶+idx —
+    // a total order both engines compute identically — and "first" is
+    // a min window over the chunk digest, so ONLY digests shuffle,
+    // once (the q_para_dedup / q_substring_dup shape: no text moves,
+    // no join-back). Output per doc: chunks, dropped copies, and the
+    // surviving token mass the training mix actually keeps.
+    "q_chunk_dedup" -> Q(
+      """WITH ch AS (
+        |  SELECT doc_id, doc_id * 1000000 + (u.i - 1) AS k,
+        |    sha256(array_to_string(
+        |      toks[(u.i-1)*10+1:(u.i-1)*10+10], ' ')) csha
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') toks
+        |        FROM documents),
+        |  LATERAL (SELECT unnest(generate_series(1, len(toks) // 10))
+        |           AS i) u),
+        |w AS (SELECT doc_id, k, min(k) OVER (PARTITION BY csha) fk
+        |      FROM ch)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) n_chunks,
+        |  CAST(count(*) FILTER (WHERE k <> fk) AS BIGINT) n_dropped,
+        |  CAST((count(*) - count(*) FILTER (WHERE k <> fk)) * 10
+        |    AS BIGINT) kept_tokens
+        |FROM w GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = table(s, dir, "documents")
+      val ch = d.select(col("doc_id"),
+          posexplode(TextOps.tokenChunks(col("text"), 10))
+            .as(Seq("idx", "c")))
+        .select(col("doc_id"),
+          (col("doc_id") * 1000000L + col("idx")).as("k"),
+          sha2(col("c"), 256).as("csha"))
+      ch.withColumn("fk", min("k").over(Window.partitionBy("csha")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("k") =!= col("fk"), 1L).otherwise(0L))
+            .as("n_dropped"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dropped"),
+          ((col("n_chunks") - col("n_dropped")) * 10).as("kept_tokens"))
+    },
+
+    // L105 — content-defined-chunking dup profile (r16): the third
+    // segmentation in the dedup-profile family. q_para_dedup's fixed
+    // 10-token blocks break entirely when a copy inserts/deletes ONE
+    // token (every later block shifts out of phase); q_substring_dup
+    // catches shifts but pays a window per token. CDC (FastCDC/rsync
+    // at token granularity) cuts where the sha256 of the local ≤3-token
+    // window starts with hex '0' (P=1/16, mean chunk ≈16 tokens) —
+    // boundaries follow CONTENT, so shifted copies re-align at the next
+    // cut and shared blocks keep matching at ~chunk-level cost
+    // (CdcSpec pins the shift-robust vs fixed-width contrast). Same
+    // scale shape as q_para_dedup: chunks built as per-row array
+    // expressions, sha256'd at the scan, ONE digest window, map-side
+    // rollup; only (doc, digest) rows shuffle.
+    "q_cdc_dedup" -> Q(
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks
+        |  FROM documents),
+        |cut AS (
+        |  SELECT doc_id, toks,
+        |    list_filter(generate_series(1, len(toks) - 1), j ->
+        |      substr(sha256(array_to_string(
+        |        toks[greatest(j - 2, 1):j], ' ')), 1, 1) = '0') cuts
+        |  FROM tk),
+        |st AS (
+        |  SELECT doc_id, toks,
+        |    list_prepend(1, list_transform(cuts, j -> j + 1)) starts
+        |  FROM cut),
+        |ch AS (
+        |  SELECT doc_id, sha256(array_to_string(
+        |      toks[starts[u.k]:CASE WHEN u.k < len(starts)
+        |        THEN starts[u.k + 1] - 1 ELSE len(toks) END], ' ')) usha
+        |  FROM st,
+        |  LATERAL (SELECT unnest(generate_series(1, len(starts))) AS k) u),
+        |w AS (SELECT doc_id, count(*) OVER (PARTITION BY usha) cnt FROM ch)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) n_chunks,
+        |  CAST(count(*) FILTER (WHERE cnt > 1) AS BIGINT) dup_chunks,
+        |  (CAST(count(*) FILTER (WHERE cnt > 1) AS BIGINT) * 1000)
+        |    // CAST(count(*) AS BIGINT) AS dup_permille
+        |FROM w GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.cdcDupStats(table(s, dir, "documents"), "doc_id", "text")
+    },
+
     // Sliding-window cross-doc duplication (Lee et al. exact-substring
     // signal at 10-gram resolution): per doc, distinct 10-token shingles
     // occurring in >= 1 OTHER doc. Sliding windows catch offset-shifted
@@ -2059,72 +2257,91 @@ object LlmQueries {
     "q_label_prop" -> Q(
       s"""WITH $duckShingles,
         |$duckMinhashBands,
-        |knn_cand AS (
-        |  SELECT DISTINCT l.doc_id a, r.doc_id b
-        |  FROM mh_banded l JOIN mh_banded r
-        |    ON l.band = r.band AND l.bkey = r.bkey
-        |    AND l.doc_id <> r.doc_id),
-        |scored AS (
-        |  SELECT c.a doc_id, c.b nbr_id,
-        |    (CAST(len(list_intersect(ba.sh, bb.sh)) AS BIGINT) * 1000000)
-        |      // CAST(len(ba.sh) + len(bb.sh)
-        |        - len(list_intersect(ba.sh, bb.sh)) AS BIGINT) jac_ppm
-        |  FROM knn_cand c
-        |  JOIN base ba ON ba.doc_id = c.a
-        |  JOIN base bb ON bb.doc_id = c.b),
-        |rr AS (
-        |  SELECT doc_id, nbr_id,
-        |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY jac_ppm DESC, nbr_id) rnk
-        |  FROM scored),
-        |edges AS (SELECT doc_id src, nbr_id dst FROM rr WHERE rnk <= 5),
-        |e2 AS (SELECT src, dst FROM edges
-        |       UNION SELECT dst, src FROM edges),
-        |nodes AS (SELECT DISTINCT src AS id FROM e2),
-        |l0 AS (SELECT id, id AS lbl FROM nodes),
-        |c1 AS (SELECT e2.src AS id, l.lbl, CAST(count(*) AS BIGINT) c
-        |  FROM e2 JOIN l0 l ON l.id = e2.dst GROUP BY 1, 2),
-        |m1 AS (SELECT id, CAST(max(c) AS BIGINT) mc FROM c1 GROUP BY 1),
-        |l1 AS (SELECT c1.id, CAST(min(c1.lbl) AS BIGINT) lbl
-        |  FROM c1 JOIN m1 ON m1.id = c1.id AND c1.c = m1.mc GROUP BY 1),
-        |c2 AS (SELECT e2.src AS id, l.lbl, CAST(count(*) AS BIGINT) c
-        |  FROM e2 JOIN l1 l ON l.id = e2.dst GROUP BY 1, 2),
-        |m2 AS (SELECT id, CAST(max(c) AS BIGINT) mc FROM c2 GROUP BY 1),
-        |l2 AS (SELECT c2.id, CAST(min(c2.lbl) AS BIGINT) lbl
-        |  FROM c2 JOIN m2 ON m2.id = c2.id AND c2.c = m2.mc GROUP BY 1),
-        |c3 AS (SELECT e2.src AS id, l.lbl, CAST(count(*) AS BIGINT) c
-        |  FROM e2 JOIN l2 l ON l.id = e2.dst GROUP BY 1, 2),
-        |m3 AS (SELECT id, CAST(max(c) AS BIGINT) mc FROM c3 GROUP BY 1),
-        |l3 AS (SELECT c3.id, CAST(min(c3.lbl) AS BIGINT) lbl
-        |  FROM c3 JOIN m3 ON m3.id = c3.id AND c3.c = m3.mc GROUP BY 1),
+        |$duckLpa3,
         |cs AS (SELECT lbl, CAST(count(*) AS BIGINT) community_size
         |  FROM l3 GROUP BY 1)
         |SELECT l3.id AS doc_id, l3.lbl AS community, cs.community_size
         |FROM l3 JOIN cs ON cs.lbl = l3.lbl""".stripMargin) { (s, dir) =>
-      val g0 = SharedBases.knnEdges(s, dir)
-        .select(col("doc_id").as("src"), col("nbr_id").as("dst"))
-      // the symmetric edge set feeds all three vote rounds — ONE graph
-      // build (EAGER CHECKPOINT DISCIPLINE, ops/llm/Dedup.scala),
-      // served from the shared kNN base (SharedBases.knnEdges)
-      val e2 = g0
-        .union(g0.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().localCheckpoint(true)
-      var lbl = e2.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl"))
-      for (_ <- 1 to 3) {
-        val cnts = e2.join(lbl, e2("dst") === lbl("id"))
-          .groupBy(e2("src").as("nid"), col("lbl"))
-          .agg(count(lit(1)).as("c"))
-        val mx = cnts.groupBy("nid").agg(max("c").as("mc"))
-        lbl = cnts.join(mx, "nid").filter(col("c") === col("mc"))
-          .groupBy("nid").agg(min("lbl").as("lbl"))
-          .select(col("nid").as("id"), col("lbl"))
-          .localCheckpoint(true)
-      }
+      // vote rounds + symmetric edge set live in lpa3 (shared with
+      // q_modularity); ONE graph build off SharedBases.knnEdges
+      val (_, lbl) = lpa3(s, dir)
       val cs = lbl.groupBy("lbl").agg(count(lit(1)).as("community_size"))
       lbl.join(broadcast(cs), "lbl")
         .select(col("id").as("doc_id"), col("lbl").as("community"),
           col("community_size"))
+    },
+
+    // L89b — Newman modularity of the LPA communities (r16): the
+    // QUALITY certificate for q_label_prop — did the vote actually find
+    // dense neighborhoods, or arbitrary cuts? Q = Σ_c [e_c/m −
+    // (d_c/2m)²] over the same symmetrized kNN edge set, computed in
+    // the scaled ALL-INTEGER form contrib_c = E·e_c_dir − d_c² (E =
+    // directed edge count = 2m, e_c_dir = directed intra-community
+    // edges = 2e_c), so E²·Q = Σ contrib is exact and order-free;
+    // the global ppm headline is one truncating division (Spark `div`
+    // ≡ DuckDB `//`, both toward zero). Per community: size, intra
+    // mass, degree mass, contribution — zero-intra communities surface
+    // via left join, never vanish. Scale: label + degree tables are
+    // node-keyed aggs of the checkpointed e2; intra is one edge⋈label
+    // ⋈label pipeline; E rides a broadcast 1-row agg. BIGINT holds
+    // through E ~ 3e9 directed edges (contrib ≤ E²·1e6 bound is the
+    // ppm step); past that, promote contrib to DECIMAL(38,0).
+    "q_modularity" -> Q(
+      s"""WITH $duckShingles,
+        |$duckMinhashBands,
+        |$duckLpa3,
+        |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) d
+        |  FROM e2 GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) e FROM e2),
+        |intra AS (
+        |  SELECT la.lbl, CAST(count(*) AS BIGINT) ie
+        |  FROM e2 JOIN l3 la ON la.id = e2.src
+        |          JOIN l3 lb ON lb.id = e2.dst
+        |  WHERE la.lbl = lb.lbl GROUP BY 1),
+        |dc AS (SELECT lbl, CAST(count(*) AS BIGINT) n_nodes,
+        |    CAST(sum(d) AS BIGINT) deg_sum
+        |  FROM l3 JOIN deg ON deg.id = l3.id GROUP BY 1),
+        |pc AS (SELECT dc.lbl community, n_nodes,
+        |    coalesce(ie, CAST(0 AS BIGINT)) intra_edges, deg_sum,
+        |    e * coalesce(ie, CAST(0 AS BIGINT)) - deg_sum * deg_sum
+        |      AS contrib
+        |  FROM dc LEFT JOIN intra ON intra.lbl = dc.lbl, tot),
+        |g AS (SELECT CAST(sum(contrib) AS BIGINT) * 1000000
+        |    // (min(e) * min(e)) AS modularity_ppm
+        |  FROM pc, tot)
+        |SELECT community, n_nodes, intra_edges, deg_sum, contrib,
+        |  modularity_ppm
+        |FROM pc, g""".stripMargin) { (s, dir) =>
+      val (e2, lbl) = lpa3(s, dir)
+      val deg = e2.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("d"))
+      val tot = e2.agg(count(lit(1)).as("e"))
+      val la = lbl.select(col("id").as("sid"), col("lbl").as("slbl"))
+      val lb = lbl.select(col("id").as("did"), col("lbl").as("dlbl"))
+      val intra = e2
+        .join(la, e2("src") === la("sid"))
+        .join(lb, e2("dst") === lb("did"))
+        .filter(col("slbl") === col("dlbl"))
+        .groupBy(col("slbl").as("ilbl"))
+        .agg(count(lit(1)).as("ie"))
+      val dc = lbl.join(deg, "id").groupBy("lbl")
+        .agg(count(lit(1)).as("n_nodes"), sum("d").as("deg_sum"))
+      val pc = dc
+        .join(intra, dc("lbl") === intra("ilbl"), "left")
+        .select(dc("lbl").as("community"), col("n_nodes"),
+          coalesce(col("ie"), lit(0L)).as("intra_edges"),
+          col("deg_sum"))
+        .crossJoin(broadcast(tot))
+        .withColumn("contrib",
+          col("e") * col("intra_edges")
+            - col("deg_sum") * col("deg_sum"))
+        .localCheckpoint(true)
+      val g = pc.agg(min("e").as("ecnt"), sum("contrib").as("sc"))
+        .select(expr("sc * 1000000 div (ecnt * ecnt)")
+          .as("modularity_ppm"))
+      pc.crossJoin(broadcast(g))
+        .select(col("community"), col("n_nodes"), col("intra_edges"),
+          col("deg_sum"), col("contrib"), col("modularity_ppm"))
     },
 
     // L79 — Gini concentration of token mass across documents per

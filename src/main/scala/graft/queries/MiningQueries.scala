@@ -414,6 +414,47 @@ object MiningQueries {
             .cast("long").as("gini_ppm"))
     },
 
+    // L106 — per-doc character Shannon entropy (r16): the
+    // gibberish/encoding-noise detector next to q_char_diversity's Gini
+    // (entropy separates "few chars, evenly used" from "many chars,
+    // one dominating" — the two signals disagree exactly on the spammy
+    // cases). Integer micro-nats under the established float-entropy
+    // discipline (q_user_entropy / q_info_gain): each char's
+    // −1e6·p·ln p term HALF_UP-rounded INDEPENDENTLY, then summed —
+    // order-free, so the one-pass expression's hashmap order and the
+    // oracle's GROUP BY order cannot diverge. The facts ride the same
+    // one-pass codegen CharHistStats scan as q_char_diversity (no char
+    // ever shuffles; the explode form ships every character of the
+    // corpus through an exchange).
+    "q_char_entropy" -> Q(
+      """WITH s AS (SELECT doc_id, lower(trim(text)) s FROM documents
+        |           WHERE length(lower(trim(text))) >= 1),
+        |c AS (SELECT doc_id, substr(s, i, 1) ch FROM s,
+        |  LATERAL (SELECT unnest(generate_series(1, length(s))) AS i) g),
+        |h AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) cnt FROM c
+        |      GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) n,
+        |             CAST(count(*) AS BIGINT) d FROM h GROUP BY 1),
+        |e AS (SELECT h.doc_id,
+        |    CAST(sum(CAST(round(-1000000
+        |      * (CAST(cnt AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |      * ln(CAST(cnt AS DOUBLE) / CAST(n.n AS DOUBLE)))
+        |      AS BIGINT)) AS BIGINT) h_micro
+        |  FROM h JOIN n ON n.doc_id = h.doc_id GROUP BY 1)
+        |SELECT n.doc_id, n.n AS n_chars_norm, n.d AS distinct_chars,
+        |  e.h_micro
+        |FROM n JOIN e ON e.doc_id = n.doc_id""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val norm = d.select(d("doc_id"), TextOps.normalized(d("text")).as("s"))
+        .filter(length(col("s")) >= 1)
+      norm.select(col("doc_id"),
+          graft.functions.CharHistStats(col("s")).as("h"))
+        .select(col("doc_id"),
+          col("h.n_chars").as("n_chars_norm"),
+          col("h.distinct").as("distinct_chars"),
+          col("h.h_micro").as("h_micro"))
+    },
+
     // TextRank keyword extraction: weighted PageRank over the token
     // co-occurrence graph (undirected edges = consecutive-token pairs
     // with combined count ≥ 3, weights = counts). Every quantity is an

@@ -280,6 +280,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
   }
 
+  test("q_chunk_dedup: digests shuffle once (min window), no join-back") {
+    val p = plan("q_chunk_dedup")
+    val exchanges = p.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("Reused"))
+    // one exchange for the csha min-window + one for the per-doc
+    // rollup; first-occurrence via join-back would shuffle again
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+  }
+
+  test("q_cdc_dedup: one-pass codegen chunker, digests shuffle once") {
+    val p = plan("q_cdc_dedup")
+    assert(p.contains("graft_cdc_chunks"),
+      s"CDC segmentation must ride the codegen expression (the composed" +
+        s" HOF form is O(chunks×tokens) sha256 per row):\n$p")
+    val exchanges = p.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+  }
+
+  test("q_contamination_frac: probe shingles broadcast, corpus streams once") {
+    val p = plan("q_contamination_frac")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe shingle set must broadcast:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan")) <= 2,
+      s"documents scanned at most twice (probe + corpus):\n$p")
+  }
+
+  test("q_modularity: ppm headline rides a broadcast 1-row agg") {
+    val p = plan("q_modularity")
+    // the global ppm row joins back via broadcast, never a shuffle on a
+    // constant key (the E broadcast sits inside the eager-checkpointed
+    // pc segment, so only the headline join is visible here)
+    assert(p.contains("BroadcastNestedLoopJoin")
+        && p.contains("BroadcastExchange"),
+      s"the ppm headline must broadcast onto the community rows:\n$p")
+  }
+
   test("q_ngram_lm: partial agg on occurrences, two-phase top-5 per head") {
     val p = plan("q_ngram_lm")
     assert(p.contains("partial_count") || p.contains("partial"),

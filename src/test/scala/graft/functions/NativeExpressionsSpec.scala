@@ -161,6 +161,13 @@ class NativeExpressionsSpec extends SparkSpec {
       .select("h.n_chars", "h.distinct", "h.sum_sq")
       .as[(Long, Long, Long)].collect().toSeq
     assert(tiny == Seq((1L, 1L, 1L), (4L, 2L, 10L), (2L, 2L, 2L)))
+    // h_micro: per-term HALF_UP micro-nat rounding (round(215761.55…)
+    // + round(346573.59…) for 'aaab'; 2·round(346573.59…) for the
+    // 2-distinct doc; 0 for a single-char doc)
+    val ent = Seq("a", "aaab", "😀x").toDF("s").select(
+      graft.functions.CharHistStats(col("s")).getField("h_micro"))
+      .as[Long].collect().toSeq
+    assert(ent == Seq(0L, 215762L + 346574L, 2L * 346574L))
   }
 
   test("GreedySpanScan matches the interpreted aggregate-HOF fold") {
