@@ -262,6 +262,43 @@ object Similarity {
       floor(col("mx") * 1e6).cast("long").as("maxabs_micro"))
   }
 
+  /** Reconstruction-error audit of the int8 quantizer — turns the
+    * [[quantizeInt8]] scaladoc claim ("error bounded by one step
+    * max|v|/127 per element") into a per-vector, hash-certifiable
+    * contract. All integer micro-units: x_micro = floor(v_i·10⁶),
+    * dq_micro = (code_i·maxabs_micro) div 127 (truncating div, both
+    * engines), err = |x_micro − dq_micro|; per vector the max/sum error,
+    * the step bound maxabs_micro div 127, and the bound verdict (+2
+    * micro slop for the two independent floors). Per-row arithmetic
+    * only — no shuffle, nothing explodes Spark-side; a violated bound
+    * surfaces as within_bound = false IN THE DATA, where the oracle
+    * hash pins it.
+    */
+  def quantError(vectors: DataFrame): DataFrame = {
+    val v = vectors.toDF("id", "vec")
+      .withColumn("mx", array_max(transform(col("vec"), x => abs(x))))
+      .withColumn("mxm", floor(col("mx") * 1e6).cast("long"))
+      .withColumn("codes",
+        when(col("mx") === 0d, transform(col("vec"), _ => lit(0)))
+          .otherwise(transform(col("vec"),
+            // -127 clamp: see quantizeInt8
+            x => greatest(lit(-127L), floor(x * 127d / col("mx")))
+              .cast("int"))))
+    v.select(col("id"), col("mxm"),
+        expr("transform(sequence(1, size(vec)), i -> " +
+          "abs(CAST(floor(element_at(vec, i) * 1000000) AS BIGINT) - " +
+          "(CAST(element_at(codes, i) AS BIGINT) * mxm) div 127))")
+          .as("errs"))
+      .select(col("id"),
+        size(col("errs")).cast("long").as("n_dims"),
+        array_max(col("errs")).as("max_err_micro"),
+        expr("aggregate(errs, CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("sum_err_micro"),
+        expr("mxm div 127").as("step_micro"))
+      .withColumn("within_bound",
+        col("max_err_micro") <= col("step_micro") + 2)
+  }
+
   /** Quantized top-k: search over int8 codes with an EXACT integer score
     * `dot(codesA, codesB) · mxA_micro · mxB_micro` (≈ cosine numerator
     * scaled by 127²·10¹²). Every term is an integer that fits a long

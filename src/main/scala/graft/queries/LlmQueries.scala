@@ -33,14 +33,12 @@ object LlmQueries {
       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks
       |        FROM documents))""".stripMargin
 
-  /** DuckDB CTE chain (assumes `base` + `mh_banded` in scope) replaying
-    * the 3-round synchronous LPA of `lpa3` verbatim: symmetrized kNN
-    * edge set `e2`, self-seeded labels, each round = neighbor-label
-    * counts → (count desc, label asc) tie-broken argmax. One definition
-    * shared by q_label_prop and q_modularity so a vote fix reaches both
-    * oracles. Yields `e2(src, dst)` and `l3(id, lbl)`.
+  /** DuckDB CTE chain (assumes `base` + `mh_banded` in scope) building the
+    * symmetrized kNN edge set `e2(src, dst)` — the shared graph substrate
+    * of q_label_prop / q_modularity / q_assortativity (the Spark twin is
+    * [[symmetricKnnEdges]] off [[SharedBases.knnEdges]]).
     */
-  private val duckLpa3 =
+  private val duckKnnE2 =
     """knn_cand AS (
       |  SELECT DISTINCT l.doc_id a, r.doc_id b
       |  FROM mh_banded l JOIN mh_banded r
@@ -61,8 +59,16 @@ object LlmQueries {
       |  FROM scored),
       |edges AS (SELECT doc_id src, nbr_id dst FROM rr WHERE rnk <= 5),
       |e2 AS (SELECT src, dst FROM edges
-      |       UNION SELECT dst, src FROM edges),
-      |nodes AS (SELECT DISTINCT src AS id FROM e2),
+      |       UNION SELECT dst, src FROM edges)""".stripMargin
+
+  /** DuckDB CTE chain (assumes `e2` in scope) replaying the 3-round
+    * synchronous LPA of [[lpa3]] verbatim: self-seeded labels, each round
+    * = neighbor-label counts → (count desc, label asc) tie-broken argmax.
+    * One definition shared by q_label_prop and q_modularity so a vote fix
+    * reaches both oracles. Yields `l3(id, lbl)`.
+    */
+  private val duckLpa3 =
+    """nodes AS (SELECT DISTINCT src AS id FROM e2),
       |l0 AS (SELECT id, id AS lbl FROM nodes),
       |c1 AS (SELECT e2.src AS id, l.lbl, CAST(count(*) AS BIGINT) c
       |  FROM e2 JOIN l0 l ON l.id = e2.dst GROUP BY 1, 2),
@@ -87,13 +93,21 @@ object LlmQueries {
     * Returns (e2, labels) — BOTH eagerly checkpointed (multi-branch
     * consumers; see ops/llm/Dedup.scala "EAGER CHECKPOINT DISCIPLINE").
     */
-  private def lpa3(s: org.apache.spark.sql.SparkSession, dir: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+  /** Spark twin of [[duckKnnE2]]: the symmetrized kNN edge set, eagerly
+    * checkpointed (it feeds every downstream graph branch — EAGER
+    * CHECKPOINT DISCIPLINE, ops/llm/Dedup.scala).
+    */
+  private def symmetricKnnEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val g0 = SharedBases.knnEdges(s, dir)
       .select(col("doc_id").as("src"), col("nbr_id").as("dst"))
-    val e2 = g0
-      .union(g0.select(col("dst").as("src"), col("src").as("dst")))
+    g0.union(g0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
+  }
+
+  private def lpa3(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val e2 = symmetricKnnEdges(s, dir)
     var lbl = e2.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
     for (_ <- 1 to 3) {
@@ -2257,6 +2271,7 @@ object LlmQueries {
     "q_label_prop" -> Q(
       s"""WITH $duckShingles,
         |$duckMinhashBands,
+        |$duckKnnE2,
         |$duckLpa3,
         |cs AS (SELECT lbl, CAST(count(*) AS BIGINT) community_size
         |  FROM l3 GROUP BY 1)
@@ -2289,6 +2304,7 @@ object LlmQueries {
     "q_modularity" -> Q(
       s"""WITH $duckShingles,
         |$duckMinhashBands,
+        |$duckKnnE2,
         |$duckLpa3,
         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) d
         |  FROM e2 GROUP BY 1),
@@ -2342,6 +2358,123 @@ object LlmQueries {
       pc.crossJoin(broadcast(g))
         .select(col("community"), col("n_nodes"), col("intra_edges"),
           col("deg_sum"), col("contrib"), col("modularity_ppm"))
+    },
+
+    // L107 — degree assortativity of the kNN document graph (r16): do
+    // high-degree docs (boilerplate hubs, template families) link to
+    // each other or to the periphery? — the Newman degree-correlation
+    // coefficient, the standard structure diagnostic next to
+    // q_modularity's partition quality. Over the symmetric directed
+    // edge set (M = |e2|, j/k = endpoint degrees) the undirected
+    // formula is the PURE-INTEGER rational r = (M·S_jk − S_j²) /
+    // (M·S_jj − S_j²) — no sqrt, because Σj = Σk and Σj² = Σk² by
+    // symmetry, so the two denominator factors coincide. num/den are
+    // emitted raw (BIGINT-safe to ~1e16 edge·deg² — far past any kNN
+    // graph with bounded k) and the ppm headline goes through
+    // DECIMAL(38)·1e6 with the truncating div ≡ DuckDB HUGEINT·1e6 //.
+    // Scale: ONE degree agg + two degree joins onto the checkpointed
+    // e2 + a 1-row global agg — no windows, no driver state.
+    "q_assortativity" -> Q(
+      s"""WITH $duckShingles,
+        |$duckMinhashBands,
+        |$duckKnnE2,
+        |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) d
+        |  FROM e2 GROUP BY 1),
+        |ej AS (
+        |  SELECT dj.d j, dk.d k
+        |  FROM e2 JOIN deg dj ON dj.id = e2.src
+        |          JOIN deg dk ON dk.id = e2.dst),
+        |s AS (SELECT CAST(count(*) AS BIGINT) m,
+        |    CAST(sum(j * k) AS BIGINT) s_jk,
+        |    CAST(sum(j) AS BIGINT) s_j,
+        |    CAST(sum(j * j) AS BIGINT) s_jj
+        |  FROM ej)
+        |SELECT m AS m_edges,
+        |  m * s_jk - s_j * s_j AS num,
+        |  m * s_jj - s_j * s_j AS den,
+        |  CAST((CAST(m * s_jk - s_j * s_j AS HUGEINT) * 1000000)
+        |    // (m * s_jj - s_j * s_j) AS BIGINT) AS r_ppm
+        |FROM s""".stripMargin) { (s, dir) =>
+      val e2 = symmetricKnnEdges(s, dir)
+      val deg = e2.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("d"))
+        .localCheckpoint(true)
+      val dj = deg.select(col("id").as("jid"), col("d").as("j"))
+      val dk = deg.select(col("id").as("kid"), col("d").as("k"))
+      e2.join(dj, e2("src") === dj("jid"))
+        .join(dk, e2("dst") === dk("kid"))
+        .agg(count(lit(1)).as("m"), sum(col("j") * col("k")).as("s_jk"),
+          sum("j").as("s_j"), sum(col("j") * col("j")).as("s_jj"))
+        .select(col("m").as("m_edges"),
+          (col("m") * col("s_jk") - col("s_j") * col("s_j")).as("num"),
+          (col("m") * col("s_jj") - col("s_j") * col("s_j")).as("den"))
+        .select(col("m_edges"), col("num"), col("den"),
+          expr("CAST((CAST(num AS DECIMAL(38,0)) * 1000000) div den" +
+            " AS BIGINT)").as("r_ppm"))
+    },
+
+    // L108 — local clustering coefficient over the kNN document graph
+    // (r16): the third structure diagnostic on the shared e2 substrate
+    // (modularity: partition quality; assortativity: hub mixing; this:
+    // neighborhood closure — template families close into cliques,
+    // topical neighborhoods stay open). Exact rational per node:
+    // cc_ppm = 2·tri(v)·1e6 div (deg(v)·(deg(v)−1)), deg<2 → 0 (left
+    // join keeps those nodes visible). Triangles enumerate each once
+    // via the canonical x<y<z ordering — two self-joins on the
+    // ALREADY-CANONICAL half edge set, never an open wedge join-back;
+    // per-node counts are three keyed partial aggs over the
+    // triangle-sized (not edge²) intermediate. Scale: all equi-joins
+    // on the checkpointed e2/deg; triangle volume is the graph's own
+    // closure count, bucket-capped upstream like every SB1 consumer.
+    "q_clustering_coeff" -> Q(
+      s"""WITH $duckShingles,
+        |$duckMinhashBands,
+        |$duckKnnE2,
+        |el AS (SELECT src x, dst y FROM e2 WHERE src < dst),
+        |tri AS (
+        |  SELECT e1.x, e1.y, e2.y z
+        |  FROM el e1
+        |  JOIN el e2 ON e2.x = e1.y
+        |  JOIN el e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |tc AS (SELECT node, CAST(count(*) AS BIGINT) n_tri FROM (
+        |    SELECT x node FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY 1),
+        |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) d
+        |  FROM e2 GROUP BY 1)
+        |SELECT deg.id AS doc_id, deg.d AS degree,
+        |  coalesce(n_tri, CAST(0 AS BIGINT)) AS n_tri,
+        |  CASE WHEN deg.d < 2 THEN CAST(0 AS BIGINT)
+        |    ELSE coalesce(n_tri, CAST(0 AS BIGINT)) * 2000000
+        |      // (deg.d * (deg.d - 1)) END AS cc_ppm
+        |FROM deg LEFT JOIN tc ON tc.node = deg.id""".stripMargin) {
+      (s, dir) =>
+      val e2 = symmetricKnnEdges(s, dir)
+      val el = e2.filter(col("src") < col("dst"))
+        .select(col("src").as("x"), col("dst").as("y"))
+        .localCheckpoint(true)
+      val ab = el.select(col("x"), col("y"))
+      val bc = el.select(col("x").as("y2"), col("y").as("z"))
+      val ac = el.select(col("x").as("x3"), col("y").as("z3"))
+      val tri = ab
+        .join(bc, ab("y") === bc("y2"))
+        .join(ac, ab("x") === ac("x3") && bc("z") === ac("z3"))
+        .select(col("x"), col("y"), col("z"))
+      val tc = tri.select(col("x").as("node"))
+        .union(tri.select(col("y").as("node")))
+        .union(tri.select(col("z").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      val deg = e2.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("d"))
+      deg.join(tc, deg("id") === tc("node"), "left")
+        .select(col("id").as("doc_id"), col("d").as("degree"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .select(col("doc_id"), col("degree"), col("n_tri"),
+          when(col("degree") < 2, 0L)
+            .otherwise(expr(
+              "n_tri * 2000000 div (degree * (degree - 1))"))
+            .as("cc_ppm"))
     },
 
     // L79 — Gini concentration of token mass across documents per
@@ -3478,6 +3611,83 @@ object LlmQueries {
         .stripMargin) { (s, dir) =>
       val e = table(s, dir, "embeddings")
       Similarity.quantizeInt8(
+        e.select(e("vec_id"), e("embedding").cast("array<double>")))
+    },
+
+    // L109 — per-dimension embedding profile (r16): the vector-column
+    // health check a pipeline runs before building any index — dead
+    // dims (sum ≡ sumsq ≡ 0), dominant dims, per-dim drift vs a prior
+    // snapshot. X33's generic profiler treats columns; this treats the
+    // ARRAY column per dimension. Exact integers: x_micro =
+    // floor(x·1e6) (double-cast first, floor identical both engines),
+    // raw Σx and Σx² emitted (consumers derive mean/var — no division
+    // order to disagree on), mean_micro = Σ div n as the one derived
+    // convenience. sumsq holds in BIGINT to ~1e18/(3e6)² ≈ 1e5·n rows
+    // per dim at unit-ish norms — at 1e9+ rows promote to
+    // DECIMAL(38,0) (X51 pattern). Scale: posexplode then a 64-key
+    // hash agg — map-side combine collapses to dims·partitions rows
+    // before the only (dim-keyed) exchange; nothing data-sized
+    // shuffles.
+    "q_embed_profile" -> Q(
+      """SELECT u.i - 1 AS dim,
+        |  CAST(count(*) AS BIGINT) n_vecs,
+        |  CAST(sum(CAST(floor(v[u.i] * 1000000) AS BIGINT)) AS BIGINT)
+        |    sum_micro,
+        |  CAST(sum(CAST(floor(v[u.i] * 1000000) AS BIGINT)
+        |    * CAST(floor(v[u.i] * 1000000) AS BIGINT)) AS BIGINT)
+        |    sumsq_micro,
+        |  CAST(sum(CAST(floor(v[u.i] * 1000000) AS BIGINT)) AS BIGINT)
+        |    // CAST(count(*) AS BIGINT) AS mean_micro
+        |FROM (SELECT embedding::DOUBLE[] v FROM embeddings),
+        |LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) u
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      e.select(posexplode(e("embedding").cast("array<double>"))
+          .as(Seq("dim", "x")))
+        .select(col("dim"),
+          floor(col("x") * 1e6).cast("long").as("xm"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n_vecs"), sum("xm").as("sum_micro"),
+          sum(col("xm") * col("xm")).as("sumsq_micro"))
+        .select(col("dim").cast("long").as("dim"), col("n_vecs"),
+          col("sum_micro"), col("sumsq_micro"),
+          expr("sum_micro div n_vecs").as("mean_micro"))
+    },
+
+    // L30e — int8 reconstruction-error audit (r16): the quantizer's
+    // "one step per element" error bound, certified per vector instead
+    // of asserted in scaladoc. Integer micro-units end to end (floor /
+    // truncating div, identical in both engines); a bound violation
+    // surfaces as within_bound = false IN THE DATA where the hash pins
+    // it. Per-row arithmetic only — no shuffle, nothing explodes
+    // Spark-side.
+    "q_quant_error" -> Q(
+      """WITH c AS (
+        |  SELECT vec_id id, v,
+        |    CAST(floor(mx * 1000000) AS BIGINT) mxm,
+        |    CASE WHEN mx = 0
+        |      THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(v,
+        |        x -> CAST(greatest(-127, floor(x * 127 / mx)) AS BIGINT))
+        |      END codes
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] v,
+        |      list_aggregate(list_transform(embedding::DOUBLE[],
+        |        x -> abs(x)), 'max') mx
+        |    FROM embeddings)),
+        |e AS (
+        |  SELECT id, mxm,
+        |    CAST(abs(CAST(floor(v[u.i] * 1000000) AS BIGINT)
+        |      - (codes[u.i] * mxm) // 127) AS BIGINT) err
+        |  FROM c,
+        |  LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) u)
+        |SELECT id, CAST(count(*) AS BIGINT) n_dims,
+        |  CAST(max(err) AS BIGINT) max_err_micro,
+        |  CAST(sum(err) AS BIGINT) sum_err_micro,
+        |  mxm // 127 AS step_micro,
+        |  max(err) <= mxm // 127 + 2 AS within_bound
+        |FROM e GROUP BY id, mxm""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      Similarity.quantError(
         e.select(e("vec_id"), e("embedding").cast("array<double>")))
     },
 
