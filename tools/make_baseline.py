@@ -40,6 +40,46 @@ EXPLAINED = {
     "q_t_closeness": (
         "host drift, not engine drift: r13-commit code measured today = "
         "0.507s vs HEAD 0.468s (isolated REPEAT=5 A/B, ROUND15_NOTES)"),
+    # r16 final-close A/B (ROUND16_NOTES "Final close"): pre-session
+    # commit 5782855 on the same (final-close) host, isolated REPEAT=5 —
+    # the pre-session code reads 1.4-1.8x ITS OWN earlier-r16 medians
+    # too, so the elevation is the host's day, not this session's code.
+    # Order-swapped probes overlap (HEAD 1.25-1.67 vs preADD 0.96-1.52
+    # for rrf_fusion; HEAD 1.48-1.95 vs preADD 1.28-1.58 for semdedup).
+    "q_label_prop": (
+        "host drift: pre-session code today = 0.979s vs HEAD 1.080s "
+        "(isolated REPEAT=5 A/B); earlier-r16 median 0.703s"),
+    "q_rfm": (
+        "host drift: pre-session code today = 0.581s vs HEAD 0.628s "
+        "(isolated REPEAT=5 A/B); earlier-r16 median 0.354s"),
+    "q_rrf_fusion": (
+        "host drift + probe-order variance: A/B ranges overlap (HEAD "
+        "1.25-1.67 vs pre-session 0.96-1.52); earlier-r16 median 0.669s"),
+    "q_semdedup": (
+        "host drift + probe-order variance: A/B ranges overlap (HEAD "
+        "1.48-1.95 vs pre-session 1.28-1.58); earlier-r16 median 0.893s"),
+    # r16 final-close sweep-window ambient (isolated REPEAT=5 probes
+    # immediately after the sweep, ROUND16_NOTES "Final close"):
+    "q_nb_classify": (
+        "sweep-window ambient: isolated REPEAT=5 = 0.942s, inside the "
+        "1.5x rule vs the r13 anchor 0.761s"),
+    "q_pipeline_incremental": (
+        "sweep-window ambient: isolated REPEAT=5 = 2.310s — FASTER than "
+        "the r13 anchor 2.884s"),
+    "q_entity_spans": (
+        "sweep-window ambient: isolated REPEAT=5 = 0.730s, inside the "
+        "1.5x rule vs the r13 anchor 0.547s; Entities.scala untouched "
+        "since the mid-round close that read at anchor level"),
+    "q_stream_dedup": (
+        "host drift, structurally not engine: streaming/ is byte-"
+        "identical to commit 5782855 whose mid-round close read 2.07s "
+        "(1.26x anchor, under rule); final-close night probes track "
+        "canary 1.4+ (ROUND16_NOTES Final close)"),
+    "q_stream_topk": (
+        "host drift, structurally not engine: streaming/ is byte-"
+        "identical to commit 5782855 whose mid-round close read 2.01s "
+        "(1.20x anchor, under rule); final-close night probes track "
+        "canary 1.4+ (ROUND16_NOTES Final close)"),
 }
 
 
