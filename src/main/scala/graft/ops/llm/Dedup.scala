@@ -1125,7 +1125,13 @@ object Dedup {
   def editDistanceTopK(df: DataFrame, idCol: String, textCol: String,
                        k: Int, q: Int = 3, maxDist: Int = 2,
                        prefixChars: Int = 64): DataFrame = {
+    // EAGER CHECKPOINT DISCIPLINE: the symmetrizing union below reads the
+    // pair table twice (once per direction) — un-checkpointed, the whole
+    // Ed-Join mining front-end (gram explode + prefix join + banded DP)
+    // executed twice per run (r16 plan census: 27 Exchanges vs the base
+    // miner's 13).
     val p = editDistancePairs(df, idCol, textCol, q, maxDist, prefixChars)
+      .localCheckpoint(true)
     val sym = p.select(col("a").as("doc_id"), col("b").as("nbr_id"),
         col("dist"))
       .unionByName(p.select(col("b").as("doc_id"), col("a").as("nbr_id"),

@@ -21,14 +21,36 @@ object Ivf {
     Similarity.dot(cvec, vec) / (Similarity.l2norm(cvec) * nv)
 
   /** Assign each (id, vec, nv) row to its best cell by cosine:
-    * max(struct(score, cid)) is deterministic under ties.
+    * array_max over (score, cid) structs is deterministic under ties —
+    * the same lexicographic order as the previous max(struct(_s, cid))
+    * aggregate, evaluated on the same doubles.
+    *
+    * Shape (r16 optimization, guide §2.3/§2.4): the old form broadcast-
+    * joined every row against every centroid (×k row inflation) and
+    * argmin'd back down through a struct aggregate — min/max over a
+    * struct is not a mutable-buffer type, so it planned as
+    * Sort+SortAggregate+Exchange+Sort+SortAggregate, with first(vec)
+    * dragging the full embedding array through both sorts. Folding the
+    * (tiny) centroid table into ONE broadcast array row and picking the
+    * argmax per row keeps the corpus row count flat: zero exchanges,
+    * zero sorts, no vector ever shuffles. |cvec| is precomputed per
+    * centroid (was recomputed per joined row).
     */
-  private def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
-    vectors.join(broadcast(centroids))
-      .withColumn("_s", cosineTo(col("cvec"), col("vec"), col("nv")))
-      .groupBy(col("id"))
-      .agg(max(struct(col("_s"), col("cid"))).getField("cid").as("cid"),
-        first(col("vec")).as("vec"), first(col("nv")).as("nv"))
+  private def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val cb = centroids.agg(sort_array(collect_list(struct(
+      col("cid"), col("cvec"),
+      Similarity.l2norm(col("cvec")).as("cn")))).as("cb"))
+    vectors.join(broadcast(cb))
+      .withColumn("_best", array_max(transform(col("cb"), e =>
+        struct((Similarity.dot(e.getField("cvec"), col("vec"))
+            / (e.getField("cn") * col("nv"))).as("_s"),
+          e.getField("cid").as("cid")))))
+      // empty centroid table: old inner join emitted no rows; array_max
+      // over the empty array is null — keep the contract
+      .filter(col("_best").isNotNull)
+      .select(col("id"), col("_best").getField("cid").as("cid"),
+        col("vec"), col("nv"))
+  }
 
   /** Public cell assignment for composition — the SemDeDup front-end
     * (`Similarity.semDedupPairs` over IVF cells): each (id, vec) row gets

@@ -67,21 +67,38 @@ object Pq {
   }
 
   /** One pass of L2 nearest-entry assignment: (sub, id, sv) × broadcast
-    * codebook → (sub, id, code, sv), ties on the smaller code.
+    * per-sub codebook array → (sub, id, code, sv), ties on the smaller
+    * code (array_min over (_d, code) structs — the same lexicographic
+    * order as the previous min(struct(_d, code)) aggregate, on the same
+    * doubles).
+    *
+    * Shape (r16 optimization, guide §2.3/§2.4): the old form inflated
+    * the subvector table ×k through the codebook join (n·m·k rows at
+    * k=64) and argmin'd back down through a struct aggregate, which
+    * plans as Sort+SortAggregate+Exchange+Sort+SortAggregate with
+    * first(sv) dragging every subvector through both sorts. Folding each
+    * subspace's codebook into ONE broadcast array row (equi-joined on
+    * `sub` — m rows total) and picking the argmin per row keeps the row
+    * count flat: zero exchanges, zero sorts, sv never leaves its row.
+    *
+    * |sv - cvec|² = |sv|² + |cvec|² - 2·dot; |sv|² is constant within
+    * the per-(sub, id) argmin so it is dropped, and |cvec|² is
+    * precomputed per codebook entry — ONE dot per (row, entry).
     */
-  private def assignCodes(subs: DataFrame, books: DataFrame): DataFrame =
-    subs.join(broadcast(
-        // |sv - cvec|² = |sv|² + |cvec|² - 2·dot; |sv|² is constant
-        // within the per-(sub, id) argmin so it is dropped, and |cvec|²
-        // is precomputed on the tiny codebook — ONE dot per pair in the
-        // hot join (3× fewer than the naive distance)
-        books.withColumn("_cn2",
-          Similarity.dot(col("cvec"), col("cvec")))), Seq("sub"))
-      .withColumn("_d", col("_cn2") -
-        lit(2d) * Similarity.dot(col("sv"), col("cvec")))
-      .groupBy(col("sub"), col("id"))
-      .agg(min(struct(col("_d"), col("code"))).getField("code").as("code"),
-        first(col("sv")).as("sv"))
+  private def assignCodes(subs: DataFrame, books: DataFrame): DataFrame = {
+    val cb = books
+      .withColumn("_cn2", Similarity.dot(col("cvec"), col("cvec")))
+      .groupBy(col("sub"))
+      .agg(sort_array(collect_list(struct(
+        col("code"), col("cvec"), col("_cn2")))).as("cb"))
+    subs.join(broadcast(cb), Seq("sub"))
+      .withColumn("_best", array_min(transform(col("cb"), e =>
+        struct((e.getField("_cn2") - lit(2d)
+            * Similarity.dot(col("sv"), e.getField("cvec"))).as("_d"),
+          e.getField("code").as("code")))))
+      .select(col("sub"), col("id"),
+        col("_best").getField("code").as("code"), col("sv"))
+  }
 
   /** (sub, id, sv): every subvector of every vector, from one pass. */
   private def subTable(vectors: DataFrame, m: Int): DataFrame =
