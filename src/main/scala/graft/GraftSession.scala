@@ -39,6 +39,17 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // Join strategy (r16 optimization, guide §3.1/§9): let the planner
+      // pick shuffled-hash over sort-merge when a side's per-partition
+      // build fits — SMJ pays two sorts the hash join skips; SHJ's OOM
+      // risk is bounded by the same size checks the planner already
+      // applies, and AQE's runtime rewrite below converts residual SMJs
+      // whose post-shuffle partitions measure under 64 MB (size-bounded,
+      // not core-count-tuned — valid at any scale; Spark's default of 0
+      // simply disables the rewrite).
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        (64L << 20).toString)
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet stores ns-precision timestamps, which Spark 4

@@ -52,41 +52,53 @@ object Mst {
       .union(e0.select(col("b").as("node")))
       .distinct()
       .withColumn("comp", col("node")))
-    var forest = ckpt(e0.filter(lit(false)))
+    // Forest rows accumulate LAZILY (r16 optimization): each round's
+    // picked frame is already eagerly checkpointed, so re-checkpointing
+    // the growing union every round was one extra full job per round
+    // for data that nothing reads until the loop ends.
+    var forestParts = List.empty[DataFrame]
     var round = 0
-    var crossing = 1L
-    while (crossing > 0L && round < maxRounds) {
+    var picked0 = 0L
+    var done = false
+    while (!done && round < maxRounds) {
       round += 1
-      // edges whose endpoints sit in different components
+      // edges whose endpoints sit in different components. NOT
+      // materialized on its own (r16 optimization): the only consumers
+      // are the two directional selects inside `cand` below — computing
+      // the label join twice inside the ONE picked job is cheaper than
+      // a separate checkpoint job + count job per round (the join output
+      // is never reused across jobs). Convergence is read off `picked`
+      // instead: picked is empty iff no crossing edge exists (every
+      // crossing edge belongs to at least one component's minimum).
       val cross = e0
         .join(labels.select(col("node").as("a"), col("comp").as("ca")),
           "a")
         .join(labels.select(col("node").as("b"), col("comp").as("cb")),
           "b")
         .filter(col("ca") =!= col("cb"))
-        .localCheckpoint(true) // per-round scratch; freed next round
-      crossing = cross.count()
-      if (crossing > 0L) {
-        // each component's cheapest outgoing edge under the (w, a, b)
-        // total order — min(struct) keeps the whole edge in one agg
-        val cand = cross
-          .select(col("ca").as("comp"), col("w"), col("a"), col("b"),
-            col("cb").as("other"))
-          .unionByName(cross.select(col("cb").as("comp"), col("w"),
-            col("a"), col("b"), col("ca").as("other")))
-        val picked = cand.groupBy("comp")
-          .agg(min(struct(col("w"), col("a"), col("b"),
-            col("comp").as("self"), col("other"))).as("m"))
-          .select(col("m.a").as("a"), col("m.b").as("b"),
-            col("m.w").as("w"), col("m.self").as("ca"),
-            col("m.other").as("cb"))
-          // the same edge picked from both of its components appears
-          // twice (once per direction) — one forest row per edge
-          .groupBy("a", "b", "w")
-          .agg(min("ca").as("ca"), max("cb").as("cb"))
-          .localCheckpoint(true) // per-round scratch; feeds 2 consumers
-        forest = ckpt(forest
-          .unionByName(picked.select(col("a"), col("b"), col("w"))))
+      // each component's cheapest outgoing edge under the (w, a, b)
+      // total order — min(struct) keeps the whole edge in one agg
+      val cand = cross
+        .select(col("ca").as("comp"), col("w"), col("a"), col("b"),
+          col("cb").as("other"))
+        .unionByName(cross.select(col("cb").as("comp"), col("w"),
+          col("a"), col("b"), col("ca").as("other")))
+      val picked = cand.groupBy("comp")
+        .agg(min(struct(col("w"), col("a"), col("b"),
+          col("comp").as("self"), col("other"))).as("m"))
+        .select(col("m.a").as("a"), col("m.b").as("b"),
+          col("m.w").as("w"), col("m.self").as("ca"),
+          col("m.other").as("cb"))
+        // the same edge picked from both of its components appears
+        // twice (once per direction) — one forest row per edge
+        .groupBy("a", "b", "w")
+        .agg(min("ca").as("ca"), max("cb").as("cb"))
+        .localCheckpoint(true) // per-round scratch; feeds 2 consumers
+      picked0 = picked.count()
+      if (picked0 == 0L) done = true
+      else {
+        forestParts = forestParts :+ picked.select(col("a"), col("b"),
+          col("w"))
         // contract: the picked edges link components; their connected
         // components (component-graph-sized — ≤ 1 edge per component)
         // become the next round's labels. STRICT convergence with a
@@ -96,9 +108,12 @@ object Mst {
         // table here leaves one merged component under two labels — the
         // merging edge is then re-picked next round and the forest gains
         // a duplicate row (r14 ADVICE). Loud beats wrong.
+        // `picked` is already checkpointed and counted, so CC skips its
+        // own input checkpoint + sizing count (two jobs per round).
         val merged = Dedup.connectedComponents(
           picked.select(col("ca").as("a"), col("cb").as("b")),
-          maxIter = 64, strict = true)
+          maxIter = 64, strict = true,
+          preMaterialized = true, knownEdgeCount = picked0)
         labels = ckpt(labels
           .join(merged.select(col("node").as("comp"), col("rep")),
             Seq("comp"), "left")
@@ -106,9 +121,10 @@ object Mst {
             .as("comp")))
       }
     }
-    require(crossing == 0L,
+    require(picked0 == 0L,
       s"boruvka did not converge in $maxRounds rounds")
-    forest
+    if (forestParts.isEmpty) e0.filter(lit(false))
+    else forestParts.reduce(_ unionByName _)
   }
 
   /** Single-linkage clustering at each of `cuts` thresholds, computed
@@ -128,10 +144,49 @@ object Mst {
     val nodes = ckpt(edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node")))
       .distinct())
-    cuts.map { t =>
-      // a thresholded FOREST can be a maximal-diameter path, so the cut
-      // CCs get the same strict 64-round pointer-jump budget as the
-      // Borůvka contraction (default 20 covers only ~2^20 diameters)
+    // ONE label-propagation run answers EVERY cut (r16 optimization):
+    // per-cut CC loops are pure fixed cost on a forest-sized graph
+    // (~8-10 driver-scheduled jobs each), and the cut graphs are
+    // independent, so they batch: tag each forest edge with every cut it
+    // survives and pack (node, cutIdx) into one id — node·|cuts|+cutIdx
+    // (disjoint per cut, so components never bridge cuts, and min-label
+    // over the packed id is min-label per (cut, node) because the
+    // cutIdx offset is constant within a cut's subgraph). Pointer
+    // jumping converges in max-over-cuts rounds instead of
+    // sum-over-cuts. Falls back to the per-cut loop when packing could
+    // overflow (ids above ~2^62/|cuts| — never for document ids, but
+    // the op must not silently corrupt on hash-shaped ids).
+    val n = cuts.size
+    val (minId, maxId) = nodes
+      .agg(min(col("node")), max(col("node"))).head() match {
+        case r if r.isNullAt(0) => (0L, 0L)
+        case r => (r.getLong(0), r.getLong(1))
+      }
+    if (maxId <= (Long.MaxValue - (n - 1)) / n && minId >= 0L) {
+      val cutsArr = array(cuts.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("cut"), lit(i.toLong).as("ci"))
+      }: _*)
+      val tagged = forest
+        .select(col("a"), col("b"), col("w"),
+          explode(cutsArr).as("c"))
+        .filter(col("w") <= col("c.cut"))
+        .select((col("a") * n + col("c.ci")).as("a"),
+          (col("b") * n + col("c.ci")).as("b"))
+      // a thresholded FOREST can be a maximal-diameter path, so the
+      // batched CC gets the same strict 64-round pointer-jump budget as
+      // the Borůvka contraction (default 20 covers only ~2^20 diameters)
+      val cc = Dedup.connectedComponents(tagged, maxIter = 64,
+        strict = true)
+        .select((col("node") % n).as("ci"),
+          expr(s"node div $n").as("node"),
+          expr(s"rep div $n").as("rep"))
+      val grid = nodes.select(col("node"), explode(cutsArr).as("c"))
+        .select(col("node"), col("c.cut").as("cut"),
+          col("c.ci").as("ci"))
+      grid.join(cc, Seq("ci", "node"), "left")
+        .select(col("cut"), col("node"),
+          coalesce(col("rep"), col("node")).as("rep"))
+    } else cuts.map { t =>
       val cc = Dedup.connectedComponents(
         forest.filter(col("w") <= t).select(col("a"), col("b")),
         maxIter = 64, strict = true)

@@ -1215,12 +1215,27 @@ object Dedup {
     *               not reached within `maxIter` rounds
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          strict: Boolean = false): DataFrame = {
+                          strict: Boolean = false): DataFrame =
+    connectedComponents(pairs, maxIter, strict,
+      preMaterialized = false, knownEdgeCount = -1L)
+
+  /** Iterative-caller variant (r16 optimization): a loop that calls CC
+    * once per round (Borůvka contraction, batched dendrogram cuts) pays
+    * the input re-checkpoint and the sizing count() as two extra Spark
+    * jobs per call — pure driver/scheduler fixed cost on forest-sized
+    * graphs. A caller that has ALREADY eagerly materialized `pairs` (and
+    * knows its row count) passes `preMaterialized = true` /
+    * `knownEdgeCount >= 0` to skip them; results are identical.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int,
+                          strict: Boolean, preMaterialized: Boolean,
+                          knownEdgeCount: Long): DataFrame = {
     // Materialize the pair list FIRST, eagerly: the edges union reads it
     // twice (once per direction), and lazy-checkpointed branches race to
     // compute the same partitions — without this the entire pair-mining
     // front-end (the dominant cost) ran twice per query.
-    val p = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    val p0 = pairs.select(col("a"), col("b"))
+    val p = if (preMaterialized) p0 else p0.localCheckpoint(true)
     // Size the loop's shuffle width to the GRAPH, not the session default:
     // the label table holds only docs that appear in a pair — usually
     // orders of magnitude smaller than the corpus — and every round pays
@@ -1230,8 +1245,9 @@ object Dedup {
     // every agg and SMJ in the loop reuses it (hash partitioning on the
     // key satisfies the required distribution at ANY width) instead of
     // re-exchanging at spark.sql.shuffle.partitions width each round.
+    val edgeCount = if (knownEdgeCount >= 0L) knownEdgeCount else p.count()
     val parts = math.max(1,
-      math.min((p.count() / 100000L).toInt + 1, 10000))
+      math.min((edgeCount / 100000L).toInt + 1, 10000))
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
       .repartition(parts, col("src"))
