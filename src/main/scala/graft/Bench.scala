@@ -195,6 +195,19 @@ object Bench {
       graft.queries.SharedBases.snapshot(spark, sfDir) }
     val baseBuild = (System.nanoTime() - tBase) / 1e9
     canary("post_base_build")
+    // Streaming-engine warmup, untimed (r16 optimization round): the
+    // first stream drain of a sweep paid MicroBatchExecution / RocksDB
+    // JNI / state-store codegen first-use inside its own timer — the
+    // alphabetically-first stream entry (q_stream_asof) read ~2.5-3x its
+    // warm median in REPEAT=1 sweeps while every later drain sat near
+    // baseline. Same rationale as the batch warmup block above (JIT/
+    // codegen state only, which the 3-run baseline medians already
+    // discard); placed AFTER the timed fixture-staging phase so the
+    // staged-source builds keep billing to shared_base_build, exactly
+    // as before.
+    try run("q_stream_dedup") catch { case _: Throwable => () }
+    cleanup()
+    canary("post_stream_warmup")
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Run the historically variance-prone heavy queries FIRST, right after

@@ -682,10 +682,12 @@ object Similarity {
                 planesPerTable: Seq[Int], seed: Long = 42L,
                 maxBucket: Int = 4096): DataFrame = {
     val v = vectors.toDF("id", "vec")
-    val dim = v.select(size(col("vec"))).head().getInt(0)
     val codes = int8Codes(v.select(col("id"), col("vec")))
       .select(col("id"), col("codes").cast("array<double>").as("cv"))
       .localCheckpoint(true)
+    // dim read off the (already materialized) code table instead of a
+    // separate parquet-scan job — codes are per-dimension, same length
+    val dim = codes.select(size(col("cv"))).head().getInt(0)
     val cand = annCandidatesMixed(codes, dim, planesPerTable, seed,
       maxBucket)
       .filter(col("a") < col("b"))
