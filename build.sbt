@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract (r16 verdict #2, dead since BENCH_r14): the
+// bench's one-line JSON must reach the driver as a RAW final stdout
+// line. The default forked-run LoggedOutput strategy prefixed every
+// program line with [info]/[error] and sbt appended a "[success] Total
+// time" banner after it — the driver's tail capture then never parsed
+// the line (parsed:null in BENCH_r12..r16). StdoutOutput passes the
+// forked JVM's stdout/stderr through verbatim; showSuccess=false drops
+// the trailing banner so the JSON line is the last stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not by a task, so the
+// unused-setting lint cannot see the use
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

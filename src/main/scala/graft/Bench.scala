@@ -118,7 +118,14 @@ object Bench {
     // discard, so the warmup has to do it.
     for (wq <- Seq("q_pipeline", "q_dedup_clusters", "q_pq_refine",
       "q_knn_graph", "q_knn_clusters", "q_edit_distance")) {
-      try run(wq) catch { case _: Throwable => () }
+      // a failed warmup must be VISIBLE (r16 ADVICE): the failure itself
+      // is swallowed (warmup is best-effort), but silently reverting to
+      // cold first-use inside some query's timer shows up as an
+      // unexplained outlier, so say which warmup died and why
+      try run(wq) catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $wq failed: " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       cleanup()
     }
     // warmup buys JIT/codegen state only — shared index bases built by a
@@ -205,7 +212,13 @@ object Bench {
     // discard); placed AFTER the timed fixture-staging phase so the
     // staged-source builds keep billing to shared_base_build, exactly
     // as before.
-    try run("q_stream_dedup") catch { case _: Throwable => () }
+    try run("q_stream_dedup") catch { case e: Throwable =>
+      // visible for the same reason as the batch warmups above: a failed
+      // stream warmup silently bills cold RocksDB/MicroBatch init to the
+      // first timed stream entry (r16 ADVICE)
+      System.err.println(s"[bench] stream warmup failed: " +
+        s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
     cleanup()
     canary("post_stream_warmup")
 
@@ -411,6 +424,12 @@ object Bench {
     val total = baseBuild + headline.collect {
       case (k, v) if !errors.contains(k) => v
     }.sum
+    // Unfolded headline (r16 verdict #6): the same total WITHOUT the
+    // min(first, rerun) retry fold, so the fold's contribution is one
+    // subtraction (total_raw - total), not an audit of "retried".
+    val totalRaw = baseBuild + results.collect {
+      case (k, v) if !errors.contains(k) => v
+    }.sum
     val retr = retried.map { case (k, (a, b, cr)) =>
       "\"" + k +
         f"""\":{"first":$a%.3f,"rerun":$b%.3f,"canary_rel":$cr%.2f}"""
@@ -421,6 +440,7 @@ object Bench {
     val baseDet = qsJson(baseDetail.toSeq)
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(headline)},""" +
+        f""""total_raw":$totalRaw%.3f,""" +
         s""""run1":${qsJson(run1.toSeq)},""" +
         s""""errors":${errsJson(160)},"retried":$retr,""" +
         f""""shared_base_build":$baseBuild%.3f,"shared_base_warm":$warmBases,""" +
@@ -455,6 +475,7 @@ object Bench {
       val kept = byTime.take(top).sortBy(_._1)
       val omitted = headline.size - kept.size
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qsJson(kept)},""" +
+        f""""total_raw":$totalRaw%.3f,""" +
         s""""n_queries":${results.size},"queries_omitted":$omitted,""" +
         s""""errors":${errsJson(errCap)},"n_errors":${errors.size},""" +
         f""""shared_base_build":$baseBuild%.3f,"baseline_status":"$baselineStatus",""" +
@@ -467,11 +488,23 @@ object Bench {
     val line = candidates.map { case (t, c) => stdoutLine(t, c) }
       .find(_.length <= budget)
       .getOrElse(stdoutLine(0, 0))
-    println(line)
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
     java.nio.file.Files.write(out,
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Fixed-name byte-identical mirror of the stdout line (r16 verdict
+    // #2): the official per-query PERF comparison has been empty since
+    // r14 because the driver's tail parse never recovered the line —
+    // with the mirror the comparison can never silently vanish again.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LINE.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The stdout line goes out LAST, after Spark is stopped and logging
+    // silenced, so nothing (executor shutdown WARNs, sbt banners — see
+    // build.sbt outputStrategy/showSuccess) can print after it: the
+    // driver's tail capture must find it as the final stdout line.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -47,6 +47,14 @@ object GraftSession {
       // whose post-shuffle partitions measure under 64 MB (size-bounded,
       // not core-count-tuned — valid at any scale; Spark's default of 0
       // simply disables the rewrite).
+      // Known failure mode (r16 ADVICE): the static planner's SHJ pick
+      // runs on COMPILE-TIME size estimates — a badly mis-estimated
+      // build side that AQE doesn't rewrite can OOM where SMJ would
+      // have spilled. Bridge.resetStats frames are safe (reset stats
+      // default large, so they stay SMJ-eligible), but parquet-stat
+      // misestimates are not; the oracle/bench sweeps run every query
+      // at the largest SF so a mis-planned SHJ surfaces there before
+      // production-scale data.
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         (64L << 20).toString)

@@ -41,6 +41,12 @@ object Mst {
 
   /** Minimum spanning forest of an undirected weighted graph.
     *
+    * The returned frame is a lazy union of up to `maxRounds` per-round
+    * checkpointed parts (r16 ADVICE): a multi-consumer caller should
+    * checkpoint it once (as [[singleLinkage]] does) — consuming the raw
+    * union repeatedly re-reads every per-round checkpoint block and
+    * pins them until the last consumer finishes.
+    *
     * @param edges (a: long, b: long, w: long) with a < b, no self loops,
     *              one row per undirected edge
     * @return the forest subset of `edges`, same columns
@@ -83,6 +89,10 @@ object Mst {
           col("cb").as("other"))
         .unionByName(cross.select(col("cb").as("comp"), col("w"),
           col("a"), col("b"), col("ca").as("other")))
+      // row count rides the checkpoint via Observation (r17, same
+      // fusion as the CC loop): the separate count() was one extra
+      // driver-scheduled job per round on a forest-sized frame
+      val pickedObs = new org.apache.spark.sql.Observation()
       val picked = cand.groupBy("comp")
         .agg(min(struct(col("w"), col("a"), col("b"),
           col("comp").as("self"), col("other"))).as("m"))
@@ -93,8 +103,9 @@ object Mst {
         // twice (once per direction) — one forest row per edge
         .groupBy("a", "b", "w")
         .agg(min("ca").as("ca"), max("cb").as("cb"))
+        .observe(pickedObs, count(lit(1)).as("n"))
         .localCheckpoint(true) // per-round scratch; feeds 2 consumers
-      picked0 = picked.count()
+      picked0 = pickedObs.get("n").asInstanceOf[Long]
       if (picked0 == 0L) done = true
       else {
         forestParts = forestParts :+ picked.select(col("a"), col("b"),

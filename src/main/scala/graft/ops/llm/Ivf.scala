@@ -35,6 +35,13 @@ object Ivf {
     * argmax per row keeps the corpus row count flat: zero exchanges,
     * zero sorts, no vector ever shuffles. |cvec| is precomputed per
     * centroid (was recomputed per joined row).
+    *
+    * PRECONDITION (r16 ADVICE): `vectors` ids must be unique. The old
+    * groupBy(id) aggregate implicitly collapsed duplicate ids to one
+    * output row; the per-row argmin emits one row PER INPUT ROW, so a
+    * caller feeding duplicated ids would double-weight Lloyd means in
+    * fitCentroids and duplicate cell rows. Every internal caller feeds
+    * a per-id table (corpus rows / persisted index rows).
     */
   private def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val cb = centroids.agg(sort_array(collect_list(struct(

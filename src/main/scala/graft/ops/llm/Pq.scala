@@ -84,6 +84,12 @@ object Pq {
     * |sv - cvec|² = |sv|² + |cvec|² - 2·dot; |sv|² is constant within
     * the per-(sub, id) argmin so it is dropped, and |cvec|² is
     * precomputed per codebook entry — ONE dot per (row, entry).
+    *
+    * PRECONDITION (r16 ADVICE): `subs` keys (sub, id) must be unique.
+    * The old groupBy(sub, id) + first(sv) aggregate implicitly collapsed
+    * duplicates; the per-row argmin emits one row per input row. The
+    * only producer is [[subTable]], which emits exactly one row per
+    * (sub, id) by construction.
     */
   private def assignCodes(subs: DataFrame, books: DataFrame): DataFrame = {
     val cb = books

@@ -688,9 +688,15 @@ object Similarity {
     // dim read off the (already materialized) code table instead of a
     // separate parquet-scan job — codes are per-dimension, same length
     val dim = codes.select(size(col("cv"))).head().getInt(0)
+    // ordered + int8-UB prefiltered (r16 verdict #3): the join emits
+    // only a < b (this caller filtered that anyway — proof at the
+    // `ordered` param) and drops pairs whose provable int8 cosine upper
+    // bound is below τ before they are emitted — the exact τ filter
+    // below disposes identically either way, so the output is
+    // bit-identical with ~an order of magnitude fewer candidate rows
+    // reaching the vector-attach joins.
     val cand = annCandidatesMixed(codes, dim, planesPerTable, seed,
-      maxBucket)
-      .filter(col("a") < col("b"))
+      maxBucket, ubTau = Some(tau), ordered = true)
     val withVec = v.select(col("id"), col("vec"), l2norm(col("vec")).as("nv"))
     val pairs = cand
       .join(withVec.select(col("id").as("a"), col("vec").as("va"),
@@ -723,8 +729,13 @@ object Similarity {
     */
   private[graft] def annCandidatesMixed(v: DataFrame, dim: Int,
                                  planesPerTable: Seq[Int], seed: Long,
-                                 maxBucket: Int): DataFrame = {
+                                 maxBucket: Int,
+                                 ubTau: Option[Double] = None,
+                                 ordered: Boolean = false): DataFrame = {
     require(planesPerTable.nonEmpty, "at least one table")
+    require(ubTau.forall(_ >= 0d),
+      "ubTau must be >= 0 (the numerator/denominator bound directions " +
+        "assume a non-negative threshold)")
     require(planesPerTable.forall(p => p >= 1 && p <= 62),
       "plane counts must be in [1, 62] (bucket id must fit a long)")
     def bucketOfInt(codes: Column, planes: Int, tbl: Int): Column =
@@ -758,13 +769,41 @@ object Similarity {
     def bucketAt(t: Int): Column =
       shiftright(col("bvp"), offsets(t))
         .bitwiseAND(lit((1L << planesPerTable(t)) - 1L))
-    val keyed = v.select(col("id"), bvp.as("bvp"))
-      .select(col("id"), col("bvp"),
+    // Int8 cosine upper bound (r16 verdict #3 — prune BEFORE pair
+    // emission). The per-vector max-abs scales cancel in cosine, so with
+    // u := v·127/max|v| and c := the int8 codes, u_i ∈ [c_i, c_i + 1)
+    // per dim (quantizeInt8's floor) and cosine(va, vb) = cosine(ua, ub)
+    // EXACTLY. Over that box:
+    //   <ua,ub> <= <ca,cb> + Σ ca_i⁺ + Σ cb_i⁺ + dim      (each e ∈ [0,1))
+    //   ‖ua‖    >= sqrt(Σ lo_i²), lo_i = max(c_i, -c_i - 1)  (min |x| over
+    //                                                        [c_i, c_i+1))
+    // so cosine <= (<ca,cb> + spa + spb + dim) / (lona·lonb) — a pair
+    // whose bound is below τ provably fails the exact τ test and can be
+    // dropped inside the join with the result bit-identical. +2 slack in
+    // the numerator absorbs the -128→-127 clamp corner (≈3 ppm of
+    // components sit one step outside the box; worst-case contribution
+    // ≪ 1) and predicate-evaluation ulps. All inputs are small ints in
+    // doubles — the dot and the per-id stats are exact. Zero-vector rows
+    // have lona = 0 and are conservatively kept.
+    val prefStats: DataFrame => DataFrame = df =>
+      if (ubTau.isEmpty) df
+      else df
+        .withColumn("_sp",
+          expr("aggregate(cv, 0D, (acc, x) -> acc + greatest(x, 0D))"))
+        .withColumn("_lon", sqrt(expr(
+          "aggregate(cv, 0D, (acc, x) -> " +
+            "acc + pow(greatest(x, -x - 1D), 2D))")))
+    val preCols =
+      if (ubTau.isEmpty) Seq.empty[Column]
+      else Seq(col("cv"), col("_sp"), col("_lon"))
+    val keyed = prefStats(v).select(
+        Seq(col("id"), bvp.as("bvp")) ++ preCols: _*)
+      .select(Seq(col("id"), col("bvp"),
         explode(array((0 until nTables).map { t =>
           struct(lit(t).as("tbl"), bucketAt(t).as("bucket"))
-        }: _*)).as("tb"))
-      .select(col("id"), col("bvp"), col("tb.tbl").as("tbl"),
-        col("tb.bucket").as("bucket"))
+        }: _*)).as("tb")) ++ preCols: _*)
+      .select(Seq(col("id"), col("bvp"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket")) ++ preCols: _*)
     val bw = org.apache.spark.sql.expressions.Window
       .partitionBy("tbl", "bucket")
       .orderBy(xxhash64(col("tbl"), col("bucket"), col("id")), col("id"))
@@ -781,10 +820,19 @@ object Similarity {
         sum(expr("shiftleft(CAST(1 AS BIGINT), tbl)"))
           .over(org.apache.spark.sql.expressions.Window.partitionBy("id")))
       .drop("_br")
-    val aSide = keyed.select(col("id").as("a"), col("bvp").as("bvpa"),
-      col("tbl"), col("bucket"))
-    val bSide = capped.select(col("id").as("b"), col("bvp").as("bvpb"),
+    val aPre =
+      if (ubTau.isEmpty) Seq.empty[Column]
+      else Seq(col("cv").as("cva"), col("_sp").as("spa"),
+        col("_lon").as("lona"))
+    val bPre =
+      if (ubTau.isEmpty) Seq.empty[Column]
+      else Seq(col("cv").as("cvb"), col("_sp").as("spb"),
+        col("_lon").as("lonb"))
+    val aSide = keyed.select(Seq(col("id").as("a"), col("bvp").as("bvpa"),
+      col("tbl"), col("bucket")) ++ aPre: _*)
+    val bSide = capped.select(Seq(col("id").as("b"), col("bvp").as("bvpb"),
       col("sv"), col("tbl").as("tbl2"), col("bucket").as("bucket2"))
+      ++ bPre: _*)
     // first-surviving-table emission: a pair direction is emitted ONLY
     // from the first table where the sides co-bucket AND the b side
     // survives that bucket's cap — every direction appears exactly once
@@ -805,10 +853,31 @@ object Similarity {
       else (0 until nTables - 1)
         .map(tp => (col("tbl") <= tp) || !dupAt(tp))
         .reduce(_ && _)
+    // ordered=true restricts emission to a < b INSIDE the join. Only
+    // valid for a consumer that post-filters a < b anyway (dbscanAnn):
+    // for an ordered pair (x, y), x < y, emission happens at the first
+    // table where they co-bucket and y survives its bucket's cap —
+    // exactly the rows the old both-direction join kept AFTER its
+    // filter(a < b) (the (y, x) direction rows never pass that filter),
+    // so the post-filter set is bit-identical. Consumers that keep both
+    // directions must NOT set it (one-sided cap semantics, see above).
+    val pairPred =
+      if (ordered) col("a") < col("b") else col("a") =!= col("b")
+    // the UB conjunct sits LAST so codegen's short-circuit evaluates the
+    // dim-length dot only for rows that already passed first-table
+    // emission — per-match cost stays O(tables), not O(dim)
+    val ubPred = ubTau match {
+      case None => lit(true)
+      case Some(tau) =>
+        val num = dot(col("cva"), col("cvb")) +
+          col("spa") + col("spb") + lit(dim.toDouble + 2d)
+        (col("lona") * col("lonb") === 0d) ||
+          (num >= lit(tau) * col("lona") * col("lonb"))
+    }
     aSide
       .join(bSide,
         col("tbl") === col("tbl2") && col("bucket") === col("bucket2") &&
-          col("a") =!= col("b") && firstTable)
+          pairPred && firstTable && ubPred)
       .select("a", "b")
   }
 

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
@@ -192,8 +191,18 @@ object LayoutQueries {
          |  coalesce(max(n_chars) < $predLo OR min(n_chars) > $predHi,
          |    false) AS skip
          |FROM ranked GROUP BY 1""".stripMargin) { (s, dir) =>
-      val ranked = table(s, dir, "documents").withColumn("rn",
-        row_number().over(Window.orderBy("n_chars", "doc_id")))
+      // rank via the distributed prefix sum (r16 verdict #1): a global
+      // row_number() plans as a SINGLE-PARTITION WindowExec — the whole
+      // corpus on one reducer, the #1 remaining 100 TB killer shape.
+      // row_number over a total order == inclusive running count of 1
+      // over the same order, which PrefixSum computes with a range
+      // exchange + per-partition local ranks + a broadcast of the
+      // ~n_partitions per-partition offsets (same pattern plan-audited
+      // in q_token_budget/q_user_growth). Order semantics identical
+      // (asc nulls-first on (n_chars, doc_id), a total order).
+      val ranked = graft.ops.PrefixSum.runningSum(
+        table(s, dir, "documents"),
+        Seq(col("n_chars"), col("doc_id")), lit(1L), "rn")
       val zones = ZoneMaps.build(ranked,
         floor((col("rn") - 1) / zoneRows), Seq("n_chars"))
       ZoneMaps.prune(zones, "n_chars", lit(predLo), lit(predHi))
@@ -306,14 +315,18 @@ object LayoutQueries {
     val e = table(s, dir, "events")
     val st = e.agg(min("user_id").as("mnx"), max("user_id").as("mxx"),
       min("value").as("mny"), max("value").as("mxy"))
-    e.crossJoin(broadcast(st))
+    val keyed = e.crossJoin(broadcast(st))
       .select(col("event_id"),
         graft.ops.ZOrder.bucket(col("user_id"), col("mnx"), col("mxx"))
           .as("zx"),
         graft.ops.ZOrder.bucket(col("value"), col("mny"), col("mxy"))
           .as("zy"))
       .withColumn("zkey", graft.ops.ZOrder.interleave(col("zx"), col("zy")))
-      .withColumn("rn",
-        row_number().over(Window.orderBy("zkey", "event_id")))
+    // distributed curve rank (r16 verdict #1): row_number over the full
+    // events table planned as a single-partition WindowExec; the
+    // PrefixSum running count ranks via a range exchange on
+    // (zkey, event_id) instead — see q_zonemap_sorted.
+    graft.ops.PrefixSum.runningSum(keyed,
+      Seq(col("zkey"), col("event_id")), lit(1L), "rn")
   }
 }

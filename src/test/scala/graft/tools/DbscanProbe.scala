@@ -43,6 +43,14 @@ object DbscanProbe {
       println(s"[probe] cand rows = ${c.count()}")
       c
     }
+    // r17: the production path's ordered + int8-UB-prefiltered candidates
+    t("annCandidatesMixed ordered+ub (count)") {
+      val c = graft.ops.llm.Similarity.annCandidatesMixed(
+        codes, 64, Seq.fill(24)(2), 42L, 4096,
+        ubTau = Some(0.35), ordered = true)
+      println(s"[probe] cand rows ordered+ub = ${c.count()} " +
+        s"(old path a<b = ${cand.filter(col("a") < col("b")).count()})")
+    }
     // sub-stage isolation of the candidate front-end
     locally {
       import org.apache.spark.sql.expressions.Window
