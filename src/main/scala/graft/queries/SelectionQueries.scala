@@ -747,7 +747,17 @@ object SelectionQueries {
       }
       val pres = d0.select(d0("doc_id"), d0("lang"),
         explode(TextOps.tokens(d0("text"))).as("term")).distinct()
+      // npl feeds FOUR branches (np, hp, ha's term-distinct + left
+      // join) — eager-checkpoint per the EAGER CHECKPOINT DISCIPLINE
+      // (ops/llm/Dedup.scala) so the corpus-token explode+distinct
+      // shuffle runs ONCE; everything above npl is vocab-sized. The
+      // initial plan carried 31 Exchanges (PlanScan census, r17) with
+      // the token pass replicated under each branch — runtime exchange
+      // reuse usually collapses them, but reuse is opportunistic and a
+      // 100 TB token stream re-scanned per branch is the failure mode
+      // the discipline exists for.
       val npl = pres.groupBy("term", "lang").agg(count(lit(1)).as("npl"))
+        .localCheckpoint(true)
       val np = npl.groupBy("term").agg(sum("npl").as("np"))
       val dl = d0.groupBy("lang").agg(count(lit(1)).as("dl"))
       val dd = d0.agg(count(lit(1)).as("d"))

@@ -86,6 +86,8 @@ object DrainJobProbe {
       S.streamFunnel(spark, dir) }
     probe("interval_join (append sink)") { _ =>
       S.streamIntervalJoin(spark, dir) }
+    probe("interval_join_outer (append sink, sentinel)") { onFin =>
+      S.streamIntervalJoinOuter(spark, dir) }
     probe("sessionize_append (append sink, sentinel)") { _ =>
       S.streamSessionizeAppend(spark, dir) }
     probe("topk (complete/memory sink)") { _ =>
