@@ -527,68 +527,19 @@ object Dedup {
                                  maxBucket: Int): DataFrame = {
     require(maxBucket >= 1, "maxBucket must be at least 1")
     import org.apache.spark.sql.expressions.Window
-    // Second-level decomposition of OVER-CAP buckets (r16 verdict #5):
-    // the cap alone turns n² into Σ|bucket|·min(|bucket|, cap), but an
-    // adversarial hot bucket of m members still pays m·cap (the r16
-    // skew stress read 36.7× organic). Buckets over the cap are
-    // therefore split into ~cellTarget-member sub-cells by a second
-    // deterministic hash, and the join key gains the cell: per-member
-    // work drops to ~2·cellTarget. Each member PROBES its own cell and
-    // the next cell (ring coupling), so a hot near-dup clique stays
-    // CONNECTED across cells (consecutive cells share edges) — the
-    // property CC consumers (dedup clusters, k-core) rely on — while
-    // every member still both gives and receives a deterministic
-    // partner sample. Sub-cap buckets have exactly ONE cell (id 0):
-    // same window partitions, same rank order, same join matches —
-    // bit-for-bit the previous behavior, which is what the oracle
-    // certifies (bucketCapAudit pins 0 over-cap buckets on all gate
-    // data).
-    val cellTarget = 512
-    val hot = banded.toDF("d0", "band", "bkey")
-      .groupBy("band", "bkey").agg(count(lit(1)).as("_bn"))
-      .filter(col("_bn") > maxBucket)
-    val withCell = banded.toDF("doc", "band", "bkey")
-      .join(broadcast(hot), Seq("band", "bkey"), "left")
-      .withColumn("_nc", when(col("_bn").isNull, lit(1L))
-        .otherwise(ceil(col("_bn") / lit(cellTarget.toDouble))
-          .cast("long")))
-      .withColumn("_cell",
-        pmod(xxhash64(col("band"), col("bkey"), col("doc")), col("_nc")))
-    val w = Window.partitionBy("band2", "bkey2", "_cell2")
+    val w = Window.partitionBy("band2", "bkey2")
       .orderBy(xxhash64(col("band2"), col("bkey2"), col("b")), col("b"))
-    // metric fires for a bucket CELL at the cap (old semantics) or for
-    // every cell of a split bucket (rank-1 row, _nc2 > 1) — sampling
-    // and splitting are both recall decisions that must never be silent
-    val r = withCell
-      .select(col("doc").as("b"), col("band").as("band2"),
-        col("bkey").as("bkey2"), col("_nc").as("_nc2"),
-        col("_cell").as("_cell2"))
+    val l = banded.toDF("a", "band", "bkey")
+    val r = banded.toDF("b", "band2", "bkey2")
       .withColumn("_br", row_number().over(w))
       .filter(col("_br") <= maxBucket)
       .observe("graft_knn_bucket_cap",
-        count(when(col("_br") === maxBucket ||
-          (col("_nc2") > 1L && col("_br") === 1L), true))
+        count(when(col("_br") === maxBucket, true))
           .as("n_buckets_at_cap"))
-    // probe side: own cell, plus the next cell when the bucket is split
-    // (single-element array otherwise — no row inflation on the organic
-    // path)
-    val l = withCell.select(col("doc").as("a"), col("band"), col("bkey"),
-      explode(when(col("_nc") > 1L,
-          array(col("_cell"), pmod(col("_cell") + 1L, col("_nc"))))
-        .otherwise(array(col("_cell")))).as("_pc"))
-    // split cells contribute at most maxBucket/2 survivors each, so a
-    // probe's two cells together stay within the documented ≤ maxBucket
-    // partner bound. Expressed as a JOIN conjunct (not a tighter window
-    // filter) so the literal `_br <= maxBucket` Filter stays directly
-    // over the Window — the adjacency InferWindowGroupLimit needs for
-    // the map-side cut (plan-pinned in PlanAuditSpec). For maxBucket = 1
-    // a split bucket admits one survivor per cell (bound 2) — the cap
-    // exists at 4096, where the halving is exact.
-    val halfCap = math.max(1, maxBucket / 2)
+      .drop("_br")
     l.join(r,
         l("band") === r("band2") && l("bkey") === r("bkey2") &&
-          col("_pc") === col("_cell2") && l("a") =!= r("b") &&
-          (col("_nc2") === 1L || col("_br") <= halfCap))
+          l("a") =!= r("b"))
       .select("a", "b").distinct()
   }
 

@@ -118,16 +118,9 @@ class DedupSpec extends SparkSpec {
       while (!observed.contains("graft_knn_bucket_cap") && waited < 10000) {
         Thread.sleep(100); waited += 100
       }
-      // r17 grid split: 1000-member buckets exceed the cap, so each of
-      // the 4 band buckets splits into ceil(1000/512) = 2 cells; the
-      // metric fires per SPLIT CELL twice (the rank-1 "this bucket was
-      // split" row and the rank==cap "this cell was capped" row):
-      // 4 bands × 2 cells × 2 firing rows = 16. On any corpus without
-      // over-cap buckets the metric is identically the old one (0 on
-      // all gate data — bucketCapAudit / bounds.json pin that).
       assert(observed.get("graft_knn_bucket_cap")
-        .exists(_.getLong(0) == 16L),
-        s"expected 16 capped-or-split cells observed: $observed")
+        .exists(_.getLong(0) == 4L),
+        s"expected 4 at-cap buckets observed: $observed")
     } finally spark.listenerManager.unregister(listener)
     // ≤ cap partners per doc per band (4 bands; distinct() may merge)
     assert(cappedN <= 1000L * 32 * 4,
@@ -138,13 +131,13 @@ class DedupSpec extends SparkSpec {
     assert(capped.select("a").distinct().count() == 1000L)
     // determinism: the sampled partner set is stable across reruns
     assert(Dedup.knnCandidates(bands, 32).count() == cappedN)
-    // r17 grid split: the sub-cell ring coupling must keep a split
-    // near-dup family CONNECTED — CC consumers (dedup clusters, k-core)
-    // would otherwise see one hot clique fragment into per-cell islands
+    // the capped family must stay CONNECTED — CC consumers (dedup
+    // clusters, k-core) rely on a hot clique not fragmenting under the
+    // partner-sample cap (every probe reaches the shared survivor set)
     val reps = Dedup.connectedComponents(capped)
       .select("rep").distinct().count()
     assert(reps == 1L,
-      s"split hot bucket fragmented into $reps components")
+      s"capped hot bucket fragmented into $reps components")
   }
 
   test("knnGraph: default hot-bucket cap is a no-op on organic data") {
